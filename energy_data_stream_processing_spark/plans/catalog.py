@@ -1,0 +1,54 @@
+"""Named-query catalog.
+
+Every analytical capability of the reference (its Postgres views and each
+Grafana dashboard panel's raw SQL — SURVEY.md §2.4 Q1-Q24) plus the extended
+training-data operators lives here as a named entry:
+
+- ``builder(spark, sf_dir) -> DataFrame`` — the Spark-first implementation;
+- ``oracle`` — an equivalent DuckDB SQL string over the same parquet tables
+  (None only for ops not expressible in SQL, e.g. LSH candidate generation);
+- ``headline`` — included in ``bench.py``'s timed set.
+
+``__spark_entry__.py`` (the driver contract) is a thin re-export of this
+registry.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class CatalogQuery:
+    name: str
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+    headline: bool = False
+    doc: str = ""
+
+
+_REGISTRY: dict[str, CatalogQuery] = {}
+
+
+def register(
+    name: str, oracle: str | None = None, headline: bool = False, doc: str = ""
+) -> Callable:
+    def deco(fn: Callable[[SparkSession, str], DataFrame]) -> Callable:
+        _REGISTRY[name] = CatalogQuery(name=name, builder=fn, oracle=oracle, headline=headline, doc=doc)
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, CatalogQuery]:
+    # Import side-effect modules lazily so a broken optional module can't
+    # take down the whole catalog at import time.
+    from . import energy_queries  # noqa: F401
+    from . import tpch_queries  # noqa: F401
+    from . import training_queries  # noqa: F401
+    from .. import streaming  # noqa: F401
+
+    return dict(_REGISTRY)

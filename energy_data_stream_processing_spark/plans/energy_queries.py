@@ -1,0 +1,784 @@
+"""Energy-domain query catalog — SURVEY.md §2.4 Q1-Q24 coverage.
+
+One entry per analytical view (database/schema.sql:64-147) and Grafana
+dashboard panel (monitoring/grafana/dashboards/business-metrics.json), each as
+an idiomatic DataFrame builder plus a DuckDB oracle. Grafana's
+``$__timeFilter`` macros are replaced by deterministic data-relative windows
+(last-N-days relative to ``max(hour)``), and Grafana display aliases
+("Daily Revenue") become snake_case column names so both sides hash-compare.
+
+Determinism rules (see functions/columns.py): sums/avgs over hourly-metric
+doubles re-enter exact DECIMAL arithmetic before summing; all rounding is the
+cross-engine ``floor(x*f+0.5)/f`` form.
+
+Scale notes are attached per query where the plan shape matters at 100 TB
+(global windows, cumulative sums).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.columns import dsum, round_half_up, safe_div
+from ..operators.hourly import HOURLY_ORACLE_BODY, hourly_business_metrics
+from ..sources.adapter import ENERGY_EVENTS_SQL, energy_events
+from .catalog import register
+
+
+def _hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hourly_business_metrics(energy_events(spark, sf_dir))
+
+
+def _oracle_ev(body: str) -> str:
+    return f"WITH energy_events AS ({ENERGY_EVENTS_SQL})\n{body}"
+
+
+def _oracle_hm(body: str, extra_ctes: str = "") -> str:
+    return (
+        f"WITH energy_events AS ({ENERGY_EVENTS_SQL}),\n"
+        f"hourly_business_metrics AS ({HOURLY_ORACLE_BODY}){extra_ctes}\n{body}"
+    )
+
+
+def _fr(expr: str, scale: int = 2) -> str:
+    """SQL text twin of functions.columns.round_half_up."""
+    f = float(10**scale)
+    return f"floor(({expr}) * {f} + 0.5) / {f}"
+
+
+# Exact decimal re-entry for sums over hourly-metric doubles (values carry at
+# most 3 decimals, so the cast is exact).
+def _dsum_sql(col: str, scale: int = 3) -> str:
+    return f"coalesce(cast(sum(cast({col} AS DECIMAL(28,{scale}))) AS DOUBLE), 0.0)"
+
+
+def _davg_sql(col: str, scale: int = 3) -> str:
+    return f"(cast(sum(cast({col} AS DECIMAL(28,{scale}))) AS DOUBLE) / cast(count({col}) AS DOUBLE))"
+
+
+def _dsum(c: F.Column, scale: int = 3) -> F.Column:
+    return F.coalesce(F.sum(c.cast(f"decimal(28,{scale})")).cast("double"), F.lit(0.0))
+
+
+def _davg(c: F.Column, scale: int = 3) -> F.Column:
+    return F.sum(c.cast(f"decimal(28,{scale})")).cast("double") / F.count(c).cast("double")
+
+
+# --------------------------------------------------------------------------
+# Flagship: the hourly business-metrics table itself (SURVEY §2.3).
+# --------------------------------------------------------------------------
+@register(
+    "hourly_business_metrics",
+    oracle=_oracle_hm("SELECT * FROM hourly_business_metrics"),
+    headline=True,
+    doc="Consumer's hourly aggregator as one groupBy (consumer/consumer.py:240-293).",
+)
+def q_hourly_business_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _hourly(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# schema.sql views
+# --------------------------------------------------------------------------
+@register(
+    "rolling_24h_metrics",
+    oracle=_oracle_hm(
+        """
+SELECT hour, tariff_switches, total_energy_consumed,
+  cast(sum(cast(tariff_switches AS DECIMAL(28,0))) OVER w AS DOUBLE) / cast(count(*) OVER w AS DOUBLE) AS avg_24h_switches,
+  cast(sum(cast(active_customers AS DECIMAL(28,0))) OVER w AS DOUBLE) / cast(count(*) OVER w AS DOUBLE) AS avg_24h_customers,
+  cast(sum(cast(total_energy_consumed AS DECIMAL(28,3))) OVER w AS DOUBLE) / cast(count(*) OVER w AS DOUBLE) AS avg_24h_consumption
+FROM hourly_business_metrics
+WINDOW w AS (ORDER BY hour ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+"""
+    ),
+    headline=True,
+    doc="Rolling 24h trailing averages (database/schema.sql:64-78, Q12).",
+)
+def q_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hm = _hourly(spark, sf_dir)
+    # Scale note: a global ORDER BY hour window is single-partition; at 100 TB
+    # the hourly table is still only ~8.8k rows/year post-aggregation, so this
+    # is fine — the heavy lifting happened in the partial agg upstream.
+    w = Window.orderBy("hour").rowsBetween(-23, 0)
+    cnt = F.count(F.lit(1)).over(w).cast("double")
+    return hm.select(
+        "hour",
+        "tariff_switches",
+        "total_energy_consumed",
+        (F.sum(F.col("tariff_switches").cast("decimal(28,0)")).over(w).cast("double") / cnt).alias(
+            "avg_24h_switches"
+        ),
+        (F.sum(F.col("active_customers").cast("decimal(28,0)")).over(w).cast("double") / cnt).alias(
+            "avg_24h_customers"
+        ),
+        (
+            F.sum(F.col("total_energy_consumed").cast("decimal(28,3)")).over(w).cast("double") / cnt
+        ).alias("avg_24h_consumption"),
+    )
+
+
+@register(
+    "daily_energy_summary",
+    oracle=_oracle_hm(
+        f"""
+SELECT cast(hour AS DATE) AS date,
+  sum(tariff_switches) AS daily_switches,
+  {_davg_sql("total_energy_consumed")} AS avg_consumption,
+  {_davg_sql("active_customers", 0)} AS avg_customers,
+  sum(incentive_claims) AS daily_incentive_claims,
+  {_davg_sql("green_tariff_switches", 0)} AS avg_green_adoptions,
+  count(*) AS sample_size
+FROM hourly_business_metrics
+WHERE hour > (SELECT max(hour) FROM hourly_business_metrics) - INTERVAL 7 DAY
+GROUP BY cast(hour AS DATE)
+"""
+    ),
+    doc="Daily business summary (database/schema.sql:81-93); last-7-days window "
+    "made data-relative (max(hour)) instead of CURRENT_DATE for determinism.",
+)
+def q_daily_energy_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hm = _hourly(spark, sf_dir)
+    tmax = hm.agg(F.max("hour").alias("tmax"))
+    return (
+        hm.join(F.broadcast(tmax))
+        .where(F.col("hour") > F.col("tmax") - F.expr("INTERVAL 7 DAYS"))
+        .groupBy(F.col("hour").cast("date").alias("date"))
+        .agg(
+            F.sum("tariff_switches").alias("daily_switches"),
+            _davg(F.col("total_energy_consumed")).alias("avg_consumption"),
+            _davg(F.col("active_customers"), 0).alias("avg_customers"),
+            F.sum("incentive_claims").alias("daily_incentive_claims"),
+            _davg(F.col("green_tariff_switches"), 0).alias("avg_green_adoptions"),
+            F.count(F.lit(1)).alias("sample_size"),
+        )
+    )
+
+
+@register(
+    "customer_view",
+    oracle=_oracle_ev(
+        """
+, switch_ranked AS (
+  SELECT customer_id, tariff_type, event_time,
+         row_number() OVER (PARTITION BY customer_id ORDER BY event_time DESC, event_id DESC) AS rn
+  FROM energy_events WHERE event_type = 'tariff_switch'
+), switch_top AS (
+  SELECT customer_id,
+         max(CASE WHEN rn = 1 THEN tariff_type END) AS current_active_tariff,
+         max(CASE WHEN rn = 2 THEN tariff_type END) AS last_active_tariff,
+         max(CASE WHEN rn = 1 THEN event_time END) AS last_tariff_switch_date_time
+  FROM switch_ranked GROUP BY customer_id
+), base AS (
+  SELECT customer_id,
+    count(*) AS total_events,
+    count(DISTINCT session_id) AS total_sessions,
+    min(event_time) AS first_seen,
+    max(event_time) AS last_seen,
+    count(CASE WHEN event_type = 'user_login' THEN 1 END) AS logins,
+    count(CASE WHEN event_type = 'view_tariffs' THEN 1 END) AS tariff_views,
+    count(CASE WHEN event_type = 'tariff_switch' THEN 1 END) AS tariff_switches,
+    count(CASE WHEN event_type = 'bill_payment' THEN 1 END) AS bill_payments,
+    count(CASE WHEN event_type = 'energy_consumed' THEN 1 END) AS energy_reports,
+    count(CASE WHEN event_type = 'incentive_claim' THEN 1 END) AS incentive_claims,
+    coalesce(cast(sum(payment_amount) AS DOUBLE), 0.0) AS total_amount_paid,
+    coalesce(cast(sum(energy_consumed) AS DOUBLE), 0.0) AS total_energy_consumed,
+    max(CASE WHEN event_type = 'bill_payment' THEN event_time END) AS last_payment_date,
+    coalesce(array_to_string(list_sort(list(DISTINCT channel) FILTER (WHERE channel IS NOT NULL)), ','), '') AS channels,
+    coalesce(array_to_string(list_sort(list(DISTINCT tariff_type) FILTER (WHERE event_type IN ('view_tariffs','tariff_switch') AND tariff_type IS NOT NULL)), ','), '') AS tariff_types_seen
+  FROM energy_events GROUP BY customer_id
+)
+SELECT b.*, s.current_active_tariff, s.last_active_tariff, s.last_tariff_switch_date_time
+FROM base b LEFT JOIN switch_top s USING (customer_id)
+"""
+    ),
+    headline=True,
+    doc="customer_view (database/schema.sql:96-147): Q5/Q8-Q11. The correlated "
+    "LIMIT 1 [OFFSET 1] subqueries are rewritten as one row_number window "
+    "(Spark cannot express correlated LIMIT; semantics identical incl. NULLs "
+    "when <2 switches). ARRAY_AGG DISTINCT becomes a sorted joined string for "
+    "deterministic cross-engine comparison.",
+)
+def q_customer_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = energy_events(spark, sf_dir)
+    t = F.col("event_type")
+
+    # Q10/Q11: top-1 / top-2 most recent tariff_switch per customer via one
+    # window pass (event_id is the deterministic tie-break, excluded from
+    # output like the reference's serial id).
+    w = Window.partitionBy("customer_id").orderBy(F.col("event_time").desc(), F.col("event_id").desc())
+    switches = (
+        ev.where(t == "tariff_switch")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .groupBy("customer_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("tariff_type"))).alias("current_active_tariff"),
+            F.max(F.when(F.col("rn") == 2, F.col("tariff_type"))).alias("last_active_tariff"),
+            F.max(F.when(F.col("rn") == 1, F.col("event_time"))).alias(
+                "last_tariff_switch_date_time"
+            ),
+        )
+    )
+
+    base = ev.groupBy("customer_id").agg(
+        F.count(F.lit(1)).alias("total_events"),
+        F.count_distinct(F.col("session_id")).alias("total_sessions"),
+        F.min("event_time").alias("first_seen"),
+        F.max("event_time").alias("last_seen"),
+        F.count(F.when(t == "user_login", 1)).alias("logins"),
+        F.count(F.when(t == "view_tariffs", 1)).alias("tariff_views"),
+        F.count(F.when(t == "tariff_switch", 1)).alias("tariff_switches"),
+        F.count(F.when(t == "bill_payment", 1)).alias("bill_payments"),
+        F.count(F.when(t == "energy_consumed", 1)).alias("energy_reports"),
+        F.count(F.when(t == "incentive_claim", 1)).alias("incentive_claims"),
+        dsum(F.col("payment_amount")).alias("total_amount_paid"),
+        dsum(F.col("energy_consumed")).alias("total_energy_consumed"),
+        F.max(F.when(t == "bill_payment", F.col("event_time"))).alias("last_payment_date"),
+        F.array_join(F.array_sort(F.collect_set(F.col("channel"))), ",").alias("channels"),
+        F.array_join(
+            F.array_sort(
+                F.collect_set(
+                    F.when(t.isin("view_tariffs", "tariff_switch"), F.col("tariff_type"))
+                )
+            ),
+            ",",
+        ).alias("tariff_types_seen"),
+    )
+    # Scale note: both sides shuffle on customer_id once; the join is
+    # co-partitioned by the same key so AQE plans a cheap sort-merge (or a
+    # broadcast when the switch side is small).
+    return base.join(switches, "customer_id", "left")
+
+
+# --------------------------------------------------------------------------
+# Dashboard panels (business-metrics.json)
+# --------------------------------------------------------------------------
+@register(
+    "revenue_overview",
+    oracle=_oracle_hm(
+        f"""
+SELECT cast(date_trunc('day', hour) AS TIMESTAMP) AS time, {_dsum_sql("total_payments", 2)} AS daily_revenue
+FROM hourly_business_metrics GROUP BY date_trunc('day', hour)
+"""
+    ),
+    doc="Daily revenue panel (Q3/Q4).",
+)
+def q_revenue_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hm = _hourly(spark, sf_dir)
+    return hm.groupBy(F.date_trunc("day", F.col("hour")).alias("time")).agg(
+        _dsum(F.col("total_payments"), 2).alias("daily_revenue")
+    )
+
+
+@register(
+    "business_kpis_growth",
+    oracle=_oracle_hm(
+        f"""
+, bounds AS (SELECT max(hour) AS tmax FROM hourly_business_metrics),
+current_metrics AS (
+  SELECT sum(tariff_switches) AS total_switches,
+         {_dsum_sql("total_energy_consumed")} AS total_consumption,
+         {_davg_sql("active_customers", 0)} AS avg_customers,
+         {_dsum_sql("total_payments", 2)} AS total_revenue,
+         sum(incentive_claims) AS total_incentives,
+         {_davg_sql("avg_payment_amount", 2)} AS avg_payment
+  FROM hourly_business_metrics, bounds
+  WHERE hour > tmax - INTERVAL 7 DAY
+),
+previous_metrics AS (
+  SELECT sum(tariff_switches) AS prev_switches,
+         {_dsum_sql("total_energy_consumed")} AS prev_consumption,
+         {_dsum_sql("total_payments", 2)} AS prev_revenue
+  FROM hourly_business_metrics, bounds
+  WHERE hour > tmax - INTERVAL 14 DAY AND hour <= tmax - INTERVAL 7 DAY
+)
+SELECT
+  cm.total_switches,
+  {_fr("cm.total_consumption")} AS total_consumption,
+  floor(cm.avg_customers + 0.5) AS avg_customers,
+  {_fr("cm.total_revenue")} AS total_revenue,
+  cm.total_incentives,
+  {_fr("cm.avg_payment")} AS avg_payment,
+  CASE WHEN pm.prev_switches > 0
+       THEN {_fr("(cast(cm.total_switches AS DOUBLE) - cast(pm.prev_switches AS DOUBLE)) / cast(pm.prev_switches AS DOUBLE) * 100.0", 1)}
+       ELSE 0.0 END AS switch_growth_pct,
+  CASE WHEN pm.prev_revenue > 0
+       THEN {_fr("(cm.total_revenue - pm.prev_revenue) / pm.prev_revenue * 100.0", 1)}
+       ELSE 0.0 END AS revenue_growth_pct
+FROM current_metrics cm, previous_metrics pm
+"""
+    ),
+    headline=True,
+    doc="Business KPIs panel (Q17/Q18): period-over-period growth; current = "
+    "last 7 days up to max(hour), previous = the 7 days before.",
+)
+def q_business_kpis_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hm = _hourly(spark, sf_dir).join(
+        F.broadcast(_hourly(spark, sf_dir).agg(F.max("hour").alias("tmax")))
+    )
+    cur = (
+        hm.where(F.col("hour") > F.col("tmax") - F.expr("INTERVAL 7 DAYS"))
+        .agg(
+            F.sum("tariff_switches").alias("total_switches"),
+            _dsum(F.col("total_energy_consumed")).alias("total_consumption"),
+            _davg(F.col("active_customers"), 0).alias("avg_customers"),
+            _dsum(F.col("total_payments"), 2).alias("total_revenue"),
+            F.sum("incentive_claims").alias("total_incentives"),
+            _davg(F.col("avg_payment_amount"), 2).alias("avg_payment"),
+        )
+    )
+    prev = (
+        hm.where(
+            (F.col("hour") > F.col("tmax") - F.expr("INTERVAL 14 DAYS"))
+            & (F.col("hour") <= F.col("tmax") - F.expr("INTERVAL 7 DAYS"))
+        )
+        .agg(
+            F.sum("tariff_switches").alias("prev_switches"),
+            _dsum(F.col("total_energy_consumed")).alias("prev_consumption"),
+            _dsum(F.col("total_payments"), 2).alias("prev_revenue"),
+        )
+    )
+    # Two 1-row frames: the cross join is trivially broadcast (Q17's
+    # `FROM cm, pm` shape).
+    joined = cur.crossJoin(F.broadcast(prev))
+    growth = lambda c, p: F.when(  # noqa: E731
+        F.col(p) > 0,
+        round_half_up((F.col(c).cast("double") - F.col(p).cast("double")) / F.col(p).cast("double") * 100.0, 1),
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        F.col("total_switches"),
+        round_half_up(F.col("total_consumption")).alias("total_consumption"),
+        F.floor(F.col("avg_customers") + F.lit(0.5)).cast("double").alias("avg_customers"),
+        round_half_up(F.col("total_revenue")).alias("total_revenue"),
+        F.col("total_incentives"),
+        round_half_up(F.col("avg_payment")).alias("avg_payment"),
+        growth("total_switches", "prev_switches").alias("switch_growth_pct"),
+        growth("total_revenue", "prev_revenue").alias("revenue_growth_pct"),
+    )
+
+
+@register(
+    "engagement_funnel",
+    oracle=_oracle_ev(
+        f"""
+, funnel_data AS (
+  SELECT
+    count(DISTINCT CASE WHEN event_type IN ('user_login','view_tariffs','tariff_switch','energy_consumed','incentive_claim','bill_payment') THEN customer_id END) AS active_users,
+    count(DISTINCT CASE WHEN event_type = 'view_tariffs' THEN customer_id END) AS tariff_viewers,
+    count(DISTINCT CASE WHEN event_type = 'tariff_switch' THEN customer_id END) AS converters,
+    count(DISTINCT CASE WHEN event_type = 'bill_payment' THEN customer_id END) AS payers
+  FROM energy_events
+)
+SELECT active_users, tariff_viewers, converters, payers,
+  {_fr("cast(tariff_viewers AS DOUBLE) / nullif(cast(active_users AS DOUBLE), 0.0) * 100.0", 1)} AS view_rate_pct,
+  {_fr("cast(converters AS DOUBLE) / nullif(cast(tariff_viewers AS DOUBLE), 0.0) * 100.0", 1)} AS conversion_rate_pct,
+  {_fr("cast(payers AS DOUBLE) / nullif(cast(converters AS DOUBLE), 0.0) * 100.0", 1)} AS payment_rate_pct
+FROM funnel_data
+"""
+    ),
+    doc="Engagement funnel panel (Q6): conditional distinct counts + rates. "
+    "NULL (not 0) when a funnel stage is empty, as the reference's NULLIF does.",
+)
+def q_engagement_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = energy_events(spark, sf_dir)
+    t = F.col("event_type")
+    c = F.col("customer_id")
+    funnel = ev.agg(
+        F.count_distinct(
+            F.when(
+                t.isin(
+                    "user_login",
+                    "view_tariffs",
+                    "tariff_switch",
+                    "energy_consumed",
+                    "incentive_claim",
+                    "bill_payment",
+                ),
+                c,
+            )
+        ).alias("active_users"),
+        F.count_distinct(F.when(t == "view_tariffs", c)).alias("tariff_viewers"),
+        F.count_distinct(F.when(t == "tariff_switch", c)).alias("converters"),
+        F.count_distinct(F.when(t == "bill_payment", c)).alias("payers"),
+    )
+    rate = lambda num, den: round_half_up(  # noqa: E731
+        F.col(num).cast("double") / F.nullif(F.col(den).cast("double"), F.lit(0.0)) * 100.0, 1
+    )
+    return funnel.select(
+        "active_users",
+        "tariff_viewers",
+        "converters",
+        "payers",
+        rate("tariff_viewers", "active_users").alias("view_rate_pct"),
+        rate("converters", "tariff_viewers").alias("conversion_rate_pct"),
+        rate("payers", "converters").alias("payment_rate_pct"),
+    )
+
+
+@register(
+    "channel_performance",
+    oracle=_oracle_ev(
+        """
+SELECT channel,
+  count(CASE WHEN event_type = 'tariff_switch' AND tariff_type = 'green' THEN 1 END) AS green_tariff_switches,
+  count(DISTINCT customer_id) AS total_customers,
+  coalesce(cast(sum(payment_amount) AS DOUBLE), 0.0) AS total_revenue
+FROM energy_events GROUP BY channel
+"""
+    ),
+    doc="Channel performance panel (Q7): FILTER-clause aggregates as when()-filtered aggs.",
+)
+def q_channel_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = energy_events(spark, sf_dir)
+    return ev.groupBy("channel").agg(
+        F.count(
+            F.when((F.col("event_type") == "tariff_switch") & (F.col("tariff_type") == "green"), 1)
+        ).alias("green_tariff_switches"),
+        F.count_distinct(F.col("customer_id")).alias("total_customers"),
+        dsum(F.col("payment_amount")).alias("total_revenue"),
+    )
+
+
+@register(
+    "customer_activity_funnel",
+    oracle=_oracle_ev(
+        f"""
+, logged_in_customers AS (
+  SELECT DISTINCT customer_id FROM energy_events WHERE event_type = 'user_login'
+), funnel_data AS (
+  SELECT
+    count(DISTINCT CASE WHEN event_type = 'user_login' THEN e.customer_id END) AS active_users,
+    count(DISTINCT CASE WHEN event_type = 'view_tariffs' THEN e.customer_id END) AS viewed_tariff,
+    count(DISTINCT CASE WHEN event_type = 'tariff_switch' THEN e.customer_id END) AS switched_tariff
+  FROM energy_events e INNER JOIN logged_in_customers lic ON e.customer_id = lic.customer_id
+)
+SELECT 'Active Users' AS stage, active_users AS count, 100.0 AS conversion_rate, 1 AS stage_order FROM funnel_data
+UNION ALL
+SELECT 'Viewed Tariff', viewed_tariff, {_fr("cast(viewed_tariff AS DOUBLE) / nullif(cast(active_users AS DOUBLE), 0.0) * 100.0")}, 2 FROM funnel_data
+UNION ALL
+SELECT 'Switched Tariff', switched_tariff, {_fr("cast(switched_tariff AS DOUBLE) / nullif(cast(viewed_tariff AS DOUBLE), 0.0) * 100.0")}, 3 FROM funnel_data
+"""
+    ),
+    doc="Customer activity panel (Q19/Q20): login-cohort semi-join + UNION ALL "
+    "funnel stages. The DISTINCT-CTE inner join is a left-semi join in Spark "
+    "(equal semantics, no duplicate amplification) and broadcasts the cohort.",
+)
+def q_customer_activity_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = energy_events(spark, sf_dir)
+    t = F.col("event_type")
+    cohort = ev.where(t == "user_login").select("customer_id").distinct()
+    # Semi-join replaces INNER JOIN on a DISTINCT CTE: same rows, one pass,
+    # broadcastable at any scale where the cohort fits (else AQE falls back).
+    cohort_events = ev.join(F.broadcast(cohort), "customer_id", "left_semi")
+    funnel = cohort_events.agg(
+        F.count_distinct(F.when(t == "user_login", F.col("customer_id"))).alias("active_users"),
+        F.count_distinct(F.when(t == "view_tariffs", F.col("customer_id"))).alias("viewed_tariff"),
+        F.count_distinct(F.when(t == "tariff_switch", F.col("customer_id"))).alias(
+            "switched_tariff"
+        ),
+    )
+    rate = lambda num, den: round_half_up(  # noqa: E731
+        F.col(num).cast("double") / F.nullif(F.col(den).cast("double"), F.lit(0.0)) * 100.0, 2
+    )
+    s1 = funnel.select(
+        F.lit("Active Users").alias("stage"),
+        F.col("active_users").alias("count"),
+        F.lit(100.0).alias("conversion_rate"),
+        F.lit(1).alias("stage_order"),
+    )
+    s2 = funnel.select(
+        F.lit("Viewed Tariff").alias("stage"),
+        F.col("viewed_tariff").alias("count"),
+        rate("viewed_tariff", "active_users").alias("conversion_rate"),
+        F.lit(2).alias("stage_order"),
+    )
+    s3 = funnel.select(
+        F.lit("Switched Tariff").alias("stage"),
+        F.col("switched_tariff").alias("count"),
+        rate("switched_tariff", "viewed_tariff").alias("conversion_rate"),
+        F.lit(3).alias("stage_order"),
+    )
+    return s1.unionByName(s2).unionByName(s3)
+
+
+@register(
+    "green_adoption",
+    oracle=_oracle_hm(
+        """
+SELECT hour,
+  sum(incentive_claims) OVER (ORDER BY hour) AS cumulative_claims,
+  sum(green_tariff_switches) OVER (ORDER BY hour) AS cumulative_green_switches
+FROM hourly_business_metrics
+"""
+    ),
+    doc="Green adoption panel (Q14): running cumulative sums of long counters.",
+)
+def q_green_adoption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hm = _hourly(spark, sf_dir)
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    return hm.select(
+        "hour",
+        F.sum("incentive_claims").over(w).alias("cumulative_claims"),
+        F.sum("green_tariff_switches").over(w).alias("cumulative_green_switches"),
+    )
+
+
+@register(
+    "demand_elasticity",
+    oracle=_oracle_hm(
+        """
+SELECT hour AS time,
+  CASE WHEN lag(total_energy_consumed) OVER (ORDER BY hour) > 0
+       THEN (total_energy_consumed - lag(total_energy_consumed) OVER (ORDER BY hour)) / lag(total_energy_consumed) OVER (ORDER BY hour) * 100.0
+       ELSE 0.0 END AS demand_change_pct,
+  CASE WHEN lag(tariff_switches) OVER (ORDER BY hour) > 0
+       THEN cast(tariff_switches - lag(tariff_switches) OVER (ORDER BY hour) AS DOUBLE) / cast(lag(tariff_switches) OVER (ORDER BY hour) AS DOUBLE) * 100.0
+       ELSE 0.0 END AS price_sensitivity_pct
+FROM hourly_business_metrics
+"""
+    ),
+    doc="Demand elasticity panel (Q15): LAG percent-change guarded by CASE.",
+)
+def q_demand_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hm = _hourly(spark, sf_dir)
+    w = Window.orderBy("hour")
+    lag_e = F.lag("total_energy_consumed").over(w)
+    lag_s = F.lag("tariff_switches").over(w)
+    return hm.select(
+        F.col("hour").alias("time"),
+        F.when(
+            lag_e > 0, (F.col("total_energy_consumed") - lag_e) / lag_e * 100.0
+        )
+        .otherwise(F.lit(0.0))
+        .alias("demand_change_pct"),
+        F.when(
+            lag_s > 0,
+            (F.col("tariff_switches") - lag_s).cast("double") / lag_s.cast("double") * 100.0,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("price_sensitivity_pct"),
+    )
+
+
+@register(
+    "total_energy_trend",
+    oracle=_oracle_hm("SELECT hour AS time, total_energy_consumed FROM hourly_business_metrics"),
+    doc="Total energy panel (Q1): projection + sort (sort dropped — driver compare is order-insensitive).",
+)
+def q_total_energy_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _hourly(spark, sf_dir).select(F.col("hour").alias("time"), "total_energy_consumed")
+
+
+@register(
+    "peak_load_management",
+    oracle=_oracle_hm(
+        "SELECT hour AS time, peak_hour_usage, avg_consumption_per_customer FROM hourly_business_metrics"
+    ),
+    doc="Peak load panel (Q1/Q2).",
+)
+def q_peak_load_management(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _hourly(spark, sf_dir).select(
+        F.col("hour").alias("time"), "peak_hour_usage", "avg_consumption_per_customer"
+    )
+
+
+@register(
+    "pricing_insights",
+    oracle=_oracle_hm(
+        f"""
+, pricing_analysis AS (
+  SELECT hour,
+    cast(extract(hour FROM hour) AS BIGINT) AS hour_of_day,
+    cast(extract(dow FROM hour) AS BIGINT) AS day_of_week,
+    total_energy_consumed, tariff_switches, avg_switch_value, total_switch_revenue, active_customers,
+    cast(sum(cast(total_energy_consumed AS DECIMAL(28,3))) OVER wp AS DOUBLE) / cast(count(*) OVER wp AS DOUBLE) AS hourly_demand_pattern,
+    cast(sum(cast(tariff_switches AS DECIMAL(28,0))) OVER wp AS DOUBLE) / cast(count(*) OVER wp AS DOUBLE) AS hourly_switch_pattern,
+    percent_rank() OVER (ORDER BY total_switch_revenue, hour) AS revenue_percentile
+  FROM hourly_business_metrics
+  WINDOW wp AS (PARTITION BY extract(hour FROM hour) ORDER BY hour ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT hour AS time, hour_of_day, day_of_week,
+  total_energy_consumed AS demand,
+  {_fr("hourly_demand_pattern", 1)} AS expected_demand,
+  tariff_switches AS switches,
+  {_fr("hourly_switch_pattern", 1)} AS expected_switches,
+  CASE
+    WHEN total_energy_consumed > hourly_demand_pattern * 1.15 AND cast(tariff_switches AS DOUBLE) >= hourly_switch_pattern * 0.85 THEN 'PREMIUM PRICING'
+    WHEN total_energy_consumed < hourly_demand_pattern * 0.85 AND cast(tariff_switches AS DOUBLE) > hourly_switch_pattern * 1.15 THEN 'PROMOTIONAL PRICING'
+    WHEN total_energy_consumed > hourly_demand_pattern * 1.1 THEN 'MODERATE PREMIUM'
+    ELSE 'STANDARD PRICING'
+  END AS pricing_strategy,
+  CASE WHEN revenue_percentile > 0.8 THEN 'HIGH OPPORTUNITY'
+       WHEN revenue_percentile > 0.6 THEN 'MEDIUM OPPORTUNITY'
+       ELSE 'LOW OPPORTUNITY' END AS market_opportunity,
+  avg_switch_value AS avg_price_eur,
+  {_fr("total_switch_revenue / nullif(total_energy_consumed, 0.0) * 1000.0")} AS revenue_per_mwh
+FROM pricing_analysis
+"""
+    ),
+    headline=True,
+    doc="Dynamic pricing panel (Q13/Q16/Q22): hour-of-day-partitioned seasonal "
+    "baseline window, PERCENT_RANK (hour added as tie-break for determinism), "
+    "strategy/opportunity CASE labels. Postgres dow (0=Sun) = Spark dayofweek-1.",
+)
+def q_pricing_insights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hm = _hourly(spark, sf_dir)
+    wp = Window.partitionBy(F.hour("hour")).orderBy("hour").rowsBetween(-13, 0)
+    cnt = F.count(F.lit(1)).over(wp).cast("double")
+    pa = hm.select(
+        "hour",
+        F.hour("hour").cast("long").alias("hour_of_day"),
+        (F.dayofweek("hour") - 1).cast("long").alias("day_of_week"),
+        "total_energy_consumed",
+        "tariff_switches",
+        "avg_switch_value",
+        "total_switch_revenue",
+        "active_customers",
+        (
+            F.sum(F.col("total_energy_consumed").cast("decimal(28,3)")).over(wp).cast("double")
+            / cnt
+        ).alias("hourly_demand_pattern"),
+        (F.sum(F.col("tariff_switches").cast("decimal(28,0)")).over(wp).cast("double") / cnt).alias(
+            "hourly_switch_pattern"
+        ),
+        F.percent_rank()
+        .over(Window.orderBy("total_switch_revenue", "hour"))
+        .alias("revenue_percentile"),
+    )
+    switches_d = F.col("tariff_switches").cast("double")
+    return pa.select(
+        F.col("hour").alias("time"),
+        "hour_of_day",
+        "day_of_week",
+        F.col("total_energy_consumed").alias("demand"),
+        round_half_up(F.col("hourly_demand_pattern"), 1).alias("expected_demand"),
+        F.col("tariff_switches").alias("switches"),
+        round_half_up(F.col("hourly_switch_pattern"), 1).alias("expected_switches"),
+        F.when(
+            (F.col("total_energy_consumed") > F.col("hourly_demand_pattern") * 1.15)
+            & (switches_d >= F.col("hourly_switch_pattern") * 0.85),
+            "PREMIUM PRICING",
+        )
+        .when(
+            (F.col("total_energy_consumed") < F.col("hourly_demand_pattern") * 0.85)
+            & (switches_d > F.col("hourly_switch_pattern") * 1.15),
+            "PROMOTIONAL PRICING",
+        )
+        .when(F.col("total_energy_consumed") > F.col("hourly_demand_pattern") * 1.1, "MODERATE PREMIUM")
+        .otherwise("STANDARD PRICING")
+        .alias("pricing_strategy"),
+        F.when(F.col("revenue_percentile") > 0.8, "HIGH OPPORTUNITY")
+        .when(F.col("revenue_percentile") > 0.6, "MEDIUM OPPORTUNITY")
+        .otherwise("LOW OPPORTUNITY")
+        .alias("market_opportunity"),
+        F.col("avg_switch_value").alias("avg_price_eur"),
+        round_half_up(
+            F.col("total_switch_revenue")
+            / F.nullif(F.col("total_energy_consumed"), F.lit(0.0))
+            * 1000.0
+        ).alias("revenue_per_mwh"),
+    )
+
+
+@register(
+    "ab_test_segments",
+    oracle=_oracle_hm(
+        f"""
+, customer_segments AS (
+  SELECT hour,
+    CASE WHEN green_tariff_switches > 0 THEN 'Green Adopters'
+         WHEN tariff_switches > 0 THEN 'Price Switchers'
+         ELSE 'Stable Customers' END AS customer_segment,
+    total_energy_consumed, tariff_switches, total_switch_revenue, active_customers,
+    {_fr("total_energy_consumed / nullif(cast(active_customers AS DOUBLE), 0.0)")} AS avg_consumption_per_customer,
+    {_fr("total_switch_revenue / nullif(cast(active_customers AS DOUBLE), 0.0)")} AS avg_revenue_per_customer
+  FROM hourly_business_metrics
+)
+SELECT hour AS time, customer_segment,
+  total_energy_consumed AS energy_demand,
+  active_customers,
+  avg_consumption_per_customer,
+  avg_revenue_per_customer,
+  CASE WHEN active_customers > 0
+       THEN {_fr("cast(tariff_switches AS DOUBLE) / cast(active_customers AS DOUBLE) * 100.0")}
+       ELSE 0.0 END AS switch_conversion_rate_pct,
+  CASE WHEN avg_revenue_per_customer > 50 AND avg_consumption_per_customer > 20 THEN 'High Value'
+       WHEN avg_revenue_per_customer > 25 OR avg_consumption_per_customer > 15 THEN 'Medium Value'
+       ELSE 'Low Value' END AS segment_value_tier
+FROM customer_segments
+"""
+    ),
+    doc="A/B testing panel (Q17/Q22): behavioral segmentation + value tiers.",
+)
+def q_ab_test_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hm = _hourly(spark, sf_dir)
+    seg = hm.select(
+        "hour",
+        F.when(F.col("green_tariff_switches") > 0, "Green Adopters")
+        .when(F.col("tariff_switches") > 0, "Price Switchers")
+        .otherwise("Stable Customers")
+        .alias("customer_segment"),
+        "total_energy_consumed",
+        "tariff_switches",
+        "total_switch_revenue",
+        "active_customers",
+        round_half_up(
+            F.col("total_energy_consumed") / F.nullif(F.col("active_customers").cast("double"), F.lit(0.0))
+        ).alias("avg_consumption_per_customer"),
+        round_half_up(
+            F.col("total_switch_revenue") / F.nullif(F.col("active_customers").cast("double"), F.lit(0.0))
+        ).alias("avg_revenue_per_customer"),
+    )
+    return seg.select(
+        F.col("hour").alias("time"),
+        "customer_segment",
+        F.col("total_energy_consumed").alias("energy_demand"),
+        "active_customers",
+        "avg_consumption_per_customer",
+        "avg_revenue_per_customer",
+        F.when(
+            F.col("active_customers") > 0,
+            round_half_up(
+                F.col("tariff_switches").cast("double")
+                / F.col("active_customers").cast("double")
+                * 100.0
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("switch_conversion_rate_pct"),
+        F.when(
+            (F.col("avg_revenue_per_customer") > 50) & (F.col("avg_consumption_per_customer") > 20),
+            "High Value",
+        )
+        .when(
+            (F.col("avg_revenue_per_customer") > 25) | (F.col("avg_consumption_per_customer") > 15),
+            "Medium Value",
+        )
+        .otherwise("Low Value")
+        .alias("segment_value_tier"),
+    )
+
+
+@register(
+    "distinct_tariff_types",
+    oracle=_oracle_ev(
+        "SELECT DISTINCT tariff_type FROM energy_events WHERE tariff_type IS NOT NULL"
+    ),
+    doc="Dashboard template variable (Q21).",
+)
+def q_distinct_tariff_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = energy_events(spark, sf_dir)
+    return ev.select("tariff_type").where(F.col("tariff_type").isNotNull()).distinct()
+
+
+@register(
+    "distinct_channels",
+    oracle=_oracle_ev("SELECT DISTINCT channel FROM energy_events WHERE channel IS NOT NULL"),
+    doc="Dashboard template variable (Q21).",
+)
+def q_distinct_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = energy_events(spark, sf_dir)
+    return ev.select("channel").where(F.col("channel").isNotNull()).distinct()

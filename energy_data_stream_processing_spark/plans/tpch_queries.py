@@ -1,0 +1,123 @@
+"""Analytical join/aggregation queries over the TPC-H-ish driver tables.
+
+The reference's only join shape is a semi-join cohort filter (SURVEY.md Q19);
+these queries demonstrate the engine's general join/agg capability — and the
+physical strategies that matter at 100 TB: broadcast of small dimensions,
+co-partitioned sort-merge for fact-fact joins, partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.adapter import load_table
+from .catalog import register
+
+
+def _fr(expr: str, scale: int = 2) -> str:
+    f = float(10**scale)
+    return f"floor(({expr}) * {f} + 0.5) / {f}"
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+  cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  cast(sum(cast(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  cast(sum(cast(l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    headline=True,
+    doc="TPC-H Q1-shaped pricing summary: scan-heavy partial aggregation; "
+    "decimal-exact sums. Filter + projection push down to the parquet scan.",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "top_customer_revenue",
+    oracle="""
+SELECT c.c_mktsegment,
+  count(DISTINCT o.o_custkey) AS buying_customers,
+  cast(sum(cast(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS segment_revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+    headline=True,
+    doc="Fact-to-dimension join: customer is broadcast (tiny dim), so the "
+    "orders fact never shuffles for the join — the only shuffle is the final "
+    "small groupBy on segment.",
+)
+def q_top_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count_distinct(F.col("o_custkey")).alias("buying_customers"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias(
+                "segment_revenue"
+            ),
+        )
+    )
+
+
+@register(
+    "shipping_priority",
+    oracle="""
+SELECT l.l_orderkey,
+  cast(sum(cast(l.l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+  o.o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1998-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    headline=True,
+    doc="TPC-H Q3-shaped: selective dim filter broadcast into a fact-fact "
+    "join, then top-k (orderBy+limit → TakeOrderedAndProject, no full sort).",
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    # Broadcast only the filtered customer dim; the orders↔lineitem leg stays
+    # a shuffled join on orderkey (AQE may still broadcast it when the
+    # filtered orders side turns out small at runtime).
+    filtered_orders = o.where(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")).join(
+        F.broadcast(c.where(F.col("c_mktsegment") == "BUILDING")),
+        o.o_custkey == c.c_custkey,
+    )
+    return (
+        li.join(filtered_orders, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
