@@ -1,0 +1,60 @@
+"""Benchmark runner — driver contract.
+
+Runs the catalog's headline queries on ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) with ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: ``{"metric": ..., "value": total_sec, "unit": "sec", "queries":
+{name: sec, ...}, "sf": ...}``.
+
+Each query is materialized with the noop sink (full execution, no driver-side
+collect bottleneck). First timing includes Spark plan + scan; that is the
+realistic cold path the driver grades.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from energy_data_stream_processing_spark.plans.catalog import all_queries
+from energy_data_stream_processing_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("energy-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    catalog = all_queries()
+    headline = {name: q for name, q in catalog.items() if q.headline}
+    for name, q in headline.items():
+        t0 = time.perf_counter()
+        df = q.builder(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
