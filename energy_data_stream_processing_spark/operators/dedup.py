@@ -1,0 +1,214 @@
+"""Deduplication operators for training-data pipelines.
+
+Four strategies over the ``documents`` table, ordered by cost/recall
+tradeoff at 100 TB:
+
+- **exact**: md5-of-normalized-text hash groupBy — one shuffle on the hash,
+  map-side combinable. The canonical first pass at any scale.
+- **n-gram Jaccard (exact)**: inverted shingle index self-joined on shingle,
+  common-count -> Jaccard. Quadratic in bucket size per shingle; right for
+  verification and small/medium corpora, and as the verify stage after LSH
+  candidate generation.
+- **MinHash + banded LSH**: signature = min over shingles of xxhash64(perm,
+  shingle); band buckets join candidates in near-linear time; candidates are
+  verified with exact Jaccard. The 100 TB path: cost ~ O(n * sig) + bucket
+  joins, no quadratic blowup.
+- **SimHash**: 64-bit sign-aggregated token hashes; Hamming-close pairs via
+  4x16-bit band blocking (a pair within Hamming distance 3 must agree on at
+  least one 16-bit band).
+
+All hashing is JVM-side (md5 / xxhash64) inside higher-order functions — no
+Python UDFs. Exact and Jaccard variants have DuckDB oracle twins (md5 and
+word-shingles are dialect-neutral); MinHash/SimHash use xxhash64, which
+DuckDB lacks, so they are covered by recall tests against the exact Jaccard
+output instead (tests/test_training_ops.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint
+
+SHINGLE_N = 3
+
+
+def shingles(col_name: str = "text", n: int = SHINGLE_N) -> F.Column:
+    """Distinct word n-gram shingles of normalized text (empty when < n words)."""
+    return F.expr(
+        f"""
+        CASE WHEN size(split(lower(trim({col_name})), ' ')) >= {n}
+             THEN array_distinct(transform(
+                    sequence(1, size(split(lower(trim({col_name})), ' ')) - {n - 1}),
+                    i -> concat_ws(' ', slice(split(lower(trim({col_name})), ' '), i, {n}))))
+             ELSE array()
+        END
+        """
+    )
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct content with the kept
+    (minimum) doc_id and the duplicate count."""
+    return (
+        docs.select("doc_id", fingerprint(F.col("text")).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .withColumn("has_duplicates", F.col("n_copies") > 1)
+    )
+
+
+def _shingle_index(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", F.explode(shingles()).alias("shingle"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.015) -> DataFrame:
+    """Exact word-3-gram Jaccard similarity pairs (doc_a < doc_b, jac >= t).
+
+    Inverted-index plan: explode distinct shingles, self-join on shingle to
+    count the intersection, join per-doc shingle counts, derive
+    ``|A∩B| / (|A|+|B|-|A∩B|)``. Shuffles on shingle then on the pair key —
+    both map-side combinable. Hot shingles (stopword runs) are the skew
+    risk at scale: AQE skew-join splits them; a document-frequency cap on
+    shingles is the standard mitigation (not needed at test scale).
+    """
+    idx = _shingle_index(docs)
+    counts = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = idx.alias("a")
+    b = idx.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    jac = F.col("common").cast("double") / (
+        (F.col("na") + F.col("nb") - F.col("common")).cast("double")
+    )
+    return (
+        common.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(docs: DataFrame, num_perm: int = 32) -> DataFrame:
+    """MinHash signature per doc: sig[p] = min over shingles of
+    xxhash64(p || ':' || shingle). Entirely JVM-side higher-order functions."""
+    return docs.select(
+        "doc_id",
+        shingles().alias("sh"),
+    ).select(
+        "doc_id",
+        F.expr(
+            f"""
+            CASE WHEN size(sh) > 0 THEN
+              transform(sequence(0, {num_perm - 1}),
+                        p -> array_min(transform(sh, s -> xxhash64(concat(cast(p AS STRING), ':', s)))))
+            ELSE transform(sequence(0, {num_perm - 1}), p -> cast(9223372036854775807 AS BIGINT))
+            END
+            """
+        ).alias("signature"),
+        F.size(F.col("sh")).alias("n_shingles"),
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.015,
+    num_perm: int = 32,
+    bands: int = 16,
+) -> DataFrame:
+    """MinHash-LSH candidate generation + exact-Jaccard verification.
+
+    Banding: two docs collide if any band (num_perm/bands consecutive
+    signature slots) hashes equal. Candidates then verify against exact
+    shingle Jaccard, so the output has NO false positives; recall depends on
+    (bands, rows-per-band) — 16 bands x 2 rows is recall-heavy, right for a
+    low threshold. At 100 TB this is the scale path: candidate volume is
+    bucket-local instead of all-pairs.
+    """
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(docs, num_perm)
+    bands_df = sigs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"""
+                transform(sequence(0, {bands - 1}),
+                          b -> struct(b AS band,
+                                      xxhash64(concat_ws(',', b, slice(signature, b * {rows_per_band} + 1, {rows_per_band}))) AS bucket))
+                """
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    exact = ngram_jaccard_pairs(docs, threshold=0.0)
+    return candidates.join(exact, ["doc_a", "doc_b"]).where(F.col("jaccard") >= threshold)
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """SimHash near-dup pairs via 4x16-bit band blocking.
+
+    simhash bit b = sign of sum over tokens of (+1 if xxhash64(token) bit b
+    set else -1). Pairs agreeing on >= 1 of 4 16-bit bands are candidates
+    (guaranteed complete for Hamming distance <= 3; heuristic above that),
+    then filtered by true Hamming distance via bit_count(xor).
+    """
+    tok = F.expr("split(lower(trim(text)), ' ')")
+    sim = docs.select(
+        "doc_id",
+        F.expr(
+            """
+            aggregate(sequence(0, 63), cast(0 AS BIGINT),
+              (acc, b) -> acc + CASE WHEN
+                 aggregate(split(lower(trim(text)), ' '), 0L,
+                   (s, t) -> s + CASE WHEN (shiftright(xxhash64(t), b) % 2 + 2) % 2 = 1 THEN 1 ELSE -1 END) > 0
+                 THEN shiftleft(cast(1 AS BIGINT), b) ELSE cast(0 AS BIGINT) END)
+            """
+        ).alias("simhash"),
+    ).withColumn(
+        "bands",
+        F.expr(
+            "transform(sequence(0, 3), i -> struct(i AS band, (shiftright(simhash, i * 16) & 65535) AS chunk))"
+        ),
+    )
+    banded = sim.select("doc_id", "simhash", F.explode("bands").alias("bb")).select(
+        "doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,4 +1,285 @@
-"""Training-data pipeline operators (dedup, similarity, text) — placeholder.
+"""Training-data pipeline operators as catalog entries.
 
-Filled in after the energy-core catalog is green.
+Deduplication (exact / n-gram Jaccard / MinHash-LSH / SimHash), similarity
+search (brute-force + hyperplane-LSH cosine top-k), text analysis (quality,
+language-ID, tokens, fingerprints), and multimodal plumbing — over the
+driver's ``documents`` and ``embeddings`` tables.
+
+Oracle notes: md5, word-splitting, and regexes are dialect-neutral; dot
+products are explicit left folds mirrored by DuckDB ``list_reduce`` so
+doubles match bit-exactly. MinHash/SimHash/LSH rely on xxhash64 (no DuckDB
+equivalent) -> rows-only driver check, with recall tests against the exact
+variants in tests/test_training_ops.py.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from ..operators.multimodal import decode_media, media_meta, media_table
+from ..operators.similarity import cosine_topk, lsh_topk, similar_pairs
+from ..operators.text import (
+    BPE_TOKEN_RE,
+    doc_fingerprints,
+    lang_id,
+    text_quality,
+    token_stats_by_lang,
+)
+from ..sources.adapter import load_table
+from .catalog import register
+
+_STOP = "['the','and','is','of','to','a','in','it','that','for']"
+_MARK = {
+    "en": "['the','and','is','of','to']",
+    "es": "['el','la','de','que','y']",
+    "de": "['der','die','und','das','ist']",
+    "fr": "['le','les','et','des','une']",
+}
+
+# DuckDB left-fold dot product twin of similarity._DOT (0.0 + x == x in IEEE,
+# so the missing explicit init matches Spark's aggregate start value).
+_DDOT = "list_reduce(list_transform(generate_series(1, 64), i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+_DNORM = "sqrt(list_reduce(list_transform(generate_series(1, 64), i -> {a}[i] * {a}[i]), (x, y) -> x + y))"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+@register(
+    "text_quality",
+    oracle=f"""
+WITH t AS (SELECT doc_id, lower(trim(text)) AS t, string_split(lower(trim(text)), ' ') AS w FROM documents),
+m AS (
+  SELECT doc_id,
+    cast(length(t) AS INTEGER) AS n_chars_norm,
+    cast(len(w) AS INTEGER) AS n_words,
+    cast(len(regexp_extract_all(t, '{BPE_TOKEN_RE}')) AS INTEGER) AS n_tokens,
+    cast(length(t) - length(regexp_replace(t, '[^a-z0-9\\s]', '', 'g')) AS DOUBLE) / nullif(cast(length(t) AS DOUBLE), 0.0) AS punct_ratio,
+    cast(len(list_filter(w, x -> list_contains({_STOP}, x))) AS DOUBLE) / nullif(cast(len(w) AS DOUBLE), 0.0) AS stopword_ratio
+  FROM t
+)
+SELECT *, CASE WHEN n_words >= 50 AND stopword_ratio >= 0.05 AND punct_ratio <= 0.2 THEN 'good'
+               WHEN n_words >= 10 THEN 'fair' ELSE 'poor' END AS quality_tier
+FROM m
+""",
+    doc="Per-document quality scoring: char/word/BPE-token counts, "
+    "punctuation + stopword ratios, tiered label.",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_quality(_docs(spark, sf_dir))
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+WITH t AS (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS w FROM documents),
+s AS (
+  SELECT doc_id, lang AS labeled_lang,
+    cast(len(list_filter(w, x -> list_contains({_MARK["en"]}, x))) AS INTEGER) AS score_en,
+    cast(len(list_filter(w, x -> list_contains({_MARK["es"]}, x))) AS INTEGER) AS score_es,
+    cast(len(list_filter(w, x -> list_contains({_MARK["de"]}, x))) AS INTEGER) AS score_de,
+    cast(len(list_filter(w, x -> list_contains({_MARK["fr"]}, x))) AS INTEGER) AS score_fr
+  FROM t
+)
+SELECT *, CASE WHEN score_en > 0 AND score_en >= score_es AND score_en >= score_de AND score_en >= score_fr THEN 'en'
+               WHEN score_es > 0 AND score_es >= score_de AND score_es >= score_fr THEN 'es'
+               WHEN score_de > 0 AND score_de >= score_fr THEN 'de'
+               WHEN score_fr > 0 THEN 'fr'
+               ELSE 'unknown' END AS predicted_lang
+FROM s
+""",
+    doc="Marker-word language ID with deterministic tie-broken argmax.",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(_docs(spark, sf_dir))
+
+
+@register(
+    "doc_fingerprints",
+    oracle="""
+SELECT doc_id, md5(lower(trim(text))) AS fingerprint,
+       substring(md5(lower(trim(text))), 1, 16) AS fingerprint16
+FROM documents
+""",
+    doc="Content fingerprinting (md5 of normalized text).",
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_fingerprints(_docs(spark, sf_dir))
+
+
+@register(
+    "token_stats_by_lang",
+    oracle=f"""
+SELECT lang, count(*) AS docs,
+  sum(cast(len(regexp_extract_all(lower(trim(text)), '{BPE_TOKEN_RE}')) AS BIGINT)) AS total_tokens,
+  sum(cast(len(string_split(lower(trim(text)), ' ')) AS BIGINT)) AS total_words,
+  cast(sum(cast(len(regexp_extract_all(lower(trim(text)), '{BPE_TOKEN_RE}')) AS BIGINT)) AS DOUBLE) / cast(count(*) AS DOUBLE) AS avg_tokens_per_doc
+FROM documents GROUP BY lang
+""",
+    doc="Corpus token accounting grouped by labeled language.",
+)
+def q_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats_by_lang(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT md5(lower(trim(text))) AS content_hash, min(doc_id) AS keep_doc_id,
+       count(*) AS n_copies, count(*) > 1 AS has_duplicates
+FROM documents GROUP BY 1
+""",
+    headline=True,
+    doc="Exact dedup via hash-groupBy on the md5 content fingerprint.",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+WITH tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tok FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(tok) >= 3
+         THEN list_transform(generate_series(1, len(tok) - 2), i -> array_to_string(tok[i:i+2], ' '))
+         ELSE []::VARCHAR[] END)) AS shingle
+  FROM tok
+),
+counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       cast(common AS DOUBLE) / cast(ca.n + cb.n - common AS DOUBLE) AS jaccard
+FROM common
+JOIN counts ca ON ca.doc_id = doc_a
+JOIN counts cb ON cb.doc_id = doc_b
+WHERE cast(common AS DOUBLE) / cast(ca.n + cb.n - common AS DOUBLE) >= 0.015
+""",
+    headline=True,
+    doc="Exact word-3-gram Jaccard near-dup pairs via inverted shingle index.",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.015)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # xxhash64-based; verified by recall test vs exact Jaccard
+    headline=True,
+    doc="MinHash(32) + 16-band LSH candidates, exact-Jaccard verified "
+    "(no false positives; recall tested in tests/test_training_ops.py).",
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.015)
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # xxhash64-based
+    doc="SimHash-64 near-dup pairs (Hamming <= 8) via 4x16-bit band blocking.",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=8)
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+@register(
+    "embedding_cosine_topk",
+    oracle=f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 20),
+scored AS (
+  SELECT query_id, vec_id,
+    {_DDOT.format(a="qv", b="v")} / ({_DNORM.format(a="qv")} * {_DNORM.format(a="v")}) AS cosine
+  FROM base, q WHERE vec_id <> query_id
+)
+SELECT query_id, vec_id AS neighbor_id, cosine, cast(rank AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+    headline=True,
+    doc="Brute-force cosine top-5 for 20 query vectors — the ANN correctness "
+    "baseline. Left-fold dot products match DuckDB list_reduce bit-exactly.",
+)
+def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_topk(_emb(spark, sf_dir), num_queries=20, k=5)
+
+
+@register(
+    "embedding_similar_pairs",
+    oracle=f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300),
+scored AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    {_DDOT.format(a="a.v", b="b.v")} / ({_DNORM.format(a="a.v")} * {_DNORM.format(a="b.v")}) AS cosine
+  FROM base a, base b
+  WHERE a.vec_id < b.vec_id
+)
+SELECT * FROM scored WHERE cosine >= 0.35
+""",
+    doc="Embedding-cosine near-duplicate pairs (all-pairs form, bounded ids).",
+)
+def q_embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similar_pairs(_emb(spark, sf_dir), threshold=0.35, max_id=300)
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=None,  # approximate by design; recall measured vs exact in tests
+    headline=True,
+    doc="Random-hyperplane LSH top-5 (4 tables x 8 bits), exact-cosine "
+    "verified candidates — the 100 TB scale path for similarity search.",
+)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_topk(_emb(spark, sf_dir), num_queries=20, k=5)
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing
+# --------------------------------------------------------------------------
+@register(
+    "multimodal_meta",
+    oracle="""
+SELECT doc_id, cast(octet_length(encode(text)) AS INTEGER) AS byte_len, n_chars, source
+FROM documents
+""",
+    doc="Metadata-only scan over the media table (binary payload untouched).",
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return media_meta(_docs(spark, sf_dir))
+
+
+@register(
+    "multimodal_decode_stub",
+    oracle=None,  # Pandas-UDF pipeline; deterministic fake decode
+    doc="Arrow-batched mapInPandas decode/feature-extract over binary media "
+    "(deterministic fake codec — see operators/multimodal.py).",
+)
+def q_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_media(media_table(_docs(spark, sf_dir)))

@@ -1,0 +1,114 @@
+"""Checks for the non-SQL-expressible training ops (no DuckDB oracle):
+MinHash-LSH and SimHash dedup, hyperplane-LSH ANN, and the multimodal
+mapInPandas pipeline. Approximate ops are validated against their exact
+counterparts (no false positives + recall), which the driver's rows-only
+check cannot see."""
+
+from __future__ import annotations
+
+from energy_data_stream_processing_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from energy_data_stream_processing_spark.operators.multimodal import (
+    decode_media,
+    media_table,
+)
+from energy_data_stream_processing_spark.operators.similarity import cosine_topk, lsh_topk
+from energy_data_stream_processing_spark.sources.adapter import load_table
+
+
+def test_minhash_lsh_no_false_positives(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.015).collect()
+    }
+    approx = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"] for r in minhash_lsh_pairs(docs, 0.015).collect()
+    }
+    # Verified candidates => subset of the exact pairs with identical jaccard.
+    for pair, jac in approx.items():
+        assert pair in exact and abs(exact[pair] - jac) == 0.0
+
+
+def test_minhash_lsh_recall_on_true_neardups(spark):
+    # The driver corpus has no real near-dups (max jaccard ~0.03), so recall
+    # is measured on a synthetic corpus with genuine ones: each base doc gets
+    # a copy with a few words changed (jaccard >> 0.5).
+    base_words = [f"w{i}" for i in range(60)]
+    rows = []
+    for d in range(30):
+        words = [base_words[(d * 7 + i) % 60] for i in range(50)]
+        rows.append((2 * d, " ".join(words)))
+        mutated = list(words)
+        mutated[5] = "xx"
+        mutated[25] = "yy"
+        rows.append((2 * d + 1, " ".join(mutated)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    approx = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    true_pairs = {(2 * d, 2 * d + 1) for d in range(30)}
+    assert true_pairs <= exact  # sanity: the mutated copies really are near-dups
+    recall = len(approx & true_pairs) / len(true_pairs)
+    assert recall >= 0.9, f"MinHash-LSH missed true near-dups: recall={recall}"
+
+
+def test_simhash_pairs_shape(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    rows = simhash_pairs(docs, max_hamming=16).collect()
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"] and 0 <= r["hamming"] <= 16
+    # deterministic across runs
+    rows2 = simhash_pairs(docs, max_hamming=16).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_ann_lsh_recall_vs_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = cosine_topk(emb, num_queries=10, k=5).collect()
+    approx = lsh_topk(emb, num_queries=10, k=5).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    assert len(approx_set) > 0
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.2, f"ANN-LSH recall too low: {recall}"
+    # every returned neighbor's cosine must equal the exact computation
+    exact_cos = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_cos:
+            assert r["cosine"] == exact_cos[key]
+
+
+def test_multimodal_decode_pipeline(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_table(docs)
+    decoded = decode_media(media)
+    assert [f.name for f in decoded.schema.fields] == [
+        "doc_id",
+        "byte_len",
+        "format",
+        "width",
+        "height",
+        "features",
+    ]
+    rows = decoded.collect()
+    assert len(rows) == docs.count()
+    byte_lens = {r["doc_id"]: r["byte_len"] for r in rows}
+    # byte_len must equal the metadata-side octet length (pipeline coherence)
+    for r in media.select("doc_id", "meta.n_chars").collect():
+        assert byte_lens[r["doc_id"]] > 0
+    for r in rows[:10]:
+        assert r["format"].startswith("fake/")
+        assert len(r["features"]) == 4 and all(0.0 <= f <= 1.0 for f in r["features"])
+    # deterministic fake decode
+    again = {r["doc_id"]: (r["width"], r["height"]) for r in decode_media(media).collect()}
+    assert all(again[r["doc_id"]] == (r["width"], r["height"]) for r in rows)
