@@ -1,1 +1,3 @@
-"""Structured Streaming surface — placeholder, filled after batch parity."""
+"""Structured Streaming surface (see runner.py)."""
+
+from . import runner  # noqa: F401

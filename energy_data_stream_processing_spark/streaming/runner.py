@@ -1,0 +1,329 @@
+"""Structured Streaming surface (SURVEY.md §2.5).
+
+The reference consumer is a hand-rolled streaming engine: Kafka poll loop,
+``Dict[hour, HourlyStats]`` under a lock, 30 s flush thread with an additive
+SQL upsert (consumer/consumer.py:240-415). Spark-first, that is:
+
+- ``readStream`` file/Kafka source -> the same adapter/validation transforms
+  as batch (transforms are source-agnostic DataFrames);
+- **native path**: event-time window + watermark aggregation — counters and
+  sums exact, distinct counts via ``approx_count_distinct`` (Spark's
+  streaming agg does not allow exact distincts; documented divergence);
+- **stateful path**: ``applyInPandasWithState`` keyed by hour holding
+  exact distinct sets + counters — the faithful ``HourlyStats`` machine,
+  with the reference's merge bugs fixed (true distincts across flushes,
+  GREATEST peak instead of last-write-wins; SURVEY.md §2.3 fidelity
+  warnings). Money stays exact: cents/milli-units integers in state, one
+  correctly-rounded double conversion on emit — bit-identical to the batch
+  DECIMAL path, so the streaming query shares the batch oracle SQL.
+
+The catalog entry runs the stateful query with ``availableNow`` into a
+memory sink and returns the final per-hour rows: the batch==streaming
+equivalence the reference can only approximate is an actual differential
+gate here.
+
+Scale notes: state is one row per (hour) group — tiny; the distinct sets
+bound memory by |customers-per-hour| (at 100 TB: swap the sets for HLL
+sketches or pre-aggregate by (hour, customer), and keep RocksDB state
+store). Watermark 24 h mirrors the reference's eviction horizon
+(consumer/consumer.py:377-381).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import tempfile
+import uuid
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    Row,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..operators.hourly import METRIC_COLUMNS
+from ..sources.adapter import ENERGY_EVENTS_SQL, load_table
+from ..plans.catalog import register
+
+OUTPUT_SCHEMA = StructType(
+    [StructField("hour", TimestampType(), False), StructField("update_seq", LongType(), False)]
+    + [
+        StructField(c, LongType() if c in {
+            "tariff_switches", "incentive_claims", "green_tariff_switches",
+            "active_customers", "new_sessions", "total_logins", "payment_events",
+        } else DoubleType(), False)
+        for c in METRIC_COLUMNS
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("tariff_switches", LongType(), False),
+        StructField("switch_revenue_cents", LongType(), False),
+        StructField("incentive_claims", LongType(), False),
+        StructField("incentive_cents", LongType(), False),
+        StructField("green_switches", LongType(), False),
+        StructField("total_logins", LongType(), False),
+        StructField("energy_milli", LongType(), False),
+        StructField("peak_milli", LongType(), False),
+        StructField("payment_cents", LongType(), False),
+        StructField("payment_events", LongType(), False),
+        StructField("customers", ArrayType(StringType()), False),
+        StructField("sessions", ArrayType(LongType()), False),
+        StructField("update_seq", LongType(), False),
+    ]
+)
+
+
+def stream_raw_events(
+    spark: SparkSession,
+    sf_dir: str,
+    source_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-stream source over the driver's events parquet.
+
+    The file source needs a directory; testdata is a single read-only file,
+    so a session-scoped temp dir of symlinks stands in (test plumbing only —
+    production would point at the ingest directory or a Kafka topic).
+    ``source_dir``/``max_files_per_trigger`` let tests replay a pre-split
+    directory in several micro-batches to exercise cross-batch state.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if source_dir is None:
+        source_dir = tempfile.mkdtemp(prefix="stream-events-")
+        os.symlink(f"{sf_dir}/events.parquet", f"{source_dir}/events.parquet")
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    reader = spark.readStream.schema(batch_schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(source_dir)
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def energy_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    source_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    raw = stream_raw_events(spark, sf_dir, source_dir, max_files_per_trigger)
+    view = f"events_stream_{uuid.uuid4().hex[:8]}"
+    raw.createOrReplaceTempView(view)
+    return spark.sql(ENERGY_EVENTS_SQL.replace("FROM events", f"FROM {view}"))
+
+
+def hourly_metrics_native_stream(events: DataFrame) -> DataFrame:
+    """Built-in watermarked window aggregation (the idiomatic default).
+
+    Exact for counters/sums; distincts are HLL approximations — at 100 TB
+    this is usually the right trade (documented divergence from the exact
+    batch/stateful results).
+    """
+    t = F.col("event_type")
+    pay = F.col("payment_amount")
+    energy = F.col("energy_consumed")
+    return (
+        events.withWatermark("event_time", "24 hours")
+        .groupBy(F.window("event_time", "1 hour"))
+        .agg(
+            F.count(F.when(t == "tariff_switch", 1)).alias("tariff_switches"),
+            F.coalesce(F.sum(F.when(t == "tariff_switch", pay)).cast("double"), F.lit(0.0)).alias(
+                "total_switch_revenue"
+            ),
+            F.count(F.when(t == "incentive_claim", 1)).alias("incentive_claims"),
+            F.count(F.when(t == "user_login", 1)).alias("total_logins"),
+            F.approx_count_distinct("customer_id").alias("active_customers_approx"),
+            F.approx_count_distinct(F.when(t == "user_login", F.col("session_id"))).alias(
+                "new_sessions_approx"
+            ),
+            F.coalesce(F.sum(F.when(t == "energy_consumed", energy)).cast("double"), F.lit(0.0)).alias(
+                "total_energy_consumed"
+            ),
+            F.coalesce(F.sum(F.when(t == "bill_payment", pay)).cast("double"), F.lit(0.0)).alias(
+                "total_payments"
+            ),
+        )
+        .select(F.col("window.start").alias("hour"), "*")
+        .drop("window")
+    )
+
+
+def _stateful_update_fn():
+    """Closure (pickled by value — workers never import this package)."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            (ts, src, ic, icc, gs, tl, em, pk, pc, pe, customers, sessions, seq) = state.get
+            cust, sess = set(customers), set(sessions)
+        else:
+            ts = src = ic = icc = gs = tl = em = pk = pc = pe = seq = 0
+            cust, sess = set(), set()
+        seq += 1
+
+        def cents(v: Any) -> int:
+            # payment_amount arrives as DECIMAL(10,2) -> exact cents
+            return int(round(float(v) * 100))
+
+        def milli(v: Any) -> int:
+            return int(round(float(v) * 1000))
+
+        for pdf in pdfs:
+            for et, payment, energy, cid, sid, tariff in zip(
+                pdf["event_type"], pdf["payment_amount"], pdf["energy_consumed"],
+                pdf["customer_id"], pdf["session_id"], pdf["tariff_type"],
+            ):
+                has_pay = payment is not None and not (isinstance(payment, float) and math.isnan(payment))
+                has_energy = energy is not None and not (isinstance(energy, float) and math.isnan(energy))
+                if et == "tariff_switch":
+                    ts += 1
+                    if has_pay:
+                        src += cents(payment)
+                    if tariff == "green":
+                        gs += 1
+                elif et == "incentive_claim":
+                    ic += 1
+                    if has_pay:
+                        icc += cents(payment)
+                elif et == "user_login":
+                    tl += 1
+                    if sid is not None:
+                        sess.add(int(sid))
+                elif et == "energy_consumed":
+                    if has_energy:
+                        m = milli(energy)
+                        em += m
+                        pk = max(pk, m)  # GREATEST merge (reference bug fixed)
+                elif et == "bill_payment":
+                    if has_pay:
+                        pc += cents(payment)
+                        pe += 1
+                if cid is not None:
+                    cust.add(cid)
+
+        state.update((ts, src, ic, icc, gs, tl, em, pk, pc, pe, sorted(cust), sorted(sess), seq))
+
+        def r2(x: float) -> float:
+            return math.floor(x * 100.0 + 0.5) / 100.0
+
+        switch_rev = src / 100.0
+        incentive = icc / 100.0
+        energy_total = em / 1000.0
+        payments = pc / 100.0
+        yield pd.DataFrame(
+            [
+                {
+                    "hour": key[0],
+                    "update_seq": seq,
+                    "tariff_switches": ts,
+                    "total_switch_revenue": switch_rev,
+                    "avg_switch_value": r2(switch_rev / ts) if ts else 0.0,
+                    "incentive_claims": ic,
+                    "total_incentive_payouts": incentive,
+                    "green_tariff_switches": gs,
+                    "active_customers": len(cust),
+                    "new_sessions": len(sess),
+                    "total_logins": tl,
+                    "total_energy_consumed": energy_total,
+                    "avg_consumption_per_customer": r2(energy_total / len(cust)) if cust else 0.0,
+                    "peak_hour_usage": pk / 1000.0,
+                    "total_payments": payments,
+                    "payment_events": pe,
+                    "avg_payment_amount": r2(payments / pe) if pe else 0.0,
+                }
+            ]
+        )
+
+    return update
+
+
+def hourly_metrics_stateful_stream(events: DataFrame) -> DataFrame:
+    """Exact HourlyStats as a custom stateful operator
+    (applyInPandasWithState keyed by event-time hour)."""
+    return (
+        events.withWatermark("event_time", "24 hours")
+        .withColumn("hour", F.date_trunc("hour", F.col("event_time")))
+        .groupBy("hour")
+        .applyInPandasWithState(
+            _stateful_update_fn(),
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_stream_to_table(spark: SparkSession, streaming_df: DataFrame, mode: str = "update") -> DataFrame:
+    """Execute with availableNow into a memory sink; return final rows per
+    hour (last update wins, keyed by micro-batch order)."""
+    name = f"sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+# Catalog entries
+# --------------------------------------------------------------------------
+def _hourly_oracle() -> str:
+    from ..operators.hourly import HOURLY_ORACLE_BODY
+
+    return (
+        f"WITH energy_events AS ({ENERGY_EVENTS_SQL}),\n"
+        f"hourly_business_metrics AS ({HOURLY_ORACLE_BODY})\n"
+        "SELECT * FROM hourly_business_metrics"
+    )
+
+
+@register(
+    "streaming_hourly_metrics",
+    oracle=_hourly_oracle(),
+    doc="Stateful streaming (applyInPandasWithState) hourly metrics, run "
+    "with availableNow — shares the BATCH oracle, i.e. batch==streaming "
+    "equivalence is differential-checked, not asserted.",
+)
+def q_streaming_hourly_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = energy_events_stream(spark, sf_dir)
+    out = run_stream_to_table(spark, hourly_metrics_stateful_stream(ev))
+    # availableNow on one file = one micro-batch => one row per hour already;
+    # dedup defensively in case the source ever splits batches.
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("hour").orderBy(F.col("update_seq").desc())
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "update_seq")
+    )
+
+
+@register(
+    "streaming_hourly_native",
+    oracle=None,  # approx distincts by design
+    doc="Built-in watermarked window aggregation (approx distincts) — the "
+    "idiomatic native streaming path.",
+)
+def q_streaming_hourly_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = energy_events_stream(spark, sf_dir)
+    return run_stream_to_table(spark, hourly_metrics_native_stream(ev))

@@ -1,0 +1,70 @@
+"""Streaming semantics: batch == streaming equivalence (SURVEY.md §5.4).
+
+The critical case is MULTI-micro-batch: the reference's additive flush
+double-counts distincts across flush intervals (consumer.py:341-342); the
+stateful operator here must NOT — final streaming state over 4 micro-batches
+must equal the one-pass batch aggregation exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from energy_data_stream_processing_spark.operators.hourly import hourly_business_metrics
+from energy_data_stream_processing_spark.sources.adapter import energy_events
+from energy_data_stream_processing_spark.streaming.runner import (
+    energy_events_stream,
+    hourly_metrics_native_stream,
+    hourly_metrics_stateful_stream,
+    run_stream_to_table,
+)
+
+
+def _final_rows(out):
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("hour").orderBy(F.col("update_seq").desc())
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "update_seq")
+    )
+
+
+def test_stateful_streaming_multibatch_equals_batch(spark, sf_dir, tmp_path):
+    # Split events into 4 files -> 4 micro-batches (maxFilesPerTrigger=1).
+    # Keep ts as raw nanos-long (same shape as the source file) so the
+    # stream source's micros conversion applies uniformly.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = str(tmp_path / "chunks")
+    raw.withColumn("_b", F.col("event_id") % 4).repartition(4, "_b").drop("_b").write.mode(
+        "overwrite"
+    ).parquet(src)
+    import glob, os
+
+    assert len(glob.glob(f"{src}/part-*.parquet")) >= 2
+
+    ev_stream = energy_events_stream(spark, sf_dir, source_dir=src, max_files_per_trigger=1)
+    out = run_stream_to_table(spark, hourly_metrics_stateful_stream(ev_stream))
+    assert out.select(F.max("update_seq")).collect()[0][0] >= 2  # really incremental
+
+    streaming_rows = sorted(map(tuple, _final_rows(out).collect()))
+    batch_rows = sorted(map(tuple, hourly_business_metrics(energy_events(spark, sf_dir)).collect()))
+    assert streaming_rows == batch_rows
+
+
+def test_native_streaming_exact_columns_match_batch(spark, sf_dir):
+    ev_stream = energy_events_stream(spark, sf_dir)
+    native = run_stream_to_table(spark, hourly_metrics_native_stream(ev_stream))
+    batch = hourly_business_metrics(energy_events(spark, sf_dir))
+    cols = ["hour", "tariff_switches", "total_logins", "total_energy_consumed", "total_payments"]
+    n = sorted(map(tuple, native.select(*cols).collect()))
+    b = sorted(map(tuple, batch.select(*cols).collect()))
+    assert n == b
+    # approx distincts are within HLL error of the exact values
+    joined = native.alias("n").join(batch.alias("b"), "hour")
+    bad = joined.where(
+        (F.abs(F.col("n.active_customers_approx") - F.col("b.active_customers")) > F.col("b.active_customers") * 0.15 + 2)
+    ).count()
+    assert bad == 0
