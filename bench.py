@@ -32,6 +32,11 @@ def main() -> None:
     spark = get_spark("energy-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Session warmup: JVM/codegen/noop-sink initialization. Keeps per-query
+    # timings about the queries (each still pays its own plan + scan cost),
+    # not about first-job executor spin-up.
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     catalog = all_queries()
     headline = {name: q for name, q in catalog.items() if q.headline}

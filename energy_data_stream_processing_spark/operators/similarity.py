@@ -6,10 +6,11 @@
   DuckDB oracle (written with the same left-fold ``list_reduce``) produces
   bit-identical IEEE results — no tolerance needed in the differential gate.
 - **Random-hyperplane LSH top-k**: the scale path. Rademacher hyperplanes
-  derived from xxhash64 (deterministic, no driver-side randomness), sign
-  bits -> bucket codes, candidates = same bucket in any table, verified by
-  exact cosine. At 100 TB: probe cost ~ bucket size x tables instead of the
-  full corpus per query.
+  derived from md5 bytes (deterministic, no driver-side randomness), sign
+  bits -> bucket codes via ONE vectorized numpy matmul per Arrow batch,
+  candidates = same bucket in any table, verified by exact cosine. At
+  100 TB: probe cost ~ bucket size x tables instead of the full corpus per
+  query, and the shuffle carries ids, not vectors.
 
 Scale note: brute force is a broadcast-join of the (tiny) query set against
 the corpus — a narrow map-side pass, no shuffle on the corpus; top-k per
@@ -78,16 +79,50 @@ def similar_pairs(embeddings: DataFrame, threshold: float = 0.35, max_id: int = 
     )
 
 
-def _bucket_expr(vec_col: str, table: int, bits: int, dim: int) -> str:
-    """Bucket code: sign bits of dot(v, plane_j) for ``bits`` Rademacher
-    hyperplanes; plane component i of plane j in table t is +1 when
-    xxhash64('t:j:i') is even else -1."""
-    bit = (
-        f"CASE WHEN aggregate(zip_with({vec_col}, sequence(0, {dim - 1}), "
-        f"(x, i) -> x * CASE WHEN (xxhash64(concat('{table}', ':', cast(j AS STRING), ':', cast(i AS STRING))) % 2 + 2) % 2 = 0 THEN 1.0 ELSE -1.0 END), "
-        f"cast(0 AS DOUBLE), (acc, x) -> acc + x) > 0 THEN shiftleft(1, j) ELSE 0 END"
-    )
-    return f"aggregate(sequence(0, {bits - 1}), 0, (acc, j) -> acc + {bit})"
+def _planes(tables: int, bits: int, dim: int):
+    """Deterministic Rademacher hyperplanes, (dim, tables*bits) matrix.
+    Component i of plane j in table t is +1 when the first md5 byte of
+    "t:j:i" is even else -1 — stable across runs/executors, no RNG state."""
+    import hashlib
+
+    import numpy as np
+
+    signs = np.empty((dim, tables * bits), dtype=np.float64)
+    for t in range(tables):
+        for j in range(bits):
+            for i in range(dim):
+                b = hashlib.md5(f"{t}:{j}:{i}".encode()).digest()[0]
+                signs[i, t * bits + j] = 1.0 if b % 2 == 0 else -1.0
+    return signs
+
+
+def bucket_codes_udf(tables: int = 8, bits: int = 4, dim: int = 64):
+    """Vectorized bucket-code computation: one Arrow batch -> numpy matmul
+    against all tables*bits hyperplanes at once -> per-table integer codes.
+
+    Dense linear algebra is exactly what per-row SQL expressions are worst
+    at (a 2048-term expression tree costs more to compile than this does to
+    run) and what a Pandas UDF is for: the (n, dim) batch multiplies the
+    (dim, tables*bits) plane matrix in one BLAS call.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def codes(emb):
+        import numpy as np
+        import pandas as pd
+
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        planes = _planes(tables, bits, dim)
+        weights = 1 << np.arange(bits, dtype=np.int64)
+        mat = np.stack(emb.map(lambda a: np.asarray(a, dtype=np.float64)).to_list())
+        signs = (mat @ planes) > 0  # (n, tables*bits)
+        per_table = signs.reshape(len(mat), tables, bits) @ weights  # (n, tables)
+        return pd.Series(per_table.astype(np.int32).tolist())
+
+    return codes
 
 
 def lsh_topk(
@@ -103,38 +138,41 @@ def lsh_topk(
     Output schema matches ``cosine_topk``; recall < 1 by design (measured
     against the exact baseline in tests). Bucket collision probability per
     table is (1 - theta/pi)^bits for angle theta.
-    """
-    base = embeddings.select("vec_id", _as_double("embedding").alias("v"))
-    buckets = base.select(
-        "vec_id",
-        "v",
-        F.explode(
-            F.expr(
-                "array("
-                + ", ".join(
-                    f"struct({t} AS tbl, ({_bucket_expr('v', t, bits, dim)}) AS bucket)"
-                    for t in range(tables)
-                )
-                + ")"
-            )
-        ).alias("tb"),
-    ).select("vec_id", "v", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
 
-    qb = buckets.where(F.col("vec_id") < num_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("q"), "tbl", "bucket"
+    Plan shape for scale: bucket codes are a narrow vectorized pass over the
+    corpus; the candidate join carries ONLY (vec_id, tbl, bucket) — ids, not
+    embedding arrays — and dedups pairs before rejoining the vectors, so the
+    shuffle volume is id-sized and the exact-cosine verification touches
+    each candidate pair once.
+    """
+    codes = bucket_codes_udf(tables, bits, dim)
+    ids_buckets = (
+        embeddings.select("vec_id", codes(F.col("embedding")).alias("bb"))
+        .select("vec_id", F.posexplode_outer("bb").alias("tbl", "bucket"))
+        .where(F.col("bucket").isNotNull())
     )
-    candidates = (
-        buckets.join(F.broadcast(qb), ["tbl", "bucket"])
+    qb = ids_buckets.where(F.col("vec_id") < num_queries).select(
+        F.col("vec_id").alias("query_id"), "tbl", "bucket"
+    )
+    pairs = (
+        ids_buckets.join(F.broadcast(qb), ["tbl", "bucket"])
         .where(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "q", "vec_id", "v")
+        .select("query_id", "vec_id")
         .distinct()
+    )
+
+    base = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    queries = base.where(F.col("vec_id") < num_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
     )
     cos = F.expr(
         _DOT.format(a="q", b="v") + " / (" + _NORM.format(a="q") + " * " + _NORM.format(a="v") + ")"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
-        candidates.select("query_id", "vec_id", cos.alias("cosine"))
+        pairs.join(base, "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select("query_id", "vec_id", cos.alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
