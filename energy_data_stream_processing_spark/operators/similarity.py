@@ -125,6 +125,29 @@ def bucket_codes_udf(tables: int = 8, bits: int = 4, dim: int = 64):
     return codes
 
 
+def _verified_pairs_topk(
+    embeddings: DataFrame, pairs: DataFrame, num_queries: int, k: int
+) -> DataFrame:
+    """Shared ANN verification: join candidate (query_id, vec_id) id-pairs
+    back to their vectors, compute exact cosine, keep top-k per query."""
+    base = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    queries = base.where(F.col("vec_id") < num_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+    )
+    cos = F.expr(
+        _DOT.format(a="q", b="v") + " / (" + _NORM.format(a="q") + " * " + _NORM.format(a="v") + ")"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        pairs.join(base, "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     num_queries: int = 20,
@@ -160,20 +183,101 @@ def lsh_topk(
         .select("query_id", "vec_id")
         .distinct()
     )
+    return _verified_pairs_topk(embeddings, pairs, num_queries, k)
 
-    base = embeddings.select("vec_id", _as_double("embedding").alias("v"))
-    queries = base.where(F.col("vec_id") < num_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+
+def _train_ivf_centroids(
+    embeddings: DataFrame, nlist: int, sample_cap: int = 2048, iters: int = 8
+):
+    """Driver-side spherical k-means on a deterministic bounded sample.
+
+    IVF training is the one legitimately driver-side step: the model is
+    nlist x dim floats learned from a FIXED-size sample (lowest vec_ids
+    here; a hash-mod sample at 100 TB), so its cost is independent of corpus
+    size. Init = first nlist sample vectors; empty cells keep their old
+    centroid — fully deterministic, no RNG.
+    """
+    import numpy as np
+
+    rows = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(sample_cap)
+        .collect()
     )
-    cos = F.expr(
-        _DOT.format(a="q", b="v") + " / (" + _NORM.format(a="q") + " * " + _NORM.format(a="v") + ")"
+    X = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = Xn[:nlist].copy()
+    for _ in range(iters):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        for c in range(nlist):
+            members = Xn[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                C[c] = m / max(np.linalg.norm(m), 1e-12)
+    return C
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    num_queries: int = 20,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 6,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer.
+
+    Corpus vectors are assigned to their nearest of ``nlist`` spherical
+    k-means centroids (one vectorized matmul per Arrow batch); each query
+    probes its ``nprobe`` closest cells. Candidates = corpus vectors in any
+    probed cell, then exact-cosine verified top-k (same contract as
+    ``lsh_topk``/``cosine_topk``).
+
+    Scale shape: assignment is a narrow pass producing one small int per
+    vector — the inverted lists are a partitioning of the corpus by cell id,
+    so a query touches ~nprobe/nlist of the data; the candidate shuffle is
+    id-only. Recall is tuned by nprobe (measured vs the exact baseline in
+    tests).
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    C = _train_ivf_centroids(embeddings, nlist)
+
+    @pandas_udf(IntegerType())
+    def assign_cell(emb):
+        import numpy as np
+        import pandas as pd
+
+        if len(emb) == 0:
+            return pd.Series([], dtype="int32")
+        mat = np.stack(emb.map(lambda a: np.asarray(a, dtype=np.float64)).to_list())
+        return pd.Series(np.argmax(mat @ C.T, axis=1).astype(np.int32))
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def probe_cells(emb):
+        import numpy as np
+        import pandas as pd
+
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack(emb.map(lambda a: np.asarray(a, dtype=np.float64)).to_list())
+        order = np.argsort(-(mat @ C.T), axis=1)[:, :nprobe]
+        return pd.Series(order.astype(np.int32).tolist())
+
+    cells = embeddings.select("vec_id", assign_cell(F.col("embedding")).alias("cell"))
+    qcells = (
+        embeddings.where(F.col("vec_id") < num_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode_outer(probe_cells(F.col("embedding"))).alias("cell"),
+        )
+        .where(F.col("cell").isNotNull())
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return (
-        pairs.join(base, "vec_id")
-        .join(F.broadcast(queries), "query_id")
-        .select("query_id", "vec_id", cos.alias("cosine"))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
+    pairs = (
+        cells.join(F.broadcast(qcells), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
     )
+    return _verified_pairs_topk(embeddings, pairs, num_queries, k)

@@ -24,7 +24,7 @@ from ..operators.dedup import (
     simhash_pairs,
 )
 from ..operators.multimodal import decode_media, media_meta, media_table
-from ..operators.similarity import cosine_topk, lsh_topk, similar_pairs
+from ..operators.similarity import cosine_topk, ivf_topk, lsh_topk, similar_pairs
 from ..operators.text import (
     BPE_TOKEN_RE,
     doc_fingerprints,
@@ -258,6 +258,16 @@ def q_embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(_emb(spark, sf_dir), num_queries=20, k=5)
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=None,  # approximate by design; recall measured vs exact in tests
+    doc="IVF coarse-quantizer top-5 (16 spherical k-means cells, 6 probes), "
+    "exact-cosine verified — the partition-the-corpus ANN scale path.",
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_topk(_emb(spark, sf_dir), num_queries=20, k=5)
 
 
 # --------------------------------------------------------------------------

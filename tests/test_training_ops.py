@@ -15,7 +15,7 @@ from energy_data_stream_processing_spark.operators.multimodal import (
     decode_media,
     media_table,
 )
-from energy_data_stream_processing_spark.operators.similarity import cosine_topk, lsh_topk
+from energy_data_stream_processing_spark.operators.similarity import cosine_topk, ivf_topk, lsh_topk
 from energy_data_stream_processing_spark.sources.adapter import load_table
 
 
@@ -112,3 +112,22 @@ def test_multimodal_decode_pipeline(spark, sf_dir):
     # deterministic fake decode
     again = {r["doc_id"]: (r["width"], r["height"]) for r in decode_media(media).collect()}
     assert all(again[r["doc_id"]] == (r["width"], r["height"]) for r in rows)
+
+
+def test_ann_ivf_recall_vs_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = cosine_topk(emb, num_queries=10, k=5).collect()
+    approx = ivf_topk(emb, num_queries=10, k=5).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    assert len(approx_set) > 0
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.3, f"IVF recall too low: {recall}"
+    exact_cos = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_cos:
+            assert r["cosine"] == exact_cos[key]
+    # deterministic across invocations (no RNG anywhere in training)
+    approx2 = {(r["query_id"], r["neighbor_id"]) for r in ivf_topk(emb, num_queries=10, k=5).collect()}
+    assert approx_set == approx2
