@@ -1,0 +1,71 @@
+"""Sessionization catalog entries over the driver's generic ``events`` table.
+
+The manual window-function plan is dialect-neutral, so its DuckDB oracle is
+the SAME logical query — an exact value-level differential gate on a
+stateful-looking operator. The native ``session_window`` variant is checked
+against the manual one in tests/test_sessions.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.sessions import session_summary, sessionize
+from ..sources.adapter import load_table
+from .catalog import register
+
+_SESSIONS_ORACLE_CTE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR cast(floor(epoch(ts)) AS BIGINT) - cast(floor(epoch(lag(ts) OVER w)) AS BIGINT) > {gap_sec}
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+),
+sessions AS (
+  SELECT user_id, session_no,
+    min(ts) AS session_start,
+    max(ts) AS session_end,
+    count(*) AS n_events,
+    count(DISTINCT event_type) AS n_event_types,
+    cast(floor(epoch(max(ts))) AS BIGINT) - cast(floor(epoch(min(ts))) AS BIGINT) AS duration_sec
+  FROM numbered
+  GROUP BY user_id, session_no
+)
+"""
+
+
+@register(
+    "user_sessions",
+    oracle=_SESSIONS_ORACLE_CTE.format(gap_sec=1800)
+    + "SELECT user_id, session_no, session_start, session_end, n_events, n_event_types, duration_sec FROM sessions",
+    headline=True,
+    doc="Gap-based sessionization (30 min): lag -> flag -> running sum -> "
+    "per-session aggregates; ONE shuffle on user_id shared by the window "
+    "and the groupBy.",
+)
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(load_table(spark, sf_dir, "events"), gap_minutes=30)
+
+
+@register(
+    "session_summary",
+    oracle=_SESSIONS_ORACLE_CTE.format(gap_sec=1800)
+    + """
+SELECT count(*) AS n_sessions,
+       count(DISTINCT user_id) AS n_users,
+       avg(n_events) AS avg_events_per_session,
+       avg(duration_sec) AS avg_duration_sec,
+       max(n_events) AS max_session_events
+FROM sessions
+""",
+    doc="Corpus-level session rollup over the sessionization operator.",
+)
+def q_session_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_summary(sessionize(load_table(spark, sf_dir, "events"), gap_minutes=30))
