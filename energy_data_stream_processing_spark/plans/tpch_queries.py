@@ -121,3 +121,114 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
+
+
+@register(
+    "order_priority_check",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+""",
+    doc="TPC-H Q4-shaped EXISTS cohort: left-semi join on orderkey with a "
+    "correlated range predicate — the semi side never duplicates rows, so "
+    "the count is join-shape-proof. Scale: both sides shuffle on orderkey; "
+    "the filter on orders pushes to its scan first.",
+)
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cohort = o.where(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")).join(
+        li,
+        (li.l_orderkey == o.o_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return cohort.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "parts_never_ordered",
+    oracle="""
+SELECT p_brand, count(*) AS n_parts
+FROM part p
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49)
+GROUP BY p_brand
+""",
+    doc="Anti-join (NOT EXISTS): parts never ordered at max quantity, by brand. "
+    "Scale: part is the small side but anti-join semantics pin the "
+    "preserved side; lineitem projects only (l_partkey, l_quantity) and the "
+    "quantity filter pushes to its scan before the shuffle.",
+)
+def q_parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    recent = li.where(F.col("l_quantity") >= 49)
+    return (
+        p.join(recent, p.p_partkey == recent.l_partkey, "left_anti")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+@register(
+    "customer_order_distribution",
+    oracle="""
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+SELECT n_orders, count(*) AS n_customers
+FROM per_cust
+GROUP BY n_orders
+""",
+    doc="TPC-H Q13-shaped: LEFT OUTER join preserving order-less customers, "
+    "then a two-level aggregation (per-customer count -> histogram). "
+    "Scale: first agg reuses the join's partitioning on c_custkey; the "
+    "histogram agg is tiny.",
+)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count(o.o_orderkey).alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@register(
+    "revenue_rollup",
+    oracle="""
+SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+  cast(sum(cast(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  count(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY ROLLUP (n.n_name, c.c_mktsegment)
+""",
+    doc="GROUP BY ROLLUP over nation x segment (beyond-reference grouping "
+    "sets). Both dims broadcast; the rollup Expand feeds one partial-agg "
+    "shuffle keyed by the grouping-set id.",
+)
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment"),
+                F.col("o_totalprice"))
+        .rollup("nation", "segment")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
