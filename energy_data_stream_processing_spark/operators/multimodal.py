@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     IntegerType,
     LongType,
@@ -128,3 +129,82 @@ def media_meta(docs: DataFrame) -> DataFrame:
         F.col("meta.n_chars").alias("n_chars"),
         F.col("meta.source").alias("source"),
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("content", BinaryType(), False),
+    ]
+)
+
+
+def resize_media(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Resize plumbing: binary in -> binary out at a target size.
+
+    Real codec would decode, resample, re-encode; the deterministic stand-in
+    truncates/tiles the byte payload to width*height bytes so output sizes
+    (and therefore downstream batch shapes and memory budgets) are exactly
+    what a real resize would produce.
+    """
+    target = width * height
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        def fit(b: bytes) -> bytes:
+            if not b:
+                return bytes(target)
+            reps = (target + len(b) - 1) // len(b)
+            return (b * reps)[:target]
+
+        for pdf in it:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": width,
+                    "height": height,
+                    "content": pdf["content"].map(fit),
+                }
+            )
+
+    return media.select("doc_id", "content").mapInPandas(batch, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_no", IntegerType(), False),
+        StructField("offset_bytes", LongType(), False),
+        StructField("frame_feature", FloatType(), False),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame-sampling plumbing: ONE binary row fans out to N frame rows.
+
+    This is the UDF signature that matters for video at scale — mapInPandas
+    output is not 1:1 with input, so the engine (not the caller) controls
+    the fan-out, and downstream operators see ordinary rows they can
+    repartition/aggregate. Frames sample at evenly-spaced byte offsets
+    (deterministic stand-in for evenly-spaced timestamps).
+    """
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                n = len(content)
+                for f in range(n_frames):
+                    off = (n * f) // n_frames if n else 0
+                    window = content[off : off + 16]
+                    feat = (sum(window) % 1000) / 1000.0 if window else 0.0
+                    rows.append((int(doc_id), f, off, feat))
+            yield _pd.DataFrame(rows, columns=["doc_id", "frame_no", "offset_bytes", "frame_feature"])
+
+    return media.select("doc_id", "content").mapInPandas(batch, FRAMES_SCHEMA)

@@ -23,7 +23,7 @@ from ..operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
-from ..operators.multimodal import decode_media, media_meta, media_table
+from ..operators.multimodal import decode_media, media_meta, media_table, sample_frames
 from ..operators.similarity import cosine_topk, ivf_topk, lsh_topk, similar_pairs
 from ..operators.text import (
     BPE_TOKEN_RE,
@@ -293,3 +293,13 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media_table(_docs(spark, sf_dir)))
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=None,  # mapInPandas fan-out; deterministic fake sampler
+    doc="Frame sampling over binary media: 1 row -> n_frames rows via "
+    "mapInPandas (engine-controlled fan-out, the video-at-scale shape).",
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_frames(media_table(_docs(spark, sf_dir)), n_frames=4)

@@ -131,3 +131,30 @@ def test_ann_ivf_recall_vs_exact(spark, sf_dir):
     # deterministic across invocations (no RNG anywhere in training)
     approx2 = {(r["query_id"], r["neighbor_id"]) for r in ivf_topk(emb, num_queries=10, k=5).collect()}
     assert approx_set == approx2
+
+
+def test_multimodal_resize_and_frames(spark, sf_dir):
+    from energy_data_stream_processing_spark.operators.multimodal import (
+        media_table,
+        resize_media,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_table(docs)
+    n_docs = media.count()
+
+    resized = resize_media(media, width=8, height=8).collect()
+    assert len(resized) == n_docs
+    assert all(len(r["content"]) == 64 and r["width"] == 8 for r in resized)
+
+    frames = sample_frames(media, n_frames=4)
+    rows = frames.collect()
+    assert len(rows) == n_docs * 4
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r["frame_no"])
+        assert 0.0 <= r["frame_feature"] <= 1.0
+    assert all(sorted(v) == [0, 1, 2, 3] for v in per_doc.values())
+    # deterministic
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, frames.collect()))
