@@ -232,3 +232,30 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+
+
+@register(
+    "top_customer_revenue_salted",
+    oracle="""
+SELECT c.c_mktsegment,
+  count(DISTINCT o.o_custkey) AS buying_customers,
+  cast(sum(cast(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS segment_revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+    doc="Same logical query as top_customer_revenue but through the "
+    "salted-join skew mitigation (operators/skew.py) — the oracle gate "
+    "proves the salted plan is result-identical to the plain join.",
+)
+def q_top_customer_revenue_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = salted_join(orders, customer, on=[("o_custkey", "c_custkey")], salt=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count_distinct(F.col("o_custkey")).alias("buying_customers"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias(
+            "segment_revenue"
+        ),
+    )

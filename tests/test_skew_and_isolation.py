@@ -1,0 +1,48 @@
+"""Salted-join result identity + interleaved-sf_dir session isolation."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from energy_data_stream_processing_spark.operators.skew import salted_join
+from energy_data_stream_processing_spark.sources.adapter import load_table
+
+
+def test_salted_join_identity(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    plain = orders.join(customer, orders.o_custkey == customer.c_custkey)
+    salted = salted_join(orders, customer, on=[("o_custkey", "c_custkey")], salt=4)
+    cols = sorted(plain.columns)
+    assert sorted(salted.columns) == cols
+    a = sorted(map(tuple, plain.select(*cols).collect()))
+    b = sorted(map(tuple, salted.select(*cols).collect()))
+    assert a == b
+
+
+def test_salted_left_join_preserves_unmatched(spark, sf_dir):
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    plain = customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+    salted = salted_join(customer, orders, on=[("c_custkey", "o_custkey")], how="left", salt=4)
+    assert plain.count() == salted.count()
+    pn = plain.where(F.col("o_orderkey").isNull()).count()
+    sn = salted.where(F.col("o_orderkey").isNull()).count()
+    assert pn == sn
+
+
+def test_interleaved_sf_dirs_no_cross_contamination(spark):
+    """The driver may run the same query at different sf_dirs on one session;
+    parameterized plans must not leak state through shared temp views."""
+    from energy_data_stream_processing_spark.plans.catalog import all_queries
+
+    q = all_queries()["hourly_business_metrics"].builder
+    small_1 = q(spark, "/root/testdata/sf0.001")
+    big = q(spark, "/root/testdata/sf0.01")
+    # build small FIRST, collect AFTER building big: a temp-view-clobbering
+    # implementation would make small_1 read sf0.01 data now.
+    n_small_1 = small_1.count()
+    n_big = big.count()
+    n_small_2 = q(spark, "/root/testdata/sf0.001").count()
+    assert n_small_1 == n_small_2
+    assert n_big >= n_small_1  # sf0.01 covers more hours than sf0.001
