@@ -63,16 +63,25 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
-def sessionize_native(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+def sessionize_native(
+    events: DataFrame, gap_minutes: int = 30, exact_distinct: bool = True
+) -> DataFrame:
     """Same sessions via the built-in session_window (merging-window state);
-    usable identically under readStream for the streaming path."""
+    usable identically under readStream for the streaming path with
+    ``exact_distinct=False`` (streaming aggregation forbids exact distincts —
+    same documented trade as the hourly native stream)."""
+    ndistinct = (
+        F.count_distinct("event_type")
+        if exact_distinct
+        else F.approx_count_distinct("event_type")
+    )
     return (
         events.groupBy("user_id", F.session_window("ts", f"{gap_minutes} minutes"))
         .agg(
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            F.count_distinct("event_type").alias("n_event_types"),
+            ndistinct.alias("n_event_types"),
         )
         .drop("session_window")
     )

@@ -69,3 +69,25 @@ FROM sessions
 )
 def q_session_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_summary(sessionize(load_table(spark, sf_dir, "events"), gap_minutes=30))
+
+
+@register(
+    "streaming_user_sessions",
+    oracle=_SESSIONS_ORACLE_CTE.format(gap_sec=1800)
+    + "SELECT user_id, session_start, session_end, n_events FROM sessions",
+    doc="Sessionization under Structured Streaming: native session_window "
+    "(merging event-time windows, watermarked) run with availableNow — "
+    "shares the BATCH sessions oracle, so streaming==batch is "
+    "differential-checked. n_event_types excluded (streaming forbids exact "
+    "distincts).",
+)
+def q_streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sessions import sessionize_native
+    from ..streaming.runner import run_stream_to_table, stream_raw_events
+
+    stream = stream_raw_events(spark, sf_dir)
+    agg = sessionize_native(
+        stream.withWatermark("ts", "1 hour"), gap_minutes=30, exact_distinct=False
+    )
+    out = run_stream_to_table(spark, agg, mode="complete")
+    return out.select("user_id", "session_start", "session_end", "n_events")

@@ -38,3 +38,27 @@ def test_sessionize_order_independent(spark, sf_dir):
     a = sorted(map(tuple, sessionize(events).collect()))
     b = sorted(map(tuple, sessionize(shuffled).collect()))
     assert a == b
+
+
+def test_streaming_sessions_equal_batch(spark, sf_dir):
+    from energy_data_stream_processing_spark.operators.sessions import sessionize_native
+    from energy_data_stream_processing_spark.streaming.runner import (
+        run_stream_to_table,
+        stream_raw_events,
+    )
+
+    stream = stream_raw_events(spark, sf_dir)
+    agg = sessionize_native(
+        stream.withWatermark("ts", "1 hour"), gap_minutes=30, exact_distinct=False
+    )
+    out = run_stream_to_table(spark, agg, mode="complete")
+    batch = sessionize(load_table(spark, sf_dir, "events"), gap_minutes=30)
+    a = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in out.collect()
+    )
+    b = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch.collect()
+    )
+    assert a == b
