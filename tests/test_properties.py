@@ -1,0 +1,195 @@
+"""Property-based tests (hypothesis) — randomized differential + laws.
+
+The DuckDB oracle gate runs on FIXED driver data; these run the same
+operators against randomized inputs:
+
+- hourly_business_metrics vs an independent pure-Python fold (the
+  HourlyStats semantics written a second time, from the SURVEY §2.3 table,
+  not from the Spark code) — a randomized differential;
+- sessionization count law: per user, #sessions == 1 + #(gaps > threshold).
+
+Examples are few (Spark job per example) but each covers dozens of events
+across hour boundaries, null/negative payments, and duplicate
+customers/sessions.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+from decimal import Decimal
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DecimalType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from energy_data_stream_processing_spark.operators.hourly import hourly_business_metrics
+from energy_data_stream_processing_spark.operators.sessions import sessionize
+
+EVENT_TYPES = [
+    "user_login",
+    "user_logout",
+    "view_tariffs",
+    "tariff_switch",
+    "energy_consumed",
+    "incentive_claim",
+    "bill_payment",
+]
+
+BASE = datetime.datetime(2025, 6, 1, 0, 0, 0)
+
+event_st = st.fixed_dictionaries(
+    {
+        "event_type": st.sampled_from(EVENT_TYPES),
+        "minutes": st.integers(min_value=0, max_value=5 * 60 - 1),  # spans 5 hours
+        "customer": st.integers(min_value=1, max_value=6),
+        "session": st.integers(min_value=1, max_value=8),
+        "cents": st.one_of(st.none(), st.integers(min_value=0, max_value=50_000)),
+        "milli": st.one_of(st.none(), st.integers(min_value=0, max_value=90_000)),
+        "tariff": st.sampled_from(["basic", "green", "premium"]),
+    }
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_time", TimestampType(), False),
+        StructField("event_type", StringType(), False),
+        StructField("customer_id", StringType(), False),
+        StructField("session_id", IntegerType(), False),
+        StructField("payment_amount", DecimalType(10, 2), True),
+        StructField("energy_consumed", DecimalType(10, 3), True),
+        StructField("tariff_type", StringType(), False),
+    ]
+)
+
+
+def _rows(events):
+    return [
+        (
+            BASE + datetime.timedelta(minutes=e["minutes"]),
+            e["event_type"],
+            f"CUST{e['customer']:04d}",
+            e["session"],
+            None if e["cents"] is None else Decimal(e["cents"]) / 100,
+            None if e["milli"] is None else Decimal(e["milli"]) / 1000,
+            e["tariff"],
+        )
+        for e in events
+    ]
+
+
+def _python_hourly(events):
+    """Independent fold of SURVEY §2.3 A1-A12/D1-D3 (pure Python)."""
+    out = {}
+    for e in events:
+        hour = BASE + datetime.timedelta(hours=e["minutes"] // 60)
+        s = out.setdefault(
+            hour,
+            {
+                "tariff_switches": 0, "switch_cents": 0, "green": 0,
+                "claims": 0, "claim_cents": 0, "logins": 0,
+                "sessions": set(), "customers": set(),
+                "energy_milli": 0, "peak_milli": 0,
+                "pay_cents": 0, "pay_events": 0,
+            },
+        )
+        t = e["event_type"]
+        if t == "tariff_switch":
+            s["tariff_switches"] += 1
+            if e["cents"] is not None:
+                s["switch_cents"] += e["cents"]
+            if e["tariff"] == "green":
+                s["green"] += 1
+        elif t == "incentive_claim":
+            s["claims"] += 1
+            if e["cents"] is not None:
+                s["claim_cents"] += e["cents"]
+        elif t == "user_login":
+            s["logins"] += 1
+            s["sessions"].add(e["session"])
+        elif t == "energy_consumed":
+            if e["milli"] is not None:
+                s["energy_milli"] += e["milli"]
+                s["peak_milli"] = max(s["peak_milli"], e["milli"])
+        elif t == "bill_payment":
+            if e["cents"] is not None:
+                s["pay_cents"] += e["cents"]
+                s["pay_events"] += 1
+        s["customers"].add(e["customer"])
+
+    def r2(x):
+        return math.floor(x * 100.0 + 0.5) / 100.0
+
+    res = {}
+    for hour, s in out.items():
+        rev = s["switch_cents"] / 100.0
+        energy = s["energy_milli"] / 1000.0
+        pay = s["pay_cents"] / 100.0
+        res[hour] = {
+            "tariff_switches": s["tariff_switches"],
+            "total_switch_revenue": rev,
+            "avg_switch_value": r2(rev / s["tariff_switches"]) if s["tariff_switches"] else 0.0,
+            "incentive_claims": s["claims"],
+            "total_incentive_payouts": s["claim_cents"] / 100.0,
+            "green_tariff_switches": s["green"],
+            "active_customers": len(s["customers"]),
+            "new_sessions": len(s["sessions"]),
+            "total_logins": s["logins"],
+            "total_energy_consumed": energy,
+            "avg_consumption_per_customer": r2(energy / len(s["customers"])) if s["customers"] else 0.0,
+            "peak_hour_usage": s["peak_milli"] / 1000.0,
+            "total_payments": pay,
+            "payment_events": s["pay_events"],
+            "avg_payment_amount": r2(pay / s["pay_events"]) if s["pay_events"] else 0.0,
+        }
+    return res
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(event_st, min_size=1, max_size=80))
+def test_hourly_metrics_match_independent_fold(spark, events):
+    df = spark.createDataFrame(_rows(events), EVENTS_SCHEMA)
+    got = {r["hour"]: r.asDict() for r in hourly_business_metrics(df).collect()}
+    want = _python_hourly(events)
+    assert set(got) == set(want)
+    for hour, w in want.items():
+        g = got[hour]
+        for k, v in w.items():
+            if isinstance(v, float):
+                assert math.isclose(g[k], v, rel_tol=0, abs_tol=1e-9), (hour, k, g[k], v)
+            else:
+                assert g[k] == v, (hour, k, g[k], v)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.dictionaries(
+        st.integers(min_value=1, max_value=4),  # user_id
+        st.lists(st.integers(min_value=0, max_value=6 * 3600), min_size=1, max_size=30),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_session_count_law(spark, per_user_offsets):
+    gap_min = 30
+    rows, want = [], 0
+    eid = 0
+    for user, offsets in per_user_offsets.items():
+        uniq = sorted(set(offsets))
+        want += 1 + sum(
+            1 for a, b in zip(uniq, uniq[1:]) if b - a > gap_min * 60
+        )
+        for off in uniq:
+            rows.append((eid, BASE + datetime.timedelta(seconds=off), user, "click"))
+            eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    got = sessionize(df, gap_minutes=gap_min).count()
+    assert got == want
