@@ -259,3 +259,53 @@ def q_top_customer_revenue_salted(spark: SparkSession, sf_dir: str) -> DataFrame
             "segment_revenue"
         ),
     )
+
+
+@register(
+    "value_percentiles_by_type",
+    oracle="""
+SELECT event_type,
+  count(*) AS n,
+  quantile_cont(value, 0.5) AS p50,
+  quantile_cont(value, 0.9) AS p90,
+  quantile_cont(value, 0.99) AS p99
+FROM events GROUP BY event_type
+""",
+    doc="Exact interpolated percentiles per event type (Spark `percentile`"
+    " == DuckDB `quantile_cont`, bit-identical). Scale note: exact "
+    "percentiles sort per group; at 100 TB swap to approx_percentile "
+    "(t-digest) — same call site, documented accuracy trade.",
+)
+def q_value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(value, 0.5D)").alias("p50"),
+        F.expr("percentile(value, 0.9D)").alias("p90"),
+        F.expr("percentile(value, 0.99D)").alias("p99"),
+    )
+
+
+@register(
+    "hourly_event_pivot",
+    oracle="""
+SELECT date_trunc('hour', ts) AS hour,
+  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+FROM events GROUP BY 1
+""",
+    doc="Pivot: hourly event counts, one column per event type (explicit "
+    "value list -> deterministic schema, single-pass grouped aggregation — "
+    "no second job to discover pivot values).",
+)
+def q_hourly_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )
