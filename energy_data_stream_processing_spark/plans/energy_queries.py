@@ -205,25 +205,24 @@ def q_customer_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = energy_events(spark, sf_dir)
     t = F.col("event_type")
 
-    # Q10/Q11: top-1 / top-2 most recent tariff_switch per customer via one
-    # window pass (event_id is the deterministic tie-break, excluded from
-    # output like the reference's serial id).
-    w = Window.partitionBy("customer_id").orderBy(F.col("event_time").desc(), F.col("event_id").desc())
-    switches = (
-        ev.where(t == "tariff_switch")
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 2)
-        .groupBy("customer_id")
-        .agg(
-            F.max(F.when(F.col("rn") == 1, F.col("tariff_type"))).alias("current_active_tariff"),
-            F.max(F.when(F.col("rn") == 2, F.col("tariff_type"))).alias("last_active_tariff"),
-            F.max(F.when(F.col("rn") == 1, F.col("event_time"))).alias(
-                "last_tariff_switch_date_time"
-            ),
+    # Q10/Q11: top-1 / top-2 most recent tariff_switch per customer, folded
+    # into the SAME aggregation as everything else: collect each customer's
+    # switch (event_time, event_id, tariff_type) structs sorted ascending
+    # (event_id = deterministic tie-break, excluded from output like the
+    # reference's serial id) and read the last two. Per-customer switches
+    # are few, so the collected array is bounded — and the query becomes
+    # ONE scan + ONE shuffle instead of two scans + window + join.
+    switch_structs = F.array_sort(
+        F.collect_list(
+            F.when(
+                t == "tariff_switch",
+                F.struct(F.col("event_time"), F.col("event_id"), F.col("tariff_type")),
+            )
         )
     )
 
     base = ev.groupBy("customer_id").agg(
+        switch_structs.alias("_sw"),
         F.count(F.lit(1)).alias("total_events"),
         F.count_distinct(F.col("session_id")).alias("total_sessions"),
         F.min("event_time").alias("first_seen"),
@@ -247,10 +246,18 @@ def q_customer_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("tariff_types_seen"),
     )
-    # Scale note: both sides shuffle on customer_id once; the join is
-    # co-partitioned by the same key so AQE plans a cheap sort-merge (or a
-    # broadcast when the switch side is small).
-    return base.join(switches, "customer_id", "left")
+    n = F.size(F.col("_sw"))
+    return base.withColumns(
+        {
+            "current_active_tariff": F.when(n >= 1, F.element_at(F.col("_sw"), n).tariff_type),
+            "last_active_tariff": F.when(
+                n >= 2, F.element_at(F.col("_sw"), n - 1).tariff_type
+            ),
+            "last_tariff_switch_date_time": F.when(
+                n >= 1, F.element_at(F.col("_sw"), n).event_time
+            ),
+        }
+    ).drop("_sw")
 
 
 # --------------------------------------------------------------------------
