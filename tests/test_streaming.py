@@ -68,3 +68,37 @@ def test_native_streaming_exact_columns_match_batch(spark, sf_dir):
         (F.abs(F.col("n.active_customers_approx") - F.col("b.active_customers")) > F.col("b.active_customers") * 0.15 + 2)
     ).count()
     assert bad == 0
+
+
+def test_stateful_streaming_late_arrivals_equal_batch(spark, sf_dir, tmp_path):
+    """Adversarial arrival order: batches partitioned by event-time quartile
+    so micro-batches deliver late events for hours already aggregated. For
+    applyInPandasWithState the watermark drives timeouts/state eviction but
+    does NOT auto-drop late input rows, so the engine merges arbitrarily
+    late rows into existing hour state — the same unbounded-lateness
+    capability as the reference's additive flush, WITHOUT its distinct
+    double-count (consumer.py:341-342): final state must equal the one-pass
+    batch aggregation exactly."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = str(tmp_path / "late_chunks")
+    # bucket by DESCENDING timestamp quartile: batch 0 = newest events,
+    # later batches progressively older -> always late.
+    q = raw.approxQuantile("ts", [0.25, 0.5, 0.75], 0.0)
+    bucket = (
+        F.when(F.col("ts") >= q[2], 0)
+        .when(F.col("ts") >= q[1], 1)
+        .when(F.col("ts") >= q[0], 2)
+        .otherwise(3)
+    )
+    raw.withColumn("_b", bucket).repartition(4, "_b").drop("_b").write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    ev_stream = energy_events_stream(spark, sf_dir, source_dir=src, max_files_per_trigger=1)
+    out = run_stream_to_table(spark, hourly_metrics_stateful_stream(ev_stream))
+    assert out.select(F.max("update_seq")).collect()[0][0] >= 2
+
+    streaming_rows = sorted(map(tuple, _final_rows(out).collect()))
+    batch_rows = sorted(map(tuple, hourly_business_metrics(energy_events(spark, sf_dir)).collect()))
+    assert streaming_rows == batch_rows
