@@ -213,6 +213,7 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY ROLLUP (n.n_name, c.c_mktsegment)
 """,
+    headline=True,
     doc="GROUP BY ROLLUP over nation x segment (beyond-reference grouping "
     "sets). Both dims broadcast; the rollup Expand feeds one partial-agg "
     "shuffle keyed by the grouping-set id.",
@@ -271,6 +272,7 @@ SELECT event_type,
   quantile_cont(value, 0.99) AS p99
 FROM events GROUP BY event_type
 """,
+    headline=True,
     doc="Exact interpolated percentiles per event type (Spark `percentile`"
     " == DuckDB `quantile_cont`, bit-identical). Scale note: exact "
     "percentiles sort per group; at 100 TB swap to approx_percentile "
@@ -297,6 +299,7 @@ SELECT date_trunc('hour', ts) AS hour,
   count(CASE WHEN event_type = 'view' THEN 1 END) AS view
 FROM events GROUP BY 1
 """,
+    headline=True,
     doc="Pivot: hourly event counts, one column per event type (explicit "
     "value list -> deterministic schema, single-pass grouped aggregation — "
     "no second job to discover pivot values).",

@@ -263,6 +263,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_ivf_topk",
     oracle=None,  # approximate by design; recall measured vs exact in tests
+    headline=True,
     doc="IVF coarse-quantizer top-5 (16 spherical k-means cells, 6 probes), "
     "exact-cosine verified — the partition-the-corpus ANN scale path.",
 )

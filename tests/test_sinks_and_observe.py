@@ -61,10 +61,18 @@ def test_raw_store_partitioned_by_date(spark, sf_dir, tmp_path):
     assert len(partitions) > 1
     back = spark.read.parquet(path)
     assert back.count() == ev.count()
-    # partition pruning: a single-day filter scans one partition
-    one_day = back.where(F.col("event_date") == partitions[0].split("=")[1])
+    # partition pruning: a single-day filter must prune at scan time — the
+    # partition predicate appears in PartitionFilters (not as a data filter)
+    # and the pruned scan reads exactly the one partition's rows.
+    day = partitions[0].split("=")[1]
+    one_day = back.where(F.col("event_date") == day)
     plan = one_day._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan or one_day.count() > 0
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)", plan)
+    assert m and "event_date" in m.group(1), f"no partition filter in scan: {plan[:400]}"
+    expected = ev.where(F.to_date("event_time") == day).count()
+    assert one_day.count() == expected > 0
 
 
 def test_observe_counters(spark, tmp_path):
