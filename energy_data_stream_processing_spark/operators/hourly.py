@@ -75,7 +75,11 @@ def hourly_business_metrics(events: DataFrame) -> DataFrame:
             "peak_hour_usage"
         ),
         dsum(F.when(t == "bill_payment", pay)).alias("total_payments"),
-        F.count(F.when(t == "bill_payment", 1)).alias("payment_events"),
+        # counts VALID payments only, like the reference (consumer.py:283-287
+        # increments the pair under `if has_pay`) — a bill_payment with a
+        # NULL/invalid amount contributes to neither sum nor count. Caught by
+        # the randomized differential in tests/test_properties.py.
+        F.count(F.when((t == "bill_payment") & pay.isNotNull(), 1)).alias("payment_events"),
     )
 
     derived = agg.withColumns(
@@ -129,7 +133,7 @@ FROM (
     coalesce(cast(sum(CASE WHEN event_type = 'energy_consumed' THEN energy_consumed END) AS DOUBLE), 0.0) AS total_energy_consumed,
     coalesce(cast(max(CASE WHEN event_type = 'energy_consumed' THEN energy_consumed END) AS DOUBLE), 0.0) AS peak_hour_usage,
     coalesce(cast(sum(CASE WHEN event_type = 'bill_payment' THEN payment_amount END) AS DOUBLE), 0.0) AS total_payments,
-    count(CASE WHEN event_type = 'bill_payment' THEN 1 END) AS payment_events
+    count(CASE WHEN event_type = 'bill_payment' AND payment_amount IS NOT NULL THEN 1 END) AS payment_events
   FROM energy_events
   GROUP BY 1
 ) h

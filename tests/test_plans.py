@@ -29,9 +29,12 @@ UDF_FREE = [
     "shipping_priority",
     "dedup_exact",
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
     "embedding_cosine_topk",
 ]
+
+# Dense-math operators where an Arrow-vectorized UDF is the DESIGN (numpy
+# batch kernels); still must never fall back to row-at-a-time Python.
+VECTORIZED = ["dedup_minhash_lsh", "ann_lsh_topk", "ann_ivf_topk"]
 
 
 def _plan(spark, sf_dir, name: str) -> str:
@@ -47,6 +50,13 @@ def test_no_python_udf_in_hot_path(spark, sf_dir, name):
         f"{name} unexpectedly uses a Pandas UDF — reference-parity queries "
         "must stay JVM-side"
     )
+
+
+@pytest.mark.parametrize("name", VECTORIZED)
+def test_vectorized_never_row_at_a_time(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "BatchEvalPython" not in plan, f"{name} fell back to row-at-a-time Python"
+    assert "ArrowEvalPython" in plan, f"{name} lost its vectorized kernel"
 
 
 def test_pruning_and_pushdown_reach_scan(spark, sf_dir):
