@@ -32,10 +32,21 @@ def main() -> None:
     spark = get_spark("energy-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Session warmup: JVM/codegen/noop-sink initialization. Keeps per-query
-    # timings about the queries (each still pays its own plan + scan cost),
-    # not about first-job executor spin-up.
+    # Session warmup: JVM/codegen/noop-sink/parquet-reader initialization.
+    # Keeps per-query timings about the queries (each still pays its own
+    # plan + scan cost), not about first-job executor spin-up. The tiny
+    # region table warms the parquet read path without touching any table
+    # a benchmarked query scans.
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    spark.read.parquet(f"{sf_dir}/region.parquet").write.format("noop").mode("overwrite").save()
+    # ... and the Python worker pool (vectorized-UDF queries reuse it).
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _noop(s):
+        return s
+
+    spark.range(32).select(_noop("id")).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     catalog = all_queries()
