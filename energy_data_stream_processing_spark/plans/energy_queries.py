@@ -22,7 +22,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.columns import dsum, round_half_up, safe_div
-from ..operators.hourly import HOURLY_ORACLE_BODY, hourly_business_metrics
+from ..operators.hourly import (
+    HOURLY_ORACLE_BODY,
+    hourly_business_metrics,
+    hourly_business_metrics_two_phase,
+)
 from ..sources.adapter import ENERGY_EVENTS_SQL, energy_events
 from .catalog import register
 
@@ -77,6 +81,17 @@ def _davg(c: F.Column, scale: int = 3) -> F.Column:
 )
 def q_hourly_business_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hourly(spark, sf_dir)
+
+
+@register(
+    "hourly_business_metrics_twophase",
+    oracle=_oracle_hm("SELECT * FROM hourly_business_metrics"),
+    doc="Same result via pre-aggregation (hour, customer_id)/(hour, "
+    "session_id) instead of Expand-based exact distincts — the skew-robust "
+    "100 TB plan, sharing the one-phase oracle as a result-identity proof.",
+)
+def q_hourly_business_metrics_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hourly_business_metrics_two_phase(energy_events(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------
