@@ -804,3 +804,67 @@ def q_distinct_tariff_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_distinct_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = energy_events(spark, sf_dir)
     return ev.select("channel").where(F.col("channel").isNotNull()).distinct()
+
+
+# --------------------------------------------------------------------------
+# Ingest validation / dead-letter split (F1-F2), differential-gated.
+# --------------------------------------------------------------------------
+@register(
+    "ingest_validation_summary",
+    oracle=_oracle_ev(
+        """
+SELECT
+  CASE WHEN event_id % 101 = 0 THEN 'Malformed JSON'
+       WHEN event_id % 89 = 0 THEN 'Missing required keys'
+       WHEN event_id % 97 = 0 THEN 'event_type or payload is empty'
+       WHEN event_id % 83 = 0 THEN 'Invalid event_time format'
+       WHEN (event_id % 79 = 0 OR customer_id IS NULL) OR session_id IS NULL OR channel IS NULL
+            OR (event_type IN ('view_tariffs','tariff_switch','incentive_claim') AND tariff_type IS NULL)
+            OR (event_type = 'energy_consumed' AND energy_consumed IS NULL)
+            OR (event_type = 'bill_payment' AND payment_amount IS NULL)
+         THEN 'Missing payload fields: ' || event_type
+       ELSE 'valid' END AS reason,
+  count(*) AS n
+FROM energy_events
+GROUP BY 1
+"""
+    ),
+    doc="F1/F2 validation + dead-letter split, differential-gated: energy "
+    "events are re-wrapped as envelopes with DETERMINISTIC corruption "
+    "injection (residue classes of event_id: malformed JSON, null keys, "
+    "blank type, bad timestamp, nulled required field); the engine's "
+    "validation_reason() classifies them and the oracle re-derives the "
+    "expected reasons INDEPENDENTLY from the spec — two encodings of "
+    "consumer.py:55-123 must agree per-reason, per-count.",
+)
+def q_ingest_validation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.validation import validation_reason
+    from ..sources.jsonl import CORRUPT_COL
+
+    ev = energy_events(spark, sf_dir)
+    eid = F.col("event_id")
+    env = ev.select(
+        F.when(eid % 101 == 0, F.lit('{"truncated')).alias(CORRUPT_COL),
+        F.when(eid % 89 == 0, F.lit(None).cast("string"))
+        .when(eid % 97 == 0, F.lit("   "))
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+        F.when(eid % 83 == 0, F.lit("not-a-timestamp"))
+        .otherwise(F.date_format("event_time", "yyyy-MM-dd'T'HH:mm:ss"))
+        .alias("event_time"),
+        F.struct(
+            F.when(eid % 79 == 0, F.lit(None).cast("string"))
+            .otherwise(F.col("customer_id"))
+            .alias("customer_id"),
+            F.col("session_id").cast("string").alias("session_id"),
+            F.col("channel").alias("channel"),
+            F.col("tariff_type").alias("tariff_type"),
+            F.col("energy_consumed").cast("string").alias("energy_consumed"),
+            F.col("payment_amount").cast("string").alias("payment_amount"),
+        ).alias("payload"),
+    )
+    return (
+        env.withColumn("reason", F.coalesce(validation_reason(), F.lit("valid")))
+        .groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
