@@ -28,3 +28,47 @@ def observed_ingest(valid_invalid: DataFrame) -> tuple[DataFrame, Observation]:
         F.count(F.when(F.col("reason") == "Malformed JSON", 1)).alias("events_malformed"),
     )
     return df, obs
+
+
+class ProgressCapture:
+    """StreamingQueryListener capture of per-batch progress (S10 streaming
+    half): numInputRows / batchDuration per micro-batch — the engine-native
+    events_processed counters and latency histogram the reference exports
+    through Prometheus."""
+
+    def __init__(self, spark):
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        capture = self
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                p = event.progress
+                capture.batches.append(
+                    {
+                        "batchId": p.batchId,
+                        "numInputRows": p.numInputRows,
+                        "durationMs": dict(p.durationMs or {}),
+                    }
+                )
+
+            def onQueryIdle(self, event):
+                pass
+
+            def onQueryTerminated(self, event):
+                pass
+
+        self.batches: list[dict] = []
+        self._listener = _L()
+        self._spark = spark
+        spark.streams.addListener(self._listener)
+
+    def close(self) -> None:
+        self._spark.streams.removeListener(self._listener)
+
+    @property
+    def total_rows(self) -> int:
+        return sum(b["numInputRows"] for b in self.batches)

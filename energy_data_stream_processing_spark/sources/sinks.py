@@ -105,3 +105,29 @@ def write_events_jdbc(df: DataFrame, url: str, table: str, batchsize: int = 1000
         .option("batchsize", batchsize)
         .save()
     )
+
+
+def foreach_batch_raw_append(path: str):
+    """Exactly-once raw-event append for streaming (S6 + §2.5 delivery).
+
+    A plain parquet append from foreachBatch is at-least-once: a retried
+    micro-batch appends twice (the reference has the same hazard between DB
+    write and offset commit, consumer.py:515-518, and no dedup key to
+    recover with). Keying the write by batch_id and OVERWRITING that batch's
+    partition makes the retry idempotent — replaying batch N rewrites
+    exactly batch N's files, so raw-store contents equal the source stream
+    regardless of retries. (Same mechanics a Delta txn log would give;
+    expressed with dynamic partition overwrite so it runs anywhere.)
+    """
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("_batch_id")
+            .parquet(path)
+        )
+
+    return fn

@@ -121,3 +121,51 @@ def test_jdbc_upsert_statement_shape():
         assert f"{c} = EXCLUDED.{c}" in sql
     # full-row replacement, never additive merge
     assert "+ EXCLUDED" not in sql
+
+
+def test_foreach_batch_raw_append_idempotent(spark, sf_dir, tmp_path):
+    """Retried micro-batch (same batch_id) must not duplicate rows; a new
+    batch_id appends."""
+    from energy_data_stream_processing_spark.sources.sinks import foreach_batch_raw_append
+
+    ev = energy_events(spark, sf_dir)
+    b0 = ev.where(F.col("event_id") % 2 == 0)
+    b1 = ev.where(F.col("event_id") % 2 == 1)
+    path = str(tmp_path / "raw_stream")
+    fn = foreach_batch_raw_append(path)
+
+    fn(b0, 0)
+    fn(b0, 0)  # retry of batch 0 — must overwrite, not append
+    fn(b1, 1)
+
+    back = spark.read.parquet(path)
+    assert back.count() == ev.count()
+    assert back.select("event_id").distinct().count() == ev.count()
+
+
+def test_streaming_progress_capture(spark, sf_dir):
+    from energy_data_stream_processing_spark.functions.observe import ProgressCapture
+    from energy_data_stream_processing_spark.streaming.runner import (
+        run_stream_to_table,
+        stream_raw_events,
+    )
+
+    cap = ProgressCapture(spark)
+    try:
+        out = run_stream_to_table(
+            spark,
+            stream_raw_events(spark, sf_dir).groupBy("event_type").count(),
+            mode="complete",
+        )
+        n_rows = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        assert out.count() > 0
+        import time
+
+        for _ in range(40):  # listener delivery is async
+            if cap.total_rows >= n_rows:
+                break
+            time.sleep(0.25)
+        assert cap.total_rows == n_rows
+        assert all("batchId" in b for b in cap.batches)
+    finally:
+        cap.close()
