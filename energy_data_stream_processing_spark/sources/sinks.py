@@ -131,3 +131,18 @@ def foreach_batch_raw_append(path: str):
         )
 
     return fn
+
+
+def write_bucketed(df: DataFrame, table: str, key: str, buckets: int = 8) -> None:
+    """Bucketed table write: pre-shuffles ONCE at write time so every future
+    equi-join/aggregation on ``key`` between same-bucketed tables runs with
+    ZERO exchanges (the 100 TB answer to repeated fact-fact joins; the
+    bucket spec is the durable equivalent of co-partitioning).
+    """
+    (
+        df.write.mode("overwrite")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)
+    )
