@@ -868,3 +868,48 @@ def q_ingest_validation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("reason")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "churned_customers",
+    oracle=_oracle_ev(
+        """
+, bounds AS (SELECT max(event_time) AS tmax FROM energy_events),
+recent AS (
+  SELECT DISTINCT customer_id FROM energy_events, bounds
+  WHERE event_time > tmax - INTERVAL 7 DAY
+),
+prior AS (
+  SELECT DISTINCT customer_id FROM energy_events, bounds
+  WHERE event_time <= tmax - INTERVAL 7 DAY
+)
+SELECT customer_id, 'churned' AS cohort FROM (SELECT * FROM prior EXCEPT SELECT * FROM recent)
+UNION ALL
+SELECT customer_id, 'retained' AS cohort FROM (SELECT * FROM prior INTERSECT SELECT * FROM recent)
+ORDER BY cohort, customer_id
+"""
+    ),
+    doc="Set operators (beyond-reference): EXCEPT for churn, INTERSECT for "
+    "retention over data-relative week boundaries. Both plan as left-anti /"
+    " left-semi aggregated joins — distinct-then-join, one shuffle each on "
+    "customer_id.",
+)
+def q_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = energy_events(spark, sf_dir)
+    tmax = ev.agg(F.max("event_time").alias("tmax"))
+    bounded = ev.join(F.broadcast(tmax))
+    recent = (
+        bounded.where(F.col("event_time") > F.col("tmax") - F.expr("INTERVAL 7 DAYS"))
+        .select("customer_id")
+        .distinct()
+    )
+    prior = (
+        bounded.where(F.col("event_time") <= F.col("tmax") - F.expr("INTERVAL 7 DAYS"))
+        .select("customer_id")
+        .distinct()
+    )
+    churned = prior.exceptAll(recent).select("customer_id", F.lit("churned").alias("cohort"))
+    retained = prior.intersectAll(recent).select(
+        "customer_id", F.lit("retained").alias("cohort")
+    )
+    return churned.unionByName(retained).orderBy("cohort", "customer_id")
