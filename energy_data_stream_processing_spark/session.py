@@ -30,7 +30,7 @@ def get_spark(app_name: str = "energy-spark", shuffle_partitions: int | None = N
         .config("spark.sql.shuffle.partitions", parts)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
