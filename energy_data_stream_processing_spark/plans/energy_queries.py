@@ -913,3 +913,43 @@ def q_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "customer_id", F.lit("retained").alias("cohort")
     )
     return churned.unionByName(retained).orderBy("cohort", "customer_id")
+
+
+@register(
+    "asof_active_tariff",
+    oracle=_oracle_ev(
+        """
+, readings AS (
+  SELECT event_id, customer_id, event_time, energy_consumed
+  FROM energy_events WHERE event_type = 'energy_consumed'
+),
+switches AS (
+  SELECT customer_id, event_time, arg_max(tariff_type, event_id) AS active_tariff
+  FROM energy_events WHERE event_type = 'tariff_switch'
+  GROUP BY customer_id, event_time
+)
+SELECT r.event_id, r.customer_id, r.event_time, r.energy_consumed, s.active_tariff
+FROM readings r ASOF LEFT JOIN switches s
+  ON r.customer_id = s.customer_id AND r.event_time >= s.event_time
+"""
+    ),
+    doc="As-of join (operators/asof.py): each consumption reading gets the "
+    "customer's tariff active AT THAT MOMENT. Spark has no native ASOF; the "
+    "union+carry-forward-window composition costs ONE shuffle, and DuckDB's "
+    "native ASOF JOIN provides a genuinely independent oracle.",
+)
+def q_asof_active_tariff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = energy_events(spark, sf_dir)
+    readings = ev.where(F.col("event_type") == "energy_consumed").select(
+        "event_id", "customer_id", "event_time", "energy_consumed"
+    )
+    switches = (
+        ev.where(F.col("event_type") == "tariff_switch")
+        .groupBy("customer_id", "event_time")
+        .agg(F.max_by("tariff_type", "event_id").alias("active_tariff"))
+    )
+    return asof_join(
+        readings, switches, key="customer_id", ts="event_time", value_cols=["active_tariff"]
+    )
