@@ -953,3 +953,76 @@ def q_asof_active_tariff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         readings, switches, key="customer_id", ts="event_time", value_cols=["active_tariff"]
     )
+
+
+@register(
+    "range_join_tariff_periods",
+    oracle=_oracle_ev(
+        """
+, switches AS (
+  SELECT customer_id, event_time, arg_max(tariff_type, event_id) AS active_tariff
+  FROM energy_events WHERE event_type = 'tariff_switch'
+  GROUP BY customer_id, event_time
+),
+periods AS (
+  SELECT customer_id, active_tariff,
+         event_time AS period_start,
+         coalesce(lead(event_time) OVER (PARTITION BY customer_id ORDER BY event_time)
+                    - INTERVAL 1 SECOND,
+                  (SELECT max(event_time) FROM energy_events)) AS period_end
+  FROM switches
+),
+readings AS (
+  SELECT event_id, customer_id, event_time, energy_consumed
+  FROM energy_events WHERE event_type = 'energy_consumed'
+)
+SELECT r.event_id, r.customer_id, r.event_time, r.energy_consumed,
+       p.active_tariff, p.period_start
+FROM readings r JOIN periods p
+  ON r.customer_id = p.customer_id
+ AND r.event_time >= p.period_start AND r.event_time <= p.period_end
+"""
+    ),
+    doc="Banded range join (operators/rangejoin.py): tariff validity "
+    "intervals (switch -> next switch) joined to the readings they contain "
+    "— the range predicate becomes an equi-join on (key, time band) + "
+    "residual filter instead of a BroadcastNestedLoopJoin.",
+)
+def q_range_join_tariff_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rangejoin import banded_range_join
+
+    ev = energy_events(spark, sf_dir)
+    switches = (
+        ev.where(F.col("event_type") == "tariff_switch")
+        .groupBy("customer_id", "event_time")
+        .agg(F.max_by("tariff_type", "event_id").alias("active_tariff"))
+    )
+    w = Window.partitionBy("customer_id").orderBy("event_time")
+    tmax = ev.agg(F.max("event_time").alias("tmax"))
+    periods = switches.join(F.broadcast(tmax)).select(
+        "customer_id",
+        "active_tariff",
+        F.col("event_time").alias("period_start"),
+        F.coalesce(
+            F.lead("event_time").over(w) - F.expr("INTERVAL 1 SECOND"),
+            # cap the open-ended last period at the data's max timestamp —
+            # an unbounded end would explode into thousands of bands.
+            F.col("tmax"),
+        ).alias("period_end"),
+    )
+    readings = ev.where(F.col("event_type") == "energy_consumed").select(
+        "event_id", "customer_id", "event_time", "energy_consumed"
+    )
+    joined = banded_range_join(
+        readings,
+        periods,
+        key="customer_id",
+        ts="event_time",
+        start="period_start",
+        end="period_end",
+        band_seconds=7 * 86400,
+    )
+    return joined.select(
+        "event_id", "customer_id", "event_time", "energy_consumed",
+        "active_tariff", "period_start",
+    )
