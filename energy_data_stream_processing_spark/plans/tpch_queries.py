@@ -312,3 +312,433 @@ def q_hourly_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         .na.fill(0)
     )
+
+
+@register(
+    "local_supplier_volume",
+    oracle="""
+SELECT n.n_name AS nation,
+  cast(sum(cast(l.l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+""",
+    headline=True,
+    doc="TPC-H Q5-shaped six-table join: region->nation restricts suppliers, "
+    "the customer-nation == supplier-nation predicate rides the lineitem join. "
+    "Scale: region/nation/supplier broadcast (dims), orders<->lineitem is the "
+    "one shuffled fact-fact join on orderkey; date filter pushes to the "
+    "orders scan so the shuffle carries one year only.",
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    asia_nations = n.join(
+        F.broadcast(r.where(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey
+    )
+    o_year = o.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    return (
+        li.join(o_year, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(asia_nations), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "volume_shipping",
+    oracle="""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  year(l.l_shipdate) AS l_year,
+  cast(sum(cast(l.l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS volume
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE n1.n_nationkey <> n2.n_nationkey
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+""",
+    doc="TPC-H Q7-shaped cross-border trade volume: the same nation dim joins "
+    "twice under different roles (supplier side / customer side), with an "
+    "inequality predicate between the two join results. Scale: both nation "
+    "broadcasts are trivially small; the fact-fact orderkey join dominates "
+    "and the two-year shipdate filter pushes to the lineitem scan.",
+)
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").alias("n1")
+    n2 = load_table(spark, sf_dir, "nation").alias("n2")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1.n_nationkey"))
+        .join(
+            F.broadcast(n2),
+            (c.c_nationkey == F.col("n2.n_nationkey"))
+            & (F.col("n1.n_nationkey") != F.col("n2.n_nationkey")),
+        )
+        .groupBy(
+            F.col("n1.n_name").alias("supp_nation"),
+            F.col("n2.n_name").alias("cust_nation"),
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("volume"))
+    )
+
+
+@register(
+    "market_share",
+    oracle="""
+SELECT year(o.o_orderdate) AS o_year,
+  cast(sum(CASE WHEN r2.r_name = 'ASIA'
+        THEN cast(l.l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l.l_discount AS DECIMAL(18,2)))
+        ELSE cast(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+    / cast(sum(cast(l.l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+    AS asia_share
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+WHERE r1.r_name = 'EUROPE' AND p.p_type = 'STANDARD'
+GROUP BY year(o.o_orderdate)
+""",
+    doc="TPC-H Q8-shaped market share: nine-table join, nation/region joined "
+    "twice (customer role filters, supplier role labels), CASE-sum ratio. "
+    "The ratio divides two decimal-exact sums cast to double, so both "
+    "engines divide identical operands (IEEE-deterministic). Scale: all "
+    "dims broadcast; one fact-fact shuffle on orderkey.",
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").alias("mn1")
+    n2 = load_table(spark, sf_dir, "nation").alias("mn2")
+    r1 = load_table(spark, sf_dir, "region").alias("mr1")
+    r2 = load_table(spark, sf_dir, "region").alias("mr2")
+    vol = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)")))
+    asia_vol = F.when(F.col("mr2.r_name") == "ASIA", vol).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p.where(F.col("p_type") == "STANDARD")), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("mn1.n_nationkey"))
+        .join(
+            F.broadcast(r1.where(F.col("r_name") == "EUROPE")),
+            F.col("mn1.n_regionkey") == F.col("mr1.r_regionkey"),
+        )
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("mn2.n_nationkey"))
+        .join(F.broadcast(r2), F.col("mn2.n_regionkey") == F.col("mr2.r_regionkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (F.sum(asia_vol).cast("double") / F.sum(vol).cast("double")).alias("asia_share")
+        )
+    )
+
+
+@register(
+    "returned_items",
+    oracle="""
+SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+  cast(sum(cast(l.l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+  cast(c.c_acctbal AS DOUBLE) AS c_acctbal
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01' AND o.o_orderdate < TIMESTAMP '1997-04-01'
+GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    doc="TPC-H Q10-shaped returned-item report: top 20 customers by lost "
+    "revenue in a quarter. Scale: returnflag + date filters push to both "
+    "fact scans before the orderkey shuffle; the grouped result is "
+    "customer-sized, and top-k is TakeOrderedAndProject (no global sort).",
+)
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(
+            o.where(
+                (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+            ),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"), "c_acctbal")
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
+        .select(
+            "c_custkey", "c_name", "nation", "revenue",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "promo_revenue",
+    oracle="""
+SELECT 100.0 * cast(sum(CASE WHEN p.p_type = 'PROMO'
+        THEN cast(l.l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l.l_discount AS DECIMAL(18,2)))
+        ELSE cast(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+    / cast(sum(cast(l.l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+    AS promo_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-03-01' AND l.l_shipdate < TIMESTAMP '1997-04-01'
+""",
+    doc="TPC-H Q14-shaped promotion effect: single-row global CASE-sum ratio "
+    "over a month of shipments. Scale: part broadcasts; the month filter "
+    "pushes to the lineitem scan; global agg is a two-stage partial/final "
+    "with a 1-row exchange.",
+)
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    vol = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)")))
+    promo_vol = F.when(F.col("p_type") == "PROMO", vol).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (F.lit(100.0) * F.sum(promo_vol).cast("double") / F.sum(vol).cast("double")).alias(
+                "promo_pct"
+            )
+        )
+    )
+
+
+@register(
+    "top_supplier",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+    cast(sum(cast(l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+""",
+    doc="TPC-H Q15-shaped top supplier: grouped revenue view consumed twice — "
+    "once for the scalar max, once for the equality filter. The engine "
+    "computes the per-supplier aggregate, broadcasts its 1-row max back "
+    "against itself (exact-decimal doubles make the equality reliable), and "
+    "broadcasts the supplier dim. Scale: revenue view is supplier-sized; "
+    "no fact rescan thanks to DataFrame reuse.",
+)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    revenue = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("total_revenue"))
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.join(F.broadcast(max_rev), revenue.total_revenue == max_rev.max_revenue)
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "small_quantity_revenue",
+    oracle="""
+SELECT cast(cast(sum(cast(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < 0.2 * (
+    SELECT cast(sum(cast(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+""",
+    doc="TPC-H Q17-shaped small-quantity revenue: correlated per-part average "
+    "subquery, rewritten as a grouped aggregate joined back to the fact. "
+    "The threshold is sum(decimal)/count cast through double so both engines "
+    "compare identical IEEE values. Scale: the per-part avg table is "
+    "part-sized -> broadcast; lineitem is scanned twice (self-aggregate + "
+    "probe) — at 100 TB cache or pre-bucket lineitem by partkey.",
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    per_part = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p.where(F.col("p_brand") == "Brand#1")), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(per_part), li.l_partkey == F.col("avg_partkey"))
+        .where(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / F.lit(7.0))
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "large_volume_customers",
+    oracle="""
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+  cast(o.o_totalprice AS DOUBLE) AS o_totalprice,
+  cast(sum(cast(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(cast(l_quantity AS DECIMAL(18,2))) > 300)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""",
+    doc="TPC-H Q18-shaped large-volume customers: HAVING-filtered grouped "
+    "subquery used as a semi-join cohort on the fact, then re-aggregated "
+    "with customer context. Scale: the cohort is tiny after HAVING -> "
+    "broadcast semi-join; lineitem shuffles once on orderkey and the "
+    "per-orderkey partial agg reuses that partitioning.",
+)
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    big_orders = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("sum_qty"))
+        .where(F.col("sum_qty") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(F.broadcast(big_orders.withColumnRenamed("l_orderkey", "big_okey")),
+                li.l_orderkey == F.col("big_okey"), "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(qty).cast("double").alias("total_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"), "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "wealthy_inactive_customers",
+    oracle="""
+WITH avg_bal AS (
+  SELECT cast(sum(cast(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS v
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT n.n_name AS nation, count(*) AS numcust,
+  cast(sum(cast(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_acctbal > (SELECT v FROM avg_bal)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY n.n_name
+""",
+    doc="TPC-H Q22-shaped wealthy-lapsed report: global scalar average "
+    "(decimal-exact, broadcast as a 1-row cross join), anti-join against "
+    "recent orders (no order since 2000), grouped by nation. Scale: orders "
+    "projects only o_custkey after the date filter pushes to its scan; the "
+    "scalar avg is a 1-row exchange, not a driver collect.",
+)
+def q_wealthy_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(bal).cast("double") / F.count(F.lit(1))).alias("avg_v")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_v"))
+        .join(
+            o.where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")).select(
+                "o_custkey"
+            ),
+            c.c_custkey == o.o_custkey,
+            "left_anti",
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(bal).cast("double").alias("totacctbal"),
+        )
+    )
