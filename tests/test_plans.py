@@ -30,6 +30,15 @@ UDF_FREE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "embedding_cosine_topk",
+    "local_supplier_volume",
+    "volume_shipping",
+    "market_share",
+    "returned_items",
+    "promo_revenue",
+    "top_supplier",
+    "small_quantity_revenue",
+    "large_volume_customers",
+    "wealthy_inactive_customers",
 ]
 
 # Dense-math operators where an Arrow-vectorized UDF is the DESIGN (numpy
@@ -86,4 +95,34 @@ def test_sessionization_single_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "user_sessions")
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, (
         "sessionize must reuse the user_id partitioning for window + groupBy"
+    )
+
+
+def test_six_table_join_single_smj(spark, sf_dir):
+    # Q5 shape: every dimension broadcasts; the only shuffle join is the
+    # orders<->lineitem fact-fact leg. A regression that drops a broadcast
+    # hint (or breaks its small-side placement) shows up as a second SMJ.
+    plan = _plan(spark, sf_dir, "local_supplier_volume")
+    assert len(re.findall(r"SortMergeJoin", plan)) <= 1, (
+        "local_supplier_volume grew a second shuffled join — a dimension "
+        "lost its broadcast"
+    )
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 4
+
+
+def test_having_cohort_broadcast_semi(spark, sf_dir):
+    # Q18 shape: the HAVING-filtered cohort is tiny and must semi-join by
+    # broadcast so the lineitem fact is not shuffled for the filter.
+    plan = _plan(spark, sf_dir, "large_volume_customers")
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", plan), (
+        "large-volume cohort is no longer a broadcast semi-join"
+    )
+
+
+def test_anti_join_date_filter_pushdown(spark, sf_dir):
+    # Q22 shape: the anti-join's date restriction must reach the orders scan
+    # (not evaluate post-join).
+    plan = _plan(spark, sf_dir, "wealthy_inactive_customers")
+    assert "GreaterThanOrEqual(o_orderdate" in plan, (
+        "orders date filter did not push down to the parquet scan"
     )
