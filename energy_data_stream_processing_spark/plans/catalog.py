@@ -48,6 +48,7 @@ def all_queries() -> dict[str, CatalogQuery]:
     # take down the whole catalog at import time.
     from . import energy_queries  # noqa: F401
     from . import session_queries  # noqa: F401
+    from . import timeseries_queries  # noqa: F401
     from . import tpch_queries  # noqa: F401
     from . import training_queries  # noqa: F401
     from .. import streaming  # noqa: F401
