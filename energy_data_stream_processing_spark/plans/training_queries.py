@@ -304,3 +304,71 @@ def q_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(media_table(_docs(spark, sf_dir)), n_frames=4)
+
+
+@register(
+    "label_centroids",
+    oracle="""
+SELECT e.label, u.s.pos - 1 AS pos,
+  count(*) AS n,
+  list_reduce(list(cast(u.s.val AS DOUBLE) ORDER BY e.vec_id), (a, b) -> a + b)
+    / count(*) AS centroid
+FROM embeddings e,
+  unnest(list_transform(e.embedding, (x, i) -> {'pos': i, 'val': x})) AS u(s)
+GROUP BY e.label, u.s.pos
+""",
+    doc="Per-label embedding centroids (the reduce step of k-means / class "
+    "prototypes): posexplode the vector to (label, dim) pairs and average "
+    "per cell. Cross-row float addition is order-sensitive, so the sum is a "
+    "left fold in vec_id order (Spark `aggregate` over a sorted collect == "
+    "DuckDB `list_reduce` over an ordered list, IEEE-identical) — a "
+    "decimal cast would hit double->decimal rounding-tie divergence "
+    "(HALF_UP vs HALF_EVEN) instead. Scale: groups are labels x dims with "
+    "~rows/labels elements each; at 100 TB swap the in-group fold for a "
+    "plain float sum (order-nondeterminism is acceptable there) or a "
+    "two-level tree reduce — same call site.",
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return (
+        emb.select("vec_id", "label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("vec_id"), F.col("val").cast("double").alias("v")))
+            ).alias("vals"),
+        )
+        .select(
+            "label",
+            "pos",
+            "n",
+            (
+                F.aggregate(
+                    "vals", F.lit(0.0), lambda acc, x: acc + x["v"]
+                )
+                / F.col("n")
+            ).alias("centroid"),
+        )
+    )
+
+
+@register(
+    "approx_distinct_profile",
+    oracle=None,
+    doc="Sketch-based approximate aggregates — the 100 TB substitutes for "
+    "exact distincts/percentiles: approx_count_distinct (HyperLogLog++) and "
+    "approx_percentile (t-digest-style) per event type. No oracle twin by "
+    "design (sketch estimates are engine-specific); accuracy is "
+    "property-gated in tests/test_training_ops.py against the exact values "
+    "(<=5% relative error at rsd=0.02).",
+)
+def q_approx_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.adapter import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("approx_p50"),
+        F.expr("approx_percentile(value, 0.99, 10000)").alias("approx_p99"),
+    )

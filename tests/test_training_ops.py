@@ -158,3 +158,37 @@ def test_multimodal_resize_and_frames(spark, sf_dir):
     assert all(sorted(v) == [0, 1, 2, 3] for v in per_doc.values())
     # deterministic
     assert sorted(map(tuple, rows)) == sorted(map(tuple, frames.collect()))
+
+
+def test_approx_sketches_within_tolerance(spark, sf_dir):
+    """approx_count_distinct (HLL++, rsd=0.02) and approx_percentile must
+    land within 5% relative error of the exact answers — the accuracy
+    contract that justifies swapping them in at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from energy_data_stream_processing_spark.plans.catalog import all_queries
+
+    approx = {
+        r["event_type"]: r
+        for r in all_queries()["approx_distinct_profile"].builder(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("users"),
+            F.expr("percentile(value, array(0.45D, 0.55D, 0.97D))").alias("q"),
+            F.max("value").alias("vmax"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact) and approx
+    for et, ex in exact.items():
+        ap = approx[et]
+        # HLL++ rsd=0.02: allow 5% (2.5 sigma) relative error on distincts.
+        assert abs(ap["approx_users"] - ex["users"]) <= max(0.05 * ex["users"], 2)
+        # Quantile sketches guarantee RANK error, not value error: the
+        # estimate must sit between nearby exact quantiles.
+        assert ex["q"][0] <= ap["approx_p50"] <= ex["q"][1]
+        assert ex["q"][2] <= ap["approx_p99"] <= ex["vmax"]
