@@ -327,3 +327,46 @@ def q_streaming_hourly_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_streaming_hourly_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = energy_events_stream(spark, sf_dir)
     return run_stream_to_table(spark, hourly_metrics_native_stream(ev))
+
+
+def dedup_summary_stream(raw_events: DataFrame) -> DataFrame:
+    """At-least-once -> effectively-once: drop replayed duplicates by
+    event_id inside the watermark horizon (dropDuplicatesWithinWatermark
+    keeps only the key + one timestamp in state and evicts it once the
+    watermark passes — bounded state, unlike plain dropDuplicates), then
+    aggregate per event type.
+
+    The 45-day delay covers the test fixture's full 30-day event-time span
+    so a whole-file replay dedups exactly; production tunes the delay to the
+    real replay horizon (e.g. Kafka retention).
+    """
+    deduped = raw_events.withWatermark("ts", "45 days").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    return deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+    )
+
+
+@register(
+    "streaming_dedup_replay",
+    oracle="""
+SELECT event_type, count(*) AS n_events,
+  cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM events GROUP BY event_type
+""",
+    doc="Streaming exactly-once dedup under replay: the source replays the "
+    "SAME events file twice in two micro-batches (at-least-once delivery), "
+    "dropDuplicatesWithinWatermark collapses the duplicates across batches, "
+    "and the result is gated against the BATCH oracle over a single copy — "
+    "so the dedup guarantee is differential-checked, not asserted. Scale: "
+    "dedup state is (event_id, ts) only, watermark-evicted; the shuffle "
+    "keys by event_id.",
+)
+def q_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = tempfile.mkdtemp(prefix="stream-dedup-")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src}/events_a.parquet")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src}/events_b.parquet")
+    raw = stream_raw_events(spark, sf_dir, source_dir=src, max_files_per_trigger=1)
+    return run_stream_to_table(spark, dedup_summary_stream(raw), mode="complete")
