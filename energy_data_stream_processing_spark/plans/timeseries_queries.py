@@ -120,3 +120,51 @@ def q_event_type_hour_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
         )
     )
+
+
+@register(
+    "user_value_tiers",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+    count(*) AS n_events,
+    cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n_events, total_value,
+  ntile(4) OVER w AS value_quartile,
+  cume_dist() OVER w AS value_cume_dist,
+  dense_rank() OVER w AS value_dense_rank,
+  first_value(user_id) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS top_user,
+  last_value(user_id) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS bottom_user
+FROM per_user
+WINDOW w AS (ORDER BY total_value DESC, user_id)
+""",
+    doc="Window-function breadth over per-user totals: ntile quartiles, "
+    "cume_dist, dense_rank, and first/last_value with an explicit full-frame "
+    "(completing the window family next to LAG, PERCENT_RANK and the "
+    "rolling frames of Q12-Q16). The unique (total, user_id) sort key makes "
+    "every ranking deterministic. Scale: one unpartitioned window over a "
+    "users-sized aggregate — at 100 TB tier within a partition key (e.g. "
+    "region) or precompute quantile cutoffs and join, as for Q12.",
+)
+def q_user_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+    w = Window.orderBy(F.col("total_value").desc(), F.col("user_id"))
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return per_user.select(
+        "user_id",
+        "n_events",
+        "total_value",
+        F.ntile(4).over(w).alias("value_quartile"),
+        F.cume_dist().over(w).alias("value_cume_dist"),
+        F.dense_rank().over(w).alias("value_dense_rank"),
+        F.first("user_id").over(wf).alias("top_user"),
+        F.last("user_id").over(wf).alias("bottom_user"),
+    )
