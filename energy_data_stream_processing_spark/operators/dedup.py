@@ -296,3 +296,48 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    ``nodes`` is (doc_id); ``edges`` is (src, dst) and must already contain
+    both directions of each undirected edge. Returns (doc_id, component_id)
+    where component_id = min doc_id reachable (singletons label themselves).
+
+    Each round every node takes the minimum of its own label and its
+    neighbors' current labels; convergence takes O(component diameter)
+    rounds, checked with a changed-row count. ``localCheckpoint`` cuts the
+    lineage each round so the plan stays flat. Scale notes: near-dup
+    components are overwhelmingly tiny (pairs, triangles), so the diameter
+    bound is small; for adversarial long-chain graphs switch to the
+    alternating large-star/small-star algorithm (same DataFrame skeleton,
+    pointer-doubling convergence in O(log n) rounds) and use reliable
+    checkpointing to HDFS instead of local blocks.
+    """
+    labels = nodes.select("doc_id", F.col("doc_id").alias("component_id")).localCheckpoint()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy(edges["src"].alias("nbr_doc_id"))
+            .agg(F.min("component_id").alias("nbr_min"))
+        )
+        relabeled = (
+            labels.join(neighbor_min, labels["doc_id"] == neighbor_min["nbr_doc_id"], "left")
+            .select(
+                labels["doc_id"],
+                F.least(
+                    labels["component_id"],
+                    F.coalesce(F.col("nbr_min"), labels["component_id"]),
+                ).alias("component_id"),
+                labels["component_id"].alias("_old"),
+            )
+            .localCheckpoint()
+        )
+        changed = relabeled.where(F.col("component_id") != F.col("_old")).count()
+        labels = relabeled.drop("_old")
+        if changed == 0:
+            break
+    return labels

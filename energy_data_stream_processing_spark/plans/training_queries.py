@@ -154,10 +154,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_docs(spark, sf_dir))
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle="""
-WITH tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tok FROM documents),
+_NGRAM_PAIRS_CTES = """tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tok FROM documents),
 sh AS (
   SELECT doc_id, unnest(list_distinct(
     CASE WHEN len(tok) >= 3
@@ -170,14 +167,20 @@ common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
-SELECT doc_a, doc_b,
-       cast(common AS DOUBLE) / cast(ca.n + cb.n - common AS DOUBLE) AS jaccard
-FROM common
-JOIN counts ca ON ca.doc_id = doc_a
-JOIN counts cb ON cb.doc_id = doc_b
-WHERE cast(common AS DOUBLE) / cast(ca.n + cb.n - common AS DOUBLE) >= 0.015
-""",
+),
+jpairs AS (
+  SELECT doc_a, doc_b,
+         cast(common AS DOUBLE) / cast(ca.n + cb.n - common AS DOUBLE) AS jaccard
+  FROM common
+  JOIN counts ca ON ca.doc_id = doc_a
+  JOIN counts cb ON cb.doc_id = doc_b
+  WHERE cast(common AS DOUBLE) / cast(ca.n + cb.n - common AS DOUBLE) >= 0.015
+)"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"WITH {_NGRAM_PAIRS_CTES}\nSELECT doc_a, doc_b, jaccard FROM jpairs",
     headline=True,
     doc="Exact word-3-gram Jaccard near-dup pairs via inverted shingle index.",
 )
@@ -371,4 +374,47 @@ def q_approx_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.expr("approx_percentile(value, 0.5, 10000)").alias("approx_p50"),
         F.expr("approx_percentile(value, 0.99, 10000)").alias("approx_p99"),
+    )
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+WITH RECURSIVE {_NGRAM_PAIRS_CTES},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jpairs
+  UNION ALL SELECT doc_b, doc_a FROM jpairs
+),
+reach AS (
+  SELECT doc_id AS src, doc_id AS node FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src
+),
+comp AS (SELECT src AS doc_id, min(node) AS component_id FROM reach GROUP BY src)
+SELECT doc_id, component_id,
+  count(*) OVER (PARTITION BY component_id) AS component_size
+FROM comp
+""",
+    doc="Near-dup clustering: connected components over the exact-Jaccard "
+    "pair graph via iterative min-label propagation "
+    "(operators/dedup.py::connected_components), labeling every document "
+    "with the smallest doc_id in its duplicate cluster — the step that "
+    "turns pairwise dedup output into keep/drop decisions. The oracle is an "
+    "independent DuckDB recursive-CTE transitive closure, so the iterative "
+    "distributed algorithm is differential-checked against a declarative "
+    "fixpoint.",
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.dedup import connected_components
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.015)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    comp = connected_components(docs.select("doc_id"), edges)
+    return comp.withColumn(
+        "component_size", F.count(F.lit(1)).over(Window.partitionBy("component_id"))
     )
