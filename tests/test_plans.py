@@ -39,6 +39,11 @@ UDF_FREE = [
     "small_quantity_revenue",
     "large_volume_customers",
     "wealthy_inactive_customers",
+    "props_numeric_profile",
+    "hourly_gap_fill",
+    "event_type_hour_cube",
+    "user_value_tiers",
+    "label_centroids",
 ]
 
 # Dense-math operators where an Arrow-vectorized UDF is the DESIGN (numpy
