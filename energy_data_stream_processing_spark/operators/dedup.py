@@ -317,7 +317,16 @@ def connected_components(
     pointer-doubling convergence in O(log n) rounds) and use reliable
     checkpointing to HDFS instead of local blocks.
     """
-    labels = nodes.select("doc_id", F.col("doc_id").alias("component_id")).localCheckpoint()
+    # Materialize the edge list once: it is typically the output of an
+    # expensive pair-generation pipeline (shingling + inverted-index join),
+    # and every iteration below joins against it — without the checkpoint
+    # each round would recompute the whole upstream pipeline.
+    edges = edges.localCheckpoint()
+    # Singleton nodes (no edges) keep their own label and skip the loop
+    # entirely — in dedup workloads most documents are singletons, so the
+    # iterated joins run on the (much smaller) pair-graph node set only.
+    graph_nodes = edges.select(F.col("src").alias("doc_id")).distinct()
+    labels = graph_nodes.withColumn("component_id", F.col("doc_id")).localCheckpoint()
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["doc_id"])
@@ -340,4 +349,6 @@ def connected_components(
         labels = relabeled.drop("_old")
         if changed == 0:
             break
-    return labels
+    return nodes.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("component_id", F.col("doc_id")).alias("component_id")
+    )
