@@ -168,3 +168,125 @@ def q_user_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("user_id").over(wf).alias("top_user"),
         F.last("user_id").over(wf).alias("bottom_user"),
     )
+
+
+@register(
+    "user_activity_islands",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, cast(ts AS DATE) AS d FROM events
+), tagged AS (
+  SELECT user_id, d,
+    d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INTEGER) AS anchor
+  FROM days
+), streaks AS (
+  SELECT user_id, anchor, count(*) AS streak_days
+  FROM tagged GROUP BY user_id, anchor
+)
+SELECT user_id,
+  count(*) AS n_streaks,
+  max(streak_days) AS longest_streak,
+  sum(streak_days) AS active_days
+FROM streaks GROUP BY user_id
+""",
+    doc="Gaps-and-islands: per-user streaks of consecutive active calendar "
+    "days via the classic date-minus-row_number anchor trick, then streak "
+    "stats per user. Every window and groupBy is partitioned by user_id, so "
+    "the whole plan is one shuffle on the user key reused across all three "
+    "stages (distinct, window, both groupBys collapse into the same hash "
+    "partitioning) — no global window, scales linearly at 100 TB.",
+)
+def q_user_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("d"))
+    tagged = days.select("user_id", "d", F.date_sub("d", rn.cast("int")).alias("anchor"))
+    streaks = tagged.groupBy("user_id", "anchor").agg(F.count(F.lit(1)).alias("streak_days"))
+    return streaks.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("streak_days").alias("longest_streak"),
+        F.sum("streak_days").alias("active_days"),
+    )
+
+
+@register(
+    "time_weighted_value",
+    oracle="""
+WITH deltas AS (
+  SELECT user_id, value,
+    (lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      - epoch_us(ts)) // 1000000 AS dt_s
+  FROM events
+)
+SELECT user_id,
+  cast(sum(cast(value AS DECIMAL(18,2)) * cast(dt_s AS DECIMAL(18,0))) AS DOUBLE)
+    / cast(nullif(sum(dt_s), 0) AS DOUBLE) AS twa_value,
+  sum(dt_s) AS span_s,
+  count(*) AS n_intervals
+FROM deltas WHERE dt_s IS NOT NULL
+GROUP BY user_id
+""",
+    doc="Time-weighted average (the physically-correct mean for irregularly "
+    "sampled meter readings — a plain AVG over-weights bursts): each "
+    "reading's value is weighted by its holding interval to the next reading "
+    "of the same user. lead() is partitioned by user and tie-broken by the "
+    "unique event_id; interval weights are whole seconds (floor-divided "
+    "microsecond deltas — identical integer semantics in both engines, and "
+    "small enough that the decimal-exact weighted sum converts to double "
+    "without rounding past 2^53), with a single double division at the end "
+    "and nullif guarding zero spans. Scale: one shuffle on user_id shared "
+    "by the window and the groupBy.",
+)
+def q_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    deltas = (
+        ev.select("user_id", "value", (F.lead(us).over(w) - us).alias("dt_us"))
+        .where(F.col("dt_us").isNotNull())
+        .select("user_id", "value", F.expr("dt_us div 1000000").alias("dt_s"))
+    )
+    weighted = F.col("value").cast("decimal(18,2)") * F.col("dt_s").cast("decimal(18,0)")
+    return deltas.groupBy("user_id").agg(
+        (
+            F.sum(weighted).cast("double")
+            / F.nullif(F.sum("dt_s"), F.lit(0)).cast("double")
+        ).alias("twa_value"),
+        F.sum("dt_s").alias("span_s"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+
+
+@register(
+    "top_value_days_per_user",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, cast(ts AS DATE) AS day,
+    cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value,
+    count(*) AS n_events
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY day_value DESC, day) AS rk
+  FROM daily
+)
+SELECT user_id, day, day_value, n_events, rk FROM ranked WHERE rk <= 3
+""",
+    doc="Top-N per group: each user's three highest-value days. Daily "
+    "pre-aggregation shrinks the fact before the per-user row_number ranks "
+    "it (both stages hash on user_id — one logical shuffle chain, no global "
+    "sort). day_value is derived from identical decimal sums in both "
+    "engines, so the double ordering and tie-break on day are deterministic. "
+    "Scale: the rank window sees at most days-per-user rows per partition; "
+    "at 100 TB this is the standard pattern that avoids orderBy().limit() "
+    "per group.",
+)
+def q_top_value_days_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("day_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(F.col("day_value").desc(), "day")
+    )
+    return daily.select("*", rk.alias("rk")).where(F.col("rk") <= 3)

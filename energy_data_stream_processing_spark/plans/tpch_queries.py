@@ -755,3 +755,123 @@ def q_wealthy_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(bal).cast("double").alias("totacctbal"),
         )
     )
+
+
+@register(
+    "forecast_revenue_change",
+    oracle="""
+SELECT
+  cast(sum(cast(l_extendedprice AS DECIMAL(18,2)) * cast(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+  AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    headline=True,
+    doc="TPC-H Q6-shaped forecast-revenue change: the canonical "
+    "scan-dominated filter+aggregate. Every predicate (shipdate range, "
+    "discount band, quantity cap) and the two-column projection push down to "
+    "the parquet scan — `.explain` shows PushedFilters plus a 4-column "
+    "ReadSchema — so at 100 TB this reads only row groups whose min/max "
+    "stats overlap 1994, the cheapest possible plan: no shuffle at all "
+    "before the single-row final aggregate. Decimal-exact product sum.",
+)
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(price * disc).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "price_bucket_histogram",
+    oracle="""
+SELECT cast(cast(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 1000000 AS price_bucket,
+  count(*) AS n_lines,
+  cast(sum(cast(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS bucket_revenue,
+  cast(count(*) AS DOUBLE) / (SELECT count(*) FROM lineitem) AS share
+FROM lineitem
+GROUP BY 1
+""",
+    doc="Fixed-width histogram of line prices (10k-wide buckets) with each "
+    "bucket's share of total rows. Bucketing is integer arithmetic on cents "
+    "(exact in both engines — no float-division boundary ambiguity); the "
+    "denominator is a broadcast scalar subquery, so the plan is one scan + "
+    "one partial-agg shuffle on ~40 bucket keys plus a single-row broadcast. "
+    "Scale: bucket cardinality is fixed regardless of input size, so the "
+    "shuffle stays tiny at 100 TB; the double scan collapses to one with a "
+    "window total, but the scalar-subquery form keeps the scan parallel and "
+    "is cheaper than a global window.",
+)
+def q_price_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    total = li.agg(F.count(F.lit(1)).cast("double").alias("_total"))
+    return (
+        li.groupBy(F.floor(cents / 1000000).alias("price_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("bucket_revenue"),
+        )
+        .join(F.broadcast(total))
+        .select(
+            "price_bucket",
+            "n_lines",
+            "bucket_revenue",
+            (F.col("n_lines").cast("double") / F.col("_total")).alias("share"),
+        )
+    )
+
+
+@register(
+    "strict_service_orders",
+    oracle="""
+SELECT o.o_orderpriority,
+  count(*) AS n_orders,
+  cast(sum(cast(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders o
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.08)
+GROUP BY o.o_orderpriority
+""",
+    doc="Combined EXISTS + NOT EXISTS cohort: orders that had a returned "
+    "line but never a deep-discounted one, profiled by priority — the "
+    "semi-join and anti-join composed in one plan (extends Q19's lone "
+    "semi-join and parts_never_ordered's lone anti-join). Both subquery "
+    "scans push their filter down before the join, so each side ships only "
+    "the qualifying orderkeys. Scale: two shuffles on l_orderkey against the "
+    "orders shuffle — all three co-partition on the same key, and AQE turns "
+    "either side broadcast when the filtered keyset is small.",
+)
+def q_strict_service_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = li.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    discounted = li.where(F.col("l_discount") > 0.08).select("l_orderkey")
+    return (
+        o.join(returned, o.o_orderkey == returned.l_orderkey, "left_semi")
+        .join(discounted, o.o_orderkey == discounted.l_orderkey, "left_anti")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        )
+    )
