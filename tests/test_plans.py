@@ -44,6 +44,12 @@ UDF_FREE = [
     "event_type_hour_cube",
     "user_value_tiers",
     "label_centroids",
+    "forecast_revenue_change",
+    "price_bucket_histogram",
+    "strict_service_orders",
+    "user_activity_islands",
+    "time_weighted_value",
+    "top_value_days_per_user",
 ]
 
 # Dense-math operators where an Arrow-vectorized UDF is the DESIGN (numpy
@@ -131,3 +137,57 @@ def test_anti_join_date_filter_pushdown(spark, sf_dir):
     assert "GreaterThanOrEqual(o_orderdate" in plan, (
         "orders date filter did not push down to the parquet scan"
     )
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    # Q6 is pure scan+agg: every predicate and the 4-column projection must
+    # reach the parquet scan, and no shuffle exists besides the single-row
+    # final aggregate.
+    plan = _plan(spark, sf_dir, "forecast_revenue_change")
+    # The FileScan's PushedFilters list is '...'-truncated in the plan string,
+    # so assert on the (untruncated) Filter node plus the pushdown prefix.
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    for pred in (
+        r"l_shipdate#\d+ >= 1994-01-01",
+        r"l_shipdate#\d+ < 1995-01-01",
+        r"l_discount#\d+ >= 0.05",
+        r"l_discount#\d+ <= 0.07",
+        r"l_quantity#\d+ < 24.0",
+    ):
+        assert re.search(pred, plan), f"forecast_revenue_change lost predicate: {pred}"
+    schemas = re.findall(r"ReadSchema: struct<([^\n]*)", plan)
+    cols = {c.split(":")[0] for s in schemas for c in s.split(",")[:-1] if c}
+    allowed = {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+    assert cols <= allowed, f"forecast_revenue_change reads extra columns: {cols - allowed}"
+    # Pure scan+agg: the only exchange is the single-row final aggregate.
+    assert len(re.findall(r"Exchange ", plan)) == 1
+    assert "Exchange SinglePartition" in plan
+
+
+def test_time_weighted_single_shuffle(spark, sf_dir):
+    # lead() window and groupBy both hash on user_id — one reused Exchange.
+    plan = _plan(spark, sf_dir, "time_weighted_value")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, (
+        "time_weighted_value: the user_id partitioning is no longer reused"
+    )
+
+
+def test_islands_two_stage_dedup(spark, sf_dir):
+    # The RIGHT 100 TB plan is two exchanges: the (user_id, d) distinct keeps
+    # map-side partial dedup (first shuffle carries deduped pairs, not raw
+    # events), then the already-tiny day set reshuffles on user_id alone for
+    # the streak window. Collapsing to one user_id exchange would ship raw
+    # rows — pin the two-stage shape.
+    plan = _plan(spark, sf_dir, "user_activity_islands")
+    assert len(re.findall(r"Exchange hashpartitioning\(user_id#\d+L?, d#", plan)) == 1
+    assert len(re.findall(r"Exchange hashpartitioning\(user_id#\d+L?, \d+\)", plan)) == 1
+
+
+def test_topk_per_group_rank_pushdown(spark, sf_dir):
+    # Spark 3.5 WindowGroupLimit: the rk<=3 filter must push a PARTIAL top-3
+    # below the user_id shuffle, so each map task ships at most 3 days/user.
+    plan = _plan(spark, sf_dir, "top_value_days_per_user")
+    assert re.search(r"WindowGroupLimit .*row_number\(\), 3, Partial", plan), (
+        "top_value_days_per_user lost the partial rank-limit pushdown"
+    )
+    assert re.search(r"WindowGroupLimit .*row_number\(\), 3, Final", plan)
