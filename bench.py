@@ -20,6 +20,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
 from energy_data_stream_processing_spark.plans.catalog import all_queries
 from energy_data_stream_processing_spark.session import get_spark
 
@@ -39,6 +42,24 @@ def main() -> None:
     # a benchmarked query scans.
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
     spark.read.parquet(f"{sf_dir}/region.parquet").write.format("noop").mode("overwrite").save()
+    # Shaped synthetic warmups on spark.range data (no benchmarked table is
+    # touched): JIT-compile the codegen paths the catalog leans on — Expand +
+    # two-phase distinct aggregation, decimal sums, date_trunc, and window
+    # functions — so the first timed query measures the query, not HotSpot.
+    spark.range(20000).selectExpr(
+        "id", "timestamp_micros(id * 1000000) AS ts", "cast(id % 97 AS string) AS k"
+    ).groupBy("k").agg(
+        F.count_distinct("ts"),
+        F.count_distinct("id"),
+        F.sum(F.col("id").cast("decimal(18,2)")),
+        F.max(F.date_trunc("hour", "ts")),
+    ).write.format("noop").mode("overwrite").save()
+    w = Window.partitionBy(F.expr("id % 7")).orderBy("id")
+    spark.range(20000).select(
+        F.row_number().over(w).alias("rn"),
+        F.lag("id").over(w).alias("lg"),
+        F.sum("id").over(w.rowsBetween(-23, 0)).alias("roll"),
+    ).write.format("noop").mode("overwrite").save()
     # ... and the Python worker pool (vectorized-UDF queries reuse it).
     from pyspark.sql.functions import pandas_udf
 
