@@ -1,0 +1,200 @@
+"""Deterministic sampling / splitting operators for training-data pipelines.
+
+A 100 TB corpus is never trained on raw: it is stratified-sampled, split
+train/val/test, and rebalanced per label. The industry-standard way to do
+each at scale is a **content-stable hash gate** — no rand() (irreproducible
+across retries/executors), no global sort (needless total order). All
+assignment here derives from ``md5(id)``: reproducible across engines, runs,
+and cluster sizes, and verified value-exact against DuckDB computing the
+same md5 arithmetic independently.
+
+The hash bucket is the first 8 md5 hex chars as an integer (uniform on
+[0, 2^32)), so a p% gate is ``bucket < p * 2^32`` — one narrow projection,
+fully pushed into the scan stage, no shuffle added to whatever consumes it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.adapter import load_table
+from .catalog import register
+
+_BUCKETS = 1 << 32
+
+
+def hash_bucket(col: Column) -> Column:
+    """Uniform deterministic bucket on [0, 2^32) from any id column."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+
+
+# DuckDB twin of hash_bucket (same md5-prefix arithmetic).
+def _duck_bucket(expr: str) -> str:
+    return f"(('0x' || substr(md5(cast({expr} AS VARCHAR)), 1, 8))::BIGINT)"
+
+
+@register(
+    "stratified_sample_summary",
+    oracle=f"""
+WITH sampled AS (
+  SELECT source, n_chars,
+    {_duck_bucket('doc_id')} < 0.2 * 4294967296.0 AS in_sample
+  FROM documents
+)
+SELECT source,
+  count(*) AS n_total,
+  count(CASE WHEN in_sample THEN 1 END) AS n_sampled,
+  coalesce(sum(CASE WHEN in_sample THEN n_chars END), 0) AS sampled_chars,
+  cast(count(CASE WHEN in_sample THEN 1 END) AS DOUBLE) / count(*) AS achieved_rate
+FROM sampled GROUP BY source
+""",
+    doc="Deterministic 20% stratified sample audit per source: the md5 "
+    "bucket gate keeps each document independently with p=0.2, and the "
+    "summary proves per-stratum achieved rates. Content-stable: the same "
+    "doc_id is sampled on every run, engine, and cluster size — the "
+    "property rand()-sampling loses on retry. Scale: the gate is a scan-"
+    "stage predicate (no shuffle, no sort); the audit is one partial-agg "
+    "shuffle on source cardinality.",
+)
+def q_stratified_sample_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    in_sample = hash_bucket(F.col("doc_id")) < F.lit(0.2 * _BUCKETS)
+    return (
+        docs.select("source", "n_chars", in_sample.alias("in_sample"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(F.col("in_sample"), 1)).alias("n_sampled"),
+            F.coalesce(
+                F.sum(F.when(F.col("in_sample"), F.col("n_chars"))), F.lit(0)
+            ).alias("sampled_chars"),
+            (
+                F.count(F.when(F.col("in_sample"), 1)).cast("double") / F.count(F.lit(1))
+            ).alias("achieved_rate"),
+        )
+    )
+
+
+@register(
+    "train_val_test_split",
+    oracle=f"""
+SELECT
+  CASE WHEN {_duck_bucket('doc_id')} % 10 <= 7 THEN 'train'
+       WHEN {_duck_bucket('doc_id')} % 10 = 8 THEN 'val'
+       ELSE 'test' END AS split,
+  lang,
+  count(*) AS n_docs,
+  sum(n_chars) AS total_chars
+FROM documents
+GROUP BY 1, 2
+""",
+    doc="Hash-gated 80/10/10 train/val/test assignment, audited per "
+    "(split, lang). Hash-of-id assignment is the only split that survives "
+    "incremental corpus growth: a document never migrates between splits "
+    "when new data arrives, so there is no train->test leakage across "
+    "dataset versions. Scale: pure narrow projection + one tiny-key "
+    "partial-agg shuffle.",
+)
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    m = hash_bucket(F.col("doc_id")) % 10
+    split = (
+        F.when(m <= 7, "train").when(m == 8, "val").otherwise("test").alias("split")
+    )
+    return docs.groupBy(split, "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
+    "label_cap_sample",
+    oracle=f"""
+WITH ranked AS (
+  SELECT label, vec_id,
+    row_number() OVER (PARTITION BY label
+                       ORDER BY {_duck_bucket('vec_id')}, vec_id) AS rk
+  FROM embeddings
+)
+SELECT label,
+  count(*) AS n_total,
+  count(CASE WHEN rk <= 40 THEN 1 END) AS n_kept,
+  sum(CASE WHEN rk <= 40 THEN vec_id END) AS kept_checksum
+FROM ranked GROUP BY label
+""",
+    doc="Per-label cap rebalancing (the class-balance step before "
+    "training): keep at most 40 vectors per label, chosen by hash order so "
+    "the kept set is stable across runs and insert order — a checksum over "
+    "kept ids proves the exact same rows are selected in both engines. "
+    "Scale: per-label row_number partitions by label (no global window). "
+    "This audit variant counts every row (n_total), so no rank-limit "
+    "pushdown can apply; the pure selection variant (filter rk<=K without "
+    "the totals) gets Spark 3.5's WindowGroupLimit partial top-K, as "
+    "gated for top_value_days_per_user.",
+)
+def q_label_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rk = F.row_number().over(
+        Window.partitionBy("label").orderBy(hash_bucket(F.col("vec_id")), "vec_id")
+    )
+    kept = F.col("rk") <= 40
+    return (
+        emb.select("label", "vec_id", rk.alias("rk"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(kept, 1)).alias("n_kept"),
+            F.sum(F.when(kept, F.col("vec_id"))).alias("kept_checksum"),
+        )
+    )
+
+
+@register(
+    "vocab_topk",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split(lower(trim(text)), ' ')) AS token FROM documents
+), counted AS (
+  SELECT token, count(*) AS tf FROM toks WHERE token <> '' GROUP BY token
+), total AS (SELECT sum(tf) AS n FROM counted)
+SELECT token, tf,
+  row_number() OVER (ORDER BY tf DESC, token) AS rank,
+  cast(tf AS DOUBLE) / (SELECT n FROM total) AS corpus_share
+FROM counted
+ORDER BY tf DESC, token LIMIT 200
+""",
+    doc="Vocabulary head: top-200 whitespace tokens by corpus term "
+    "frequency with each token's share of all tokens — the first step of "
+    "any tokenizer/vocab build. Counts are exact longs; the share divides "
+    "identical operands. Scale: explode + one partial-agg shuffle on token "
+    "(map-side combine collapses Zipf heads early); the final top-200 is "
+    "TakeOrderedAndProject, not a global sort. The rank window runs on 200 "
+    "rows driver-side-trivial.",
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counted = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("token")
+        )
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    total = counted.agg(F.sum("tf").cast("double").alias("_n"))
+    top = counted.orderBy(F.desc("tf"), "token").limit(200)
+    rk = F.row_number().over(Window.orderBy(F.desc("tf"), "token"))
+    return (
+        top.join(F.broadcast(total))
+        .select(
+            "token",
+            "tf",
+            rk.alias("rank"),
+            (F.col("tf").cast("double") / F.col("_n")).alias("corpus_share"),
+        )
+    )

@@ -50,6 +50,10 @@ UDF_FREE = [
     "user_activity_islands",
     "time_weighted_value",
     "top_value_days_per_user",
+    "stratified_sample_summary",
+    "train_val_test_split",
+    "label_cap_sample",
+    "vocab_topk",
 ]
 
 # Dense-math operators where an Arrow-vectorized UDF is the DESIGN (numpy
@@ -191,3 +195,21 @@ def test_topk_per_group_rank_pushdown(spark, sf_dir):
         "top_value_days_per_user lost the partial rank-limit pushdown"
     )
     assert re.search(r"WindowGroupLimit .*row_number\(\), 3, Final", plan)
+
+
+def test_label_cap_no_global_window(spark, sf_dir):
+    # Per-label cap: the rank window must partition by label — a global
+    # (unpartitioned) window would serialize the whole table through one
+    # task. (No WindowGroupLimit here on purpose: the audit counts every
+    # row, so a top-K pushdown would be incorrect.)
+    plan = _plan(spark, sf_dir, "label_cap_sample")
+    assert re.search(r"Window \[row_number\(\) windowspecdefinition\(label#", plan), (
+        "label_cap_sample's rank window is no longer partitioned by label"
+    )
+    assert "WindowGroupLimit" not in plan
+
+
+def test_vocab_topk_is_take_ordered(spark, sf_dir):
+    # The top-200 must be TakeOrderedAndProject, not a global Sort+Limit.
+    plan = _plan(spark, sf_dir, "vocab_topk")
+    assert "TakeOrderedAndProject" in plan, "vocab_topk fell back to a global sort"
