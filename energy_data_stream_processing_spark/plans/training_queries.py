@@ -418,3 +418,116 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.withColumn(
         "component_size", F.count(F.lit(1)).over(Window.partitionBy("component_id"))
     )
+
+
+@register(
+    "repetition_profile",
+    oracle="""
+WITH tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tok FROM documents),
+sh_all AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(tok) >= 3
+         THEN list_transform(generate_series(1, len(tok) - 2), i -> array_to_string(tok[i:i+2], ' '))
+         ELSE []::VARCHAR[] END) AS shingle
+  FROM tok
+),
+per_shingle AS (
+  SELECT doc_id, shingle, count(*) AS cnt FROM sh_all GROUP BY 1, 2
+)
+SELECT doc_id,
+  sum(cnt) AS total_shingles,
+  count(*) AS distinct_shingles,
+  max(cnt) AS top_shingle_count,
+  1.0 - cast(count(*) AS DOUBLE) / cast(sum(cnt) AS DOUBLE) AS repetition_ratio,
+  cast(max(cnt) AS DOUBLE) / cast(sum(cnt) AS DOUBLE) AS top_shingle_share
+FROM per_shingle GROUP BY doc_id
+""",
+    doc="Repetition detection (the boilerplate/spam signal used to filter "
+    "LLM training text — high 3-gram repetition means templated or looping "
+    "content): per document, total vs distinct 3-gram occurrences, the "
+    "hottest shingle's count, and the derived repetition/top-share ratios "
+    "from exact integer counts. Unlike the dedup shingle index this keeps "
+    "DUPLICATE shingles (no array_distinct) — the duplicates ARE the "
+    "signal. Scale: groupBy(doc_id, shingle) then groupBy(doc_id) — the "
+    "second agg rides the first's hash partitioning prefix-free; per-doc "
+    "shingle counts are bounded by doc length, so no skew beyond document "
+    "size itself.",
+)
+def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    n = 3
+    elem = "concat(" + ", ' ', ".join(f"_w[i+{j}]" for j in range(n)) + ")"
+    sh_all = (
+        docs.select("doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("_w"))
+        .select(
+            "doc_id",
+            F.explode_outer(
+                F.expr(
+                    f"CASE WHEN size(_w) >= {n} "
+                    f"THEN transform(sequence(0, size(_w) - {n}), i -> {elem}) "
+                    "ELSE array() END"
+                )
+            ).alias("shingle"),
+        )
+        .where(F.col("shingle").isNotNull())
+    )
+    per_shingle = sh_all.groupBy("doc_id", "shingle").agg(F.count(F.lit(1)).alias("cnt"))
+    total = F.sum("cnt")
+    distinct = F.count(F.lit(1))
+    top = F.max("cnt")
+    return per_shingle.groupBy("doc_id").agg(
+        total.alias("total_shingles"),
+        distinct.alias("distinct_shingles"),
+        top.alias("top_shingle_count"),
+        (F.lit(1.0) - distinct.cast("double") / total.cast("double")).alias(
+            "repetition_ratio"
+        ),
+        (top.cast("double") / total.cast("double")).alias("top_shingle_share"),
+    )
+
+
+@register(
+    "cross_source_contamination",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id, source, md5(lower(trim(text))) AS fingerprint FROM documents
+)
+SELECT least(a.source, b.source) AS src_lo,
+  greatest(a.source, b.source) AS src_hi,
+  count(*) AS n_pairs,
+  count(DISTINCT a.fingerprint) AS n_distinct_contents
+FROM fp a JOIN fp b
+  ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id AND a.source <> b.source
+GROUP BY 1, 2
+""",
+    doc="Cross-source contamination audit (the train/eval-benchmark overlap "
+    "check): exact-content pairs whose two copies live in DIFFERENT "
+    "sources, aggregated per unordered source pair with the distinct "
+    "contaminating contents counted. Self-join on the md5 fingerprint — "
+    "one shuffle hash-partitioned on the digest, cluster sizes bounded by "
+    "duplicate multiplicity, not corpus size. At 100 TB this is the "
+    "standard decontamination first pass; n-gram-overlap variants reuse "
+    "the shingle index the same way.",
+)
+def q_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    fp = docs.select(
+        "doc_id", "source", F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint")
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.source") != F.col("b.source")),
+        )
+        .groupBy(
+            F.least("a.source", "b.source").alias("src_lo"),
+            F.greatest("a.source", "b.source").alias("src_hi"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count_distinct(F.col("a.fingerprint")).alias("n_distinct_contents"),
+        )
+    )

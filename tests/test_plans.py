@@ -54,6 +54,8 @@ UDF_FREE = [
     "train_val_test_split",
     "label_cap_sample",
     "vocab_topk",
+    "repetition_profile",
+    "cross_source_contamination",
 ]
 
 # Dense-math operators where an Arrow-vectorized UDF is the DESIGN (numpy
