@@ -198,3 +198,50 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("tf").cast("double") / F.col("_n")).alias("corpus_share"),
         )
     )
+
+
+@register(
+    "length_band_filter",
+    oracle="""
+WITH bands AS (
+  SELECT lang,
+    quantile_cont(n_chars, 0.05) AS p5,
+    quantile_cont(n_chars, 0.95) AS p95
+  FROM documents GROUP BY lang
+)
+SELECT d.lang,
+  count(*) AS n_docs,
+  count(CASE WHEN d.n_chars < b.p5 THEN 1 END) AS dropped_short,
+  count(CASE WHEN d.n_chars > b.p95 THEN 1 END) AS dropped_long,
+  count(CASE WHEN d.n_chars BETWEEN b.p5 AND b.p95 THEN 1 END) AS n_kept,
+  sum(CASE WHEN d.n_chars BETWEEN b.p5 AND b.p95 THEN d.n_chars END) AS kept_chars
+FROM documents d JOIN bands b ON d.lang = b.lang
+GROUP BY d.lang
+""",
+    doc="Percentile-band length filter (the outlier-trim quality gate: drop "
+    "the shortest 5% and longest 5% per language before training): exact "
+    "per-lang P5/P95 cutoffs (Spark `percentile` == DuckDB `quantile_cont` "
+    "bit-exactly, as gated by value_percentiles_by_type), broadcast back "
+    "onto the corpus, audit counts per lang. Scale: the cutoff table is "
+    "lang-cardinality rows -> broadcast join, no second fact shuffle; at "
+    "100 TB swap exact percentile for approx_percentile sketches and keep "
+    "the identical join shape.",
+)
+def q_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bands = docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.05)").alias("p5"),
+        F.expr("percentile(n_chars, 0.95)").alias("p95"),
+    )
+    kept = F.col("n_chars").between(F.col("p5"), F.col("p95"))
+    return (
+        docs.join(F.broadcast(bands), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("n_chars") < F.col("p5"), 1)).alias("dropped_short"),
+            F.count(F.when(F.col("n_chars") > F.col("p95"), 1)).alias("dropped_long"),
+            F.count(F.when(kept, 1)).alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_chars"))).alias("kept_chars"),
+        )
+    )

@@ -290,3 +290,38 @@ def q_top_value_days_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.partitionBy("user_id").orderBy(F.col("day_value").desc(), "day")
     )
     return daily.select("*", rk.alias("rk")).where(F.col("rk") <= 3)
+
+
+@register(
+    "event_grouping_sets",
+    oracle="""
+SELECT event_type, dayofweek(ts) + 1 AS dow,
+  GROUPING(event_type, dayofweek(ts) + 1) AS gid,
+  count(*) AS n,
+  cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY GROUPING SETS ((event_type), (event_type, dayofweek(ts) + 1), ())
+""",
+    doc="Explicit asymmetric GROUPING SETS — per-type totals, per-(type, "
+    "day-of-week) detail, and the grand total in one pass, with "
+    "grouping_id disambiguating subtotal rows (completes the grouping "
+    "family next to revenue_rollup's ROLLUP and event_type_hour_cube's "
+    "CUBE). Dialect delta (SURVEY §7): DuckDB/Postgres dayofweek is "
+    "0=Sunday, Spark's is 1=Sunday — the oracle carries the +1 offset. "
+    "Scale: Expand emits 3 copies per row (vs CUBE's 4) before one "
+    "partial-agg shuffle on tiny keys — the asymmetric form is exactly how "
+    "you avoid paying for grouping sets nobody reads.",
+)
+def q_event_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return spark.sql(
+        """
+SELECT event_type, dayofweek(ts) AS dow,
+  grouping_id(event_type, dayofweek(ts)) AS gid,
+  count(*) AS n,
+  cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM {ev}
+GROUP BY GROUPING SETS ((event_type), (event_type, dayofweek(ts)), ())
+""",
+        ev=ev,
+    )

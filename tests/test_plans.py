@@ -56,6 +56,8 @@ UDF_FREE = [
     "vocab_topk",
     "repetition_profile",
     "cross_source_contamination",
+    "length_band_filter",
+    "event_grouping_sets",
 ]
 
 # Dense-math operators where an Arrow-vectorized UDF is the DESIGN (numpy
