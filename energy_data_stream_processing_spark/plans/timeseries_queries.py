@@ -197,16 +197,9 @@ FROM streaks GROUP BY user_id
     "partitioning) — no global window, scales linearly at 100 TB.",
 )
 def q_user_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    days = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
-    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("d"))
-    tagged = days.select("user_id", "d", F.date_sub("d", rn.cast("int")).alias("anchor"))
-    streaks = tagged.groupBy("user_id", "anchor").agg(F.count(F.lit(1)).alias("streak_days"))
-    return streaks.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_streaks"),
-        F.max("streak_days").alias("longest_streak"),
-        F.sum("streak_days").alias("active_days"),
-    )
+    from ..operators.timeseries import activity_islands
+
+    return activity_islands(load_table(spark, sf_dir, "events"))
 
 
 @register(
@@ -238,23 +231,9 @@ GROUP BY user_id
     "by the window and the groupBy.",
 )
 def q_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts"))
-    deltas = (
-        ev.select("user_id", "value", (F.lead(us).over(w) - us).alias("dt_us"))
-        .where(F.col("dt_us").isNotNull())
-        .select("user_id", "value", F.expr("dt_us div 1000000").alias("dt_s"))
-    )
-    weighted = F.col("value").cast("decimal(18,2)") * F.col("dt_s").cast("decimal(18,0)")
-    return deltas.groupBy("user_id").agg(
-        (
-            F.sum(weighted).cast("double")
-            / F.nullif(F.sum("dt_s"), F.lit(0)).cast("double")
-        ).alias("twa_value"),
-        F.sum("dt_s").alias("span_s"),
-        F.count(F.lit(1)).alias("n_intervals"),
-    )
+    from ..operators.timeseries import time_weighted_value
+
+    return time_weighted_value(load_table(spark, sf_dir, "events"))
 
 
 @register(

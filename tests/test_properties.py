@@ -193,3 +193,119 @@ def test_session_count_law(spark, per_user_offsets):
     df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
     got = sessionize(df, gap_minutes=gap_min).count()
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Per-user time-series operators: randomized differential vs pure-Python folds
+# ---------------------------------------------------------------------------
+ts_event_st = st.fixed_dictionaries(
+    {
+        "user": st.integers(min_value=1, max_value=4),
+        # seconds offset with duplicates possible (ties broken by event_id),
+        # spanning several days for the islands operator
+        "secs": st.integers(min_value=0, max_value=4 * 86_400 - 1),
+        "cents": st.integers(min_value=0, max_value=100_000),
+    }
+)
+
+
+def _ts_df(spark, events):
+    from pyspark.sql.types import LongType, DoubleType
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType(), False),
+            StructField("ts", TimestampType(), False),
+            StructField("user_id", LongType(), False),
+            StructField("value", DoubleType(), False),
+        ]
+    )
+    rows = [
+        (i, BASE + datetime.timedelta(seconds=e["secs"]), e["user"], e["cents"] / 100.0)
+        for i, e in enumerate(events)
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def _python_twa(events):
+    """Independent fold of the TWA semantics (from the operator's doc, not
+    its code): order per user by (ts, event_id); weight = floor-seconds to
+    the next event; decimal-exact weighted sum; one double division."""
+    per_user = {}
+    for i, e in enumerate(events):
+        per_user.setdefault(e["user"], []).append((e["secs"], i, e["cents"]))
+    out = {}
+    for u, evs in per_user.items():
+        evs.sort()
+        if len(evs) < 2:
+            continue
+        wsum = 0  # in cents * seconds, exact int
+        span = 0
+        for (s0, _, c0), (s1, _, _) in zip(evs, evs[1:]):
+            dt = s1 - s0  # whole seconds (generator emits whole seconds)
+            wsum += c0 * dt
+            span += dt
+        twa = None if span == 0 else (Decimal(wsum) / 100).__float__() / float(span)
+        out[u] = (twa, span, len(evs) - 1)
+    return out
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(ts_event_st, min_size=1, max_size=60))
+def test_time_weighted_value_matches_independent_fold(spark, events):
+    from energy_data_stream_processing_spark.operators.timeseries import (
+        time_weighted_value,
+    )
+
+    got = {
+        r["user_id"]: (r["twa_value"], r["span_s"], r["n_intervals"])
+        for r in time_weighted_value(_ts_df(spark, events)).collect()
+    }
+    want = _python_twa(events)
+    assert set(got) == set(want)
+    for u in want:
+        tw_g, sp_g, n_g = got[u]
+        tw_w, sp_w, n_w = want[u]
+        assert (sp_g, n_g) == (sp_w, n_w), f"user {u}: span/intervals differ"
+        if tw_w is None:
+            assert tw_g is None
+        else:
+            # same operands divided: Spark decimal->double vs Decimal->float
+            # may differ at most 1 ulp through the decimal conversion
+            assert tw_g == tw_w or math.isclose(tw_g, tw_w, rel_tol=1e-12), (
+                f"user {u}: twa {tw_g} != {tw_w}"
+            )
+
+
+def _python_islands(events):
+    out = {}
+    per_user = {}
+    for e in events:
+        per_user.setdefault(e["user"], set()).add(e["secs"] // 86_400)
+    for u, days in per_user.items():
+        days = sorted(days)
+        streaks = []
+        run = 1
+        for a, b in zip(days, days[1:]):
+            if b == a + 1:
+                run += 1
+            else:
+                streaks.append(run)
+                run = 1
+        streaks.append(run)
+        out[u] = (len(streaks), max(streaks), len(days))
+    return out
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(ts_event_st, min_size=1, max_size=60))
+def test_activity_islands_match_independent_fold(spark, events):
+    from energy_data_stream_processing_spark.operators.timeseries import (
+        activity_islands,
+    )
+
+    got = {
+        r["user_id"]: (r["n_streaks"], r["longest_streak"], r["active_days"])
+        for r in activity_islands(_ts_df(spark, events)).collect()
+    }
+    assert got == _python_islands(events)
