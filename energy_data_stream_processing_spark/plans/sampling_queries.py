@@ -245,3 +245,55 @@ def q_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(kept, F.col("n_chars"))).alias("kept_chars"),
         )
     )
+
+
+@register(
+    "sequence_packing_audit",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+    cast(len(regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens
+  FROM documents
+), binned AS (
+  SELECT n_tokens,
+    cast(ceil(cast(greatest(n_tokens, 1) AS DOUBLE) / 64.0) AS BIGINT) * 64 AS bin_len
+  FROM toks
+)
+SELECT bin_len,
+  count(*) AS n_docs,
+  sum(n_tokens) AS total_tokens,
+  sum(bin_len - n_tokens) AS padding_tokens,
+  cast(sum(bin_len - n_tokens) AS DOUBLE) / cast(sum(bin_len) AS DOUBLE) AS padding_waste
+FROM binned GROUP BY bin_len
+""",
+    doc="Sequence-length binning for training-batch packing: BPE-ish token "
+    "count per doc (same regex as token_stats_by_lang), rounded up to the "
+    "next 64-token bin, with per-bin document counts and padding waste — "
+    "the audit that sizes bucketed batching (packing short sequences "
+    "together instead of padding everything to max length). Bin arithmetic "
+    "is exact integers (ceil of an exactly-representable division); the "
+    "waste ratio divides identical longs. Scale: per-doc token counting "
+    "runs inside the scan stage; one partial-agg shuffle on ~tens of bin "
+    "keys.",
+)
+def q_sequence_packing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bpe_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(bpe_tokens(F.col("text"))).cast("long")
+    bin_len = (
+        F.ceil(F.greatest(n_tokens, F.lit(1)).cast("double") / 64.0) * 64
+    ).cast("long")
+    return (
+        docs.select(n_tokens.alias("n_tokens"), bin_len.alias("bin_len"))
+        .groupBy("bin_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(F.col("bin_len") - F.col("n_tokens")).alias("padding_tokens"),
+            (
+                F.sum(F.col("bin_len") - F.col("n_tokens")).cast("double")
+                / F.sum("bin_len").cast("double")
+            ).alias("padding_waste"),
+        )
+    )

@@ -58,6 +58,7 @@ UDF_FREE = [
     "cross_source_contamination",
     "length_band_filter",
     "event_grouping_sets",
+    "sequence_packing_audit",
 ]
 
 # Dense-math operators where an Arrow-vectorized UDF is the DESIGN (numpy
