@@ -370,3 +370,69 @@ def q_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.symlink(f"{sf_dir}/events.parquet", f"{src}/events_b.parquet")
     raw = stream_raw_events(spark, sf_dir, source_dir=src, max_files_per_trigger=1)
     return run_stream_to_table(spark, dedup_summary_stream(raw), mode="complete")
+
+
+def hourly_type_counts_stream(raw_events: DataFrame) -> DataFrame:
+    """Watermarked per-(hour window, event_type) streaming counts."""
+    return (
+        raw_events.withWatermark("ts", "24 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("hour"), "event_type", "n")
+    )
+
+
+@register(
+    "streaming_hourly_type_topk",
+    oracle="""
+WITH counts AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT hour, event_type, n,
+  row_number() OVER (PARTITION BY hour ORDER BY n DESC, event_type) AS rk
+FROM counts
+QUALIFY rk <= 3
+""",
+    doc="Streaming windowed top-K: native watermarked window counts per "
+    "(hour, event_type) replayed in FOUR ascending time-chunk micro-batches "
+    "(each batch updates windows the previous batches opened; ascending "
+    "order keeps every row inside the 24 h watermark, so nothing drops and "
+    "the stream must converge to the batch answer), update-mode memory "
+    "sink, then last-update-wins per key (counts are monotone, so max(n)) "
+    "and a per-hour top-3 rank. The rank-after-sink split is the "
+    "production shape: streaming maintains the counts, the cheap rank runs "
+    "at read time. Fourth batch==streaming differential gate.",
+)
+def q_streaming_hourly_type_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    q = raw.approxQuantile("ts", [0.25, 0.5, 0.75], 0.0)
+    src = tempfile.mkdtemp(prefix="stream-topk-")
+    stage = tempfile.mkdtemp(prefix="stream-topk-stage-")
+    bounds = [None, *q, None]
+    for i in range(4):
+        chunk = raw
+        if bounds[i] is not None:
+            chunk = chunk.where(F.col("ts") >= bounds[i])
+        if bounds[i + 1] is not None:
+            chunk = chunk.where(F.col("ts") < bounds[i + 1])
+        d = f"{stage}/c{i}"
+        chunk.coalesce(1).write.mode("overwrite").parquet(d)
+        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        # sequential writes => ascending mtimes => the file source replays
+        # chunks oldest-first, so later batches only append newer windows
+        os.rename(f"{d}/{part}", f"{src}/chunk_{i}.parquet")
+    shutil.rmtree(stage, ignore_errors=True)
+
+    raw_stream = stream_raw_events(spark, sf_dir, source_dir=src, max_files_per_trigger=1)
+    out = run_stream_to_table(spark, hourly_type_counts_stream(raw_stream), mode="update")
+    final = out.groupBy("hour", "event_type").agg(F.max("n").alias("n"))
+    rk = F.row_number().over(
+        Window.partitionBy("hour").orderBy(F.col("n").desc(), "event_type")
+    )
+    return final.select("hour", "event_type", "n", rk.alias("rk")).where(F.col("rk") <= 3)

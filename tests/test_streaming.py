@@ -102,3 +102,48 @@ def test_stateful_streaming_late_arrivals_equal_batch(spark, sf_dir, tmp_path):
     streaming_rows = sorted(map(tuple, _final_rows(out).collect()))
     batch_rows = sorted(map(tuple, hourly_business_metrics(energy_events(spark, sf_dir)).collect()))
     assert streaming_rows == batch_rows
+
+
+def test_streaming_topk_replay_spans_batches(spark, sf_dir, tmp_path):
+    """The topk gate's value rests on the replay actually being multi-batch:
+    windows straddling a chunk boundary must be updated by more than one
+    micro-batch (update-mode sink emits one row per updating batch)."""
+    import os
+
+    from energy_data_stream_processing_spark.streaming.runner import (
+        hourly_type_counts_stream,
+        run_stream_to_table,
+        stream_raw_events,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    q = raw.approxQuantile("ts", [0.25, 0.5, 0.75], 0.0)
+    src = str(tmp_path / "chunks")
+    os.makedirs(src)
+    bounds = [None, *q, None]
+    for i in range(4):
+        chunk = raw
+        if bounds[i] is not None:
+            chunk = chunk.where(F.col("ts") >= bounds[i])
+        if bounds[i + 1] is not None:
+            chunk = chunk.where(F.col("ts") < bounds[i + 1])
+        d = str(tmp_path / f"stage{i}")
+        chunk.coalesce(1).write.mode("overwrite").parquet(d)
+        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        os.rename(f"{d}/{part}", f"{src}/chunk_{i}.parquet")
+
+    rs = stream_raw_events(spark, sf_dir, source_dir=src, max_files_per_trigger=1)
+    out = run_stream_to_table(spark, hourly_type_counts_stream(rs), mode="update")
+    sink_rows = out.count()
+    final_keys = out.select("hour", "event_type").distinct().count()
+    assert sink_rows > final_keys, "replay collapsed to a single micro-batch"
+    # and the converged counts equal the batch aggregation (raw ts is
+    # nanos-as-long here; the stream source converts, so convert to match)
+    final = out.groupBy("hour", "event_type").agg(F.max("n").alias("n"))
+    batch = (
+        raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, final.collect())) == sorted(map(tuple, batch.collect()))
