@@ -531,3 +531,78 @@ def q_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct(F.col("a.fingerprint")).alias("n_distinct_contents"),
         )
     )
+
+
+@register(
+    "embedding_quantization_audit",
+    oracle="""
+WITH vec AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), scaled AS (
+  SELECT vec_id, label, v,
+    list_reduce(list_transform(v, x -> abs(x)), (a, b) -> greatest(a, b)) AS maxabs
+  FROM vec
+), per_vec AS (
+  SELECT vec_id, label,
+    CASE WHEN maxabs = 0.0 THEN 0.0 ELSE sqrt(
+      list_reduce(list_transform(v, x ->
+        (x - floor(x * 127.0 / maxabs + 0.5) * maxabs / 127.0)
+        * (x - floor(x * 127.0 / maxabs + 0.5) * maxabs / 127.0)), (a, b) -> a + b)
+      / 64.0) END AS rms
+  FROM scaled
+)
+SELECT label,
+  count(*) AS n_vecs,
+  list_reduce(list(rms ORDER BY vec_id), (a, b) -> a + b) / count(*) AS avg_rms_qerr,
+  max(rms) AS max_rms_qerr
+FROM per_vec GROUP BY label
+""",
+    doc="Int8 symmetric quantization audit (the embedding-compression step "
+    "before ANN index build — 4x smaller vectors, how much cosine fidelity "
+    "is lost?): per vector, scale = maxabs/127, quantize with the "
+    "floor(x+0.5) rounding that both engines define identically, "
+    "reconstruct, and take the RMS error; per label, the mean and max RMS. "
+    "Every float op is a left fold in a pinned order (element order inside "
+    "vectors, vec_id order across rows — the label_centroids trick), so "
+    "doubles match DuckDB bit-exactly. Scale: one shuffle on label; the "
+    "per-vector math is scan-stage codegen. At 100 TB the ordered "
+    "cross-row fold relaxes to a plain float sum at the same call site.",
+)
+def q_embedding_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    rms_expr = (
+        "CASE WHEN maxabs = 0.0D THEN 0.0D ELSE sqrt(aggregate(v, cast(0.0 AS DOUBLE), (a, x) -> "
+        "a + (x - floor(x * 127.0D / maxabs + 0.5D) * maxabs / 127.0D) "
+        "* (x - floor(x * 127.0D / maxabs + 0.5D) * maxabs / 127.0D)) / 64.0D) END"
+    )
+    per_vec = (
+        emb.select(
+            "vec_id",
+            "label",
+            F.expr("transform(embedding, x -> cast(x AS DOUBLE))").alias("v"),
+        )
+        .withColumn(
+            "maxabs",
+            F.aggregate("v", F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))),
+        )
+        .select("vec_id", "label", F.expr(rms_expr).alias("rms"))
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("vec_id"), F.col("rms").alias("r")))
+            ).alias("vals"),
+            F.max("rms").alias("max_rms_qerr"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            (
+                F.aggregate("vals", F.lit(0.0), lambda acc, x: acc + x["r"])
+                / F.col("n_vecs")
+            ).alias("avg_rms_qerr"),
+            "max_rms_qerr",
+        )
+    )

@@ -59,6 +59,7 @@ UDF_FREE = [
     "length_band_filter",
     "event_grouping_sets",
     "sequence_packing_audit",
+    "embedding_quantization_audit",
 ]
 
 # Dense-math operators where an Arrow-vectorized UDF is the DESIGN (numpy
