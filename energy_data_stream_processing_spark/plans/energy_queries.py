@@ -338,34 +338,32 @@ FROM current_metrics cm, previous_metrics pm
     "last 7 days up to max(hour), previous = the 7 days before.",
 )
 def q_business_kpis_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One conditional-aggregation pass over the 14-day slice replaces the
+    # separate current/previous aggregates (Q18's "one pass with
+    # when(hour ∈ cur/prev) pivot" option from SURVEY §2.4): the hourly
+    # aggregation runs twice (tmax + combined), not three times — at 100 TB
+    # that is one fewer full events scan, and the tmax scan itself reduces
+    # to a partition-pruned max over the newest event_date partitions.
     hm = _hourly(spark, sf_dir).join(
         F.broadcast(_hourly(spark, sf_dir).agg(F.max("hour").alias("tmax")))
     )
-    cur = (
-        hm.where(F.col("hour") > F.col("tmax") - F.expr("INTERVAL 7 DAYS"))
+    in_cur = F.col("hour") > F.col("tmax") - F.expr("INTERVAL 7 DAYS")
+    cw = lambda c: F.when(in_cur, c)  # noqa: E731
+    pw = lambda c: F.when(~in_cur, c)  # noqa: E731
+    joined = (
+        hm.where(F.col("hour") > F.col("tmax") - F.expr("INTERVAL 14 DAYS"))
         .agg(
-            F.sum("tariff_switches").alias("total_switches"),
-            _dsum(F.col("total_energy_consumed")).alias("total_consumption"),
-            _davg(F.col("active_customers"), 0).alias("avg_customers"),
-            _dsum(F.col("total_payments"), 2).alias("total_revenue"),
-            F.sum("incentive_claims").alias("total_incentives"),
-            _davg(F.col("avg_payment_amount"), 2).alias("avg_payment"),
+            F.sum(cw(F.col("tariff_switches"))).alias("total_switches"),
+            _dsum(cw(F.col("total_energy_consumed"))).alias("total_consumption"),
+            _davg(cw(F.col("active_customers")), 0).alias("avg_customers"),
+            _dsum(cw(F.col("total_payments")), 2).alias("total_revenue"),
+            F.sum(cw(F.col("incentive_claims"))).alias("total_incentives"),
+            _davg(cw(F.col("avg_payment_amount")), 2).alias("avg_payment"),
+            F.sum(pw(F.col("tariff_switches"))).alias("prev_switches"),
+            _dsum(pw(F.col("total_energy_consumed"))).alias("prev_consumption"),
+            _dsum(pw(F.col("total_payments")), 2).alias("prev_revenue"),
         )
     )
-    prev = (
-        hm.where(
-            (F.col("hour") > F.col("tmax") - F.expr("INTERVAL 14 DAYS"))
-            & (F.col("hour") <= F.col("tmax") - F.expr("INTERVAL 7 DAYS"))
-        )
-        .agg(
-            F.sum("tariff_switches").alias("prev_switches"),
-            _dsum(F.col("total_energy_consumed")).alias("prev_consumption"),
-            _dsum(F.col("total_payments"), 2).alias("prev_revenue"),
-        )
-    )
-    # Two 1-row frames: the cross join is trivially broadcast (Q17's
-    # `FROM cm, pm` shape).
-    joined = cur.crossJoin(F.broadcast(prev))
     growth = lambda c, p: F.when(  # noqa: E731
         F.col(p) > 0,
         round_half_up((F.col(c).cast("double") - F.col(p).cast("double")) / F.col(p).cast("double") * 100.0, 1),
