@@ -98,31 +98,49 @@ def _shingle_index(docs: DataFrame) -> DataFrame:
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.015) -> DataFrame:
     """Exact word-3-gram Jaccard similarity pairs (doc_a < doc_b, jac >= t).
 
-    Inverted-index plan: explode distinct shingles, self-join on shingle to
-    count the intersection, join per-doc shingle counts, derive
-    ``|A∩B| / (|A|+|B|-|A∩B|)``. Shuffles on shingle then on the pair key —
-    both map-side combinable. Hot shingles (stopword runs) are the skew
-    risk at scale: AQE skew-join splits them; a document-frequency cap on
-    shingles is the standard mitigation (not needed at test scale).
+    Inverted-index plan, single-scan form: the shingle set (with its size
+    carried alongside) explodes ONCE, buckets by shingle, and each bucket
+    pair-generates its doc combinations array-side — the self-join
+    formulation would recompute the regex-heavy shingle projection for each
+    of its three consumers (a-side, b-side, per-doc counts; Catalyst does
+    not reuse the exchange across them — measured 4 scans vs 1 here).
+    Jaccard derives as ``common / (na + nb - common)`` with the set sizes
+    riding the pair rows, so no join back is needed. Shuffles: shingle,
+    then pair key — both map-side combinable. Hot shingles (stopword runs)
+    are the skew/memory risk at scale (collect_list per bucket is O(df),
+    pair-gen O(df^2)): AQE splits skewed partitions; a document-frequency
+    cap on shingles is the standard mitigation (max bucket ~25 at test
+    scale, so the exact path runs uncapped).
     """
-    idx = _shingle_index(docs)
-    counts = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = idx.alias("a")
-    b = idx.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
+    sh = with_shingles(docs)
+    exploded = (
+        sh.select("doc_id", F.size("sh").alias("n"), F.explode_outer("sh").alias("shingle"))
+        .where(F.col("shingle").isNotNull())
     )
-    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
-    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    buckets = exploded.groupBy("shingle").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("doc_id"), F.col("n")))
+        ).alias("ds")
+    )
+    # all (i < j) doc pairs within a bucket; ds is sorted so doc_a < doc_b
+    pair_expr = (
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, greatest(0, size(ds) - i - 1)), y -> "
+        "struct(x.doc_id AS doc_a, x.n AS na, y.doc_id AS doc_b, y.n AS nb))))"
+    )
+    pairs = (
+        buckets.select(F.explode_outer(F.expr(pair_expr)).alias("p"))
+        .where(F.col("p").isNotNull())
+        .select("p.doc_a", "p.na", "p.doc_b", "p.nb")
+    )
+    common = pairs.groupBy("doc_a", "doc_b", "na", "nb").agg(
+        F.count(F.lit(1)).alias("common")
+    )
     jac = F.col("common").cast("double") / (
         (F.col("na") + F.col("nb") - F.col("common")).cast("double")
     )
     return (
-        common.join(ca, "doc_a")
-        .join(cb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        common.select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 
