@@ -60,6 +60,26 @@ def main() -> None:
         F.lag("id").over(w).alias("lg"),
         F.sum("id").over(w.rowsBetween(-23, 0)).alias("roll"),
     ).write.format("noop").mode("overwrite").save()
+    # JIT the energy adapter + hourly-metrics expression tree on a synthetic
+    # events-shaped frame (same SQL, same aggregate shapes, zero rows from
+    # any benchmarked table).
+    from energy_data_stream_processing_spark.operators.hourly import (
+        hourly_business_metrics,
+    )
+    from energy_data_stream_processing_spark.sources.adapter import ENERGY_EVENTS_SQL
+
+    fake = spark.range(5000).selectExpr(
+        "id AS event_id",
+        "timestamp_micros(id * 60000000) AS ts",
+        "id % 97 AS user_id",
+        "element_at(array('click','purchase','error','signup','view'), cast(id % 5 AS int) + 1) AS event_type",
+        "cast(id % 1000 AS double) / 10 AS value",
+        "'{}' AS props",
+    )
+    warm_ev = spark.sql(ENERGY_EVENTS_SQL.replace("FROM events", "FROM {events}"), events=fake)
+    hourly_business_metrics(
+        warm_ev.withColumnRenamed("event_time", "event_time")
+    ).write.format("noop").mode("overwrite").save()
     # ... and the Python worker pool (vectorized-UDF queries reuse it).
     from pyspark.sql.functions import pandas_udf
 
