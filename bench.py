@@ -80,6 +80,12 @@ def main() -> None:
     hourly_business_metrics(
         warm_ev.withColumnRenamed("event_time", "event_time")
     ).write.format("noop").mode("overwrite").save()
+    # ... and the customer_view wide aggregation (the other big codegen unit).
+    from energy_data_stream_processing_spark.plans.energy_queries import (
+        customer_view_from_events,
+    )
+
+    customer_view_from_events(warm_ev).write.format("noop").mode("overwrite").save()
     # ... and the Python worker pool (vectorized-UDF queries reuse it).
     from pyspark.sql.functions import pandas_udf
 

@@ -217,7 +217,12 @@ FROM base b LEFT JOIN switch_top s USING (customer_id)
     "deterministic cross-engine comparison.",
 )
 def q_customer_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = energy_events(spark, sf_dir)
+    return customer_view_from_events(energy_events(spark, sf_dir))
+
+
+def customer_view_from_events(ev: DataFrame) -> DataFrame:
+    """customer_view over an energy-events frame (bench warms the codegen
+    of this wide aggregation on a synthetic frame through this entry)."""
     t = F.col("event_type")
 
     # Q10/Q11: top-1 / top-2 most recent tariff_switch per customer, folded
