@@ -875,3 +875,147 @@ def q_strict_service_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
         )
     )
+
+
+@register(
+    "brand_quantity_revenue",
+    oracle="""
+SELECT
+  cast(sum(cast(l.l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+  count(*) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#4'  AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 30)
+""",
+    doc="TPC-H Q19-shaped disjunctive OR-of-ANDs predicate spanning the join "
+    "(part attrs AND lineitem attrs in each disjunct; adapted to this "
+    "dataset's columns — no l_shipmode/l_container here). The interesting "
+    "physical property: Catalyst factors the per-side implications out of "
+    "the OR — the part scan pushes `p_brand IN (12,23,4) AND p_size<=35`, "
+    "the lineitem scan pushes `l_quantity BETWEEN 1 AND 30` — so both scans "
+    "prune before the join even though the full predicate is disjunctive and "
+    "can only be evaluated after it. part is broadcast; the fact table never "
+    "shuffles. At 100 TB that residual-OR-after-broadcast plan is exactly "
+    "what you want: one scan, zero exchanges before the single-row agg.",
+)
+def q_brand_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & sz.between(1, 15) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & sz.between(1, 25) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#4") & sz.between(1, 35) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "linestatus_priority_counts",
+    oracle="""
+SELECT l.l_linestatus,
+  sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+  sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l.l_linestatus
+""",
+    doc="TPC-H Q12-shaped two-way conditional count: lines shipped in 1996 "
+    "classified by whether their order was high-priority (shipmode-less "
+    "adaptation of the Q12 shape). Only o_orderkey+o_orderpriority project "
+    "out of orders and three columns out of lineitem; the shipdate range "
+    "pushes to the lineitem scan. The join shuffles both sides on orderkey "
+    "— the canonical fact-fact co-partition — and the final agg has 2 "
+    "groups, so partial aggregation collapses virtually all rows map-side. "
+    "At 100 TB the only real cost is the orderkey exchange; bucketing both "
+    "tables by orderkey (tests/test_bucketing.py pattern) removes it.",
+)
+def q_linestatus_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_linestatus")
+        .join(o.select("o_orderkey", "o_orderpriority"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "sole_blame_suppliers",
+    oracle="""
+SELECT s.s_name, count(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R')
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+""",
+    doc="TPC-H Q21-shaped sole-blame cohort: suppliers that were the ONLY "
+    "supplier with a returned line on a finished multi-supplier order "
+    "(l_returnflag='R' standing in for receipt>commit — this dataset has no "
+    "commit/receipt dates). The oracle states it as the classic "
+    "EXISTS + NOT EXISTS double self-join; the Spark plan is deliberately "
+    "NOT that — three extra scans of the fact table become ONE: a single "
+    "groupBy(l_orderkey) computes n_suppliers (distinct), n_blame_suppliers "
+    "(distinct-if-R), the sole blamed suppkey (max-if-R, valid when the "
+    "distinct count is 1) and the blamed supplier's R-line count in one "
+    "shuffle; both existence tests fall out as predicates on the aggregate "
+    "row. At 100 TB this replaces two additional lineitem exchanges (the "
+    "self-joins) with zero — the dominant cost is one orderkey shuffle, "
+    "which AQE can skew-split; supplier and the filtered orders keyset "
+    "broadcast.",
+)
+def q_sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    is_r = F.col("l_returnflag") == "R"
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.count_distinct(F.col("l_suppkey")).alias("n_suppliers"),
+            F.count_distinct(F.when(is_r, F.col("l_suppkey"))).alias("n_blame_suppliers"),
+            F.max(F.when(is_r, F.col("l_suppkey"))).alias("blame_suppkey"),
+            F.count(F.when(is_r, 1)).alias("blame_lines"),
+        )
+        .where((F.col("n_suppliers") > 1) & (F.col("n_blame_suppliers") == 1))
+    )
+    finished = o.where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    return (
+        per_order.join(F.broadcast(finished), per_order.l_orderkey == finished.o_orderkey, "left_semi")
+        .groupBy("blame_suppkey")
+        .agg(F.sum("blame_lines").alias("numwait"))
+        .join(F.broadcast(s), F.col("blame_suppkey") == s.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
