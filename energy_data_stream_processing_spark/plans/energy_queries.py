@@ -345,19 +345,27 @@ FROM current_metrics cm, previous_metrics pm
 def q_business_kpis_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One conditional-aggregation pass over the 14-day slice replaces the
     # separate current/previous aggregates (Q18's "one pass with
-    # when(hour ∈ cur/prev) pivot" option from SURVEY §2.4): the hourly
-    # aggregation runs twice (tmax + combined), not three times — at 100 TB
-    # that is one fewer full events scan, and the tmax scan itself reduces
-    # to a partition-pruned max over the newest event_date partitions.
-    hm = _hourly(spark, sf_dir).join(
-        F.broadcast(_hourly(spark, sf_dir).agg(F.max("hour").alias("tmax")))
+    # when(hour ∈ cur/prev) pivot" option from SURVEY §2.4). Two further
+    # rewrites exploit hour == date_trunc('hour', event_time):
+    #   - max(hour) over the aggregate == date_trunc('hour', max(event_time))
+    #     over raw events, so tmax needs a one-column max scan, not the wide
+    #     aggregation with its two count-distinct expands;
+    #   - the 14-day hour filter commutes with the groupBy (a predicate on a
+    #     pure function of the group key), so it filters EVENTS before the
+    #     wide aggregation — at 100 TB the expensive distinct-expand agg runs
+    #     over a two-week slice instead of the full history, and the tmax max
+    #     itself partition-prunes to the newest event_date partitions.
+    ev = energy_events(spark, sf_dir)
+    tmax = ev.agg(F.date_trunc("hour", F.max("event_time")).alias("tmax"))
+    sliced = ev.join(F.broadcast(tmax)).where(
+        F.date_trunc("hour", F.col("event_time")) > F.col("tmax") - F.expr("INTERVAL 14 DAYS")
     )
+    hm = hourly_business_metrics(sliced.drop("tmax")).join(F.broadcast(tmax))
     in_cur = F.col("hour") > F.col("tmax") - F.expr("INTERVAL 7 DAYS")
     cw = lambda c: F.when(in_cur, c)  # noqa: E731
     pw = lambda c: F.when(~in_cur, c)  # noqa: E731
     joined = (
-        hm.where(F.col("hour") > F.col("tmax") - F.expr("INTERVAL 14 DAYS"))
-        .agg(
+        hm.agg(
             F.sum(cw(F.col("tariff_switches"))).alias("total_switches"),
             _dsum(cw(F.col("total_energy_consumed"))).alias("total_consumption"),
             _davg(cw(F.col("active_customers")), 0).alias("avg_customers"),
