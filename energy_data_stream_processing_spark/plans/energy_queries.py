@@ -155,11 +155,17 @@ GROUP BY cast(hour AS DATE)
     "made data-relative (max(hour)) instead of CURRENT_DATE for determinism.",
 )
 def q_daily_energy_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    hm = _hourly(spark, sf_dir)
-    tmax = hm.agg(F.max("hour").alias("tmax"))
+    # Same slice-pushdown rewrite as business_kpis_growth: tmax is a
+    # one-column max over raw events, and the 7-day hour filter (a predicate
+    # on a function of the group key) moves below the wide hourly
+    # aggregation, which then runs over the one-week slice only.
+    ev = energy_events(spark, sf_dir)
+    tmax = ev.agg(F.date_trunc("hour", F.max("event_time")).alias("tmax"))
+    sliced = ev.join(F.broadcast(tmax)).where(
+        F.date_trunc("hour", F.col("event_time")) > F.col("tmax") - F.expr("INTERVAL 7 DAYS")
+    )
     return (
-        hm.join(F.broadcast(tmax))
-        .where(F.col("hour") > F.col("tmax") - F.expr("INTERVAL 7 DAYS"))
+        hourly_business_metrics(sliced.drop("tmax"))
         .groupBy(F.col("hour").cast("date").alias("date"))
         .agg(
             F.sum("tariff_switches").alias("daily_switches"),
