@@ -281,3 +281,40 @@ def ivf_topk(
         .distinct()
     )
     return _verified_pairs_topk(embeddings, pairs, num_queries, k)
+
+
+def hard_negatives(embeddings: DataFrame, num_queries: int = 50, k: int = 3) -> DataFrame:
+    """Hard-negative mining: for each query vector, the top-k most-similar
+    vectors carrying a DIFFERENT label — the contrastive-training selection
+    step (nearest wrong-class neighbors are the informative negatives).
+
+    Same physical shape as :func:`cosine_topk` — broadcast the query set,
+    one narrow pass over the corpus, window top-k on (query, cosine) — plus
+    the label-mismatch predicate evaluated before the dot product, so
+    same-label rows are skipped before any arithmetic. At 100 TB swap the
+    exact scan for lsh_topk candidates and keep this ranking stage as-is.
+    """
+    base = embeddings.select("vec_id", "label", _as_double("embedding").alias("v"))
+    queries = base.where(F.col("vec_id") < num_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("v").alias("q"),
+    )
+    joined = base.join(F.broadcast(queries), F.col("label") != F.col("query_label"))
+    cos = F.expr(
+        _DOT.format(a="q", b="v") + " / (" + _NORM.format(a="q") + " * " + _NORM.format(a="v") + ")"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        joined.select("query_id", "query_label", "vec_id", "label", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            "cosine",
+            F.col("rank").cast("integer").alias("rank"),
+        )
+    )

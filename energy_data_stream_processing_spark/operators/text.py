@@ -128,3 +128,36 @@ def token_stats_by_lang(docs: DataFrame) -> DataFrame:
             "avg_tokens_per_doc"
         ),
     )
+
+
+def chunk_documents(docs: DataFrame, chunk_size: int = 16, stride: int = 8) -> DataFrame:
+    """Overlapping fixed-size token chunks per document — the pretraining
+    chunking primitive (context-window packing input).
+
+    Chunk ``i`` covers tokens ``[i*stride, i*stride + chunk_size)`` of the
+    whitespace tokenization; the tail chunk is partial. One row per chunk
+    with its token count and an md5 content fingerprint (feeds chunk-level
+    dedup exactly like doc_fingerprints feeds doc-level).
+
+    Scale notes: pure narrow explode — no shuffle, runs at scan speed, and
+    output width is ids+hashes, never the chunk text itself. The explode
+    factor is ~n_tokens/stride, so partition sizing follows directly from
+    ``spark.sql.files.maxPartitionBytes`` over the text column; at 100 TB
+    feed it pre-pruned (doc_id, text) columns only.
+    """
+    toks = words(F.col("text"))
+    base = docs.select("doc_id", "source", toks.alias("toks"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(F.col("toks")) - 1, F.lit(0)), F.lit(stride)
+    )
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, chunk_size)
+    return (
+        base.select("doc_id", "source", "toks", F.posexplode(starts).alias("chunk_id", "start"))
+        .select(
+            "doc_id",
+            "source",
+            "chunk_id",
+            F.size(chunk).alias("n_tokens"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_fp"),
+        )
+    )

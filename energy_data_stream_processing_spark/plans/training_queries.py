@@ -24,9 +24,16 @@ from ..operators.dedup import (
     simhash_pairs,
 )
 from ..operators.multimodal import decode_media, media_meta, media_table, sample_frames
-from ..operators.similarity import cosine_topk, ivf_topk, lsh_topk, similar_pairs
+from ..operators.similarity import (
+    cosine_topk,
+    hard_negatives,
+    ivf_topk,
+    lsh_topk,
+    similar_pairs,
+)
 from ..operators.text import (
     BPE_TOKEN_RE,
+    chunk_documents,
     doc_fingerprints,
     lang_id,
     text_quality,
@@ -606,3 +613,73 @@ def q_embedding_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFram
             "max_rms_qerr",
         )
     )
+
+
+@register(
+    "doc_chunk_audit",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source, string_split(lower(trim(text)), ' ') AS t FROM documents
+),
+st AS (
+  SELECT doc_id, source, t,
+    unnest(generate_series(0, greatest(len(t) - 1, 0), 8)) AS start
+  FROM toks
+),
+chunks AS (
+  SELECT source, list_slice(t, start + 1, start + 16) AS chunk FROM st
+)
+SELECT source,
+  count(*) AS n_chunks,
+  cast(sum(len(chunk)) AS BIGINT) AS total_tokens,
+  count(DISTINCT md5(array_to_string(chunk, ' '))) AS distinct_chunks,
+  cast(sum(CASE WHEN len(chunk) < 16 THEN 1 ELSE 0 END) AS BIGINT) AS partial_chunks
+FROM chunks GROUP BY source
+""",
+    doc="Pretraining chunking audit: every document split into overlapping "
+    "16-token chunks at stride 8 (operators/text.py::chunk_documents), "
+    "profiled per source — chunk counts, token totals, distinct chunk "
+    "fingerprints (chunk-level dedup signal: distinct < total at sf0.001 "
+    "already), and partial-tail counts. The chunker is a pure narrow "
+    "explode (sequence + posexplode + slice, zero Python), so the only "
+    "shuffle is this final tiny per-source aggregate; chunk identity "
+    "travels as md5, never as text.",
+)
+def q_doc_chunk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = chunk_documents(_docs(spark, sf_dir), chunk_size=16, stride=8)
+    return chunks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
+        F.count_distinct(F.col("chunk_fp")).alias("distinct_chunks"),
+        F.sum(F.when(F.col("n_tokens") < 16, 1).otherwise(0).cast("long")).alias(
+            "partial_chunks"
+        ),
+    )
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS query_label, v AS qv FROM base WHERE vec_id < 50),
+scored AS (
+  SELECT query_id, query_label, vec_id, label,
+    {_DDOT.format(a="qv", b="v")} / ({_DNORM.format(a="qv")} * {_DNORM.format(a="v")}) AS cosine
+  FROM base, q WHERE label <> query_label
+)
+SELECT query_id, query_label, vec_id AS negative_id, label AS negative_label, cosine,
+  cast(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 3
+""",
+    doc="Hard-negative mining for contrastive training: top-3 most-similar "
+    "OTHER-label vectors per query (operators/similarity.py::"
+    "hard_negatives). Same broadcast-query + narrow-scan + windowed top-k "
+    "shape as embedding_cosine_topk; the label-mismatch predicate prunes "
+    "before any arithmetic. Left-fold dot products match DuckDB "
+    "list_reduce bit-exactly.",
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hard_negatives(_emb(spark, sf_dir), num_queries=50, k=3)
