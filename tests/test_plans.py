@@ -60,6 +60,11 @@ UDF_FREE = [
     "event_grouping_sets",
     "sequence_packing_audit",
     "embedding_quantization_audit",
+    "brand_quantity_revenue",
+    "linestatus_priority_counts",
+    "sole_blame_suppliers",
+    "doc_chunk_audit",
+    "hard_negative_mining",
 ]
 
 # Dense-math operators where an Arrow-vectorized UDF is the DESIGN (numpy
@@ -219,3 +224,60 @@ def test_vocab_topk_is_take_ordered(spark, sf_dir):
     # The top-200 must be TakeOrderedAndProject, not a global Sort+Limit.
     plan = _plan(spark, sf_dir, "vocab_topk")
     assert "TakeOrderedAndProject" in plan, "vocab_topk fell back to a global sort"
+
+
+def test_disjunctive_predicate_factored_to_both_scans(spark, sf_dir):
+    # Q19 shape: Catalyst must factor the per-side implications out of the
+    # OR-of-ANDs — each side's scan gets its own pushed Or(...) filter — and
+    # the part side must broadcast so the fact never shuffles.
+    plan = _plan(spark, sf_dir, "brand_quantity_revenue")
+    pushed = re.findall(r"PushedFilters: \[[^\n]*", plan)
+    assert any("Or(" in p and "l_quantity" in p for p in pushed), (
+        "lineitem scan lost the factored quantity-range Or filter"
+    )
+    assert any("Or(" in p and "p_brand" in p for p in pushed), (
+        "part scan lost the factored brand/size Or filter"
+    )
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan, (
+        "Q19 shape needs zero shuffles: broadcast join + single-row agg"
+    )
+
+
+def test_linestatus_priority_shipdate_pushdown(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "linestatus_priority_counts")
+    assert "GreaterThanOrEqual(l_shipdate,1996-01-01" in plan, (
+        "shipdate range did not push down to the lineitem scan"
+    )
+    schemas = re.findall(r"ReadSchema: struct<([^\n]*)", plan)
+    cols = {c.split(":")[0] for s in schemas for c in s.split(",")[:-1] if c}
+    assert cols <= {"l_orderkey", "l_linestatus", "l_shipdate", "o_orderkey", "o_orderpriority"}, (
+        f"scan reads extra columns: {cols}"
+    )
+
+
+def test_sole_blame_single_fact_scan(spark, sf_dir):
+    # Q21 shape: the whole point of the rewrite is ONE scan of lineitem (the
+    # classic EXISTS + NOT EXISTS form scans it three times) and no shuffled
+    # self-join.
+    plan = _plan(spark, sf_dir, "sole_blame_suppliers")
+    li_scans = [s for s in re.findall(r"FileScan parquet \[([^\]]*)", plan) if "l_orderkey" in s]
+    assert len(li_scans) == 1, f"expected exactly one lineitem scan, got {len(li_scans)}"
+    assert "SortMergeJoin" not in plan, "self-join crept back in"
+
+
+def test_chunking_narrow_until_final_agg(spark, sf_dir):
+    # The chunk explode must stay narrow: the only exchanges belong to the
+    # final per-source aggregate (two-phase because of count_distinct).
+    plan = _plan(spark, sf_dir, "doc_chunk_audit")
+    assert "Generate explode" in plan or "Generate posexplode" in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
+    assert "Join" not in plan
+
+
+def test_hard_negatives_broadcast_nlj(spark, sf_dir):
+    # Non-equi (label-mismatch) join against a tiny broadcast query set —
+    # must be a BroadcastNestedLoopJoin, never a shuffled cartesian.
+    plan = _plan(spark, sf_dir, "hard_negative_mining")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
