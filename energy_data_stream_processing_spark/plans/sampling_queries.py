@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.text import BPE_TOKEN_RE, bpe_tokens, fingerprint, words
 from ..sources.adapter import load_table
 from .catalog import register
 
@@ -296,4 +297,70 @@ def q_sequence_packing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sum("bin_len").cast("double")
             ).alias("padding_waste"),
         )
+    )
+
+
+@register(
+    "corpus_curation_pipeline",
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id, lang, source,
+    md5(lower(trim(text))) AS fp,
+    len(string_split(lower(trim(text)), ' ')) AS n_words,
+    len(regexp_extract_all(lower(trim(text)), '{BPE_TOKEN_RE}')) AS n_tokens
+  FROM documents
+),
+fq AS (SELECT * FROM q WHERE n_words >= 10),
+dq AS (
+  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM fq
+),
+kept AS (SELECT * FROM dq WHERE rn = 1)
+SELECT
+  CASE WHEN {_duck_bucket('doc_id')} % 10 <= 7 THEN 'train'
+       WHEN {_duck_bucket('doc_id')} % 10 = 8 THEN 'val'
+       ELSE 'test' END AS split,
+  lang,
+  count(*) AS n_docs,
+  cast(sum(n_tokens) AS BIGINT) AS total_tokens,
+  count(DISTINCT source) AS n_sources
+FROM kept GROUP BY 1, 2
+""",
+    doc="End-to-end corpus curation — the composition a real pretraining "
+    "pipeline runs as ONE job: quality filter (drop docs under 10 words, "
+    "the 'poor' tier) -> exact dedup (md5 fingerprint, keep min doc_id via "
+    "row_number) -> leak-free hash 80/10/10 split -> per-(split, lang) "
+    "token accounting. Demonstrates operator composition: text.words/"
+    "bpe_tokens/fingerprint + windowed dedup + hash_bucket split in a "
+    "single plan. Scale: one shuffle on the fingerprint (the dedup window) "
+    "+ one tiny-key agg shuffle; the quality filter prunes BEFORE the "
+    "shuffle so junk never ships, and the split gate is a narrow "
+    "projection. At 100 TB swap the row_number window for the groupBy-"
+    "min + semi-join form if fingerprint skew appears (identical result; "
+    "dedup.py documents the trade).",
+)
+def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        fingerprint(F.col("text")).alias("fp"),
+        F.size(words(F.col("text"))).alias("n_words"),
+        F.size(bpe_tokens(F.col("text"))).alias("n_tokens"),
+    )
+    fq = base.where(F.col("n_words") >= 10)
+    kept = (
+        fq.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+        )
+        .where(F.col("rn") == 1)
+    )
+    m = hash_bucket(F.col("doc_id")) % 10
+    split = F.when(m <= 7, "train").when(m == 8, "val").otherwise("test").alias("split")
+    return kept.groupBy(split, "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
+        F.count_distinct(F.col("source")).alias("n_sources"),
     )

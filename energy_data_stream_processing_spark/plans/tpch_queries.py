@@ -1019,3 +1019,76 @@ def q_sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(20)
     )
+
+
+@register(
+    "retained_buyers_intersect",
+    oracle="""
+SELECT c.c_mktsegment, count(*) AS n_customers
+FROM customer c
+WHERE c.c_custkey IN (
+  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+GROUP BY c.c_mktsegment
+""",
+    doc="INTERSECT set-op (absent from the reference surface — SURVEY §2.4 "
+    "scoping note): customers who bought in BOTH 1996 and 1997, profiled by "
+    "segment. Spark's intersect() plans as a distinct-aggregate + join; "
+    "both year slices prune at the orders scan and the resulting keyset "
+    "semi-joins customer. Scale: the intersect shuffles only distinct "
+    "custkeys (already a fraction of orders), and the final probe "
+    "broadcasts whichever side is smaller under AQE.",
+)
+def q_retained_buyers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+
+    def year(y: int) -> DataFrame:
+        return o.where(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+        ).select("o_custkey")
+
+    both = year(1996).intersect(year(1997))
+    return (
+        c.join(both, c.c_custkey == both.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "lapsed_buyers_except",
+    oracle="""
+SELECT c.c_mktsegment, count(*) AS n_customers
+FROM customer c
+WHERE c.c_custkey IN (
+  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+GROUP BY c.c_mktsegment
+""",
+    doc="EXCEPT set-op twin of retained_buyers_intersect: customers who "
+    "bought in 1996 but not 1997 (churn cohort). Spark's except() plans as "
+    "a distinct left-anti aggregate over the two pruned year slices.",
+)
+def q_lapsed_buyers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+
+    def year(y: int) -> DataFrame:
+        return o.where(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+        ).select("o_custkey")
+
+    # subtract() is EXCEPT DISTINCT (set difference); exceptAll() would be
+    # bag semantics — a customer with 3 orders in '96 and 1 in '97 must NOT
+    # count as lapsed.
+    lapsed = year(1996).subtract(year(1997))
+    return (
+        c.join(lapsed, c.c_custkey == lapsed.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
