@@ -1043,3 +1043,44 @@ def q_range_join_tariff_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "customer_id", "event_time", "energy_consumed",
         "active_tariff", "period_start",
     )
+
+
+@register(
+    "scd2_tariff_history",
+    oracle=_oracle_ev(
+        """
+SELECT customer_id, tariff_type,
+  event_time AS valid_from,
+  lead(event_time) OVER w AS valid_to,
+  cast(row_number() OVER w AS INT) AS version,
+  lead(event_time) OVER w IS NULL AS is_current
+FROM energy_events
+WHERE event_type = 'tariff_switch'
+WINDOW w AS (PARTITION BY customer_id ORDER BY event_time, event_id)
+"""
+    ),
+    doc="Slowly-changing-dimension type-2 build of each customer's tariff "
+    "history from the tariff_switch event stream: effective-dated rows "
+    "(valid_from, valid_to) via lead() per customer, monotone version "
+    "numbers, is_current flag on the open row. Generalizes the "
+    "reference's customer_view latest/second-latest switch subqueries "
+    "(database/schema.sql:116-137) into the full history a warehouse "
+    "dimension needs. Ties broken by event_id for determinism. Scale: one "
+    "shuffle on customer_id; per-customer sorts are tiny (switch counts "
+    "per customer are bounded); output is switch-sized, not fact-sized.",
+)
+def q_scd2_tariff_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = energy_events(spark, sf_dir)
+    w = Window.partitionBy("customer_id").orderBy("event_time", "event_id")
+    return (
+        ev.where(F.col("event_type") == "tariff_switch")
+        .select("customer_id", "tariff_type", "event_time", "event_id")
+        .select(
+            "customer_id",
+            "tariff_type",
+            F.col("event_time").alias("valid_from"),
+            F.lead("event_time").over(w).alias("valid_to"),
+            F.row_number().over(w).cast("int").alias("version"),
+            F.lead("event_time").over(w).isNull().alias("is_current"),
+        )
+    )

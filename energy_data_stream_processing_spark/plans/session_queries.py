@@ -91,3 +91,73 @@ def q_streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_stream_to_table(spark, agg, mode="complete")
     return out.select("user_id", "session_start", "session_end", "n_events")
+
+
+@register(
+    "ordered_event_funnel",
+    oracle="""
+WITH u1 AS (
+  SELECT user_id, min(ts) FILTER (WHERE event_type = 'signup') AS t1
+  FROM events GROUP BY 1
+),
+u2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN u1 ON e.user_id = u1.user_id
+  WHERE e.event_type = 'view' AND e.ts > u1.t1
+  GROUP BY 1
+),
+u3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN u2 ON e.user_id = u2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > u2.t2
+  GROUP BY 1
+)
+SELECT
+  (SELECT count(*) FROM u1 WHERE t1 IS NOT NULL) AS signup_users,
+  (SELECT count(*) FROM u2) AS then_view_users,
+  (SELECT count(*) FROM u3) AS then_purchase_users
+""",
+    doc="Strictly-ordered three-stage funnel (signup -> later view -> later "
+    "purchase), unlike the reference's engagement funnel "
+    "(business-metrics.json:352) which counts stages independently of "
+    "order. Each user's stage-2 anchor is the earliest view AFTER their "
+    "earliest signup, and stage 3 the earliest purchase after that — "
+    "computed with two stacked unbounded min-windows over ONE user_id "
+    "partitioning (the conditional min over `ts > t1` nests the first "
+    "window's result inside the second's aggregate), so the whole funnel "
+    "is a single shuffle plus a global count. Scale: no self-joins — the "
+    "oracle's join-per-stage formulation would re-shuffle the fact per "
+    "stage; the window form clusters by user once and streams.",
+)
+def q_ordered_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.select("user_id", "ts", "event_type")
+        .withColumn("t1", F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w))
+        .withColumn(
+            "t2",
+            F.min(
+                F.when((F.col("event_type") == "view") & (F.col("ts") > F.col("t1")), F.col("ts"))
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")), F.col("ts")
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    return per_user.agg(
+        F.count("t1").alias("signup_users"),
+        F.count("t2").alias("then_view_users"),
+        F.count("t3").alias("then_purchase_users"),
+    )

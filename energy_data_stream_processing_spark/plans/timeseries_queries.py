@@ -304,3 +304,74 @@ GROUP BY GROUPING SETS ((event_type), (event_type, dayofweek(ts)), ())
 """,
         ev=ev,
     )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+WITH uw AS (SELECT DISTINCT user_id, cast(date_trunc('week', ts) AS TIMESTAMP) AS wk FROM events),
+firsts AS (SELECT user_id, min(wk) AS cohort_week FROM uw GROUP BY 1)
+SELECT f.cohort_week,
+  cast(date_diff('day', f.cohort_week, u.wk) // 7 AS INT) AS week_offset,
+  count(*) AS active_users
+FROM uw u JOIN firsts f USING (user_id)
+GROUP BY 1, 2
+""",
+    doc="Weekly retention-cohort matrix (classic product-analytics shape the "
+    "reference's dashboards stop short of): cohort = each user's first "
+    "active ISO week, cell = users from that cohort active at week offset "
+    "k. Spark plan: dedup to (user, week) pairs, derive the cohort week "
+    "with a partition-min window over the SAME user_id clustering, then a "
+    "tiny (cohort, offset) count — the pairs dedup is the only fact-sized "
+    "shuffle. Scale: (user, week) pairs are |users|x|weeks| at worst, "
+    "orders of magnitude below the fact; per-user windows need no global "
+    "sort; the final matrix is weeks^2-sized (driver-trivial).",
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    w = Window.partitionBy("user_id")
+    with_cohort = pairs.withColumn("cohort_week", F.min("wk").over(w))
+    return with_cohort.groupBy(
+        "cohort_week",
+        (F.datediff(F.col("wk"), F.col("cohort_week")) / 7).cast("int").alias("week_offset"),
+    ).agg(F.count(F.lit(1)).alias("active_users"))
+
+
+@register(
+    "rolling_7d_active_users",
+    oracle="""
+WITH du AS (SELECT DISTINCT cast(date_trunc('day', ts) AS TIMESTAMP) AS d, user_id FROM events),
+days AS (SELECT DISTINCT d FROM du)
+SELECT days.d, count(DISTINCT du.user_id) AS active_users_7d
+FROM days JOIN du ON du.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+GROUP BY 1
+""",
+    doc="Trailing-7-day distinct active users per day. COUNT(DISTINCT) over "
+    "a sliding RANGE window is inexpressible as a Spark window function; "
+    "the scalable rewrite is contribution-explode: dedup to (day, user) "
+    "pairs, explode each pair into the 7 calendar days it contributes to "
+    "(sequence() — narrow), then one count_distinct per day, semi-joined "
+    "back to observed days. Scale: the x7 row multiplier applies to the "
+    "deduped day-user pairs, not the fact; the alternative day x fact "
+    "range join the oracle uses would be O(days * |fact|). Partial "
+    "aggregation absorbs the distinct before the final day-keyed shuffle.",
+)
+def q_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("d"), "user_id"
+    ).distinct()
+    spine = pairs.select("d").distinct()
+    contrib = pairs.select(
+        F.explode(
+            F.expr("sequence(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY)")
+        ).alias("d"),
+        "user_id",
+    )
+    counted = contrib.groupBy("d").agg(
+        F.count_distinct("user_id").alias("active_users_7d")
+    )
+    return counted.join(F.broadcast(spine), "d", "left_semi")

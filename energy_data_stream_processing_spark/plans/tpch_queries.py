@@ -1092,3 +1092,49 @@ def q_lapsed_buyers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+@register(
+    "copurchase_pairs",
+    oracle="""
+WITH dl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part1, b.l_partkey AS part2, count(*) AS n_orders
+FROM dl a JOIN dl b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part1, part2
+LIMIT 20
+""",
+    doc="Market-basket co-occurrence: top-20 part pairs appearing in the "
+    "same order. The naive plan is the oracle's self-join on l_orderkey "
+    "(re-shuffles the fact twice and explodes skewed orders quadratically "
+    "in the join); the Spark plan instead scans lineitem ONCE — "
+    "groupBy(orderkey).collect_set(partkey) (collect_set dedups in the "
+    "partial aggregate), sort the per-order array, generate the i<j pairs "
+    "array-side with transform/slice/flatten (narrow), and count per pair. "
+    "Scale: one fact shuffle on orderkey + one pair-sized shuffle; "
+    "per-order baskets are bounded (7 lines max in TPC-H), so the "
+    "quadratic blowup is capped per group; final top-20 is "
+    "TakeOrderedAndProject, never a global sort.",
+)
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .where(F.size("parts") >= 2)
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) -> "
+                "transform(slice(parts, i + 2, size(parts) - i - 1), "
+                "y -> struct(x AS part1, y AS part2))))"
+            )
+        ).alias("pr")
+    ).select("pr.part1", "pr.part2")
+    return (
+        pairs.groupBy("part1", "part2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part1", "part2")
+        .limit(20)
+    )

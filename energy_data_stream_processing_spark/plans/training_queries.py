@@ -683,3 +683,70 @@ FROM (
 )
 def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negatives(_emb(spark, sf_dir), num_queries=50, k=3)
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM toks WHERE term <> '' GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+    floor(tf.tf * ln(cast(n.n_docs AS DOUBLE) / dfreq.df) * 1e6 + 0.5) / 1e6 AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tf, tfidf,
+    cast(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, tf, tfidf, rnk FROM ranked WHERE rnk <= 3
+""",
+    doc="TF-IDF keyword extraction: top-3 terms per document by "
+    "tf * ln(N/df). The workhorse of corpus topic profiling / keyword "
+    "indexing in a training-data pipeline. Spark plan: one tokenize+agg "
+    "to per-(doc, term) counts; document frequency via a count window "
+    "over the SAME per-term rows (no second scan, no join back to the "
+    "fact); N broadcast as a 1-row cross join; rank with a per-doc "
+    "row_number, ties broken by term for determinism. Java and C libm ln() "
+    "differ in the last ulp, so the score is half-up rounded to 1e-6 in "
+    "both engines before ranking and comparison. Scale: "
+    "shuffles are (doc,term)-agg -> term-window -> doc-window, each on "
+    "the shrunken term-count frame; vocabulary skew (stopwords hitting "
+    "one term partition) is bounded because the term window carries only "
+    "counts, not positions.",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    wt = Window.partitionBy("term")
+    wd = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        tf.withColumn("df", F.count(F.lit(1)).over(wt))
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.floor(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")) * 1e6 + 0.5
+            )
+            / 1e6,
+        )
+        .withColumn("rnk", F.row_number().over(wd).cast("int"))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "tfidf", "rnk")
+    )
