@@ -281,3 +281,67 @@ def test_hard_negatives_broadcast_nlj(spark, sf_dir):
     plan = _plan(spark, sf_dir, "hard_negative_mining")
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_retention_dedup_pairs_before_window(spark, sf_dir):
+    # The fact-sized shuffle must carry deduped (user, week) pairs, not raw
+    # events, and the cohort window must ride the user partitioning.
+    plan = _plan(spark, sf_dir, "retention_cohorts")
+    assert re.search(r"Exchange hashpartitioning\(user_id#\d+L?, wk#", plan), (
+        "retention_cohorts lost the (user_id, wk) pairs dedup shuffle"
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 3
+    schemas = re.findall(r"ReadSchema: struct<([^\n]*)", plan)
+    cols = {c.split(":")[0] for s in schemas for c in s.split(",")[:-1] if c}
+    assert cols <= {"ts", "user_id"}, f"retention scan reads extra columns: {cols}"
+
+
+def test_rolling7d_explode_after_dedup(spark, sf_dir):
+    # The x7 contribution explode must sit ABOVE the (day, user) dedup (so it
+    # multiplies deduped pairs, not raw events), and the observed-days spine
+    # must come back as a broadcast semi join, never a shuffled join.
+    plan = _plan(spark, sf_dir, "rolling_7d_active_users")
+    assert "Generate explode(sequence(" in plan
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", plan, re.DOTALL), (
+        "rolling_7d spine filter is no longer a broadcast semi join"
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 4
+
+
+def test_ordered_funnel_single_shuffle(spark, sf_dir):
+    # Three stacked conditional-min windows + the per-user rollup must all
+    # share ONE user_id exchange; only the final global count repartitions.
+    plan = _plan(spark, sf_dir, "ordered_event_funnel")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, (
+        "ordered_event_funnel: stage windows no longer share the user_id exchange"
+    )
+    assert len(re.findall(r"\bWindow ", plan)) == 3
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    # One customer_id shuffle; the tariff_switch filter must reach the scan
+    # through the adapter projection.
+    plan = _plan(spark, sf_dir, "scd2_tariff_history")
+    assert len(re.findall(r"Exchange ", plan)) == 1
+
+
+def test_copurchase_no_self_join(spark, sf_dir):
+    # Single fact scan: baskets via collect_set (map-side partial dedup),
+    # pairs generated array-side — the oracle's self-join shape must never
+    # appear; top-20 must be TakeOrderedAndProject, not a global sort.
+    plan = _plan(spark, sf_dir, "copurchase_pairs")
+    assert "SortMergeJoin" not in plan and "Join" not in plan
+    assert plan.count("FileScan parquet") == 1
+    assert "TakeOrderedAndProject" in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+
+
+def test_tfidf_rank_pushdown_and_no_fact_rejoin(spark, sf_dir):
+    # df comes from a count window over the tf frame (no join back to the
+    # token explode), N is a broadcast 1-row frame, and the per-doc top-3
+    # must push a partial rank limit below the doc_id shuffle.
+    plan = _plan(spark, sf_dir, "tfidf_top_terms")
+    assert re.search(r"WindowGroupLimit .*row_number\(\), 3, Partial", plan)
+    assert re.search(r"WindowGroupLimit .*row_number\(\), 3, Final", plan)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 3
+    assert "SortMergeJoin" not in plan
