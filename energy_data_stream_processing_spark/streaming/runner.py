@@ -548,3 +548,105 @@ def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def ascending_time_chunks(spark: SparkSession, sf_dir: str, n_chunks: int) -> str:
+    """Split the events parquet into ``n_chunks`` event-time-ascending files
+    in a fresh source dir, so a maxFilesPerTrigger=1 file stream replays them
+    as ordered micro-batches (the file source lists oldest-mtime-first and
+    the chunks are written sequentially)."""
+    import shutil
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    probs = [i / n_chunks for i in range(1, n_chunks)]
+    q = raw.approxQuantile("ts", probs, 0.0)
+    src = tempfile.mkdtemp(prefix="stream-chunks-")
+    stage = tempfile.mkdtemp(prefix="stream-chunks-stage-")
+    bounds = [None, *q, None]
+    for i in range(n_chunks):
+        chunk = raw
+        if bounds[i] is not None:
+            chunk = chunk.where(F.col("ts") >= bounds[i])
+        if bounds[i + 1] is not None:
+            chunk = chunk.where(F.col("ts") < bounds[i + 1])
+        d = f"{stage}/c{i}"
+        chunk.coalesce(1).write.mode("overwrite").parquet(d)
+        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        os.rename(f"{d}/{part}", f"{src}/chunk_{i}.parquet")
+    shutil.rmtree(stage, ignore_errors=True)
+    return src
+
+
+def view_purchase_attribution_stream(views: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Stream-stream event-time interval join: attribute each purchase to
+    every view by the same user in the preceding 24 h.
+
+    Both sides carry watermarks; the time-range predicate lets the engine
+    evict view state once ``view_ts + 24h`` falls behind the purchase-side
+    watermark and purchase state once it falls behind the view-side
+    watermark — bounded state, append-mode emission.
+    """
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    ).withWatermark("view_ts", "45 days")
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    ).withWatermark("purchase_ts", "45 days")
+    return v.join(
+        p,
+        F.expr(
+            "v_user = p_user AND purchase_ts > view_ts "
+            "AND purchase_ts <= view_ts + INTERVAL 24 HOURS"
+        ),
+    )
+
+
+@register(
+    "streaming_view_purchase_attribution",
+    oracle="""
+SELECT v.user_id,
+  count(*) AS n_pairs,
+  count(DISTINCT p.event_id) AS attributed_purchases,
+  count(DISTINCT v.event_id) AS converting_views
+FROM events v
+JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND cast(p.ts AS TIMESTAMP) > cast(v.ts AS TIMESTAMP)
+ AND cast(p.ts AS TIMESTAMP) <= cast(v.ts AS TIMESTAMP) + INTERVAL 24 HOUR
+GROUP BY 1
+""",
+    doc="Stream-stream event-time interval join (the one join Structured "
+    "Streaming treats as a stateful operator): views and purchases are two "
+    "watermarked streams replayed in two ascending time-chunk micro-batches "
+    "(cross-batch matches exercise the join state), joined per user within "
+    "a 24 h attribution window in append mode; the per-user rollup runs "
+    "batch-side on the sink (the production read-time split). Gated against "
+    "the batch self-join oracle. The 45-day test watermark covers the "
+    "fixture's span so replay loses nothing; production sets the real "
+    "lateness budget, and the interval predicate is what lets the engine "
+    "evict both sides' state. Scale: join state is bounded by "
+    "|events in watermark horizon| per side, sharded by the user_id "
+    "shuffle; RocksDB state store + per-key range scans on a cluster.",
+)
+def q_streaming_view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = ascending_time_chunks(spark, sf_dir, 2)
+    views = stream_raw_events(spark, sf_dir, source_dir=src, max_files_per_trigger=1).where(
+        F.col("event_type") == "view"
+    )
+    purchases = stream_raw_events(spark, sf_dir, source_dir=src, max_files_per_trigger=1).where(
+        F.col("event_type") == "purchase"
+    )
+    pairs = run_stream_to_table(
+        spark, view_purchase_attribution_stream(views, purchases), mode="append"
+    )
+    return pairs.groupBy(F.col("v_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_distinct("purchase_id").alias("attributed_purchases"),
+        F.count_distinct("view_id").alias("converting_views"),
+    )
