@@ -1,0 +1,131 @@
+"""Data-quality profiling and statistical-monitoring queries.
+
+The reference has no data-profiling surface at all; a 100 TB ingest pipeline
+lives or dies by it (null-rate drift, cardinality explosions, out-of-range
+values are how upstream breakage is caught). These are single-pass,
+UDF-free, and shaped so the per-column stats come from ONE scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.adapter import load_table
+from .catalog import register
+
+_PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+def _profile_oracle() -> str:
+    stats = ",\n  ".join(
+        f"count(*) - count({c}) AS nn_{c}, count(DISTINCT {c}) AS nd_{c}, "
+        f"cast(min({c}) AS VARCHAR) AS mn_{c}, cast(max({c}) AS VARCHAR) AS mx_{c}"
+        for c in _PROFILE_COLS
+    )
+    arms = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS column_name, n_rows, nn_{c} AS n_nulls, nd_{c} AS n_distinct, "
+        f"mn_{c} AS min_value, mx_{c} AS max_value FROM s"
+        for c in _PROFILE_COLS
+    )
+    return f"WITH s AS (\n  SELECT count(*) AS n_rows,\n  {stats}\n  FROM events\n)\n{arms}"
+
+
+@register(
+    "events_profile",
+    oracle=_profile_oracle(),
+    doc="Generic table-profiling operator over the events table: per column "
+    "(all six), null count, exact distinct count, lexical min/max — the "
+    "data-quality snapshot every ingest run should publish. ONE scan "
+    "computes all 25 aggregates into a single wide row; stack() (Spark's "
+    "UNPIVOT) pivots it to the long (column_name, stats) form. Scale: "
+    "count(DISTINCT) over six columns multiplies the input via Expand "
+    "(6 copies) before the partial aggregate — for 100 TB swap the exact "
+    "distincts for approx_count_distinct (one pass, no Expand) and keep "
+    "the rest identical; min/max/null-counts come from parquet footer "
+    "stats for free when the scan supports aggregate pushdown.",
+)
+def q_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    aggs: list = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"nn_{c}"),
+            F.count_distinct(c).alias(f"nd_{c}"),
+            F.min(c).cast("string").alias(f"mn_{c}"),
+            F.max(c).cast("string").alias(f"mx_{c}"),
+        ]
+    wide = ev.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in _PROFILE_COLS
+    )
+    return wide.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+            "AS (column_name, n_nulls, n_distinct, min_value, max_value)"
+        ),
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+
+
+@register(
+    "hourly_anomaly_zscore",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, cast(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+    count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type,
+    count(*) AS n_hours,
+    sum(n) AS sum_n,
+    sum(n * n) AS sum_sq
+  FROM hourly GROUP BY 1
+),
+scored AS (
+  SELECT h.event_type, h.hour, h.n,
+    cast(s.sum_n AS DOUBLE) / s.n_hours AS mean_n,
+    (h.n - cast(s.sum_n AS DOUBLE) / s.n_hours)
+      / sqrt((s.sum_sq - cast(s.sum_n AS DOUBLE) * s.sum_n / s.n_hours)
+             / (s.n_hours - 1)) AS zscore
+  FROM hourly h JOIN stats s USING (event_type)
+  WHERE s.n_hours > 1
+)
+SELECT event_type, hour, n, mean_n, zscore
+FROM scored WHERE abs(zscore) > 2
+""",
+    doc="Statistical anomaly detection on event rates: hourly counts per "
+    "event type, z-score against that type's own mean/stddev, flag |z|>2 "
+    "hours (the ops alerting the reference delegates to Prometheus rules, "
+    "done engine-side over event time). Variance is derived from integer "
+    "(n, sum, sum-of-squares) per type — identical IEEE expressions in "
+    "both engines, so no float-accumulation-order divergence and the gate "
+    "is value-exact without rounding. Spark plan: fact shuffles once to "
+    "(type, hour) counts; the per-type moments ride a broadcast join back "
+    "(types are few). Scale: hourly frame is |types|x|hours| regardless "
+    "of fact size; moments frame is |types| — both driver-trivial; the "
+    "only fact-sized work is the first partial aggregate.",
+)
+def q_hourly_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("n").alias("sum_n"),
+        F.sum(F.col("n") * F.col("n")).alias("sum_sq"),
+    )
+    mean = F.col("sum_n").cast("double") / F.col("n_hours")
+    var = (
+        F.col("sum_sq") - F.col("sum_n").cast("double") * F.col("sum_n") / F.col("n_hours")
+    ) / (F.col("n_hours") - 1)
+    scored = (
+        hourly.join(F.broadcast(stats.where(F.col("n_hours") > 1)), "event_type")
+        .withColumn("mean_n", mean)
+        .withColumn("zscore", (F.col("n") - mean) / F.sqrt(var))
+    )
+    return scored.where(F.abs(F.col("zscore")) > 2).select(
+        "event_type", "hour", "n", "mean_n", "zscore"
+    )

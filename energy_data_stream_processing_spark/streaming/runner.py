@@ -650,3 +650,44 @@ def q_streaming_view_purchase_attribution(spark: SparkSession, sf_dir: str) -> D
         F.count_distinct("purchase_id").alias("attributed_purchases"),
         F.count_distinct("view_id").alias("converting_views"),
     )
+
+
+def sliding_event_rate_stream(raw_events: DataFrame) -> DataFrame:
+    """Watermarked SLIDING-window counts (1 h window, 15 min slide): each
+    event lands in 4 overlapping windows — the rate panel shape (smooth
+    trailing-hour rate refreshed every 15 min)."""
+    return (
+        raw_events.withWatermark("ts", "24 hours")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+
+
+@register(
+    "streaming_sliding_event_rate",
+    oracle="""
+WITH contrib AS (
+  SELECT make_timestamp(
+    ((cast(floor(epoch(ts)) AS BIGINT) // 900) * 900 - k.k * 900) * 1000000
+  ) AS window_start
+  FROM events, (SELECT unnest(generate_series(0, 3)) AS k) k
+)
+SELECT window_start, count(*) AS n_events FROM contrib GROUP BY 1
+""",
+    doc="Sliding event-time windows (1 h / 15 min slide) as a streaming "
+    "aggregation, replayed in two ascending time-chunk micro-batches "
+    "(update-mode emissions across batches, counts monotone so the "
+    "read-time rollup takes max per window). The oracle expands each "
+    "event into its 4 epoch-aligned windows arithmetically — checking "
+    "Spark's window() alignment semantics, not just totals. Scale: "
+    "sliding windows multiply state x(window/slide); the engine stores "
+    "per-window partial counts (4 longs per active hour), watermark-"
+    "evicted; at 100 TB prefer the tumbling-15min + read-time trailing-"
+    "sum rewrite if window/slide grows large.",
+)
+def q_streaming_sliding_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = ascending_time_chunks(spark, sf_dir, 2)
+    raw = stream_raw_events(spark, sf_dir, source_dir=src, max_files_per_trigger=1)
+    out = run_stream_to_table(spark, sliding_event_rate_stream(raw), mode="update")
+    return out.groupBy(F.col("window_start")).agg(F.max("n").alias("n_events"))

@@ -345,3 +345,21 @@ def test_tfidf_rank_pushdown_and_no_fact_rejoin(spark, sf_dir):
     assert re.search(r"WindowGroupLimit .*row_number\(\), 3, Final", plan)
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 3
     assert "SortMergeJoin" not in plan
+
+
+def test_profile_single_scan(spark, sf_dir):
+    # All 25 per-column stats from ONE scan; the long form comes from a
+    # Generate (stack/UNPIVOT) over the single wide row, never a re-scan
+    # or a per-column union.
+    plan = _plan(spark, sf_dir, "events_profile")
+    assert plan.count("FileScan parquet") == 1
+    assert "Union" not in plan
+    assert "Generate stack" in plan
+
+
+def test_anomaly_moments_broadcast(spark, sf_dir):
+    # The per-type moments frame is |event types| rows — it must come back
+    # as a broadcast join onto the hourly counts, never a shuffled join.
+    plan = _plan(spark, sf_dir, "hourly_anomaly_zscore")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
