@@ -161,3 +161,55 @@ def q_ordered_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t2").alias("then_view_users"),
         F.count("t3").alias("then_purchase_users"),
     )
+
+
+@register(
+    "peak_concurrency",
+    oracle=_SESSIONS_ORACLE_CTE.format(gap_sec=1800)
+    + """,
+marks AS (
+  SELECT session_start AS ts, 1 AS delta FROM sessions
+  UNION ALL
+  SELECT session_end AS ts, -1 AS delta FROM sessions
+),
+swept AS (
+  SELECT ts,
+    sum(delta) OVER (ORDER BY ts, delta DESC ROWS UNBOUNDED PRECEDING) AS concurrent
+  FROM marks
+)
+SELECT concurrent AS max_concurrent_sessions, ts AS first_at
+FROM swept ORDER BY concurrent DESC, ts LIMIT 1
+""",
+    doc="Peak concurrency via sweep line: sessionize (gap 30 min), emit "
+    "+1/-1 marks at session start/end, running sum ordered by (ts, starts "
+    "before ends), take the max and the first instant it is reached — the "
+    "interval-overlap maximum no windowed aggregate expresses directly. "
+    "Start-before-end tie order makes zero-length (single-event) sessions "
+    "count as momentarily active; the set of (ts, running) rows is "
+    "tie-order stable, so the gate is exact. Scale: the global "
+    "unpartitioned sweep window is the honest cost — marks are "
+    "2x|sessions| (tiny vs the fact), and at 100 TB the sweep shards by "
+    "day with per-shard offsets carried forward (prefix sums compose); "
+    "the final top-1 is TakeOrdered, not a global sort.",
+)
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    sess = sessionize(load_table(spark, sf_dir, "events"), gap_minutes=30)
+    marks = sess.select(
+        F.col("session_start").alias("ts"), F.lit(1).alias("delta")
+    ).unionAll(sess.select(F.col("session_end").alias("ts"), F.lit(-1).alias("delta")))
+    w = (
+        Window.orderBy(F.col("ts"), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    swept = marks.select("ts", F.sum("delta").over(w).alias("concurrent"))
+    return (
+        swept.orderBy(F.col("concurrent").desc(), "ts")
+        .limit(1)
+        .select(
+            F.col("concurrent").alias("max_concurrent_sessions"),
+            F.col("ts").alias("first_at"),
+        )
+    )

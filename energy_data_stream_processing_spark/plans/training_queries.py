@@ -750,3 +750,90 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
         .select("doc_id", "term", "tf", "tfidf", "rnk")
     )
+
+
+@register(
+    "bm25_search",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+lens AS (
+  SELECT doc_id, count(*) AS dl FROM toks WHERE term <> '' GROUP BY 1
+),
+corpus AS (
+  SELECT count(*) AS n_docs, cast(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM lens
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM toks WHERE term IN ('spark', 'join', 'stream') GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+    ln((corpus.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+      * (tf.tf * 2.2)
+      / (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / corpus.avgdl)) AS s
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN lens USING (doc_id)
+  CROSS JOIN corpus
+)
+SELECT doc_id,
+  floor(list_reduce(list_prepend(0.0, list(s ORDER BY term)), (a, b) -> a + b)
+        * 1e6 + 0.5) / 1e6 AS bm25
+FROM scored
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+""",
+    doc="BM25 full-text ranking (k1=1.2, b=0.75) of documents against the "
+    "fixed query {spark, join, stream}: Robertson idf, per-doc length "
+    "normalization against corpus average. Per-term scores fold in term "
+    "order (Spark aggregate() over a sorted collect_list == DuckDB "
+    "list_reduce over an ORDER BY list — IEEE-identical addends, "
+    "identical order), with a final 1e-6 half-up round to wash the "
+    "Java-vs-C ln() last-ulp delta. Spark plan: ONE tokenize feeds both "
+    "doc lengths and query-term tfs; df and the corpus scalars come back "
+    "as broadcasts (term vocab of the query is tiny); top-20 is "
+    "TakeOrderedAndProject. Scale: the query-term filter prunes the "
+    "token stream before the per-doc agg, so the heavy path carries only "
+    "matching terms; everything else is doc-count-sized.",
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term")).where(
+        F.col("term") != ""
+    )
+    lens = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.where(F.col("term").isin("spark", "join", "stream"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    s = (
+        idf
+        * (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select("doc_id", "term", s.alias("s"))
+    )
+    folded = scored.groupBy("doc_id").agg(
+        F.expr(
+            "floor(aggregate(array_sort(collect_list(struct(term, s))), "
+            "CAST(0 AS DOUBLE), (a, x) -> a + x.s) * 1e6 + 0.5) / 1e6"
+        ).alias("bm25")
+    )
+    return folded.orderBy(F.col("bm25").desc(), "doc_id").limit(20)
