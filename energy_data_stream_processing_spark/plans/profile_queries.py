@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.adapter import load_table
+from ..sources.adapter import ENERGY_EVENTS_SQL, load_table
 from .catalog import register
 
 _PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
@@ -128,4 +128,102 @@ def q_hourly_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.where(F.abs(F.col("zscore")) > 2).select(
         "event_type", "hour", "n", "mean_n", "zscore"
+    )
+
+
+@register(
+    "event_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+counts AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+  cast(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type) AS p
+FROM counts
+""",
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: lag() per user (ties broken by event_id), pair counts, "
+    "row-normalized transition probabilities. The sequence-mining "
+    "primitive behind session path analysis / next-event prediction "
+    "features. The probability divides two exact integers, so the gate "
+    "is value-exact. Scale: one fact shuffle on user_id for the lag; "
+    "the transition matrix is |types|^2 rows, so the normalization "
+    "window is driver-trivial.",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wp = Window.partitionBy("prev_type")
+    return counts.withColumn("p", F.col("n").cast("double") / F.sum("n").over(wp))
+
+
+@register(
+    "channel_tariff_contingency",
+    oracle="WITH energy_events AS (" + ENERGY_EVENTS_SQL + """),
+cells AS (
+  SELECT channel, tariff_type, count(*) AS observed
+  FROM energy_events WHERE tariff_type IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT channel, tariff_type, observed,
+    sum(observed) OVER (PARTITION BY channel) AS row_total,
+    sum(observed) OVER (PARTITION BY tariff_type) AS col_total,
+    sum(observed) OVER () AS grand_total
+  FROM cells
+)
+SELECT channel, tariff_type, observed,
+  cast(row_total AS DOUBLE) * col_total / grand_total AS expected,
+  (observed - cast(row_total AS DOUBLE) * col_total / grand_total)
+    * (observed - cast(row_total AS DOUBLE) * col_total / grand_total)
+    / (cast(row_total AS DOUBLE) * col_total / grand_total) AS chi2_contribution
+FROM tot
+""",
+    doc="Chi-square contingency analysis of channel x tariff_type (are "
+    "acquisition channels independent of tariff choice? — the A/B "
+    "dashboard's question, business-metrics.json:1392, done as a proper "
+    "independence test). Emits per-cell observed/expected/chi-square "
+    "contribution; the reader sums contributions for the statistic, "
+    "keeping the gate free of float-accumulation order. Marginals come "
+    "from windows over the tiny cells frame, so the fact is scanned and "
+    "shuffled exactly once. Scale: cells = |channels| x |tariffs| rows "
+    "regardless of fact size.",
+)
+def q_channel_tariff_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..sources.adapter import energy_events
+
+    ev = energy_events(spark, sf_dir)
+    cells = (
+        ev.where(F.col("tariff_type").isNotNull())
+        .groupBy("channel", "tariff_type")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    row_t = F.sum("observed").over(Window.partitionBy("channel"))
+    col_t = F.sum("observed").over(Window.partitionBy("tariff_type"))
+    grand = F.sum("observed").over(Window.partitionBy())
+    expected = row_t.cast("double") * col_t / grand
+    return cells.select(
+        "channel",
+        "tariff_type",
+        "observed",
+        expected.alias("expected"),
+        ((F.col("observed") - expected) * (F.col("observed") - expected) / expected).alias(
+            "chi2_contribution"
+        ),
     )
