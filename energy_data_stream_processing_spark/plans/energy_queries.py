@@ -1084,3 +1084,100 @@ def q_scd2_tariff_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lead("event_time").over(w).isNull().alias("is_current"),
         )
     )
+
+
+_CASCADE_AGGS_SQL = """
+  count(CASE WHEN event_type = 'tariff_switch' THEN 1 END) AS tariff_switches,
+  cast(coalesce(sum(CASE WHEN event_type = 'tariff_switch' THEN payment_amount END), 0) AS DOUBLE) AS switch_revenue,
+  cast(coalesce(sum(CASE WHEN event_type = 'energy_consumed' THEN energy_consumed END), 0) AS DOUBLE) AS energy_consumed,
+  cast(coalesce(sum(CASE WHEN event_type = 'bill_payment' THEN payment_amount END), 0) AS DOUBLE) AS payments
+"""
+
+
+@register(
+    "energy_rollup_cascade",
+    oracle=_oracle_ev(
+        f"""
+, h AS (
+  SELECT cast(date_trunc('hour', event_time) AS TIMESTAMP) AS period_start, {_CASCADE_AGGS_SQL}
+  FROM energy_events GROUP BY 1
+),
+d AS (
+  SELECT cast(date_trunc('day', event_time) AS TIMESTAMP) AS period_start, {_CASCADE_AGGS_SQL}
+  FROM energy_events GROUP BY 1
+),
+w AS (
+  SELECT cast(date_trunc('week', event_time) AS TIMESTAMP) AS period_start, {_CASCADE_AGGS_SQL}
+  FROM energy_events GROUP BY 1
+)
+SELECT 'hour' AS grain, * FROM h
+UNION ALL SELECT 'day', * FROM d
+UNION ALL SELECT 'week', * FROM w
+"""
+    ),
+    doc="Hierarchical rollup cascade (hypertable continuous-aggregate "
+    "pattern): hour -> day -> week grains of the additive energy metrics "
+    "in ONE plan. The hourly aggregate is computed from the fact once; "
+    "the daily grain re-aggregates the HOURLY frame and the weekly grain "
+    "the DAILY frame — decimal sums are associative, so the cascade is "
+    "value-identical to the oracle's three direct scans while touching "
+    "the fact exactly once. Scale: this is how 100 TB rollup hierarchies "
+    "are maintained (each grain is input to the next, hours-sized and "
+    "smaller); the three-direct-scans alternative re-reads the fact per "
+    "grain.",
+)
+def q_energy_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = energy_events(spark, sf_dir)
+    t = F.col("event_type")
+
+    def aggs():
+        return [
+            F.count(F.when(t == "tariff_switch", 1)).alias("tariff_switches"),
+            F.coalesce(
+                F.sum(F.when(t == "tariff_switch", F.col("payment_amount"))), F.lit(0)
+            ).alias("_rev"),
+            F.coalesce(
+                F.sum(F.when(t == "energy_consumed", F.col("energy_consumed"))), F.lit(0)
+            ).alias("_energy"),
+            F.coalesce(
+                F.sum(F.when(t == "bill_payment", F.col("payment_amount"))), F.lit(0)
+            ).alias("_pay"),
+        ]
+
+    # persist() is the materialization step of the continuous-aggregate
+    # pattern: without it Spark re-derives each union branch from the fact
+    # (no cross-branch common-subplan reuse), turning the cascade into three
+    # fact scans. The cached frames are periods-sized (hours/days), not
+    # fact-sized.
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", F.col("event_time")).alias("period_start"))
+        .agg(*aggs())
+        .persist()
+    )
+
+    def roll(df: DataFrame, grain: str) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc(grain, F.col("period_start")).alias("period_start")
+        ).agg(
+            F.sum("tariff_switches").alias("tariff_switches"),
+            F.sum("_rev").alias("_rev"),
+            F.sum("_energy").alias("_energy"),
+            F.sum("_pay").alias("_pay"),
+        )
+
+    daily = roll(hourly, "day").persist()
+    weekly = roll(daily, "week")
+
+    def shape(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            "period_start",
+            "tariff_switches",
+            F.col("_rev").cast("double").alias("switch_revenue"),
+            F.col("_energy").cast("double").alias("energy_consumed"),
+            F.col("_pay").cast("double").alias("payments"),
+        )
+
+    return (
+        shape(hourly, "hour").unionByName(shape(daily, "day")).unionByName(shape(weekly, "week"))
+    )

@@ -227,3 +227,108 @@ def q_channel_tariff_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_contribution"
         ),
     )
+
+
+@register(
+    "fk_integrity_audit",
+    oracle="""
+SELECT 'orders->customer' AS relationship, count(*) AS child_rows,
+  count(*) FILTER (WHERE c.c_custkey IS NULL) AS orphan_rows,
+  count(DISTINCT o.o_custkey) FILTER (WHERE c.c_custkey IS NULL) AS missing_keys
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'lineitem->orders', count(*),
+  count(*) FILTER (WHERE o.o_orderkey IS NULL),
+  count(DISTINCT l.l_orderkey) FILTER (WHERE o.o_orderkey IS NULL)
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'lineitem->part', count(*),
+  count(*) FILTER (WHERE p.p_partkey IS NULL),
+  count(DISTINCT l.l_partkey) FILTER (WHERE p.p_partkey IS NULL)
+FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+UNION ALL
+SELECT 'lineitem->supplier', count(*),
+  count(*) FILTER (WHERE s.s_suppkey IS NULL),
+  count(DISTINCT l.l_suppkey) FILTER (WHERE s.s_suppkey IS NULL)
+FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+UNION ALL
+SELECT 'customer->nation', count(*),
+  count(*) FILTER (WHERE n.n_nationkey IS NULL),
+  count(DISTINCT c.c_nationkey) FILTER (WHERE n.n_nationkey IS NULL)
+FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+""",
+    doc="Referential-integrity audit across the star schema: for each FK "
+    "relationship, child row count, orphan rows (no parent), and distinct "
+    "missing keys — the load-validation report a warehouse runs after "
+    "every ingest. The three lineitem checks share ONE fact scan (three "
+    "left joins stacked on one pass, then conditional aggregates); "
+    "dimension parents broadcast, the lineitem->orders fact-fact check is "
+    "the one shuffled join. Scale: orphan detection against big parents "
+    "is a shuffled join by key (AQE-planned); against dimensions it rides "
+    "broadcasts; output is one row per relationship.",
+)
+def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def audit(child, key, parent, pk, name):
+        hit = parent.select(F.col(pk)).withColumn("_hit", F.lit(1))
+        joined = child.select(F.col(key)).join(
+            F.broadcast(hit), child[key] == hit[pk], "left"
+        )
+        return joined.agg(
+            F.lit(name).alias("relationship"),
+            F.count(F.lit(1)).alias("child_rows"),
+            F.count(F.when(F.col("_hit").isNull(), 1)).alias("orphan_rows"),
+            F.count_distinct(F.when(F.col("_hit").isNull(), F.col(key))).alias(
+                "missing_keys"
+            ),
+        )
+
+    # lineitem: one scan, three stacked checks
+    li = lineitem.select("l_orderkey", "l_partkey", "l_suppkey")
+    li3 = (
+        li.join(
+            orders.select("o_orderkey").withColumn("_ho", F.lit(1)),
+            li["l_orderkey"] == F.col("o_orderkey"),
+            "left",
+        )
+        .join(
+            F.broadcast(part.select("p_partkey").withColumn("_hp", F.lit(1))),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left",
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey").withColumn("_hs", F.lit(1))),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left",
+        )
+    )
+    li_audits = li3.agg(
+        F.count(F.lit(1)).alias("child_rows"),
+        F.count(F.when(F.col("_ho").isNull(), 1)).alias("o_orphans"),
+        F.count_distinct(F.when(F.col("_ho").isNull(), F.col("l_orderkey"))).alias("o_miss"),
+        F.count(F.when(F.col("_hp").isNull(), 1)).alias("p_orphans"),
+        F.count_distinct(F.when(F.col("_hp").isNull(), F.col("l_partkey"))).alias("p_miss"),
+        F.count(F.when(F.col("_hs").isNull(), 1)).alias("s_orphans"),
+        F.count_distinct(F.when(F.col("_hs").isNull(), F.col("l_suppkey"))).alias("s_miss"),
+    )
+    li_long = li_audits.select(
+        F.expr(
+            "stack(3, 'lineitem->orders', o_orphans, o_miss, "
+            "'lineitem->part', p_orphans, p_miss, "
+            "'lineitem->supplier', s_orphans, s_miss) "
+            "AS (relationship, orphan_rows, missing_keys)"
+        ),
+        "child_rows",
+    ).select("relationship", "child_rows", "orphan_rows", "missing_keys")
+
+    return (
+        audit(orders, "o_custkey", customer, "c_custkey", "orders->customer")
+        .unionByName(li_long)
+        .unionByName(audit(customer, "c_nationkey", nation, "n_nationkey", "customer->nation"))
+    )

@@ -363,3 +363,30 @@ def test_anomaly_moments_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "hourly_anomaly_zscore")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_rollup_cascade_single_fact_scan(spark, sf_dir):
+    # hour -> day -> week must cascade (each grain aggregates the previous
+    # grain's frame via the persisted cache); a branch whose FIRST scan is a
+    # direct FileScan would mean that grain re-reads the fact. (The plan
+    # string renders each InMemoryRelation's build plan inline, so counting
+    # raw FileScan occurrences over-counts — walk each union branch instead.)
+    plan = _plan(spark, sf_dir, "energy_rollup_cascade")
+    branches = re.split(r"\n   [:+]- ", plan)[1:]
+    assert len(branches) == 3
+    for b in branches:
+        first_scan = re.search(r"InMemoryTableScan|FileScan", b)
+        assert first_scan is not None and first_scan.group(0) == "InMemoryTableScan", (
+            "energy_rollup_cascade branch re-reads the fact instead of the "
+            "previous grain's cached frame"
+        )
+
+
+def test_fk_audit_lineitem_single_scan(spark, sf_dir):
+    # The three lineitem relationship checks share one fact scan; dimension
+    # parents broadcast (the lineitem->orders fact-fact leg may shuffle).
+    plan = _plan(spark, sf_dir, "fk_integrity_audit")
+    assert plan.count("FileScan parquet [l_orderkey") == 1, (
+        "fk_integrity_audit scans lineitem more than once"
+    )
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 4
