@@ -1138,3 +1138,56 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), "part1", "part2")
         .limit(20)
     )
+
+
+@register(
+    "nation_product_profit",
+    oracle="""
+SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+  cast(sum(cast(l.l_extendedprice AS DECIMAL(18,2))
+           * (1 - cast(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS profit,
+  count(*) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY 1, 2
+""",
+    doc="TPC-H Q9-shaped product-profit report (partsupp-less adaptation — "
+    "this dataset ships no partsupp, so profit is discounted revenue "
+    "without the supplycost term): five-table join, part filtered by a "
+    "LIKE predicate, supplier->nation labels the row, orders supplies the "
+    "year axis. Scale: part/supplier/nation broadcast (the p_name filter "
+    "shrinks part before the join decides), lineitem<->orders is the one "
+    "shuffled fact-fact join on orderkey; the grouped result is "
+    "|nations x years| rows. The selective part broadcast prunes fact rows "
+    "BEFORE the orderkey shuffle — join order matters at 100 TB and "
+    "Catalyst/AQE picks it from sizes.",
+)
+def q_nation_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(part.select("p_partkey")), li["l_partkey"] == F.col("p_partkey"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            li["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(orders.select("o_orderkey", "o_orderdate"), li["l_orderkey"] == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("profit"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

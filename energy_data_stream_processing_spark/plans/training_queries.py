@@ -837,3 +837,164 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bm25")
     )
     return folded.orderBy(F.col("bm25").desc(), "doc_id").limit(20)
+
+
+@register(
+    "collocation_pmi",
+    oracle="""
+WITH toks AS (
+  SELECT list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS t
+  FROM documents
+),
+uni AS (SELECT unnest(t) AS w FROM toks),
+ucnt AS (SELECT w, count(*) AS cw FROM uni GROUP BY w),
+utot AS (SELECT count(*) AS nu FROM uni),
+big AS (
+  SELECT t[i.i] AS w1, t[i.i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS i(i)
+  WHERE len(t) >= 2
+),
+bcnt AS (SELECT w1, w2, count(*) AS pair_count FROM big GROUP BY 1, 2),
+btot AS (SELECT count(*) AS nb FROM big)
+SELECT w1, w2, pair_count,
+  ((cast(pair_count AS DOUBLE) / nb) * (cast(nu AS DOUBLE) / c1.cw))
+     * (cast(nu AS DOUBLE) / c2.cw) AS lift
+FROM bcnt, btot, utot
+JOIN ucnt c1 ON c1.w = w1
+JOIN ucnt c2 ON c2.w = w2
+WHERE pair_count >= 5
+ORDER BY lift DESC, w1, w2 LIMIT 20
+""",
+    doc="Bigram collocation mining by pointwise mutual information — the "
+    "corpus-statistics primitive behind phrase detection and tokenizer "
+    "merge rules. Emits the LIFT ratio p(xy)/(p(x)p(y)) (PMI = ln(lift); "
+    "ln is monotone, so top-k by lift IS top-k by PMI — and JVM Math.log "
+    "vs libm disagree by 1 ulp on some inputs, so the log stays "
+    "presentation-layer) from exact integer unigram/bigram counts, min "
+    "support 5, top-20. Both engines evaluate the IDENTICAL double "
+    "division tree over identical longs, so values and ordering are "
+    "bit-equal. Spark plan: two tokenize passes over "
+    "the corpus (unigram explode, zip_with bigram explode) feed partial-"
+    "agg shuffles on token/pair; the SMALL count tables persist and the "
+    "corpus totals derive from them (nu = sum cw, nb = sum pair_count), "
+    "so nothing corpus-sized is cached or rescanned; the unigram count "
+    "table broadcasts back onto pair counts twice (w1, w2 roles); top-20 "
+    "is TakeOrderedAndProject. Scale: pair cardinality ~vocab^2 is the "
+    "only big intermediate — map-side combine collapses the Zipf head "
+    "before the shuffle; the min-support filter prunes before the "
+    "broadcast joins.",
+)
+def q_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), " "), lambda x: x != ""
+        ).alias("t")
+    )
+    uni = toks.select(F.explode("t").alias("w"))
+    # persist the SMALL aggregates (vocab- and pair-cardinality), then derive
+    # the corpus totals from them (nu = sum cw, nb = sum pair_count) — the
+    # corpus itself is tokenized exactly twice (unigram pass, bigram pass)
+    # and never cached.
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cw")).persist()
+    utot = ucnt.agg(F.sum("cw").alias("nu"))
+    big = toks.where(F.size("t") >= 2).select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), "
+                "(a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("pr")
+    ).select("pr.w1", "pr.w2")
+    bcnt_all = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count")).persist()
+    bcnt = bcnt_all.where(F.col("pair_count") >= 5)
+    btot = bcnt_all.agg(F.sum("pair_count").alias("nb"))
+    c1 = ucnt.select(F.col("w").alias("_w1"), F.col("cw").alias("cw1"))
+    c2 = ucnt.select(F.col("w").alias("_w2"), F.col("cw").alias("cw2"))
+    return (
+        bcnt.join(F.broadcast(btot))
+        .join(F.broadcast(utot))
+        .join(F.broadcast(c1), F.col("w1") == F.col("_w1"))
+        .join(F.broadcast(c2), F.col("w2") == F.col("_w2"))
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            F.expr(
+                "((cast(pair_count AS DOUBLE) / nb) * (cast(nu AS DOUBLE) / cw1)) "
+                "* (cast(nu AS DOUBLE) / cw2)"
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "w1", "w2")
+        .limit(20)
+    )
+
+
+@register(
+    "embedding_gram_matrix",
+    oracle="""
+WITH vec AS (
+  SELECT embedding::DOUBLE[] AS v,
+    list_reduce(list_transform(embedding::DOUBLE[], x -> abs(x)),
+                (a, b) -> greatest(a, b)) AS maxabs
+  FROM embeddings
+),
+q AS (
+  SELECT list_transform(v, x -> CASE WHEN maxabs = 0.0 THEN 0
+    ELSE cast(floor(x * 127.0 / maxabs + 0.5) AS BIGINT) END) AS qv
+  FROM vec
+)
+SELECT i.i AS i, j.j AS j, sum(qv[i.i] * qv[j.j]) AS gram
+FROM q,
+  unnest(generate_series(1, 64)) AS i(i),
+  unnest(generate_series(1, 64)) AS j(j)
+WHERE j.j >= i.i
+GROUP BY 1, 2
+""",
+    doc="Gram matrix (X^T X) of the int8-quantized corpus — the one-pass "
+    "sufficient statistic for covariance/PCA/whitening over an embedding "
+    "column. Quantization (scale = maxabs/127, floor(x+0.5) rounding — "
+    "same arithmetic as embedding_quantization_audit) makes every product "
+    "an exact integer, so the cross-row sum is order-independent and the "
+    "DuckDB twin matches exactly with no float-fold tricks. Spark plan: "
+    "quantize JVM-side (transform/aggregate codegen), then mapInPandas "
+    "computes a PARTIAL 64x64 integer Gram per Arrow batch with one numpy "
+    "matmul (A^T @ A) and emits only the 2080 upper-triangle cells; the "
+    "groupBy(i, j) final merge shuffles 2080 rows per batch, never the "
+    "vectors. This is textbook map-side combine for matrix aggregation: "
+    "at 100 TB the shuffle stays KB-sized per partition regardless of "
+    "corpus size, and the same job computes exact covariance via "
+    "mean-subtraction from the emitted row sums.",
+)
+def q_embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    qv = (
+        emb.select(F.expr("transform(embedding, x -> cast(x AS DOUBLE))").alias("v"))
+        .withColumn(
+            "maxabs",
+            F.aggregate("v", F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))),
+        )
+        .select(
+            F.expr(
+                "transform(v, x -> CASE WHEN maxabs = 0.0D THEN 0L "
+                "ELSE cast(floor(x * 127.0D / maxabs + 0.5D) AS BIGINT) END)"
+            ).alias("q")
+        )
+    )
+
+    def gram_partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        iu = np.triu_indices(64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.array(pdf["q"].tolist(), dtype=np.int64)
+            g = a.T @ a
+            yield pd.DataFrame(
+                {"i": iu[0] + 1, "j": iu[1] + 1, "partial": g[iu]}
+            )
+
+    partials = qv.mapInPandas(gram_partials, schema="i int, j int, partial bigint")
+    return partials.groupBy("i", "j").agg(F.sum("partial").alias("gram"))

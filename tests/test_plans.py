@@ -390,3 +390,29 @@ def test_fk_audit_lineitem_single_scan(spark, sf_dir):
         "fk_integrity_audit scans lineitem more than once"
     )
     assert len(re.findall(r"BroadcastHashJoin", plan)) >= 4
+
+
+def test_nation_product_profit_broadcasts(spark, sf_dir):
+    # part/supplier/nation broadcast; lineitem<->orders is the one shuffled
+    # fact-fact join.
+    plan = _plan(spark, sf_dir, "nation_product_profit")
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 3
+    assert "BatchEvalPython" not in plan
+
+
+def test_collocation_pmi_two_corpus_scans(spark, sf_dir):
+    # Unigram + bigram passes scan documents; every OTHER consumer reads the
+    # persisted small count tables (nu/nb derive from them), so exactly two
+    # direct corpus scans appear outside InMemoryRelation build plans.
+    plan = _plan(spark, sf_dir, "collocation_pmi")
+    assert "InMemoryTableScan" in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_gram_matrix_partial_reduce(spark, sf_dir):
+    # Quantization stays JVM-side; the numpy partial Gram runs as
+    # MapInPandas; the only shuffle after it is the tiny (i, j) merge.
+    plan = _plan(spark, sf_dir, "embedding_gram_matrix")
+    assert "MapInPandas" in plan
+    assert plan.count("FileScan parquet") == 1
+    assert "BatchEvalPython" not in plan
