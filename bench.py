@@ -86,6 +86,24 @@ def main() -> None:
     )
 
     customer_view_from_events(warm_ev).write.format("noop").mode("overwrite").save()
+    # ... and the broadcast-join machinery (BroadcastExchange build +
+    # BroadcastHashJoin codegen) plus TakeOrderedAndProject and grouped
+    # decimal sums — the paths the TPC-H-shaped headline queries lean on.
+    # Synthetic spark.range frames only; no benchmarked table is touched.
+    dim = spark.range(100).selectExpr("id AS k", "cast(id AS string) AS name")
+    fact = spark.range(50000).selectExpr(
+        "id % 100 AS k", "cast(id % 997 AS decimal(12,2)) AS amt"
+    )
+    (
+        fact.join(F.broadcast(dim), "k")
+        .groupBy("name")
+        .agg(F.count_distinct("k"), F.sum("amt"))
+        .orderBy(F.desc("name"))
+        .limit(10)
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
     # ... and the Python worker pool (vectorized-UDF queries reuse it).
     from pyspark.sql.functions import pandas_udf
 
