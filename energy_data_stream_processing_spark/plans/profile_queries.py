@@ -332,3 +332,65 @@ def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(li_long)
         .unionByName(audit(customer, "c_nationkey", nation, "n_nationkey", "customer->nation"))
     )
+
+
+@register(
+    "robust_outliers_mad",
+    oracle="""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m ON e.event_type = m.event_type
+),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+  count(*) AS n,
+  max(d.med) AS median_value,
+  max(m.mad) AS mad,
+  count(CASE WHEN d.adev > (cast(3.0 AS DOUBLE) * cast(1.4826 AS DOUBLE)) * m.mad THEN 1 END) AS n_outliers,
+  cast(count(CASE WHEN d.adev > (cast(3.0 AS DOUBLE) * cast(1.4826 AS DOUBLE)) * m.mad THEN 1 END) AS DOUBLE)
+    / count(*) AS outlier_rate
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY d.event_type
+""",
+    doc="Robust outlier detection by median absolute deviation — the "
+    "quality-screen companion to hourly_anomaly_zscore: z-scores break "
+    "when the outliers themselves inflate the stddev; MAD (median of "
+    "|x - median|, scaled by the 1.4826 normal-consistency constant) "
+    "does not. Exact medians (Spark `percentile` == DuckDB "
+    "`quantile_cont` bit-exactly), deviations and thresholds are "
+    "identical double expressions. Spark plan: two grouped exact "
+    "percentiles over the fact (median, then MAD of deviations), each "
+    "result is |event_type| rows broadcast back — the fact shuffles on "
+    "event_type for the percentile sorts but never joins shuffled. "
+    "Scale: exact per-group percentiles sort within groups; at 100 TB "
+    "swap both calls to approx_percentile (t-digest) at the same call "
+    "sites and keep the broadcast-back shape.",
+)
+def q_robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    out = F.when(F.col("adev") > (F.lit(3.0) * F.lit(1.4826)) * F.col("mad"), 1)
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("med").alias("median_value"),
+            F.max("mad").alias("mad"),
+            F.count(out).alias("n_outliers"),
+            (F.count(out).cast("double") / F.count(F.lit(1))).alias("outlier_rate"),
+        )
+    )

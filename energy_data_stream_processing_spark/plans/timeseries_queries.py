@@ -375,3 +375,52 @@ def q_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("active_users_7d")
     )
     return counted.join(F.broadcast(spine), "d", "left_semi")
+
+
+@register(
+    "trailing_window_burst",
+    oracle="""
+WITH e AS (
+  SELECT user_id, cast(floor(epoch(cast(ts AS TIMESTAMP))) AS BIGINT) AS sec
+  FROM events
+),
+w AS (
+  SELECT user_id,
+    count(*) OVER (PARTITION BY user_id ORDER BY sec
+                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS trailing_1h
+  FROM e
+)
+SELECT user_id,
+  count(*) AS n_events,
+  max(trailing_1h) AS max_trailing_1h,
+  count(CASE WHEN trailing_1h >= 5 THEN 1 END) AS burst_events
+FROM w GROUP BY user_id
+""",
+    doc="Trailing-interval window burst detection: at EVERY event, the count "
+    "of that user's events in the preceding hour via a RANGE frame over "
+    "epoch seconds (the value-based frame family — ROWS frames elsewhere "
+    "in the catalog count physical rows; RANGE counts by time distance, "
+    "which is what rate limiting / bot detection actually asks). Rows in "
+    "the same second are frame peers, included together in both engines, "
+    "so ordering ties are semantics-free. Per-user rollup: peak trailing "
+    "rate and how many events sat inside a burst (>=5 in the hour). "
+    "Spark plan: ONE shuffle on user_id shared by the window sort and the "
+    "groupBy (same key chain as user_sessions). Scale: RANGE frames "
+    "stream per partition with a sliding pointer — no per-row rescan; "
+    "skewed hot users bound the partition, mitigate by splitting the "
+    "window per (user, day) when a single user exceeds a partition.",
+)
+def q_trailing_window_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("user_id", F.floor(F.unix_timestamp("ts")).cast("long").alias("sec"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    flagged = e.select("user_id", F.count(F.lit(1)).over(w).alias("trailing_1h"))
+    return flagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("trailing_1h").alias("max_trailing_1h"),
+        F.count(F.when(F.col("trailing_1h") >= 5, 1)).alias("burst_events"),
+    )

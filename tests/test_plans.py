@@ -416,3 +416,20 @@ def test_gram_matrix_partial_reduce(spark, sf_dir):
     assert "MapInPandas" in plan
     assert plan.count("FileScan parquet") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_trailing_burst_single_shuffle(spark, sf_dir):
+    # The RANGE window and the per-user rollup share the user_id hash chain.
+    plan = _plan(spark, sf_dir, "trailing_window_burst")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, (
+        "trailing_window_burst: user_id partitioning no longer reused"
+    )
+    assert "BatchEvalPython" not in plan
+
+
+def test_mad_broadcast_back(spark, sf_dir):
+    # Both percentile results broadcast back onto the fact; the fact joins
+    # are never shuffled joins.
+    plan = _plan(spark, sf_dir, "robust_outliers_mad")
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 2
+    assert "SortMergeJoin" not in plan
