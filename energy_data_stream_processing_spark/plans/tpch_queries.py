@@ -1191,3 +1191,142 @@ def q_nation_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@register(
+    "important_parts_value_share",
+    oracle="""
+WITH pv AS (
+  SELECT l_partkey,
+    sum(cast(l_extendedprice AS DECIMAL(18,2))
+        * (1 - cast(l_discount AS DECIMAL(18,2)))) AS val
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT sum(val) AS total, count(*) AS n_parts FROM pv)
+SELECT l_partkey AS partkey,
+  cast(val AS DOUBLE) AS part_value,
+  cast(val AS DOUBLE) / cast(total AS DOUBLE) AS value_share
+FROM pv, tot
+WHERE cast(val AS DOUBLE) * n_parts > cast(total AS DOUBLE) * cast(1.5 AS DOUBLE)
+""",
+    doc="TPC-H Q11-shaped important-stock report (partsupp-less adaptation: "
+    "per-part revenue standing in for stock value): grouped per-part "
+    "decimal-exact value, a GLOBAL scalar total, and a HAVING-style "
+    "filter keeping parts above a fraction of that total. The scalar "
+    "total is a 1-row frame cross-joined (broadcast) back onto the "
+    "grouped result — the same pattern as wealthy_inactive_customers' "
+    "global average, here gating on parts above 1.5x the average share "
+    "(a data-relative threshold, meaningful at every scale factor). Scale: one "
+    "shuffle on partkey for the grouped sum; the total re-aggregates "
+    "the partkey-sized frame, not the fact; the share filter runs "
+    "map-side after the broadcast.",
+)
+def q_important_parts_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    pv = li.groupBy("l_partkey").agg(F.sum(price * (F.lit(1) - disc)).alias("val"))
+    tot = pv.agg(F.sum("val").alias("total"), F.count(F.lit(1)).alias("n_parts"))
+    return (
+        pv.join(F.broadcast(tot))
+        .where(
+            F.col("val").cast("double") * F.col("n_parts")
+            > F.col("total").cast("double") * F.lit(1.5)
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("val").cast("double").alias("part_value"),
+            (F.col("val").cast("double") / F.col("total").cast("double")).alias(
+                "value_share"
+            ),
+        )
+    )
+
+
+@register(
+    "regional_cheapest_supplier",
+    oracle="""
+WITH unit AS (
+  SELECT l_partkey, l_suppkey,
+    cast(sum(cast(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      / cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS unit_price
+  FROM lineitem GROUP BY 1, 2
+),
+eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+),
+ranked AS (
+  SELECT u.l_partkey, u.unit_price, e.s_name, e.s_acctbal, e.n_name,
+    row_number() OVER (PARTITION BY u.l_partkey
+                       ORDER BY u.unit_price, u.l_suppkey) AS rk
+  FROM unit u JOIN eu e ON u.l_suppkey = e.s_suppkey
+)
+SELECT p.p_partkey AS partkey, p.p_type,
+  r.s_name AS supplier, r.n_name AS nation, r.unit_price, r.s_acctbal
+FROM ranked r JOIN part p ON r.l_partkey = p.p_partkey
+WHERE r.rk = 1 AND p.p_size <= 10
+ORDER BY r.s_acctbal DESC, partkey LIMIT 100
+""",
+    doc="TPC-H Q2-shaped cheapest-regional-supplier lookup (partsupp-less "
+    "adaptation: realized unit price sum(price)/sum(qty) from lineitem "
+    "stands in for ps_supplycost): per (part, supplier) unit price, "
+    "suppliers restricted to one region (supplier->nation->region dim "
+    "chain, all broadcast), then the per-part argmin via row_number "
+    "ordered by (unit_price, suppkey) — the deterministic rewrite of "
+    "Q2's correlated MIN subquery — and a top-100 by account balance. "
+    "Both engines divide identical decimal-exact sums, so unit_price "
+    "doubles and the argmin choice are bit-equal. Scale: one shuffle "
+    "on (partkey, suppkey) for the grouped price; the region filter "
+    "shrinks the supplier side before the broadcast; the final top-100 "
+    "is TakeOrderedAndProject, no global sort.",
+)
+def q_regional_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    unit = li.groupBy("l_partkey", "l_suppkey").agg(
+        (F.sum(price).cast("double") / F.sum(qty).cast("double")).alias("unit_price")
+    )
+    eu = (
+        supplier.join(
+            F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"]
+        )
+        .join(
+            F.broadcast(region.where(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("l_partkey").orderBy("unit_price", "l_suppkey")
+    )
+    ranked = unit.join(F.broadcast(eu), unit["l_suppkey"] == eu["s_suppkey"]).select(
+        "l_partkey", "l_suppkey", "unit_price", "s_name", "s_acctbal", "n_name", rk.alias("rk")
+    )
+    return (
+        ranked.where(F.col("rk") == 1)
+        .join(
+            F.broadcast(part.where(F.col("p_size") <= 10).select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            "p_type",
+            F.col("s_name").alias("supplier"),
+            F.col("n_name").alias("nation"),
+            "unit_price",
+            "s_acctbal",
+        )
+        .orderBy(F.desc("s_acctbal"), "partkey")
+        .limit(100)
+    )

@@ -433,3 +433,19 @@ def test_mad_broadcast_back(spark, sf_dir):
     plan = _plan(spark, sf_dir, "robust_outliers_mad")
     assert len(re.findall(r"BroadcastHashJoin", plan)) >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_value_share_scalar_broadcast(spark, sf_dir):
+    # The global total is a 1-row broadcast; the partkey-grouped frame is
+    # never re-shuffled for the share filter.
+    plan = _plan(spark, sf_dir, "important_parts_value_share")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cheapest_supplier_broadcasts(spark, sf_dir):
+    # Supplier/nation/region chain and the part filter all broadcast; the
+    # only shuffle is the (partkey, suppkey) grouped price.
+    plan = _plan(spark, sf_dir, "regional_cheapest_supplier")
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 4
+    assert "SortMergeJoin" not in plan
