@@ -1330,3 +1330,133 @@ def q_regional_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("s_acctbal"), "partkey")
         .limit(100)
     )
+
+
+@register(
+    "supplier_part_variety",
+    oracle="""
+WITH blacklist AS (
+  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+),
+rel AS (
+  SELECT DISTINCT p.p_brand, p.p_type, p.p_size, l.l_suppkey
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+    AND l.l_suppkey NOT IN (SELECT s_suppkey FROM blacklist)
+)
+SELECT p_brand, p_type, p_size, count(*) AS supplier_cnt
+FROM rel
+GROUP BY 1, 2, 3
+""",
+    doc="TPC-H Q16-shaped supplier-variety report (partsupp-less "
+    "adaptation: the realized lineitem part<->supplier relationship "
+    "stands in for partsupp, and a negative account balance stands in "
+    "for the complaints comment — this supplier table has no comment "
+    "column): distinct suppliers per (brand, type, size) over a size "
+    "IN-list, excluding a NOT IN supplier blacklist. The NOT IN plans "
+    "as a null-aware anti join (broadcast — the blacklist is tiny); "
+    "the DISTINCT collapses the many-lines-per-relationship fact "
+    "before the count. Scale: part broadcasts with the size filter "
+    "pushed to its scan; the distinct is the one fact shuffle, keyed "
+    "by the full (brand, type, size, suppkey) tuple; the final count "
+    "re-aggregates the distinct frame in place (no new shuffle needed "
+    "beyond the attrs key).",
+)
+def q_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    blacklist = supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    p = part.where(F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)).select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    rel = (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(blacklist),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+    )
+    return rel.groupBy("p_brand", "p_type", "p_size").agg(
+        F.count(F.lit(1)).alias("supplier_cnt")
+    )
+
+
+@register(
+    "dominant_part_suppliers",
+    oracle="""
+WITH red AS (
+  SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+),
+vol AS (
+  SELECT l.l_partkey, l.l_suppkey,
+    sum(cast(l.l_quantity AS DECIMAL(18,2))) AS sq
+  FROM lineitem l
+  JOIN red ON l.l_partkey = red.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT l_partkey, sum(sq) AS part_total FROM vol GROUP BY 1
+),
+dominant AS (
+  SELECT DISTINCT v.l_suppkey
+  FROM vol v JOIN tot t ON v.l_partkey = t.l_partkey
+  WHERE cast(v.sq AS DOUBLE) > cast(t.part_total AS DOUBLE) * cast(0.5 AS DOUBLE)
+)
+SELECT s.s_name, s.s_acctbal, n.n_name AS nation
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE s.s_suppkey IN (SELECT l_suppkey FROM dominant)
+""",
+    doc="TPC-H Q20-shaped dominant-supplier cohort (partsupp-less "
+    "adaptation: a supplier qualifies when it shipped MORE THAN HALF of "
+    "some red part's 1996 volume — availqty>0.5*sum(qty) recast on "
+    "realized volumes): per-(part, supplier) decimal quantity, per-part "
+    "totals re-aggregated from that frame (never a second fact scan), "
+    "the >50% share filter, then an IN semi-join into supplier->nation. "
+    "Scale: the red + shipdate filters prune the fact before its one "
+    "(partkey, suppkey) shuffle; the totals frame reuses the partkey "
+    "prefix of that partitioning; the dominant set is tiny -> broadcast "
+    "semi-join on the supplier dim.",
+)
+def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    red = part.where(F.col("p_name").like("red%")).select("p_partkey")
+    vol = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sq"))
+    )
+    tot = vol.groupBy("l_partkey").agg(F.sum("sq").alias("part_total"))
+    dominant = (
+        vol.join(tot, "l_partkey")
+        .where(
+            F.col("sq").cast("double")
+            > F.col("part_total").cast("double") * F.lit(0.5)
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(
+            F.broadcast(dominant),
+            supplier["s_suppkey"] == dominant["l_suppkey"],
+            "left_semi",
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "s_acctbal", F.col("n_name").alias("nation"))
+    )

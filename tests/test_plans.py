@@ -449,3 +449,16 @@ def test_cheapest_supplier_broadcasts(spark, sf_dir):
     plan = _plan(spark, sf_dir, "regional_cheapest_supplier")
     assert len(re.findall(r"BroadcastHashJoin", plan)) >= 4
     assert "SortMergeJoin" not in plan
+
+
+def test_variety_anti_join_broadcast(spark, sf_dir):
+    # The NOT IN blacklist anti-joins by broadcast; part broadcasts with its
+    # size IN-list pushed down.
+    plan = _plan(spark, sf_dir, "supplier_part_variety")
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan)
+    assert "SortMergeJoin" not in plan
+
+
+def test_dominant_suppliers_semi_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dominant_part_suppliers")
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", plan)
