@@ -213,3 +213,80 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("first_at"),
         )
     )
+
+
+@register(
+    "session_pattern_match",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR cast(floor(epoch(ts)) AS BIGINT) - cast(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+),
+seqs AS (
+  SELECT user_id, session_no,
+    array_to_string(list(event_type ORDER BY ts, event_id), '>') AS seq,
+    count(*) AS n_events
+  FROM numbered GROUP BY user_id, session_no
+)
+SELECT regexp_matches(seq, '(^|>)view>([a-z_]+>)*purchase(>|$)') AS matched,
+  count(*) AS n_sessions,
+  count(DISTINCT user_id) AS n_users,
+  sum(n_events) AS total_events,
+  cast(sum(n_events) AS DOUBLE) / count(*) AS avg_events
+FROM seqs GROUP BY 1
+""",
+    doc="Complex-event-processing pattern match (the MATCH_RECOGNIZE shape "
+    "Spark SQL lacks): sessionize (30 min gap), serialize each session's "
+    "event types in (ts, event_id) order into a '>'-joined sequence "
+    "string, then regex-match the behavioral pattern 'a view later "
+    "followed by a purchase within the session'. The deterministic "
+    "ordered serialization (sort_array over (ts, event_id, type) structs) "
+    "makes the regex a total function of the session — both engines "
+    "search the same string with the same pattern. Spark plan: the "
+    "session numbering window and the per-session collect share ONE "
+    "user_id shuffle (the user_sessions chain); the pattern filter and "
+    "rollup run on the sessions-sized frame. Scale: sequence strings are "
+    "bounded by session length (per-key, not corpus); pathological "
+    "never-idle keys need a session cap, same mitigation as "
+    "sessionization itself; the regex runs codegen-side, no UDF.",
+)
+def q_session_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.floor(F.unix_timestamp("ts")).cast("long")
+    prev_sec = F.lag(sec).over(w)
+    is_new = F.when(prev_sec.isNull() | ((sec - prev_sec) > 1800), 1).otherwise(0)
+    numbered = ev.withColumn(
+        "session_no", F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    seqs = numbered.groupBy("user_id", "session_no").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("seq"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    matched = F.col("seq").rlike("(^|>)view>([a-z_]+>)*purchase(>|$)")
+    return seqs.groupBy(matched.alias("matched")).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.sum("n_events").alias("total_events"),
+        (F.sum("n_events").cast("double") / F.count(F.lit(1))).alias("avg_events"),
+    )

@@ -462,3 +462,11 @@ def test_variety_anti_join_broadcast(spark, sf_dir):
 def test_dominant_suppliers_semi_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dominant_part_suppliers")
     assert re.search(r"BroadcastHashJoin .*LeftSemi", plan)
+
+
+def test_pattern_match_single_shuffle_no_udf(spark, sf_dir):
+    # Session numbering window + per-session collect share the user_id hash;
+    # the regex runs JVM-side.
+    plan = _plan(spark, sf_dir, "session_pattern_match")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
