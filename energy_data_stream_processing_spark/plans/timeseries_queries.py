@@ -424,3 +424,54 @@ def q_trailing_window_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("trailing_1h").alias("max_trailing_1h"),
         F.count(F.when(F.col("trailing_1h") >= 5, 1)).alias("burst_events"),
     )
+
+
+@register(
+    "changelog_compaction",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+kept AS (
+  SELECT user_id, ts, event_id, event_type
+  FROM ordered
+  WHERE prev_type IS NULL OR event_type <> prev_type
+)
+SELECT user_id,
+  count(*) AS n_kept,
+  (SELECT count(*) FROM events e WHERE e.user_id = kept.user_id) AS n_raw,
+  count(DISTINCT event_type) AS n_states
+FROM kept GROUP BY user_id
+""",
+    doc="Changelog compaction (CDC consecutive-dedup): per key, keep only "
+    "rows whose state CHANGED from the previous row in (ts, event_id) "
+    "order — the compaction every upsert/changelog consumer runs so "
+    "downstream state stores process transitions, not heartbeats. The "
+    "per-user audit reports kept vs raw row counts and distinct states. "
+    "Spark plan: one lag window and the rollup on the same user_id "
+    "shuffle; the correlated raw count in the oracle is a grouped count "
+    "joined back in Spark (same values, join-free correlation is a "
+    "DuckDB-side convenience). Scale: compaction is embarrassingly "
+    "parallel per key — window state is one row; output shrinks to the "
+    "transition count, which is what makes downstream MERGE traffic "
+    "tractable at 100 TB.",
+)
+def q_changelog_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    kept = ordered.where(
+        F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type"))
+    )
+    per_user = kept.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.count_distinct("event_type").alias("n_states"),
+    )
+    raw = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_raw"))
+    return per_user.join(raw, "user_id").select(
+        "user_id", "n_kept", "n_raw", "n_states"
+    )

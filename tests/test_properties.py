@@ -309,3 +309,47 @@ def test_activity_islands_match_independent_fold(spark, events):
         for r in activity_islands(_ts_df(spark, events)).collect()
     }
     assert got == _python_islands(events)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(event_st, min_size=2, max_size=80))
+def test_hourly_merge_law(spark, events):
+    """Partial/final aggregation merge law (SURVEY §2.3): splitting the
+    stream into two arbitrary batches and merging per-hour partials must
+    equal the full recompute — additively for counters/sums, GREATEST for
+    the peak (the reference's last-write-wins merge bug, fixed), and
+    SUBadditively for the distinct counts (the reference added them across
+    flushes, double-counting; the engine's full recompute is the correct
+    lower bound)."""
+    mid = len(events) // 2
+    halves = [events[:mid], events[mid:]]
+
+    def metrics(ev):
+        if not ev:
+            return {}
+        df = spark.createDataFrame(_rows(ev), EVENTS_SCHEMA)
+        return {r["hour"]: r.asDict() for r in hourly_business_metrics(df).collect()}
+
+    a, b, full = metrics(halves[0]), metrics(halves[1]), metrics(events)
+    assert set(full) == set(a) | set(b)
+    additive = [
+        "tariff_switches", "green_tariff_switches", "incentive_claims",
+        "total_logins", "payment_events", "total_switch_revenue",
+        "total_incentive_payouts", "total_energy_consumed", "total_payments",
+    ]
+    zero = {c: 0 for c in additive} | {
+        "peak_hour_usage": 0.0, "active_customers": 0, "new_sessions": 0,
+    }
+    for hour, f in full.items():
+        pa, pb = a.get(hour, zero), b.get(hour, zero)
+        for c in additive:
+            assert math.isclose(
+                float(f[c]), float(pa[c]) + float(pb[c]), rel_tol=0, abs_tol=1e-9
+            ), f"{hour} {c}: {f[c]} != {pa[c]} + {pb[c]}"
+        assert float(f["peak_hour_usage"]) == max(
+            float(pa["peak_hour_usage"]), float(pb["peak_hour_usage"])
+        )
+        for c in ("active_customers", "new_sessions"):
+            assert max(pa[c], pb[c]) <= f[c] <= pa[c] + pb[c], (
+                f"{hour} {c}: distinct merge bounds violated"
+            )
