@@ -1460,3 +1460,62 @@ def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_name", "s_acctbal", F.col("n_name").alias("nation"))
     )
+
+
+@register(
+    "nation_revenue_share",
+    oracle="""
+WITH nat AS (
+  SELECT c.c_nationkey, sum(cast(o.o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+)
+SELECT n.n_name AS nation, r.r_name AS region,
+  cast(rev AS DOUBLE) AS revenue,
+  cast(rev AS DOUBLE)
+    / cast(sum(rev) OVER (PARTITION BY r.r_regionkey) AS DOUBLE) AS region_share,
+  rank() OVER (PARTITION BY r.r_regionkey ORDER BY rev DESC, n.n_name) AS region_rank
+FROM nat
+JOIN nation n ON nat.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+""",
+    doc="Ratio-to-parent report: each nation's revenue as a share of its "
+    "REGION's total via an unordered whole-partition window (the "
+    "ratio_to_report shape — sum OVER (PARTITION BY region) with no "
+    "ORDER BY, a frame family the rolling/cumulative windows elsewhere "
+    "in the catalog don't exercise), plus an in-region rank. The share "
+    "divides decimal-exact sums cast to double, and the window input is "
+    "the nations-sized frame, never the fact. Scale: the fact aggregates "
+    "to |nations| rows on the one c_nationkey shuffle (customer "
+    "broadcasts into orders); windows over the 25-row frame are free at "
+    "any scale — the pattern is aggregate-first, window-the-rollup.",
+)
+def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    nat = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .groupBy("c_nationkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    joined = nat.join(
+        F.broadcast(nation), nat["c_nationkey"] == nation["n_nationkey"]
+    ).join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    wp = Window.partitionBy("r_regionkey")
+    rk = F.rank().over(wp.orderBy(F.desc("rev"), "n_name"))
+    return joined.select(
+        F.col("n_name").alias("nation"),
+        F.col("r_name").alias("region"),
+        F.col("rev").cast("double").alias("revenue"),
+        (F.col("rev").cast("double") / F.sum("rev").over(wp).cast("double")).alias(
+            "region_share"
+        ),
+        rk.alias("region_rank"),
+    )
