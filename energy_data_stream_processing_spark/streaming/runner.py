@@ -691,3 +691,160 @@ def q_streaming_sliding_event_rate(spark: SparkSession, sf_dir: str) -> DataFram
     raw = stream_raw_events(spark, sf_dir, source_dir=src, max_files_per_trigger=1)
     out = run_stream_to_table(spark, sliding_event_rate_stream(raw), mode="update")
     return out.groupBy(F.col("window_start")).agg(F.max("n").alias("n_events"))
+
+
+def sessionize_timeout_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap sessionization as a CUSTOM stateful operator with event-time
+    timeouts (applyInPandasWithState + GroupStateTimeout.EventTimeTimeout)
+    — the API family the native session_window variant hides: per-user
+    state holds the one OPEN session; in-batch gaps close sessions
+    immediately; the timeout (open-session end + gap) fires when the
+    GLOBAL watermark passes it and emits the final session per key.
+
+    Gap boundaries replicate the batch operator bit-for-bit: second-floored
+    epoch diffs strictly greater than gap close a session, and emitted
+    timestamps are the original microsecond event times, so the closed
+    sessions share the batch sessions oracle.
+
+    Scale: state is 3 longs per ACTIVE user (idle keys are evicted by their
+    own timeout — this is what bounds state under key churn, where the
+    batch window plan would re-sort everything); emission is append-mode
+    (sessions are final when emitted), so downstream sinks never see
+    retractions.
+    """
+    from pyspark.sql.types import LongType
+
+    gap_sec = gap_minutes * 60
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType(), True),
+            StructField("session_start", TimestampType(), True),
+            StructField("session_end", TimestampType(), True),
+            StructField("n_events", LongType(), True),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_us", LongType(), True),
+            StructField("end_us", LongType(), True),
+            StructField("n", LongType(), True),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        def row(start_us: int, end_us: int, n: int) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.to_datetime(start_us, unit="us")],
+                    "session_end": [pd.to_datetime(end_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+
+        if state.hasTimedOut:
+            start_us, end_us, n = state.get
+            state.remove()
+            yield row(start_us, end_us, n)
+            return
+
+        events_us: list[int] = []
+        for pdf in pdfs:
+            if len(pdf):
+                events_us.extend((pdf["ts"].astype("int64") // 1000).tolist())
+        events_us.sort()
+        if state.exists:
+            start_us, end_us, n = state.get
+        else:
+            start_us = end_us = -1
+            n = 0
+        for us in events_us:
+            if n == 0:
+                start_us, end_us, n = us, us, 1
+                continue
+            # batch parity: second-floored epoch gap strictly > gap_sec
+            if us // 1_000_000 - end_us // 1_000_000 > gap_sec:
+                yield row(start_us, end_us, n)
+                start_us, end_us, n = us, us, 1
+            else:
+                end_us = max(end_us, us)
+                n += 1
+        if n:
+            state.update((start_us, end_us, n))
+            state.setTimeoutTimestamp(end_us // 1000 + gap_sec * 1000)
+        elif state.exists:
+            state.update((start_us, end_us, n))
+
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+@register(
+    "streaming_timeout_sessions",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR cast(floor(epoch(ts)) AS BIGINT) - cast(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM numbered GROUP BY user_id, session_no
+""",
+    doc="Timeout-driven streaming sessionization (applyInPandasWithState + "
+    "EventTimeTimeout): three ascending time-chunk micro-batches keep "
+    "per-user OPEN sessions in typed state, close them on in-data gaps "
+    "immediately and on event-time timeouts as the watermark advances; a "
+    "far-future sentinel event (filtered from the result) pushes the final "
+    "watermark so every open session times out and emits — append-mode "
+    "final-only emission. Gated against the batch sessionization oracle: "
+    "the stream must reproduce every (start, end, count) exactly, "
+    "including sessions split across micro-batches. Scale: state is 3 "
+    "longs per active user and self-evicts by timeout; the native "
+    "session_window variant (streaming_user_sessions) is the "
+    "engine-managed twin — this is the API for session semantics the "
+    "built-in merge cannot express (per-key custom close rules).",
+)
+def q_streaming_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    src = ascending_time_chunks(spark, sf_dir, 3)
+    # Sentinel: one far-future event for a fake user advances the global
+    # watermark past every real session's timeout in a final micro-batch.
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    mx = raw.selectExpr("max(ts) AS m").collect()[0]["m"]
+    ten_years_ns = 10 * 365 * 24 * 3600 * 1_000_000_000
+    sdf = spark.createDataFrame(
+        [(-1, mx + ten_years_ns, -1, "sentinel", 0.0, "{}")],
+        schema=raw.schema,
+    )
+    stage = tempfile.mkdtemp(prefix="sentinel-stage-")
+    sdf.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    os.rename(f"{stage}/{part}", f"{src}/chunk_z_sentinel.parquet")
+    shutil.rmtree(stage, ignore_errors=True)
+
+    stream = stream_raw_events(spark, sf_dir, source_dir=src, max_files_per_trigger=1)
+    out = run_stream_to_table(
+        spark, sessionize_timeout_stream(stream, gap_minutes=30), mode="append"
+    )
+    return out.where(F.col("user_id") >= 0)
