@@ -184,3 +184,75 @@ def test_transform_with_state_running_totals(spark, sf_dir):
         )
     )
     assert sorted(map(tuple, final.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_checkpoint_restart_resumes_without_loss_or_duplication(spark, sf_dir, tmp_path):
+    """Crash-recovery exactly-once: run a checkpointed streaming aggregation
+    over the first half of the data, stop, add the second half, RESTART from
+    the same checkpoint — the resumed query must process ONLY the new file
+    (offsets recovered, no reprocessing) and its complete-mode state must
+    equal the one-pass batch aggregation over everything (state recovered,
+    no loss)."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    mid = raw.approxQuantile("ts", [0.5], 0.0)[0]
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def add_chunk(df, name):
+        stage = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        os.rename(f"{stage}/{part}", str(src / f"{name}.parquet"))
+
+    add_chunk(raw.where(F.col("ts") < mid), "chunk_a")
+    n_b = raw.where(F.col("ts") >= mid).count()
+
+    def start(name):
+        stream = (
+            spark.readStream.schema(raw.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        counts = stream.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("v"),
+        )
+        return (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q1 = start("ckpt_run1")
+    q1.awaitTermination()
+    add_chunk(raw.where(F.col("ts") >= mid), "chunk_b")
+    q2 = start("ckpt_run2")
+    q2.awaitTermination()
+
+    # resumed run read ONLY the new chunk
+    resumed_rows = sum(p["numInputRows"] for p in q2.recentProgress)
+    assert resumed_rows == n_b, (
+        f"restart reprocessed data: read {resumed_rows}, expected {n_b}"
+    )
+    # recovered state + new data == one-pass batch
+    got = {
+        r["event_type"]: (r["n"], r["v"])
+        for r in spark.table("ckpt_run2").collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], r["v"])
+        for r in raw.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("v"),
+        )
+        .collect()
+    }
+    assert got == want
