@@ -364,3 +364,55 @@ def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
         F.count_distinct(F.col("source")).alias("n_sources"),
     )
+
+
+@register(
+    "heavy_hitters_tokens",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split(lower(trim(text)), ' ')) AS token FROM documents
+), t AS (SELECT token FROM toks WHERE token <> ''),
+tot AS (SELECT count(*) AS n FROM t),
+cnt AS (SELECT token, count(*) AS occurrences FROM t GROUP BY token)
+SELECT token, occurrences,
+  cast(occurrences AS DOUBLE) / n AS corpus_share
+FROM cnt, tot
+WHERE occurrences > cast(0.01 AS DOUBLE) * n
+""",
+    doc="Heavy hitters (frequent items) over the token stream via the "
+    "sketch-prune + exact-verify pattern: DataFrame.freqItems (the "
+    "Karp/Misra-Gries one-pass counter sketch, merged map-side) returns a "
+    "guaranteed SUPERSET of every token above the support threshold; "
+    "exact counting then runs ONLY over that bounded candidate set "
+    "(|candidates| <= 1/support) and the strict threshold filter makes "
+    "the final answer exactly the true heavy-hitter set — sketch "
+    "approximation gone from the result, full-vocabulary aggregation "
+    "gone from the plan. Same candidates->verify shape as MinHash-LSH "
+    "and IVF. Scale: the sketch pass is one narrow scan with tiny "
+    "per-partition state; the verify groupBy touches only rows matching "
+    "<=100 candidate tokens (isin pushes into the scan stage); the "
+    "full groupBy the oracle runs is exactly what this plan avoids at "
+    "100 TB.",
+)
+def q_heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("token")
+    ).where(F.col("token") != "")
+    # Karp sketch: superset of all tokens with frequency > 0.01
+    cands = toks.freqItems(["token"], support=0.01).collect()[0][0]
+    tot = toks.agg(F.count(F.lit(1)).alias("n"))
+    exact = (
+        toks.where(F.col("token").isin(list(cands)))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+    )
+    return (
+        exact.join(F.broadcast(tot))
+        .where(F.col("occurrences") > F.lit(0.01) * F.col("n"))
+        .select(
+            "token",
+            "occurrences",
+            (F.col("occurrences").cast("double") / F.col("n")).alias("corpus_share"),
+        )
+    )
