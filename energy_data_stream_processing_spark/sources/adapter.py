@@ -67,19 +67,29 @@ FROM events
 """.strip()
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver parquet table and register it as a temp view.
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to session-zone TIMESTAMP across testdata vintages.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    rejects; read it as nanos-since-epoch long and truncate to micros with
-    integer division (``div`` — double division would lose precision at
-    ~1.7e18), matching DuckDB's nanos->micros truncation.
+    The driver has shipped ``ts`` as parquet TIMESTAMP(NANOS) (read as
+    nanos-since-epoch long under ``nanosAsLong`` — truncate to micros with
+    integer ``div``; double division would lose precision at ~1.7e18) and as
+    TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ — cast, identity under the UTC
+    session zone). Both land on the same micros-precision timestamp DuckDB
+    sees, so oracle comparisons are vintage-independent.
     """
+    ts_type = df.schema["ts"].dataType.simpleString()
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_type != "timestamp":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver parquet table and register it as a temp view."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet").withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)")
-        )
+        df = normalize_event_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     df.createOrReplaceTempView(name)

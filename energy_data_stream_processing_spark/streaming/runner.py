@@ -41,6 +41,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from energy_data_stream_processing_spark.sources.adapter import normalize_event_ts
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
@@ -110,7 +112,7 @@ def stream_raw_events(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.parquet(source_dir)
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_event_ts(raw)
 
 
 def energy_events_stream(
