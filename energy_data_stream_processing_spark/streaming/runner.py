@@ -42,7 +42,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from energy_data_stream_processing_spark.sources.adapter import normalize_event_ts
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
@@ -56,7 +55,7 @@ from pyspark.sql.types import (
 )
 
 from ..operators.hourly import METRIC_COLUMNS
-from ..sources.adapter import ENERGY_EVENTS_SQL, load_table
+from ..sources.adapter import ENERGY_EVENTS_SQL, load_table, normalize_event_ts
 from ..plans.catalog import register
 
 OUTPUT_SCHEMA = StructType(
@@ -407,30 +406,9 @@ QUALIFY rk <= 3
     "at read time. Fourth batch==streaming differential gate.",
 )
 def q_streaming_hourly_type_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-
     from pyspark.sql.window import Window
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    q = raw.approxQuantile("ts", [0.25, 0.5, 0.75], 0.0)
-    src = tempfile.mkdtemp(prefix="stream-topk-")
-    stage = tempfile.mkdtemp(prefix="stream-topk-stage-")
-    bounds = [None, *q, None]
-    for i in range(4):
-        chunk = raw
-        if bounds[i] is not None:
-            chunk = chunk.where(F.col("ts") >= bounds[i])
-        if bounds[i + 1] is not None:
-            chunk = chunk.where(F.col("ts") < bounds[i + 1])
-        d = f"{stage}/c{i}"
-        chunk.coalesce(1).write.mode("overwrite").parquet(d)
-        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
-        # sequential writes => ascending mtimes => the file source replays
-        # chunks oldest-first, so later batches only append newer windows
-        os.rename(f"{d}/{part}", f"{src}/chunk_{i}.parquet")
-    shutil.rmtree(stage, ignore_errors=True)
-
+    src = ascending_time_chunks(spark, sf_dir, 4)
     raw_stream = stream_raw_events(spark, sf_dir, source_dir=src, max_files_per_trigger=1)
     out = run_stream_to_table(spark, hourly_type_counts_stream(raw_stream), mode="update")
     final = out.groupBy("hour", "event_type").agg(F.max("n").alias("n"))
@@ -556,22 +534,30 @@ def ascending_time_chunks(spark: SparkSession, sf_dir: str, n_chunks: int) -> st
     """Split the events parquet into ``n_chunks`` event-time-ascending files
     in a fresh source dir, so a maxFilesPerTrigger=1 file stream replays them
     as ordered micro-batches (the file source lists oldest-mtime-first and
-    the chunks are written sequentially)."""
+    the chunks are written sequentially).
+
+    ``ts`` is vintage-normalized to timestamp first (nanos-long and
+    timestamp_ntz parquet both land on micros), then split points are
+    approxQuantile'd over a ``unix_micros(ts)`` projection — quantiles only
+    support numeric columns — and the range predicates compare in micros.
+    """
     import shutil
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    micros = raw.withColumn("_ts_us", F.unix_micros(F.col("ts")))
     probs = [i / n_chunks for i in range(1, n_chunks)]
-    q = raw.approxQuantile("ts", probs, 0.0)
+    q = micros.approxQuantile("_ts_us", probs, 0.0)
     src = tempfile.mkdtemp(prefix="stream-chunks-")
     stage = tempfile.mkdtemp(prefix="stream-chunks-stage-")
     bounds = [None, *q, None]
     for i in range(n_chunks):
-        chunk = raw
+        chunk = micros
         if bounds[i] is not None:
-            chunk = chunk.where(F.col("ts") >= bounds[i])
+            chunk = chunk.where(F.col("_ts_us") >= bounds[i])
         if bounds[i + 1] is not None:
-            chunk = chunk.where(F.col("ts") < bounds[i + 1])
+            chunk = chunk.where(F.col("_ts_us") < bounds[i + 1])
+        chunk = chunk.drop("_ts_us")
         d = f"{stage}/c{i}"
         chunk.coalesce(1).write.mode("overwrite").parquet(d)
         part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
