@@ -140,10 +140,10 @@ def q_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_oracle_hm(
         f"""
 SELECT cast(hour AS DATE) AS date,
-  sum(tariff_switches) AS daily_switches,
+  cast(sum(tariff_switches) AS BIGINT) AS daily_switches,
   {_davg_sql("total_energy_consumed")} AS avg_consumption,
   {_davg_sql("active_customers", 0)} AS avg_customers,
-  sum(incentive_claims) AS daily_incentive_claims,
+  cast(sum(incentive_claims) AS BIGINT) AS daily_incentive_claims,
   {_davg_sql("green_tariff_switches", 0)} AS avg_green_adoptions,
   count(*) AS sample_size
 FROM hourly_business_metrics
@@ -312,11 +312,11 @@ def q_revenue_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""
 , bounds AS (SELECT max(hour) AS tmax FROM hourly_business_metrics),
 current_metrics AS (
-  SELECT sum(tariff_switches) AS total_switches,
+  SELECT cast(sum(tariff_switches) AS BIGINT) AS total_switches,
          {_dsum_sql("total_energy_consumed")} AS total_consumption,
          {_davg_sql("active_customers", 0)} AS avg_customers,
          {_dsum_sql("total_payments", 2)} AS total_revenue,
-         sum(incentive_claims) AS total_incentives,
+         cast(sum(incentive_claims) AS BIGINT) AS total_incentives,
          {_davg_sql("avg_payment_amount", 2)} AS avg_payment
   FROM hourly_business_metrics, bounds
   WHERE hour > tmax - INTERVAL 7 DAY
@@ -548,8 +548,8 @@ def q_customer_activity_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_oracle_hm(
         """
 SELECT hour,
-  sum(incentive_claims) OVER (ORDER BY hour) AS cumulative_claims,
-  sum(green_tariff_switches) OVER (ORDER BY hour) AS cumulative_green_switches
+  cast(sum(incentive_claims) OVER (ORDER BY hour) AS BIGINT) AS cumulative_claims,
+  cast(sum(green_tariff_switches) OVER (ORDER BY hour) AS BIGINT) AS cumulative_green_switches
 FROM hourly_business_metrics
 """
     ),
@@ -948,6 +948,7 @@ switches AS (
 SELECT r.event_id, r.customer_id, r.event_time, r.energy_consumed, s.active_tariff
 FROM readings r ASOF LEFT JOIN switches s
   ON r.customer_id = s.customer_id AND r.event_time >= s.event_time
+ORDER BY r.event_id
 """
     ),
     doc="As-of join (operators/asof.py): each consumption reading gets the "
@@ -967,9 +968,12 @@ def q_asof_active_tariff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("customer_id", "event_time")
         .agg(F.max_by("tariff_type", "event_id").alias("active_tariff"))
     )
+    # Total order on the unique reading id: the as-of output has no inherent
+    # order and NULL active_tariff rows otherwise sort engine-dependently in
+    # the driver's hash compare.
     return asof_join(
         readings, switches, key="customer_id", ts="event_time", value_cols=["active_tariff"]
-    )
+    ).orderBy("event_id")
 
 
 @register(
@@ -998,6 +1002,7 @@ SELECT r.event_id, r.customer_id, r.event_time, r.energy_consumed,
 FROM readings r JOIN periods p
   ON r.customer_id = p.customer_id
  AND r.event_time >= p.period_start AND r.event_time <= p.period_end
+ORDER BY r.event_id
 """
     ),
     doc="Banded range join (operators/rangejoin.py): tariff validity "
@@ -1039,10 +1044,12 @@ def q_range_join_tariff_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
         end="period_end",
         band_seconds=7 * 86400,
     )
+    # event_id is unique in the output (periods are disjoint per customer),
+    # so this is a deterministic total order for the driver's hash compare.
     return joined.select(
         "event_id", "customer_id", "event_time", "energy_consumed",
         "active_tariff", "period_start",
-    )
+    ).orderBy("event_id")
 
 
 @register(

@@ -46,7 +46,7 @@ WITH sampled AS (
 SELECT source,
   count(*) AS n_total,
   count(CASE WHEN in_sample THEN 1 END) AS n_sampled,
-  coalesce(sum(CASE WHEN in_sample THEN n_chars END), 0) AS sampled_chars,
+  cast(coalesce(sum(CASE WHEN in_sample THEN n_chars END), 0) AS BIGINT) AS sampled_chars,
   cast(count(CASE WHEN in_sample THEN 1 END) AS DOUBLE) / count(*) AS achieved_rate
 FROM sampled GROUP BY source
 """,
@@ -86,7 +86,7 @@ SELECT
        ELSE 'test' END AS split,
   lang,
   count(*) AS n_docs,
-  sum(n_chars) AS total_chars
+  cast(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY 1, 2
 """,
@@ -121,7 +121,7 @@ WITH ranked AS (
 SELECT label,
   count(*) AS n_total,
   count(CASE WHEN rk <= 40 THEN 1 END) AS n_kept,
-  sum(CASE WHEN rk <= 40 THEN vec_id END) AS kept_checksum
+  cast(sum(CASE WHEN rk <= 40 THEN vec_id END) AS BIGINT) AS kept_checksum
 FROM ranked GROUP BY label
 """,
     doc="Per-label cap rebalancing (the class-balance step before "
@@ -215,7 +215,7 @@ SELECT d.lang,
   count(CASE WHEN d.n_chars < b.p5 THEN 1 END) AS dropped_short,
   count(CASE WHEN d.n_chars > b.p95 THEN 1 END) AS dropped_long,
   count(CASE WHEN d.n_chars BETWEEN b.p5 AND b.p95 THEN 1 END) AS n_kept,
-  sum(CASE WHEN d.n_chars BETWEEN b.p5 AND b.p95 THEN d.n_chars END) AS kept_chars
+  cast(sum(CASE WHEN d.n_chars BETWEEN b.p5 AND b.p95 THEN d.n_chars END) AS BIGINT) AS kept_chars
 FROM documents d JOIN bands b ON d.lang = b.lang
 GROUP BY d.lang
 """,
@@ -262,8 +262,8 @@ WITH toks AS (
 )
 SELECT bin_len,
   count(*) AS n_docs,
-  sum(n_tokens) AS total_tokens,
-  sum(bin_len - n_tokens) AS padding_tokens,
+  cast(sum(n_tokens) AS BIGINT) AS total_tokens,
+  cast(sum(bin_len - n_tokens) AS BIGINT) AS padding_tokens,
   cast(sum(bin_len - n_tokens) AS DOUBLE) / cast(sum(bin_len) AS DOUBLE) AS padding_waste
 FROM binned GROUP BY bin_len
 """,

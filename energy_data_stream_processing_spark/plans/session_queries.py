@@ -24,8 +24,8 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 numbered AS (
-  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING) AS session_no
+  SELECT *, cast(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
   FROM flagged
 ),
 sessions AS (
@@ -177,7 +177,7 @@ swept AS (
     sum(delta) OVER (ORDER BY ts, delta DESC ROWS UNBOUNDED PRECEDING) AS concurrent
   FROM marks
 )
-SELECT concurrent AS max_concurrent_sessions, ts AS first_at
+SELECT cast(concurrent AS BIGINT) AS max_concurrent_sessions, ts AS first_at
 FROM swept ORDER BY concurrent DESC, ts LIMIT 1
 """,
     doc="Peak concurrency via sweep line: sessionize (gap 30 min), emit "
@@ -227,8 +227,8 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 numbered AS (
-  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING) AS session_no
+  SELECT *, cast(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
   FROM flagged
 ),
 seqs AS (
@@ -240,7 +240,7 @@ seqs AS (
 SELECT regexp_matches(seq, '(^|>)view>([a-z_]+>)*purchase(>|$)') AS matched,
   count(*) AS n_sessions,
   count(DISTINCT user_id) AS n_users,
-  sum(n_events) AS total_events,
+  cast(sum(n_events) AS BIGINT) AS total_events,
   cast(sum(n_events) AS DOUBLE) / count(*) AS avg_events
 FROM seqs GROUP BY 1
 """,

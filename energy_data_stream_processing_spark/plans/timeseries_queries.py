@@ -21,7 +21,7 @@ from .catalog import register
 SELECT event_type,
   count(*) AS n,
   count(cast(props->>'$.k' AS BIGINT)) AS n_with_k,
-  sum(cast(props->>'$.k' AS BIGINT)) AS sum_k,
+  cast(sum(cast(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
   max(cast(props->>'$.k' AS BIGINT)) AS max_k,
   cast(sum(cast(props->>'$.k' AS BIGINT)) AS DOUBLE) / count(cast(props->>'$.k' AS BIGINT)) AS avg_k
 FROM events
@@ -186,7 +186,7 @@ WITH days AS (
 SELECT user_id,
   count(*) AS n_streaks,
   max(streak_days) AS longest_streak,
-  sum(streak_days) AS active_days
+  cast(sum(streak_days) AS BIGINT) AS active_days
 FROM streaks GROUP BY user_id
 """,
     doc="Gaps-and-islands: per-user streaks of consecutive active calendar "
@@ -214,7 +214,7 @@ WITH deltas AS (
 SELECT user_id,
   cast(sum(cast(value AS DECIMAL(18,2)) * cast(dt_s AS DECIMAL(18,0))) AS DOUBLE)
     / cast(nullif(sum(dt_s), 0) AS DOUBLE) AS twa_value,
-  sum(dt_s) AS span_s,
+  cast(sum(dt_s) AS BIGINT) AS span_s,
   count(*) AS n_intervals
 FROM deltas WHERE dt_s IS NOT NULL
 GROUP BY user_id

@@ -133,8 +133,8 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_stats_by_lang",
     oracle=f"""
 SELECT lang, count(*) AS docs,
-  sum(cast(len(regexp_extract_all(lower(trim(text)), '{BPE_TOKEN_RE}')) AS BIGINT)) AS total_tokens,
-  sum(cast(len(string_split(lower(trim(text)), ' ')) AS BIGINT)) AS total_words,
+  cast(sum(cast(len(regexp_extract_all(lower(trim(text)), '{BPE_TOKEN_RE}')) AS BIGINT)) AS BIGINT) AS total_tokens,
+  cast(sum(cast(len(string_split(lower(trim(text)), ' ')) AS BIGINT)) AS BIGINT) AS total_words,
   cast(sum(cast(len(regexp_extract_all(lower(trim(text)), '{BPE_TOKEN_RE}')) AS BIGINT)) AS DOUBLE) / cast(count(*) AS DOUBLE) AS avg_tokens_per_doc
 FROM documents GROUP BY lang
 """,
@@ -442,7 +442,7 @@ per_shingle AS (
   SELECT doc_id, shingle, count(*) AS cnt FROM sh_all GROUP BY 1, 2
 )
 SELECT doc_id,
-  sum(cnt) AS total_shingles,
+  cast(sum(cnt) AS BIGINT) AS total_shingles,
   count(*) AS distinct_shingles,
   max(cnt) AS top_shingle_count,
   1.0 - cast(count(*) AS DOUBLE) / cast(sum(cnt) AS DOUBLE) AS repetition_ratio,
@@ -944,7 +944,7 @@ q AS (
     ELSE cast(floor(x * 127.0 / maxabs + 0.5) AS BIGINT) END) AS qv
   FROM vec
 )
-SELECT i.i AS i, j.j AS j, sum(qv[i.i] * qv[j.j]) AS gram
+SELECT i.i AS i, j.j AS j, cast(sum(qv[i.i] * qv[j.j]) AS BIGINT) AS gram
 FROM q,
   unnest(generate_series(1, 64)) AS i(i),
   unnest(generate_series(1, 64)) AS j(j)

@@ -106,7 +106,13 @@ def stream_raw_events(
     if source_dir is None:
         source_dir = tempfile.mkdtemp(prefix="stream-events-")
         os.symlink(f"{sf_dir}/events.parquet", f"{source_dir}/events.parquet")
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        schema_src = f"{sf_dir}/events.parquet"
+    else:
+        # Pre-split chunk dirs (ascending_time_chunks) hold vintage-NORMALIZED
+        # ts; inferring from the raw events.parquet would mismatch under the
+        # nanos-long vintage (ts:bigint vs chunk INT96/micros timestamps).
+        schema_src = source_dir
+    batch_schema = spark.read.parquet(schema_src).schema
     reader = spark.readStream.schema(batch_schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -818,12 +824,15 @@ def q_streaming_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = ascending_time_chunks(spark, sf_dir, 3)
     # Sentinel: one far-future event for a fake user advances the global
     # watermark past every real session's timeout in a final micro-batch.
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    mx = raw.selectExpr("max(ts) AS m").collect()[0]["m"]
-    ten_years_ns = 10 * 365 * 24 * 3600 * 1_000_000_000
+    # Built on the NORMALIZED frame so its schema matches the chunk files
+    # (ts is timestamp there regardless of the source parquet vintage).
+    from datetime import timedelta
+
+    norm = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    mx = norm.selectExpr("max(ts) AS m").collect()[0]["m"]
     sdf = spark.createDataFrame(
-        [(-1, mx + ten_years_ns, -1, "sentinel", 0.0, "{}")],
-        schema=raw.schema,
+        [(-1, mx + timedelta(days=3650), -1, "sentinel", 0.0, "{}")],
+        schema=norm.schema,
     )
     stage = tempfile.mkdtemp(prefix="sentinel-stage-")
     sdf.coalesce(1).write.mode("overwrite").parquet(stage)

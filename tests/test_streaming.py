@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from energy_data_stream_processing_spark.operators.hourly import hourly_business_metrics
-from energy_data_stream_processing_spark.sources.adapter import energy_events
+from energy_data_stream_processing_spark.sources.adapter import energy_events, normalize_event_ts
 from energy_data_stream_processing_spark.streaming.runner import (
     energy_events_stream,
     hourly_metrics_native_stream,
@@ -80,15 +80,18 @@ def test_stateful_streaming_late_arrivals_equal_batch(spark, sf_dir, tmp_path):
     double-count (consumer.py:341-342): final state must equal the one-pass
     batch aggregation exactly."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
     src = str(tmp_path / "late_chunks")
     # bucket by DESCENDING timestamp quartile: batch 0 = newest events,
-    # later batches progressively older -> always late.
-    q = raw.approxQuantile("ts", [0.25, 0.5, 0.75], 0.0)
+    # later batches progressively older -> always late. Quantiles only
+    # support numeric columns, so split on a unix_micros projection
+    # (same recipe as runner.ascending_time_chunks).
+    ts_us = F.unix_micros(F.col("ts"))
+    q = raw.withColumn("_ts_us", ts_us).approxQuantile("_ts_us", [0.25, 0.5, 0.75], 0.0)
     bucket = (
-        F.when(F.col("ts") >= q[2], 0)
-        .when(F.col("ts") >= q[1], 1)
-        .when(F.col("ts") >= q[0], 2)
+        F.when(ts_us >= q[2], 0)
+        .when(ts_us >= q[1], 1)
+        .when(ts_us >= q[0], 2)
         .otherwise(3)
     )
     raw.withColumn("_b", bucket).repartition(4, "_b").drop("_b").write.mode(
@@ -117,17 +120,18 @@ def test_streaming_topk_replay_spans_batches(spark, sf_dir, tmp_path):
     )
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    q = raw.approxQuantile("ts", [0.25, 0.5, 0.75], 0.0)
+    raw = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    ts_us = F.unix_micros(F.col("ts"))
+    q = raw.withColumn("_ts_us", ts_us).approxQuantile("_ts_us", [0.25, 0.5, 0.75], 0.0)
     src = str(tmp_path / "chunks")
     os.makedirs(src)
     bounds = [None, *q, None]
     for i in range(4):
         chunk = raw
         if bounds[i] is not None:
-            chunk = chunk.where(F.col("ts") >= bounds[i])
+            chunk = chunk.where(ts_us >= bounds[i])
         if bounds[i + 1] is not None:
-            chunk = chunk.where(F.col("ts") < bounds[i + 1])
+            chunk = chunk.where(ts_us < bounds[i + 1])
         d = str(tmp_path / f"stage{i}")
         chunk.coalesce(1).write.mode("overwrite").parquet(d)
         part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
@@ -138,13 +142,11 @@ def test_streaming_topk_replay_spans_batches(spark, sf_dir, tmp_path):
     sink_rows = out.count()
     final_keys = out.select("hour", "event_type").distinct().count()
     assert sink_rows > final_keys, "replay collapsed to a single micro-batch"
-    # and the converged counts equal the batch aggregation (raw ts is
-    # nanos-as-long here; the stream source converts, so convert to match)
+    # and the converged counts equal the batch aggregation (raw is already
+    # vintage-normalized to timestamp, matching the stream source)
     final = out.groupBy("hour", "event_type").agg(F.max("n").alias("n"))
-    batch = (
-        raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
+    batch = raw.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
     )
     assert sorted(map(tuple, final.collect())) == sorted(map(tuple, batch.collect()))
 
@@ -196,8 +198,9 @@ def test_checkpoint_restart_resumes_without_loss_or_duplication(spark, sf_dir, t
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    mid = raw.approxQuantile("ts", [0.5], 0.0)[0]
+    raw = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    ts_us = F.unix_micros(F.col("ts"))
+    mid = raw.withColumn("_ts_us", ts_us).approxQuantile("_ts_us", [0.5], 0.0)[0]
     src = tmp_path / "src"
     src.mkdir()
     ckpt = str(tmp_path / "ckpt")
@@ -208,8 +211,8 @@ def test_checkpoint_restart_resumes_without_loss_or_duplication(spark, sf_dir, t
         part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
         os.rename(f"{stage}/{part}", str(src / f"{name}.parquet"))
 
-    add_chunk(raw.where(F.col("ts") < mid), "chunk_a")
-    n_b = raw.where(F.col("ts") >= mid).count()
+    add_chunk(raw.where(ts_us < mid), "chunk_a")
+    n_b = raw.where(ts_us >= mid).count()
 
     def start(name):
         stream = (
@@ -232,7 +235,7 @@ def test_checkpoint_restart_resumes_without_loss_or_duplication(spark, sf_dir, t
 
     q1 = start("ckpt_run1")
     q1.awaitTermination()
-    add_chunk(raw.where(F.col("ts") >= mid), "chunk_b")
+    add_chunk(raw.where(ts_us >= mid), "chunk_b")
     q2 = start("ckpt_run2")
     q2.awaitTermination()
 
