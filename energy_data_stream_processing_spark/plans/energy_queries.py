@@ -70,6 +70,23 @@ def _davg(c: F.Column, scale: int = 3) -> F.Column:
     return F.sum(c.cast(f"decimal(28,{scale})")).cast("double") / F.count(c).cast("double")
 
 
+def _grafana_window(df: DataFrame, time_col: str, t_lo, t_hi) -> DataFrame:
+    """``$__timeFilter`` equivalent (business-metrics.json:140,253).
+
+    Grafana injects ``time BETWEEN lo AND hi`` into the panel query's WHERE —
+    a predicate on the VIEW'S OUTPUT rows. Applied post-build so window-based
+    panels (cumulative sums, LAG, percent_rank) keep their full-history
+    semantics exactly as Postgres would; for plain group-by panels Catalyst
+    pushes the predicate below the aggregation to the scan anyway. ``None``
+    bounds keep the deterministic full-range output the oracles pin.
+    """
+    if t_lo is not None:
+        df = df.where(F.col(time_col) >= F.lit(t_lo))
+    if t_hi is not None:
+        df = df.where(F.col(time_col) <= F.lit(t_hi))
+    return df
+
+
 # --------------------------------------------------------------------------
 # Flagship: the hourly business-metrics table itself (SURVEY §2.3).
 # --------------------------------------------------------------------------
@@ -112,14 +129,14 @@ WINDOW w AS (ORDER BY hour ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
     headline=True,
     doc="Rolling 24h trailing averages (database/schema.sql:64-78, Q12).",
 )
-def q_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_rolling_24h(spark: SparkSession, sf_dir: str, t_lo=None, t_hi=None) -> DataFrame:
     hm = _hourly(spark, sf_dir)
     # Scale note: a global ORDER BY hour window is single-partition; at 100 TB
     # the hourly table is still only ~8.8k rows/year post-aggregation, so this
     # is fine — the heavy lifting happened in the partial agg upstream.
     w = Window.orderBy("hour").rowsBetween(-23, 0)
     cnt = F.count(F.lit(1)).over(w).cast("double")
-    return hm.select(
+    out = hm.select(
         "hour",
         "tariff_switches",
         "total_energy_consumed",
@@ -133,6 +150,8 @@ def q_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("total_energy_consumed").cast("decimal(28,3)")).over(w).cast("double") / cnt
         ).alias("avg_24h_consumption"),
     )
+    # post-window: trailing averages look back across the range boundary.
+    return _grafana_window(out, "hour", t_lo, t_hi)
 
 
 @register(
@@ -299,11 +318,12 @@ FROM hourly_business_metrics GROUP BY date_trunc('day', hour)
     ),
     doc="Daily revenue panel (Q3/Q4).",
 )
-def q_revenue_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_revenue_overview(spark: SparkSession, sf_dir: str, t_lo=None, t_hi=None) -> DataFrame:
     hm = _hourly(spark, sf_dir)
-    return hm.groupBy(F.date_trunc("day", F.col("hour")).alias("time")).agg(
+    out = hm.groupBy(F.date_trunc("day", F.col("hour")).alias("time")).agg(
         _dsum(F.col("total_payments"), 2).alias("daily_revenue")
     )
+    return _grafana_window(out, "time", t_lo, t_hi)
 
 
 @register(
@@ -555,14 +575,17 @@ FROM hourly_business_metrics
     ),
     doc="Green adoption panel (Q14): running cumulative sums of long counters.",
 )
-def q_green_adoption(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_green_adoption(spark: SparkSession, sf_dir: str, t_lo=None, t_hi=None) -> DataFrame:
     hm = _hourly(spark, sf_dir)
     w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
-    return hm.select(
+    out = hm.select(
         "hour",
         F.sum("incentive_claims").over(w).alias("cumulative_claims"),
         F.sum("green_tariff_switches").over(w).alias("cumulative_green_switches"),
     )
+    # post-window filter: cumulative sums still span full history, as in
+    # Postgres where the panel predicate can't push below the window.
+    return _grafana_window(out, "hour", t_lo, t_hi)
 
 
 @register(
@@ -581,12 +604,12 @@ FROM hourly_business_metrics
     ),
     doc="Demand elasticity panel (Q15): LAG percent-change guarded by CASE.",
 )
-def q_demand_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_demand_elasticity(spark: SparkSession, sf_dir: str, t_lo=None, t_hi=None) -> DataFrame:
     hm = _hourly(spark, sf_dir)
     w = Window.orderBy("hour")
     lag_e = F.lag("total_energy_consumed").over(w)
     lag_s = F.lag("tariff_switches").over(w)
-    return hm.select(
+    out = hm.select(
         F.col("hour").alias("time"),
         F.when(
             lag_e > 0, (F.col("total_energy_consumed") - lag_e) / lag_e * 100.0
@@ -600,6 +623,8 @@ def q_demand_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("price_sensitivity_pct"),
     )
+    # post-window: LAG deltas still reference the hour before the range.
+    return _grafana_window(out, "time", t_lo, t_hi)
 
 
 @register(
@@ -607,8 +632,9 @@ def q_demand_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_oracle_hm("SELECT hour AS time, total_energy_consumed FROM hourly_business_metrics"),
     doc="Total energy panel (Q1): projection + sort (sort dropped — driver compare is order-insensitive).",
 )
-def q_total_energy_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _hourly(spark, sf_dir).select(F.col("hour").alias("time"), "total_energy_consumed")
+def q_total_energy_trend(spark: SparkSession, sf_dir: str, t_lo=None, t_hi=None) -> DataFrame:
+    out = _hourly(spark, sf_dir).select(F.col("hour").alias("time"), "total_energy_consumed")
+    return _grafana_window(out, "time", t_lo, t_hi)
 
 
 @register(
@@ -618,10 +644,11 @@ def q_total_energy_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     doc="Peak load panel (Q1/Q2).",
 )
-def q_peak_load_management(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _hourly(spark, sf_dir).select(
+def q_peak_load_management(spark: SparkSession, sf_dir: str, t_lo=None, t_hi=None) -> DataFrame:
+    out = _hourly(spark, sf_dir).select(
         F.col("hour").alias("time"), "peak_hour_usage", "avg_consumption_per_customer"
     )
+    return _grafana_window(out, "time", t_lo, t_hi)
 
 
 @register(
@@ -663,7 +690,7 @@ FROM pricing_analysis
     "baseline window, PERCENT_RANK (hour added as tie-break for determinism), "
     "strategy/opportunity CASE labels. Postgres dow (0=Sun) = Spark dayofweek-1.",
 )
-def q_pricing_insights(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_pricing_insights(spark: SparkSession, sf_dir: str, t_lo=None, t_hi=None) -> DataFrame:
     hm = _hourly(spark, sf_dir)
     wp = Window.partitionBy(F.hour("hour")).orderBy("hour").rowsBetween(-13, 0)
     cnt = F.count(F.lit(1)).over(wp).cast("double")
@@ -688,7 +715,7 @@ def q_pricing_insights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue_percentile"),
     )
     switches_d = F.col("tariff_switches").cast("double")
-    return pa.select(
+    out = pa.select(
         F.col("hour").alias("time"),
         "hour_of_day",
         "day_of_week",
@@ -720,6 +747,8 @@ def q_pricing_insights(spark: SparkSession, sf_dir: str) -> DataFrame:
             * 1000.0
         ).alias("revenue_per_mwh"),
     )
+    # post-window: baseline patterns + percentiles stay full-history.
+    return _grafana_window(out, "time", t_lo, t_hi)
 
 
 @register(
@@ -752,7 +781,7 @@ FROM customer_segments
     ),
     doc="A/B testing panel (Q17/Q22): behavioral segmentation + value tiers.",
 )
-def q_ab_test_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ab_test_segments(spark: SparkSession, sf_dir: str, t_lo=None, t_hi=None) -> DataFrame:
     hm = _hourly(spark, sf_dir)
     seg = hm.select(
         "hour",
@@ -771,7 +800,7 @@ def q_ab_test_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_switch_revenue") / F.nullif(F.col("active_customers").cast("double"), F.lit(0.0))
         ).alias("avg_revenue_per_customer"),
     )
-    return seg.select(
+    out = seg.select(
         F.col("hour").alias("time"),
         "customer_segment",
         F.col("total_energy_consumed").alias("energy_demand"),
@@ -799,6 +828,7 @@ def q_ab_test_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("Low Value")
         .alias("segment_value_tier"),
     )
+    return _grafana_window(out, "time", t_lo, t_hi)
 
 
 @register(
