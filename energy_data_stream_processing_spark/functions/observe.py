@@ -72,3 +72,81 @@ class ProgressCapture:
     @property
     def total_rows(self) -> int:
         return sum(b["numInputRows"] for b in self.batches)
+
+
+# Reference histogram envelope: 1 ms – 5 s (consumer/consumer.py:31).
+LATENCY_BUCKETS_S = (0.001, 0.005, 0.01, 0.05, 0.1, 0.5, 1.0, 5.0)
+
+
+def prometheus_exposition(
+    ingest_counts: dict | None = None,
+    batches: list[dict] | None = None,
+    buckets: tuple[float, ...] = LATENCY_BUCKETS_S,
+) -> str:
+    """Render engine metrics in Prometheus text exposition format.
+
+    Covers the reference's exported series (consumer/consumer.py:30-37):
+    ``events_processed_total{status=...}`` counters from the
+    ``observed_ingest`` Observation, and a ``batch_duration_seconds``
+    histogram + ``events_input_rows_total`` counter from
+    ``ProgressCapture.batches``. The snapshot string can be served on
+    ``/metrics`` or dropped in a node-exporter textfile-collector dir —
+    Spark-side there is no long-lived per-event process to instrument, so a
+    per-job/per-batch snapshot IS the native equivalent.
+    """
+    lines: list[str] = []
+    if ingest_counts is not None:
+        status_of = {
+            "events_valid": "success",
+            "events_failed": "failed",
+            "events_malformed": "malformed",
+        }
+        lines += [
+            "# HELP events_processed_total Events processed by validation status",
+            "# TYPE events_processed_total counter",
+        ]
+        for key, status in status_of.items():
+            if key in ingest_counts:
+                lines.append(
+                    f'events_processed_total{{status="{status}"}} {int(ingest_counts[key])}'
+                )
+    if batches is not None:
+        durs = [
+            (b.get("durationMs", {}).get("triggerExecution", 0) or 0) / 1000.0
+            for b in batches
+        ]
+        lines += [
+            "# HELP batch_duration_seconds Micro-batch processing latency",
+            "# TYPE batch_duration_seconds histogram",
+        ]
+        cum = 0
+        for le in buckets:
+            cum = sum(1 for d in durs if d <= le)
+            lines.append(f'batch_duration_seconds_bucket{{le="{le}"}} {cum}')
+        lines.append(f'batch_duration_seconds_bucket{{le="+Inf"}} {len(durs)}')
+        lines.append(f"batch_duration_seconds_sum {sum(durs)}")
+        lines.append(f"batch_duration_seconds_count {len(durs)}")
+        lines += [
+            "# HELP events_input_rows_total Rows ingested across micro-batches",
+            "# TYPE events_input_rows_total counter",
+            f"events_input_rows_total {sum(b['numInputRows'] for b in batches)}",
+        ]
+    return "\n".join(lines) + "\n"
+
+
+def failure_rate_alert(
+    batches: list[dict],
+    failed_counts: list[int],
+    threshold_per_min: float = 5.0,
+) -> bool:
+    """The reference's alert rule (monitoring/prometheus/alerts.yml:5-12):
+    fire when failed events/min exceeds the threshold over the captured
+    window. ``failed_counts`` aligns with ``batches``; window duration is
+    the summed batch latency (floor 1 s so an empty capture can't fire)."""
+    window_s = max(
+        1.0,
+        sum((b.get("durationMs", {}).get("triggerExecution", 0) or 0) for b in batches)
+        / 1000.0,
+    )
+    per_min = sum(failed_counts) / (window_s / 60.0)
+    return per_min > threshold_per_min

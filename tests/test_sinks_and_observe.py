@@ -169,3 +169,62 @@ def test_streaming_progress_capture(spark, sf_dir):
         assert all("batchId" in b for b in cap.batches)
     finally:
         cap.close()
+
+
+def test_prometheus_exposition_format(spark, sf_dir, tmp_path):
+    """One streaming run + one observed batch ingest rendered as a
+    Prometheus text-format snapshot (reference consumer.py:30-37 series)."""
+    from energy_data_stream_processing_spark.functions.observe import (
+        ProgressCapture,
+        failure_rate_alert,
+        prometheus_exposition,
+    )
+    from energy_data_stream_processing_spark.streaming.runner import (
+        run_stream_to_table,
+        stream_raw_events,
+    )
+
+    lines = [
+        json.dumps({"event_type": "user_login", "event_time": "2025-06-04T12:00:00Z",
+                    "payload": {"customer_id": "C1", "session_id": "1", "channel": "web_portal"}}),
+        "not json",
+        json.dumps({"event_type": "x"}),
+    ]
+    p = tmp_path / "ev.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+    df = read_events_jsonl(spark, str(p)).withColumn("reason", validation_reason())
+    observed, obs = observed_ingest(df)
+    observed.write.format("noop").mode("overwrite").save()
+
+    cap = ProgressCapture(spark)
+    try:
+        out = run_stream_to_table(
+            spark, stream_raw_events(spark, sf_dir).groupBy("event_type").count(), mode="complete"
+        )
+        assert out.count() > 0
+        import time
+
+        for _ in range(40):
+            if cap.batches:
+                break
+            time.sleep(0.25)
+    finally:
+        cap.close()
+
+    text = prometheus_exposition(ingest_counts=obs.get, batches=cap.batches)
+    assert 'events_processed_total{status="success"} 1' in text
+    assert 'events_processed_total{status="failed"} 2' in text
+    assert 'events_processed_total{status="malformed"} 1' in text
+    assert "# TYPE batch_duration_seconds histogram" in text
+    assert 'batch_duration_seconds_bucket{le="+Inf"} ' in text
+    assert "events_input_rows_total " in text
+    # exposition parses: every non-comment line is "name{labels} value"
+    for ln in text.strip().splitlines():
+        if not ln.startswith("#"):
+            name, _, val = ln.rpartition(" ")
+            assert name and float(val) >= 0
+
+    # alert rule twin (alerts.yml:5-12): 2 failures in a sub-minute window
+    # exceeds 5/min; zero failures never fires.
+    assert failure_rate_alert(cap.batches, [2]) is True
+    assert failure_rate_alert(cap.batches, [0]) is False
