@@ -76,22 +76,58 @@ def foreach_batch_upsert(path: str):
     return fn
 
 
-def jdbc_upsert_statement(table: str) -> str:
+def jdbc_upsert_statement(
+    table: str, dialect: str = "postgres", source_table: str | None = None
+) -> str:
     """Engine-generated upsert for a JDBC metrics sink.
 
-    Full-row replacement (``= EXCLUDED``) — correct because the engine ships
-    complete per-hour aggregates, unlike the reference's partial-state
-    additive merge (consumer/consumer.py:329-360) whose ``+ EXCLUDED``
-    arithmetic double-counts distincts across flushes.
+    Full-row replacement (``= EXCLUDED`` / ``= s.col``) — correct because the
+    engine ships complete per-hour aggregates, unlike the reference's
+    partial-state additive merge (consumer/consumer.py:329-360) whose
+    ``+ EXCLUDED`` arithmetic double-counts distincts across flushes.
+
+    ``dialect="postgres"`` emits ``ON CONFLICT`` with ``%s`` placeholders
+    (the reference's target database); ``dialect="merge"`` emits standard
+    SQL:2003 ``MERGE`` with ``?`` placeholders. With ``source_table`` the
+    MERGE reads from a staging base table instead of inline VALUES — the
+    per-micro-batch shape (Spark JDBC-appends the batch to staging, one
+    MERGE folds it in), and the only source form Derby accepts (42XAL) —
+    executed against embedded Derby in tests/test_jdbc_optional.py to prove
+    twice-applied idempotence.
     """
     cols = ["hour", *METRIC_COLUMNS]
     collist = ", ".join(cols)
-    placeholders = ", ".join(["%s"] * len(cols))
-    updates = ",\n    ".join(f"{c} = EXCLUDED.{c}" for c in METRIC_COLUMNS)
-    return (
-        f"INSERT INTO {table} ({collist})\nVALUES ({placeholders})\n"
-        f"ON CONFLICT (hour) DO UPDATE SET\n    {updates}"
-    )
+    if dialect == "postgres":
+        placeholders = ", ".join(["%s"] * len(cols))
+        updates = ",\n    ".join(f"{c} = EXCLUDED.{c}" for c in METRIC_COLUMNS)
+        return (
+            f"INSERT INTO {table} ({collist})\nVALUES ({placeholders})\n"
+            f"ON CONFLICT (hour) DO UPDATE SET\n    {updates}"
+        )
+    if dialect == "merge":
+        # double-quote identifiers: "hour" is a reserved word in ANSI
+        # engines (Derby), and Spark's JDBC table-create quotes columns.
+        qcols = [f'"{c}"' for c in cols]
+        qcollist = ", ".join(qcols)
+        updates = ",\n    ".join(f'"{c}" = s."{c}"' for c in METRIC_COLUMNS)
+        inserts = ", ".join(f"s.{q}" for q in qcols)
+        if source_table is not None:
+            src = source_table
+        else:
+            placeholders = ", ".join(["?"] * len(cols))
+            src_cols = ", ".join(f"v.c{i} AS {q}" for i, q in enumerate(qcols))
+            src = (
+                f"(SELECT {src_cols} FROM (VALUES ({placeholders})) "
+                f"v({', '.join(f'c{i}' for i in range(len(cols)))}))"
+            )
+        return (
+            f"MERGE INTO {table} t\n"
+            f"USING {src} s\n"
+            f'ON t."hour" = s."hour"\n'
+            f"WHEN MATCHED THEN UPDATE SET\n    {updates}\n"
+            f"WHEN NOT MATCHED THEN INSERT ({qcollist}) VALUES ({inserts})"
+        )
+    raise ValueError(f"unknown dialect: {dialect}")
 
 
 def write_events_jdbc(df: DataFrame, url: str, table: str, batchsize: int = 10000) -> None:
