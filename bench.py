@@ -123,17 +123,55 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    # Scale ladder (SPARK_GRAFT_LADDER=0 to disable): replay the event-heavy
+    # headline queries at 10x the events volume (generated by replication,
+    # new event_ids, same time span — so per-hour density grows 10x). Catches
+    # plans whose cost curve bends (quadratic sessionization, exploding
+    # windows) that look fine at sf0.1. Generation time is excluded; scan
+    # timings are comparable to the main run (same parquet, 10x rows).
+    if os.environ.get("SPARK_GRAFT_LADDER", "1") != "0":
+        import tempfile
+
+        ladder_dir = tempfile.mkdtemp(prefix="bench-ladder-")
+        for t in ["region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "documents", "embeddings"]:
+            os.symlink(f"{sf_dir}/{t}.parquet", f"{ladder_dir}/{t}.parquet")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        (
+            ev.crossJoin(spark.range(10).withColumnRenamed("id", "_rep"))
+            .withColumn("event_id", F.col("event_id") * 10 + F.col("_rep"))
+            .drop("_rep")
+            .write.mode("overwrite")
+            .parquet(f"{ladder_dir}/events.parquet")
         )
-    )
+        ladder_queries = [
+            "hourly_business_metrics", "rolling_24h_metrics",
+            "customer_view", "business_kpis_growth", "user_sessions",
+        ]
+        ladder: dict[str, float] = {}
+        for name in ladder_queries:
+            t0 = time.perf_counter()
+            catalog[name].builder(spark, ladder_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            ladder[name] = round(time.perf_counter() - t0, 3)
+        result["ladder"] = {
+            "scale_x": 10,
+            "sf_equiv": round(sf * 10, 3),
+            "value": round(sum(ladder.values()), 3),
+            "queries": ladder,
+        }
+
+    print(json.dumps(result))
     spark.stop()
 
 
