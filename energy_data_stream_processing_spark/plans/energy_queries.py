@@ -31,8 +31,30 @@ from ..sources.adapter import ENERGY_EVENTS_SQL, energy_events
 from .catalog import register
 
 
-def _hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return hourly_business_metrics(energy_events(spark, sf_dir))
+def _hourly(
+    spark: SparkSession,
+    sf_dir: str,
+    t_lo=None,
+    t_hi=None,
+    slack: str = "INTERVAL 1 HOUR",
+) -> DataFrame:
+    """Hourly metrics, optionally sliced to a panel time range.
+
+    For group-by panels the ``$__timeFilter`` predicate is on the group key,
+    so a SOUND raw-column bound can prefilter events before the wide
+    aggregation: ``hour(e) >= lo ⇒ e >= lo`` and ``hour(e) <= hi ⇒
+    e < hi + 1 hour``. The bound pushes to the parquet scan as a ``ts``
+    range (PushedFilters — asserted in tests/test_plans.py), so at 100 TB
+    an 8-day panel reads ~8 days of row groups, not the corpus. The exact
+    panel predicate is still applied post-build by ``_grafana_window``;
+    window panels must NOT use this (full-history semantics).
+    """
+    ev = energy_events(spark, sf_dir)
+    if t_lo is not None:
+        ev = ev.where(F.col("event_time") >= F.lit(t_lo))
+    if t_hi is not None:
+        ev = ev.where(F.col("event_time") < F.lit(t_hi) + F.expr(slack))
+    return hourly_business_metrics(ev)
 
 
 def _oracle_ev(body: str) -> str:
@@ -319,7 +341,8 @@ FROM hourly_business_metrics GROUP BY date_trunc('day', hour)
     doc="Daily revenue panel (Q3/Q4).",
 )
 def q_revenue_overview(spark: SparkSession, sf_dir: str, t_lo=None, t_hi=None) -> DataFrame:
-    hm = _hourly(spark, sf_dir)
+    # day-grained panel: day(hour(e)) <= hi ⇒ e < hi + 1 day
+    hm = _hourly(spark, sf_dir, t_lo, t_hi, slack="INTERVAL 1 DAY")
     out = hm.groupBy(F.date_trunc("day", F.col("hour")).alias("time")).agg(
         _dsum(F.col("total_payments"), 2).alias("daily_revenue")
     )
@@ -633,7 +656,9 @@ def q_demand_elasticity(spark: SparkSession, sf_dir: str, t_lo=None, t_hi=None) 
     doc="Total energy panel (Q1): projection + sort (sort dropped — driver compare is order-insensitive).",
 )
 def q_total_energy_trend(spark: SparkSession, sf_dir: str, t_lo=None, t_hi=None) -> DataFrame:
-    out = _hourly(spark, sf_dir).select(F.col("hour").alias("time"), "total_energy_consumed")
+    out = _hourly(spark, sf_dir, t_lo, t_hi).select(
+        F.col("hour").alias("time"), "total_energy_consumed"
+    )
     return _grafana_window(out, "time", t_lo, t_hi)
 
 
@@ -645,7 +670,7 @@ def q_total_energy_trend(spark: SparkSession, sf_dir: str, t_lo=None, t_hi=None)
     doc="Peak load panel (Q1/Q2).",
 )
 def q_peak_load_management(spark: SparkSession, sf_dir: str, t_lo=None, t_hi=None) -> DataFrame:
-    out = _hourly(spark, sf_dir).select(
+    out = _hourly(spark, sf_dir, t_lo, t_hi).select(
         F.col("hour").alias("time"), "peak_hour_usage", "avg_consumption_per_customer"
     )
     return _grafana_window(out, "time", t_lo, t_hi)
@@ -782,7 +807,8 @@ FROM customer_segments
     doc="A/B testing panel (Q17/Q22): behavioral segmentation + value tiers.",
 )
 def q_ab_test_segments(spark: SparkSession, sf_dir: str, t_lo=None, t_hi=None) -> DataFrame:
-    hm = _hourly(spark, sf_dir)
+    # row-wise panel (no windows): safe to slice the hourly input too
+    hm = _hourly(spark, sf_dir, t_lo, t_hi)
     seg = hm.select(
         "hour",
         F.when(F.col("green_tariff_switches") > 0, "Green Adopters")

@@ -470,3 +470,26 @@ def test_pattern_match_single_shuffle_no_udf(spark, sf_dir):
     plan = _plan(spark, sf_dir, "session_pattern_match")
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_grafana_time_filter_pushes_below_groupby_panel(spark, sf_dir):
+    """$__timeFilter on a group-by panel: the time predicate is on the group
+    key (hour of event_time), so Catalyst must push it below the wide hourly
+    aggregation to the events scan — at 100 TB an 8-day panel then reads
+    ~8 days, not the full corpus. Window panels keep the filter above (their
+    semantics need full history; covered by value tests)."""
+    import datetime
+
+    q = all_queries()["total_energy_trend"]
+    t_lo = datetime.datetime(2024, 1, 18)
+    t_hi = datetime.datetime(2024, 1, 26)
+    plan = (
+        q.builder(spark, sf_dir, t_lo=t_lo, t_hi=t_hi)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    m = re.search(r"PushedFilters: \[([^\]]*)", plan)
+    assert m and "ts" in m.group(1), (
+        f"time-range filter did not reach the events scan: {m and m.group(1)}"
+    )
