@@ -219,10 +219,8 @@ def q_daily_energy_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "customer_view",
-    oracle=_oracle_ev(
-        """
+CUSTOMER_VIEW_ORACLE = _oracle_ev(
+    """
 , switch_ranked AS (
   SELECT customer_id, tariff_type, event_time,
          row_number() OVER (PARTITION BY customer_id ORDER BY event_time DESC, event_id DESC) AS rn
@@ -255,7 +253,12 @@ def q_daily_energy_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT b.*, s.current_active_tariff, s.last_active_tariff, s.last_tariff_switch_date_time
 FROM base b LEFT JOIN switch_top s USING (customer_id)
 """
-    ),
+)
+
+
+@register(
+    "customer_view",
+    oracle=CUSTOMER_VIEW_ORACLE,
     headline=True,
     doc="customer_view (database/schema.sql:96-147): Q5/Q8-Q11. The correlated "
     "LIMIT 1 [OFFSET 1] subqueries are rewritten as one row_number window "
@@ -311,6 +314,94 @@ def customer_view_from_events(ev: DataFrame) -> DataFrame:
                 )
             ),
             ",",
+        ).alias("tariff_types_seen"),
+    )
+    n = F.size(F.col("_sw"))
+    return base.withColumns(
+        {
+            "current_active_tariff": F.when(n >= 1, F.element_at(F.col("_sw"), n).tariff_type),
+            "last_active_tariff": F.when(
+                n >= 2, F.element_at(F.col("_sw"), n - 1).tariff_type
+            ),
+            "last_tariff_switch_date_time": F.when(
+                n >= 1, F.element_at(F.col("_sw"), n).event_time
+            ),
+        }
+    ).drop("_sw")
+
+
+@register(
+    "customer_view_twophase",
+    oracle=CUSTOMER_VIEW_ORACLE,
+    doc="customer_view via (customer_id, session_id) pre-aggregation instead "
+    "of the Expand-based exact session distinct — the skew-robust 100 TB "
+    "plan (no reducer sees a whole hot customer's raw events; the Expand "
+    "row-doubling disappears). Shares customer_view's oracle as a "
+    "result-identity proof, mirroring hourly_business_metrics_twophase.",
+)
+def q_customer_view_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return customer_view_two_phase(energy_events(spark, sf_dir))
+
+
+def customer_view_two_phase(ev: DataFrame) -> DataFrame:
+    """Result-identical to ``customer_view_from_events``.
+
+    Phase 1 aggregates per (customer_id, session_id): counts/sums/min/max
+    compose, sets union, and the switch structs concatenate; decimal sums
+    stay decimal through phase 1 so the final double conversion is
+    bit-identical. Phase 2 folds sessions per customer and counts distinct
+    sessions as non-null groups. Two narrow skew-free shuffles replace one
+    Expand(x2) shuffle of raw events.
+    """
+    t = F.col("event_type")
+
+    per_session = ev.groupBy("customer_id", "session_id").agg(
+        F.count(F.lit(1)).alias("p_events"),
+        F.min("event_time").alias("p_first"),
+        F.max("event_time").alias("p_last"),
+        F.count(F.when(t == "user_login", 1)).alias("p_logins"),
+        F.count(F.when(t == "view_tariffs", 1)).alias("p_views"),
+        F.count(F.when(t == "tariff_switch", 1)).alias("p_switches"),
+        F.count(F.when(t == "bill_payment", 1)).alias("p_payments"),
+        F.count(F.when(t == "energy_consumed", 1)).alias("p_energy_n"),
+        F.count(F.when(t == "incentive_claim", 1)).alias("p_claims"),
+        F.sum("payment_amount").alias("p_paid"),
+        F.sum("energy_consumed").alias("p_energy"),
+        F.max(F.when(t == "bill_payment", F.col("event_time"))).alias("p_last_pay"),
+        F.collect_set("channel").alias("p_channels"),
+        F.collect_set(
+            F.when(t.isin("view_tariffs", "tariff_switch"), F.col("tariff_type"))
+        ).alias("p_tariffs"),
+        F.collect_list(
+            F.when(
+                t == "tariff_switch",
+                F.struct(F.col("event_time"), F.col("event_id"), F.col("tariff_type")),
+            )
+        ).alias("p_sw"),
+    )
+
+    base = per_session.groupBy("customer_id").agg(
+        F.array_sort(F.flatten(F.collect_list("p_sw"))).alias("_sw"),
+        F.sum("p_events").alias("total_events"),
+        F.count(F.when(F.col("session_id").isNotNull(), 1)).alias("total_sessions"),
+        F.min("p_first").alias("first_seen"),
+        F.max("p_last").alias("last_seen"),
+        F.sum("p_logins").alias("logins"),
+        F.sum("p_views").alias("tariff_views"),
+        F.sum("p_switches").alias("tariff_switches"),
+        F.sum("p_payments").alias("bill_payments"),
+        F.sum("p_energy_n").alias("energy_reports"),
+        F.sum("p_claims").alias("incentive_claims"),
+        F.coalesce(F.sum("p_paid").cast("double"), F.lit(0.0)).alias("total_amount_paid"),
+        F.coalesce(F.sum("p_energy").cast("double"), F.lit(0.0)).alias(
+            "total_energy_consumed"
+        ),
+        F.max("p_last_pay").alias("last_payment_date"),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("p_channels")))), ","
+        ).alias("channels"),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("p_tariffs")))), ","
         ).alias("tariff_types_seen"),
     )
     n = F.size(F.col("_sw"))
