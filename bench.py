@@ -114,6 +114,7 @@ def main() -> None:
     spark.range(32).select(_noop("id")).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     catalog = all_queries()
     headline = {name: q for name, q in catalog.items() if q.headline}
     for name, q in headline.items():
@@ -121,6 +122,12 @@ def main() -> None:
         df = q.builder(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # second pass: steady-state timing (plan/codegen/page-cache warm).
+        # cold-vs-warm separates environment noise from plan regressions —
+        # a plan change moves BOTH; a noisy neighbor moves only cold.
+        t0 = time.perf_counter()
+        q.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        warm[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -128,6 +135,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "warm_value": round(sum(warm.values()), 3),
+        "warm_queries": warm,
         "sf": sf,
     }
 
