@@ -113,9 +113,15 @@ def main() -> int:
     n_ok = sum(1 for r in out.values() if r["hash_match"])
     print(f"-- {n_ok}/{len(out)} green at {sf_dir}")
     if not only:
-        with open("CORRECTNESS_SELF.json", "w") as f:
+        # the unsuffixed artifact is the driver-equivalent sf0.01 gate;
+        # other scales get their own file so a sweep can't clobber it
+        suffix = "" if sf_dir.rstrip("/").endswith("sf0.01") else (
+            "_" + sf_dir.rstrip("/").rsplit("/", 1)[-1]
+        )
+        fname = f"CORRECTNESS_SELF{suffix}.json"
+        with open(fname, "w") as f:
             json.dump(out, f, indent=2)
-        print("wrote CORRECTNESS_SELF.json")
+        print(f"wrote {fname}")
     spark.stop()
     return 0 if n_ok == len(out) else 1
 
