@@ -46,3 +46,19 @@ def test_interleaved_sf_dirs_no_cross_contamination(spark):
     n_small_2 = q(spark, "/root/testdata/sf0.001").count()
     assert n_small_1 == n_small_2
     assert n_big >= n_small_1  # sf0.01 covers more hours than sf0.001
+
+
+def test_interleaved_sf_dirs_do_not_clobber(spark):
+    """Catalog builders register temp views per call; a later build against a
+    different sf_dir must not retroactively change an earlier DataFrame
+    (views resolve at analysis time, so each plan pins its own scan)."""
+    from energy_data_stream_processing_spark.plans.catalog import all_queries
+
+    q = all_queries()["hourly_business_metrics"]
+    a = q.builder(spark, "/root/testdata/sf0.001")
+    b = q.builder(spark, "/root/testdata/sf0.01")  # re-registers 'events'
+    rows_b = b.count()
+    rows_a = a.count()  # executed AFTER b re-registered the view
+    assert rows_a != rows_b, "test data scales must differ for this to prove anything"
+    assert rows_a == q.builder(spark, "/root/testdata/sf0.001").count()
+    assert rows_b == q.builder(spark, "/root/testdata/sf0.01").count()
