@@ -54,6 +54,38 @@ def _count_in(tokens: Column, vocab: list[str]) -> Column:
     return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
 
 
+# PII patterns, deliberately conservative and RE2/Java-compatible so the
+# DuckDB oracle applies the IDENTICAL regexes (same matches, same redacted
+# text, hash-comparable). Order matters: emails before phones (an email's
+# digit run must not be half-eaten by the phone pattern), IPs before phones
+# (dotted quads contain phone-length digit runs).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phone", r"\+?\d[\d()\- ]{6,}\d", "[PHONE]"),
+]
+
+
+def redact_pii(docs: DataFrame, col: str = "text") -> DataFrame:
+    """Scrub emails / IPv4s / phone-like digit runs from a text column.
+
+    Adds ``{col}_redacted`` plus per-category match counts
+    (``n_email``/``n_ip``/``n_phone``). Pure ``regexp_replace`` /
+    ``regexp_extract_all`` column expressions — narrow, codegen'd, scan-speed
+    at 100 TB; the standard pre-training scrub pass a corpus pipeline runs
+    before tokenization. Each category counts matches in the PREVIOUS
+    stage's output (the text its replacement actually sees), so counts
+    equal replacements even when categories overlap (a phone-length digit
+    run inside an already-redacted email is not re-counted).
+    """
+    out = docs
+    cur = F.col(col)
+    for name, pat, token in PII_PATTERNS:
+        out = out.withColumn(f"n_{name}", F.size(F.regexp_extract_all(cur, F.lit(pat), 0)))
+        cur = F.regexp_replace(cur, pat, token)
+    return out.withColumn(f"{col}_redacted", cur)
+
+
 def text_quality(docs: DataFrame) -> DataFrame:
     """Per-document quality metrics + tiered label.
 

@@ -33,9 +33,11 @@ from ..operators.similarity import (
 )
 from ..operators.text import (
     BPE_TOKEN_RE,
+    PII_PATTERNS,
     chunk_documents,
     doc_fingerprints,
     lang_id,
+    redact_pii,
     text_quality,
     token_stats_by_lang,
 )
@@ -142,6 +144,60 @@ FROM documents GROUP BY lang
 )
 def q_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats_by_lang(_docs(spark, sf_dir))
+
+
+_PII_E, _PII_I, _PII_P = (p[1] for p in PII_PATTERNS)
+
+
+@register(
+    "pii_redaction_audit",
+    oracle=f"""
+WITH s1 AS (
+  SELECT doc_id, source,
+    cast(len(regexp_extract_all(text, '{_PII_E}')) AS BIGINT) AS n_email,
+    regexp_replace(text, '{_PII_E}', '[EMAIL]', 'g') AS t1
+  FROM documents
+), s2 AS (
+  SELECT *, cast(len(regexp_extract_all(t1, '{_PII_I}')) AS BIGINT) AS n_ip,
+    regexp_replace(t1, '{_PII_I}', '[IP]', 'g') AS t2
+  FROM s1
+), s3 AS (
+  SELECT *, cast(len(regexp_extract_all(t2, '{_PII_P}')) AS BIGINT) AS n_phone,
+    regexp_replace(t2, '{_PII_P}', '[PHONE]', 'g') AS t3
+  FROM s2
+)
+SELECT source,
+  count(*) AS docs,
+  cast(count(CASE WHEN n_email + n_ip + n_phone > 0 THEN 1 END) AS BIGINT) AS docs_with_pii,
+  cast(sum(n_email) AS BIGINT) AS emails_redacted,
+  cast(sum(n_ip) AS BIGINT) AS ips_redacted,
+  cast(sum(n_phone) AS BIGINT) AS phones_redacted,
+  cast(sum(len(t3)) AS BIGINT) AS redacted_chars,
+  min(md5(t3)) AS min_redacted_md5,
+  max(md5(t3)) AS max_redacted_md5
+FROM s3 GROUP BY source
+""",
+    doc="PII scrub audit (operators/text.py::redact_pii): emails, IPv4s, "
+    "phone-like digit runs removed by chained identical regexes in both "
+    "engines; per-source counts plus min/max md5 of the redacted text prove "
+    "the scrubbed CONTENT matches cross-engine, not just the counts. "
+    "Scale: narrow regexp expressions at scan speed; the one shuffle is the "
+    "tiny per-source audit agg. Recall on planted PII is unit-tested "
+    "(tests/test_training_ops.py).",
+)
+def q_pii_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    red = redact_pii(_docs(spark, sf_dir))
+    any_pii = (F.col("n_email") + F.col("n_ip") + F.col("n_phone")) > 0
+    return red.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.count(F.when(any_pii, 1)).alias("docs_with_pii"),
+        F.sum("n_email").cast("long").alias("emails_redacted"),
+        F.sum("n_ip").cast("long").alias("ips_redacted"),
+        F.sum("n_phone").cast("long").alias("phones_redacted"),
+        F.sum(F.length("text_redacted").cast("long")).cast("long").alias("redacted_chars"),
+        F.min(F.md5("text_redacted")).alias("min_redacted_md5"),
+        F.max(F.md5("text_redacted")).alias("max_redacted_md5"),
+    )
 
 
 # --------------------------------------------------------------------------
