@@ -36,6 +36,87 @@ def _duck_bucket(expr: str) -> str:
 
 
 @register(
+    "mixture_temperature_sample",
+    oracle=f"""
+WITH c AS (
+  SELECT source, count(*) AS n_s FROM documents GROUP BY source
+), w AS (
+  SELECT source, n_s,
+    cast(floor(sqrt(cast(n_s AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_q
+  FROM c
+), t AS (
+  SELECT cast(sum(w_q) AS BIGINT) AS w_tot, cast(sum(n_s) AS BIGINT) AS n_tot FROM w
+), r AS (
+  SELECT source, n_s,
+    cast(w_q AS DOUBLE) / cast(w_tot AS DOUBLE) AS target_share,
+    least(1.0,
+      (cast(w_q AS DOUBLE) / cast(w_tot AS DOUBLE))
+      * ((0.5 * cast(n_tot AS DOUBLE)) / cast(n_s AS DOUBLE))) AS keep_rate
+  FROM w, t
+), g AS (
+  SELECT d.source, r.n_s, r.target_share, r.keep_rate,
+    {_duck_bucket('d.doc_id')} < r.keep_rate * 4294967296.0 AS kept
+  FROM documents d JOIN r USING (source)
+), k AS (
+  SELECT source,
+    cast(max(n_s) AS BIGINT) AS n_total,
+    max(target_share) AS target_share,
+    max(keep_rate) AS keep_rate,
+    cast(count(CASE WHEN kept THEN 1 END) AS BIGINT) AS n_kept
+  FROM g GROUP BY source
+)
+SELECT source, n_total, target_share, keep_rate, n_kept,
+  cast(n_kept AS DOUBLE) / cast(sum(n_kept) OVER () AS DOUBLE) AS achieved_share
+FROM k
+""",
+    doc="Temperature-based source mixing (tau=0.5, the multilingual-"
+    "pretraining reweighting): per-source keep-rate ~ sqrt(n_s) normalized "
+    "to a 50%-of-corpus target, realized as the deterministic md5 gate. "
+    "Weights are integer-quantized (floor(sqrt*1e6)) so the normalizing sum "
+    "is order-independent — bit-exact across engines and cluster sizes, "
+    "where a float sum would hash-diverge. Scale: two tiny aggs broadcast "
+    "back onto the scan-stage gate; no fact shuffle beyond the audit.",
+)
+def q_mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    w = c.withColumn(
+        "w_q", F.floor(F.sqrt(F.col("n_s").cast("double")) * F.lit(1000000.0)).cast("long")
+    )
+    tot = w.agg(
+        F.sum("w_q").cast("long").alias("w_tot"), F.sum("n_s").cast("long").alias("n_tot")
+    )
+    share = F.col("w_q").cast("double") / F.col("w_tot").cast("double")
+    r = w.join(F.broadcast(tot)).select(
+        "source",
+        "n_s",
+        share.alias("target_share"),
+        F.least(
+            F.lit(1.0),
+            share * ((F.lit(0.5) * F.col("n_tot").cast("double")) / F.col("n_s").cast("double")),
+        ).alias("keep_rate"),
+    )
+    g = docs.join(F.broadcast(r), "source").withColumn(
+        "kept", hash_bucket(F.col("doc_id")) < F.col("keep_rate") * F.lit(float(_BUCKETS))
+    )
+    k = g.groupBy("source").agg(
+        F.max("n_s").cast("long").alias("n_total"),
+        F.max("target_share").alias("target_share"),
+        F.max("keep_rate").alias("keep_rate"),
+        F.count(F.when(F.col("kept"), 1)).alias("n_kept"),
+    )
+    total_kept = k.agg(F.sum("n_kept").cast("double").alias("_tk"))
+    return k.join(F.broadcast(total_kept)).select(
+        "source",
+        "n_total",
+        "target_share",
+        "keep_rate",
+        "n_kept",
+        (F.col("n_kept").cast("double") / F.col("_tk")).alias("achieved_share"),
+    )
+
+
+@register(
     "stratified_sample_summary",
     oracle=f"""
 WITH sampled AS (
