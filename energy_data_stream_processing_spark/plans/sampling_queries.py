@@ -381,9 +381,7 @@ def q_sequence_packing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "corpus_curation_pipeline",
-    oracle=f"""
+CORPUS_CURATION_ORACLE = f"""
 WITH q AS (
   SELECT doc_id, lang, source,
     md5(lower(trim(text))) AS fp,
@@ -405,7 +403,12 @@ SELECT
   cast(sum(n_tokens) AS BIGINT) AS total_tokens,
   count(DISTINCT source) AS n_sources
 FROM kept GROUP BY 1, 2
-""",
+"""
+
+
+@register(
+    "corpus_curation_pipeline",
+    oracle=CORPUS_CURATION_ORACLE,
     doc="End-to-end corpus curation — the composition a real pretraining "
     "pipeline runs as ONE job: quality filter (drop docs under 10 words, "
     "the 'poor' tier) -> exact dedup (md5 fingerprint, keep min doc_id via "

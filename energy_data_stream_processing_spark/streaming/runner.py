@@ -845,3 +845,106 @@ def q_streaming_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sessionize_timeout_stream(stream, gap_minutes=30), mode="append"
     )
     return out.where(F.col("user_id") >= 0)
+
+
+def ascending_doc_chunks(spark: SparkSession, sf_dir: str, n_chunks: int) -> str:
+    """Split documents.parquet into doc_id-ascending chunk files so a
+    maxFilesPerTrigger=1 stream replays them as ordered micro-batches —
+    cross-batch duplicate groups are then guaranteed (duplicated content has
+    scattered doc_ids), which is what the streaming-dedup gate must cover."""
+    import shutil
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    probs = [i / n_chunks for i in range(1, n_chunks)]
+    q = docs.selectExpr("cast(doc_id AS DOUBLE) AS d").approxQuantile("d", probs, 0.0)
+    src = tempfile.mkdtemp(prefix="doc-chunks-")
+    stage = tempfile.mkdtemp(prefix="doc-chunks-stage-")
+    bounds = [None, *q, None]
+    for i in range(n_chunks):
+        chunk = docs
+        if bounds[i] is not None:
+            chunk = chunk.where(F.col("doc_id") >= bounds[i])
+        if bounds[i + 1] is not None:
+            chunk = chunk.where(F.col("doc_id") < bounds[i + 1])
+        d = f"{stage}/c{i}"
+        chunk.coalesce(1).write.mode("overwrite").parquet(d)
+        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        os.rename(f"{d}/{part}", f"{src}/chunk_{i}.parquet")
+    shutil.rmtree(stage, ignore_errors=True)
+    return src
+
+
+from ..plans.sampling_queries import CORPUS_CURATION_ORACLE  # noqa: E402
+
+
+@register(
+    "streaming_corpus_curation",
+    oracle=CORPUS_CURATION_ORACLE,
+    doc="Continuous corpus curation: documents arrive as ordered micro-"
+    "batches; each foreachBatch increment quality-filters (>=10 words), "
+    "dedups batch-locally (min doc_id per fingerprint), anti-joins against "
+    "the accumulated corpus index (earlier batches win), and appends the "
+    "survivors keyed by batch_id with dynamic partition overwrite — a "
+    "retried batch rewrites exactly its own partition, so the store is "
+    "idempotent under at-least-once replay. Final per-(split, lang) "
+    "accounting must equal the one-pass batch pipeline exactly (shared "
+    "oracle): the incremental anti-join dedup and the batch row_number "
+    "dedup keep the SAME representatives. Scale: each increment shuffles "
+    "only its own batch (fingerprint agg) plus a semi-join against the "
+    "index's fp column — the accumulated corpus is never re-aggregated; "
+    "this is the continuous-ingestion form of corpus_curation_pipeline.",
+)
+def q_streaming_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bpe_tokens, fingerprint, words
+    from ..plans.sampling_queries import _BUCKETS, hash_bucket
+
+    src = ascending_doc_chunks(spark, sf_dir, 3)
+    kept_dir = tempfile.mkdtemp(prefix="curated-corpus-") + "/store"
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        base = batch_df.select(
+            "doc_id",
+            "lang",
+            "source",
+            fingerprint(F.col("text")).alias("fp"),
+            F.size(words(F.col("text"))).alias("n_words"),
+            F.size(bpe_tokens(F.col("text"))).alias("n_tokens"),
+        ).where(F.col("n_words") >= 10)
+        # batch-local dedup: min doc_id per fingerprint, carrying its row
+        inc = base.groupBy("fp").agg(
+            F.min_by(F.struct("doc_id", "lang", "source", "n_tokens"), "doc_id").alias("r")
+        ).select("fp", "r.*")
+        try:
+            prior = s.read.parquet(kept_dir).where(F.col("_batch_id") < batch_id)
+            inc = inc.join(prior.select("fp"), "fp", "left_anti")
+        except Exception:  # noqa: BLE001 — first batch: no store yet
+            pass
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            inc.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("_batch_id")
+            .parquet(kept_dir)
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="curated-ckpt-"))
+        .start()
+    )
+    q.awaitTermination()
+
+    kept = spark.read.parquet(kept_dir)
+    m = hash_bucket(F.col("doc_id")) % 10
+    split = F.when(m <= 7, "train").when(m == 8, "val").otherwise("test").alias("split")
+    return kept.groupBy(split, "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
+        F.count_distinct(F.col("source")).alias("n_sources"),
+    )
