@@ -65,6 +65,8 @@ UDF_FREE = [
     "sole_blame_suppliers",
     "doc_chunk_audit",
     "hard_negative_mining",
+    "pii_redaction_audit",
+    "mixture_temperature_sample",
 ]
 
 # Dense-math operators where an Arrow-vectorized UDF is the DESIGN (numpy
@@ -493,3 +495,10 @@ def test_grafana_time_filter_pushes_below_groupby_panel(spark, sf_dir):
     assert m and "ts" in m.group(1), (
         f"time-range filter did not reach the events scan: {m and m.group(1)}"
     )
+
+
+def test_pii_redaction_single_shuffle(spark, sf_dir):
+    """The scrub is pure narrow regexp expressions; the only exchange is
+    the tiny per-source audit aggregation."""
+    plan = _plan(spark, sf_dir, "pii_redaction_audit")
+    assert plan.count("Exchange") == 1, plan[:600]
