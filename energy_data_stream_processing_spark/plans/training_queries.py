@@ -45,6 +45,11 @@ from ..sources.adapter import load_table
 from .catalog import register
 
 _STOP = "['the','and','is','of','to','a','in','it','that','for']"
+
+
+# DuckDB twin of sampling_queries.hash_bucket (same md5-prefix arithmetic).
+def _duck_bucket_tq(expr: str) -> str:
+    return f"(('0x' || substr(md5(cast({expr} AS VARCHAR)), 1, 8))::BIGINT)"
 _MARK = {
     "en": "['the','and','is','of','to']",
     "es": "['el','la','de','que','y']",
@@ -546,6 +551,77 @@ def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "repetition_ratio"
         ),
         (top.cast("double") / total.cast("double")).alias("top_shingle_share"),
+    )
+
+
+@register(
+    "ngram_decontamination",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tok FROM documents),
+sh0 AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(tok) >= 5
+         THEN list_transform(generate_series(1, len(tok) - 4), i -> array_to_string(tok[i:i+4], ' '))
+         ELSE []::VARCHAR[] END) AS shingle
+  FROM tok
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+train AS (SELECT * FROM sh WHERE {_duck_bucket_tq('doc_id')} % 10 <= 7),
+eval_ AS (SELECT * FROM sh WHERE {_duck_bucket_tq('doc_id')} % 10 = 9),
+hits AS (
+  SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc, count(*) AS shared_ngrams
+  FROM train t JOIN eval_ e USING (shingle)
+  GROUP BY 1, 2
+),
+flagged AS (SELECT * FROM hits WHERE shared_ngrams >= 3)
+SELECT train_doc AS doc_id,
+  cast(count(*) AS BIGINT) AS n_eval_docs_hit,
+  cast(max(shared_ngrams) AS BIGINT) AS max_shared_ngrams,
+  cast(sum(shared_ngrams) AS BIGINT) AS total_shared_ngrams
+FROM flagged GROUP BY 1
+""",
+    doc="Eval-set n-gram decontamination (the GPT-3-style 13-gram scrub, "
+    "5-grams here to fit the synthetic doc length): train docs (hash "
+    "buckets 0-7, matching the train_val_test_split gate) sharing >= 3 "
+    "distinct 5-grams with any held-out eval doc (bucket 9) are flagged "
+    "with hit counts. Scale: the shingle inverted index joins train "
+    "against eval on the shingle key — id-only shuffle rows; in production "
+    "the eval/benchmark side is tiny and broadcasts, making this a "
+    "map-side flag pass over the corpus scan.",
+)
+def q_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sampling_queries import hash_bucket
+
+    docs = _docs(spark, sf_dir)
+    n = 5
+    elem = "concat(" + ", ' ', ".join(f"_w[i+{j}]" for j in range(n)) + ")"
+    sh = (
+        docs.select("doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("_w"))
+        .select(
+            "doc_id",
+            F.explode_outer(
+                F.expr(
+                    f"CASE WHEN size(_w) >= {n} "
+                    f"THEN array_distinct(transform(sequence(0, size(_w) - {n}), i -> {elem})) "
+                    "ELSE array() END"
+                )
+            ).alias("shingle"),
+        )
+        .where(F.col("shingle").isNotNull())
+    )
+    b = hash_bucket(F.col("doc_id")) % 10
+    train = sh.where(b <= 7).withColumnRenamed("doc_id", "train_doc")
+    evals = sh.where(b == 9).withColumnRenamed("doc_id", "eval_doc")
+    hits = (
+        train.join(evals, "shingle")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+        .where(F.col("shared_ngrams") >= 3)
+    )
+    return hits.groupBy(F.col("train_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_eval_docs_hit"),
+        F.max("shared_ngrams").cast("long").alias("max_shared_ngrams"),
+        F.sum("shared_ngrams").cast("long").alias("total_shared_ngrams"),
     )
 
 
