@@ -67,6 +67,7 @@ UDF_FREE = [
     "hard_negative_mining",
     "pii_redaction_audit",
     "mixture_temperature_sample",
+    "ngram_decontamination",
 ]
 
 # Dense-math operators where an Arrow-vectorized UDF is the DESIGN (numpy
