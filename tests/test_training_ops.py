@@ -220,3 +220,23 @@ def test_pii_redaction_planted_recall(spark):
         assert tok not in out[4]["text_redacted"]
     assert out[5]["text_redacted"] == rows[4][1]  # clean rows untouched
     assert out[5]["n_email"] == out[5]["n_ip"] == out[5]["n_phone"] == 0
+
+
+def test_mixture_sample_invariants(spark, sf_dir):
+    """Semantic invariants of temperature mixing (the oracle proves
+    cross-engine equality; this proves the POLICY): rates in (0,1],
+    target shares sum to 1, temperature flattens the distribution
+    (small sources get a larger share than their raw proportion, large
+    sources a smaller one)."""
+    from energy_data_stream_processing_spark.plans.catalog import all_queries
+
+    rows = all_queries()["mixture_temperature_sample"].builder(spark, sf_dir).collect()
+    n_tot = sum(r["n_total"] for r in rows)
+    assert abs(sum(r["target_share"] for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert 0.0 < r["keep_rate"] <= 1.0
+        raw_share = r["n_total"] / n_tot
+        if raw_share < 1.0 / len(rows):
+            assert r["target_share"] >= raw_share  # boosted
+        elif raw_share > 1.0 / len(rows):
+            assert r["target_share"] <= raw_share  # damped
