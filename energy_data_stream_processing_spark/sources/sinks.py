@@ -46,6 +46,27 @@ def write_raw_events_parquet(valid: DataFrame, path: str) -> None:
     )
 
 
+def read_raw_events_parquet(
+    spark: SparkSession, path: str, schema_hints: dict[str, str] | None = None
+) -> DataFrame:
+    """Evolution-aware read of the raw-event store.
+
+    A long-lived store accretes columns (new payload fields land as new
+    parquet columns in new date partitions). ``mergeSchema`` unions the
+    footers so old partitions surface the new columns as NULL; pass
+    ``schema_hints`` ({column: cast-type}) to pin types where early
+    partitions wrote a narrower type (e.g. int -> bigint) — casts are
+    applied post-merge, so the plan stays one pruned scan. Old readers keep
+    working untouched: parquet is positional-by-name, extra columns are
+    simply not projected.
+    """
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    for col, typ in (schema_hints or {}).items():
+        if col in df.columns:
+            df = df.withColumn(col, F.col(col).cast(typ))
+    return df
+
+
 def upsert_hourly_metrics_parquet(spark: SparkSession, metrics: DataFrame, path: str) -> None:
     """Idempotent per-hour upsert into a parquet table.
 

@@ -228,3 +228,45 @@ def test_prometheus_exposition_format(spark, sf_dir, tmp_path):
     # exceeds 5/min; zero failures never fires.
     assert failure_rate_alert(cap.batches, [2]) is True
     assert failure_rate_alert(cap.batches, [0]) is False
+
+
+def test_raw_store_schema_evolution(spark, sf_dir, tmp_path):
+    """A later ingest adds a payload column; the evolution-aware reader
+    surfaces it as NULL on old partitions, old projections still work, and
+    partition pruning survives the merged-schema scan."""
+    from energy_data_stream_processing_spark.sources.sinks import (
+        read_raw_events_parquet,
+        write_raw_events_parquet,
+    )
+
+    path = str(tmp_path / "raw_evolved")
+    ev = energy_events(spark, sf_dir)
+    days = [r[0] for r in ev.select(F.to_date("event_time").alias("d")).distinct().orderBy("d").limit(2).collect()]
+    v1 = ev.where(F.to_date("event_time") == days[0])
+    v2 = ev.where(F.to_date("event_time") == days[1]).withColumn(
+        "meter_firmware", F.concat(F.lit("fw-"), (F.col("event_id") % 3).cast("string"))
+    )
+    write_raw_events_parquet(v1, path)
+    write_raw_events_parquet(v2, path)
+
+    back = read_raw_events_parquet(spark, path)
+    assert "meter_firmware" in back.columns
+    assert back.count() == v1.count() + v2.count()
+    # old partition: NULL for the new column; new partition: populated
+    assert back.where(F.col("event_date") == str(days[0])).where(
+        F.col("meter_firmware").isNotNull()
+    ).count() == 0
+    assert back.where(F.col("event_date") == str(days[1])).where(
+        F.col("meter_firmware").isNull()
+    ).count() == 0
+    # an old reader's projection is unaffected
+    assert back.select("event_id", "event_type").count() == back.count()
+    # pruning still reaches the scan through the merged schema
+    plan = (
+        back.where(F.col("event_date") == str(days[1]))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "event_date" in plan.split("PartitionFilters")[1][:120]
+    # schema hints pin widened types post-merge
+    hinted = read_raw_events_parquet(spark, path, {"payment_amount": "double"})
+    assert dict(hinted.dtypes)["payment_amount"] == "double"
