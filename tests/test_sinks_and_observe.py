@@ -270,3 +270,35 @@ def test_raw_store_schema_evolution(spark, sf_dir, tmp_path):
     # schema hints pin widened types post-merge
     hinted = read_raw_events_parquet(spark, path, {"payment_amount": "double"})
     assert dict(hinted.dtypes)["payment_amount"] == "double"
+
+
+def test_incremental_rollup_refresh_equals_batch(spark, sf_dir, tmp_path):
+    """Two increments (day split, the second carrying LATE rows for the
+    first period) folded via refresh_hourly_incremental must leave the
+    metrics store exactly equal to the one-pass batch aggregation — exact
+    distincts included — while each refresh recomputes only touched hours."""
+    from energy_data_stream_processing_spark.sources.sinks import (
+        read_hourly_metrics_parquet,
+        refresh_hourly_incremental,
+    )
+
+    raw_path = str(tmp_path / "raw")
+    store = str(tmp_path / "hourly")
+    ev = energy_events(spark, sf_dir)
+    days = sorted(r[0] for r in ev.select(F.to_date("event_time")).distinct().collect())
+    cut = days[len(days) // 2]
+    # late arrivals: hold back some early rows and deliver them in batch 2
+    early = ev.where(F.to_date("event_time") < str(cut))
+    late_mask = F.col("event_id") % 7 == 0
+    inc1 = early.where(~late_mask)
+    inc2 = ev.where(F.to_date("event_time") >= str(cut)).unionByName(early.where(late_mask))
+
+    t1 = refresh_hourly_incremental(spark, raw_path, store, inc1)
+    t2 = refresh_hourly_incremental(spark, raw_path, store, inc2)
+    assert t1 and t2
+    # the second refresh recomputed early (late-touched) hours too
+    assert min(t2) < max(t1), "late rows must re-touch old hours"
+
+    stored = sorted(map(tuple, read_hourly_metrics_parquet(spark, store).collect()))
+    batch = sorted(map(tuple, hourly_business_metrics(ev).collect()))
+    assert stored == batch
