@@ -353,3 +353,47 @@ def test_hourly_merge_law(spark, events):
             assert max(pa[c], pb[c]) <= f[c] <= pa[c] + pb[c], (
                 f"{hour} {c}: distinct merge bounds violated"
             )
+
+
+_pii_word = st.text(alphabet="abcdefgh ", min_size=0, max_size=12)
+_email = st.builds(
+    lambda u, d: f"{u}@{d}.com",
+    st.text(alphabet="abcdef0123._%+-", min_size=1, max_size=10).filter(
+        lambda s: s.strip("._%+-")
+    ),
+    st.text(alphabet="abcdef0123", min_size=1, max_size=8),
+)
+_ip = st.builds(
+    lambda a, b, c, d: f"{a}.{b}.{c}.{d}",
+    *([st.integers(0, 255)] * 4),
+)
+
+
+@given(
+    parts=st.lists(
+        st.one_of(_pii_word, _email.map(lambda e: ("EMAIL", e)), _ip.map(lambda i: ("IP", i))),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pii_redaction_scrubs_all_planted(spark, parts):
+    """Law: after redact_pii, no planted email/IP survives verbatim, and
+    each planted item was counted by some category (emails may instead be
+    consumed by a later category only if an earlier stage rewrote them —
+    the chain counts what its own stage sees, so total counted >= planted
+    distinct-category items is the safe invariant)."""
+    from energy_data_stream_processing_spark.operators.text import redact_pii
+
+    planted = [p for p in parts if isinstance(p, tuple)]
+    text = " ".join(p[1] if isinstance(p, tuple) else p for p in parts).strip() or "x"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = redact_pii(df).collect()[0]
+    red = row["text_redacted"]
+    for kind, val in planted:
+        assert val not in red, f"planted {kind} {val!r} survived: {red!r}"
+    total = row["n_email"] + row["n_ip"] + row["n_phone"]
+    if planted:
+        assert total >= 1, row
+    else:
+        assert total == 0 and red == text, row
