@@ -1084,7 +1084,8 @@ def q_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_oracle_ev(
         """
 , readings AS (
-  SELECT event_id, customer_id, event_time, energy_consumed
+  SELECT event_id, customer_id, event_time,
+         cast(energy_consumed AS DOUBLE) AS energy_consumed
   FROM energy_events WHERE event_type = 'energy_consumed'
 ),
 switches AS (
@@ -1108,7 +1109,13 @@ def q_asof_active_tariff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = energy_events(spark, sf_dir)
     readings = ev.where(F.col("event_type") == "energy_consumed").select(
-        "event_id", "customer_id", "event_time", "energy_consumed"
+        "event_id",
+        "customer_id",
+        "event_time",
+        # DOUBLE, not DECIMAL(10,3): the engine-level determinism rule — every
+        # compared output casts money/energy to double so the hash compare
+        # never depends on how an engine renders decimals.
+        F.col("energy_consumed").cast("double").alias("energy_consumed"),
     )
     switches = (
         ev.where(F.col("event_type") == "tariff_switch")
@@ -1141,7 +1148,8 @@ periods AS (
   FROM switches
 ),
 readings AS (
-  SELECT event_id, customer_id, event_time, energy_consumed
+  SELECT event_id, customer_id, event_time,
+         cast(energy_consumed AS DOUBLE) AS energy_consumed
   FROM energy_events WHERE event_type = 'energy_consumed'
 )
 SELECT r.event_id, r.customer_id, r.event_time, r.energy_consumed,
@@ -1180,7 +1188,11 @@ def q_range_join_tariff_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("period_end"),
     )
     readings = ev.where(F.col("event_type") == "energy_consumed").select(
-        "event_id", "customer_id", "event_time", "energy_consumed"
+        "event_id",
+        "customer_id",
+        "event_time",
+        # DOUBLE per the engine determinism rule (see asof_active_tariff).
+        F.col("energy_consumed").cast("double").alias("energy_consumed"),
     )
     joined = banded_range_join(
         readings,

@@ -58,6 +58,15 @@ def main() -> int:
     bad = 0
     for name, q in sorted(all_queries().items()):
         if q.oracle is None:
+            # rows-only entries still feed the driver's schema record —
+            # sweep their Spark output for DecimalType in --spark mode.
+            if spark is not None:
+                sdf = q.builder(spark, SF_DIR)
+                for f in sdf.schema.fields:
+                    if "decimal" in f.dataType.simpleString():
+                        print(f"{name}.{f.name}: Spark DecimalType output "
+                              "(cast to DOUBLE)")
+                        bad += 1
             continue
         try:
             desc = con.execute(f"DESCRIBE {q.oracle}").fetchall()
@@ -70,9 +79,21 @@ def main() -> int:
         if huge:
             print(f"{name}: HUGEINT columns {huge}")
             bad += 1
+        # DECIMAL outputs are a driver-hash hazard even when both engines
+        # agree on the type: the harness renders Spark Decimal and a
+        # pandas-converted DuckDB decimal differently. Engine rule: cast
+        # money/energy to DOUBLE before output, both sides.
+        dec = [c for c, t in duck_types.items() if "DECIMAL" in t]
+        if dec:
+            print(f"{name}: DECIMAL output columns {dec} (cast to DOUBLE)")
+            bad += 1
         if spark is not None:
             sdf = q.builder(spark, SF_DIR)
             for f in sdf.schema.fields:
+                if "decimal" in f.dataType.simpleString():
+                    print(f"{name}.{f.name}: Spark DecimalType output "
+                          "(cast to DOUBLE)")
+                    bad += 1
                 st = f.dataType.simpleString()
                 dt = duck_types.get(f.name.lower())
                 if dt is None:
