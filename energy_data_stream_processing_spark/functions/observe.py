@@ -52,6 +52,9 @@ class ProgressCapture:
                         "batchId": p.batchId,
                         "numInputRows": p.numInputRows,
                         "durationMs": dict(p.durationMs or {}),
+                        # ISO-8601 wall-clock stamp — the alert rule's rate
+                        # window derives from the first->last batch span.
+                        "timestamp": p.timestamp,
                     }
                 )
 
@@ -138,15 +141,33 @@ def failure_rate_alert(
     batches: list[dict],
     failed_counts: list[int],
     threshold_per_min: float = 5.0,
+    min_window_s: float = 60.0,
 ) -> bool:
     """The reference's alert rule (monitoring/prometheus/alerts.yml:5-12):
     fire when failed events/min exceeds the threshold over the captured
-    window. ``failed_counts`` aligns with ``batches``; window duration is
-    the summed batch latency (floor 1 s so an empty capture can't fire)."""
-    window_s = max(
-        1.0,
-        sum((b.get("durationMs", {}).get("triggerExecution", 0) or 0) for b in batches)
-        / 1000.0,
-    )
+    window. ``failed_counts`` aligns with ``batches``.
+
+    The window is the WALL-CLOCK span from first to last batch timestamp
+    (falling back to summed batch latency for captures without timestamps),
+    floored at ``min_window_s``: a per-minute rate measured on less than a
+    minute of observation extrapolates wildly (one failure in a 100 ms
+    capture would read as 600/min), and the reference's rule itself requires
+    the rate to hold ``for: 1m`` before firing.
+    """
+    stamps = [b["timestamp"] for b in batches if b.get("timestamp")]
+    span_s = 0.0
+    if len(stamps) >= 2:
+        import datetime as _dt
+
+        def _parse(ts: str) -> _dt.datetime:
+            return _dt.datetime.fromisoformat(ts.replace("Z", "+00:00"))
+
+        span_s = (_parse(max(stamps)) - _parse(min(stamps))).total_seconds()
+    if span_s <= 0.0:
+        span_s = (
+            sum((b.get("durationMs", {}).get("triggerExecution", 0) or 0) for b in batches)
+            / 1000.0
+        )
+    window_s = max(min_window_s, span_s)
     per_min = sum(failed_counts) / (window_s / 60.0)
     return per_min > threshold_per_min

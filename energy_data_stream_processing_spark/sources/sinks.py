@@ -20,10 +20,31 @@ merge bugs. Two upsert backends:
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.hourly import METRIC_COLUMNS
+
+
+@contextmanager
+def _conf_override(spark: SparkSession, key: str, value: str):
+    """Scoped session-conf override: the shared session's previous value is
+    restored on exit, so a sink's `dynamic` partitionOverwriteMode can't leak
+    into a later caller's full-table overwrite."""
+    try:
+        prev = spark.conf.get(key)
+    except Exception:  # noqa: BLE001 — key never set and has no default
+        prev = None
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def write_quarantine(invalid: DataFrame, path: str) -> None:
@@ -74,13 +95,13 @@ def upsert_hourly_metrics_parquet(spark: SparkSession, metrics: DataFrame, path:
     ``metrics`` are rewritten; other hours' files are untouched. Safe to call
     from ``foreachBatch`` on every trigger.
     """
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
-        metrics.withColumn("hour_key", F.date_format("hour", "yyyy-MM-dd-HH"))
-        .write.mode("overwrite")
-        .partitionBy("hour_key")
-        .parquet(path)
-    )
+    with _conf_override(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
+        (
+            metrics.withColumn("hour_key", F.date_format("hour", "yyyy-MM-dd-HH"))
+            .write.mode("overwrite")
+            .partitionBy("hour_key")
+            .parquet(path)
+        )
 
 
 def read_hourly_metrics_parquet(spark: SparkSession, path: str) -> DataFrame:
@@ -179,13 +200,13 @@ def foreach_batch_raw_append(path: str):
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        (
-            batch_df.withColumn("_batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .partitionBy("_batch_id")
-            .parquet(path)
-        )
+        with _conf_override(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
+            (
+                batch_df.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("_batch_id")
+                .parquet(path)
+            )
 
     return fn
 
@@ -206,28 +227,53 @@ def write_bucketed(df: DataFrame, table: str, key: str, buckets: int = 8) -> Non
 
 
 def refresh_hourly_incremental(
-    spark: SparkSession, raw_path: str, store_path: str, increment: DataFrame
+    spark: SparkSession,
+    raw_path: str,
+    store_path: str,
+    increment: DataFrame,
+    increment_id: int | str | None = None,
 ) -> list:
     """Continuous-aggregate maintenance: fold an event increment into the
     raw store, then recompute ONLY the touched hours.
 
     The pattern behind TimescaleDB continuous aggregates / Delta MERGE
-    materialized views, expressed Spark-first: (1) append the increment to
-    the date-partitioned raw store; (2) derive the touched hour set (late
-    data included — an hour is touched whenever ANY increment row lands in
-    it, however old); (3) recompute those hours' full aggregates from the
-    raw store with the date filter pruning the scan to the touched
-    partitions; (4) per-hour dynamic-partition upsert into the metrics
-    store. Distinct counts stay EXACT because touched hours recompute from
-    raw — the merge problem that breaks additive flushes (the reference's
-    double-count) never arises. At 100 TB a refresh prices at
-    O(touched days of raw) + O(touched hours of output), not O(history).
+    materialized views, expressed Spark-first: (1) land the increment in the
+    raw store; (2) derive the touched hour set (late data included — an hour
+    is touched whenever ANY increment row lands in it, however old); (3)
+    recompute those hours' full aggregates from the raw store with the date
+    filter pruning the scan to the touched partitions; (4) per-hour
+    dynamic-partition upsert into the metrics store. Distinct counts stay
+    EXACT because touched hours recompute from raw — the merge problem that
+    breaks additive flushes (the reference's double-count) never arises. At
+    100 TB a refresh prices at O(touched days of raw) + O(touched hours of
+    output), not O(history).
+
+    Replay safety: pass ``increment_id`` (a batch/ingest id unique per
+    logical increment) and the raw landing becomes a dynamic-partition
+    OVERWRITE keyed by ``(_increment_id, event_date)`` — a retried call
+    rewrites exactly its own files, same mechanics as
+    ``foreach_batch_raw_append``, so the store (and hence the recomputed
+    hours) is idempotent under at-least-once delivery. Without an id the
+    landing is a plain append and the CALLER must guarantee at-most-once
+    application of each increment.
 
     Returns the recomputed hour list (for tests/observability).
     """
     from ..operators.hourly import hourly_business_metrics
 
-    write_raw_events_parquet(increment, raw_path)
+    if increment_id is None:
+        write_raw_events_parquet(increment, raw_path)
+    else:
+        with _conf_override(
+            spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        ):
+            (
+                increment.withColumn("_increment_id", F.lit(increment_id))
+                .withColumn("event_date", F.to_date("event_time"))
+                .write.mode("overwrite")
+                .partitionBy("_increment_id", "event_date")
+                .parquet(raw_path)
+            )
     touched = [
         r["h"]
         for r in increment.select(

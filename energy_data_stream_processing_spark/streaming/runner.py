@@ -56,6 +56,7 @@ from pyspark.sql.types import (
 
 from ..operators.hourly import METRIC_COLUMNS
 from ..sources.adapter import ENERGY_EVENTS_SQL, load_table, normalize_event_ts
+from ..sources.sinks import _conf_override
 from ..plans.catalog import register
 
 OUTPUT_SCHEMA = StructType(
@@ -916,18 +917,24 @@ def q_streaming_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         inc = base.groupBy("fp").agg(
             F.min_by(F.struct("doc_id", "lang", "source", "n_tokens"), "doc_id").alias("r")
         ).select("fp", "r.*")
+        # Missing store == first batch; any OTHER read failure must
+        # propagate — swallowing it would silently skip the cross-batch
+        # anti-join and keep duplicate documents without an error.
+        from pyspark.errors import AnalysisException
+
         try:
             prior = s.read.parquet(kept_dir).where(F.col("_batch_id") < batch_id)
+        except AnalysisException:
+            prior = None
+        if prior is not None:
             inc = inc.join(prior.select("fp"), "fp", "left_anti")
-        except Exception:  # noqa: BLE001 — first batch: no store yet
-            pass
-        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        (
-            inc.withColumn("_batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .partitionBy("_batch_id")
-            .parquet(kept_dir)
-        )
+        with _conf_override(s, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
+            (
+                inc.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("_batch_id")
+                .parquet(kept_dir)
+            )
 
     q = (
         spark.readStream.schema(schema)

@@ -224,9 +224,12 @@ def test_prometheus_exposition_format(spark, sf_dir, tmp_path):
             name, _, val = ln.rpartition(" ")
             assert name and float(val) >= 0
 
-    # alert rule twin (alerts.yml:5-12): 2 failures in a sub-minute window
-    # exceeds 5/min; zero failures never fires.
-    assert failure_rate_alert(cap.batches, [2]) is True
+    # alert rule twin (alerts.yml:5-12): the rate window is floored at one
+    # minute (the rule's `for: 1m`), so 6 failures inside the capture exceed
+    # 5/min and fire, while 2 failures in a sub-minute capture must NOT be
+    # extrapolated into an alert; zero failures never fires.
+    assert failure_rate_alert(cap.batches, [6]) is True
+    assert failure_rate_alert(cap.batches, [2]) is False
     assert failure_rate_alert(cap.batches, [0]) is False
 
 
@@ -293,8 +296,8 @@ def test_incremental_rollup_refresh_equals_batch(spark, sf_dir, tmp_path):
     inc1 = early.where(~late_mask)
     inc2 = ev.where(F.to_date("event_time") >= str(cut)).unionByName(early.where(late_mask))
 
-    t1 = refresh_hourly_incremental(spark, raw_path, store, inc1)
-    t2 = refresh_hourly_incremental(spark, raw_path, store, inc2)
+    t1 = refresh_hourly_incremental(spark, raw_path, store, inc1, increment_id=1)
+    t2 = refresh_hourly_incremental(spark, raw_path, store, inc2, increment_id=2)
     assert t1 and t2
     # the second refresh recomputed early (late-touched) hours too
     assert min(t2) < max(t1), "late rows must re-touch old hours"
@@ -302,3 +305,11 @@ def test_incremental_rollup_refresh_equals_batch(spark, sf_dir, tmp_path):
     stored = sorted(map(tuple, read_hourly_metrics_parquet(spark, store).collect()))
     batch = sorted(map(tuple, hourly_business_metrics(ev).collect()))
     assert stored == batch
+
+    # at-least-once replay: re-applying increment 2 with the same id rewrites
+    # exactly its own raw partitions, so the store stays equal to batch (a
+    # plain append would double the events and double the aggregates)
+    t2b = refresh_hourly_incremental(spark, raw_path, store, inc2, increment_id=2)
+    assert sorted(t2b) == sorted(t2)
+    replayed = sorted(map(tuple, read_hourly_metrics_parquet(spark, store).collect()))
+    assert replayed == batch

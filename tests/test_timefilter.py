@@ -72,7 +72,11 @@ def test_time_filtered_panel_matches_filtered_oracle(spark, sf_dir, name, time_c
     assert 0 < len(s_rows) < len(_rows(q.builder(spark, sf_dir).collect(), s_cols)), (
         "range must be a strict non-empty subset or the test proves nothing"
     )
-    assert s_rows == d_rows, f"{name}: first diff {next((a, b) for a, b in zip(s_rows, d_rows) if a != b)}"
+    first_diff = next(
+        ((a, b) for a, b in zip(s_rows, d_rows) if a != b),
+        ("row-count mismatch", (len(s_rows), len(d_rows))),
+    )
+    assert s_rows == d_rows, f"{name}: first diff {first_diff}"
 
 
 def test_default_bounds_keep_full_output(spark, sf_dir):
