@@ -259,3 +259,60 @@ def test_checkpoint_restart_resumes_without_loss_or_duplication(spark, sf_dir, t
         .collect()
     }
     assert got == want
+
+
+def test_nanos_vintage_chunk_stream(spark, tmp_path):
+    """The driver has shipped events.ts as parquet TIMESTAMP(NANOS) — read
+    as a bigint under nanosAsLong. ascending_time_chunks writes
+    vintage-NORMALIZED (timestamp) chunks, so the stream schema must come
+    from the chunk files, not the raw events.parquet: inferring from the
+    raw file on this vintage would declare ts:bigint for files holding
+    timestamps and the stream would fail or misread."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from energy_data_stream_processing_spark.streaming.runner import (
+        ascending_time_chunks,
+        run_stream_to_table,
+        stream_raw_events,
+    )
+
+    sf_dir = str(tmp_path / "sf_nanos")
+    import os
+
+    os.makedirs(sf_dir)
+    n = 48
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(1, n + 1),
+            "ts": pd.to_datetime("2025-06-01")
+            + pd.to_timedelta([i * 37 for i in range(n)], unit="m"),
+            "user_id": [i % 5 for i in range(n)],
+            "event_type": ["view" if i % 2 else "purchase" for i in range(n)],
+            "value": [float(i) for i in range(n)],
+            "props": ["{}"] * n,
+        }
+    )
+    table = pa.Table.from_pandas(pdf, preserve_index=False)
+    # version 2.6 + ns coercion => parquet TIMESTAMP(NANOS), the vintage
+    # Spark reads as bigint under spark.sql.legacy.parquet.nanosAsLong
+    pq.write_table(
+        table.set_column(
+            1, "ts", table.column("ts").cast(pa.timestamp("ns"))
+        ),
+        f"{sf_dir}/events.parquet",
+        version="2.6",
+        coerce_timestamps=None,
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    assert dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)["ts"] == "bigint"
+
+    src = ascending_time_chunks(spark, sf_dir, 3)
+    stream = stream_raw_events(spark, sf_dir, source_dir=src, max_files_per_trigger=1)
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+    out = run_stream_to_table(
+        spark, stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = {r["event_type"]: r["n"] for r in out.collect()}
+    assert got == {"view": n // 2, "purchase": n // 2}
