@@ -95,7 +95,9 @@ def _shingle_index(docs: DataFrame) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.015) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.015, max_df: int | None = None
+) -> DataFrame:
     """Exact word-3-gram Jaccard similarity pairs (doc_a < doc_b, jac >= t).
 
     Inverted-index plan, single-scan form: the shingle set (with its size
@@ -106,17 +108,34 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.015) -> DataFrame:
     not reuse the exchange across them — measured 4 scans vs 1 here).
     Jaccard derives as ``common / (na + nb - common)`` with the set sizes
     riding the pair rows, so no join back is needed. Shuffles: shingle,
-    then pair key — both map-side combinable. Hot shingles (stopword runs)
-    are the skew/memory risk at scale (collect_list per bucket is O(df),
-    pair-gen O(df^2)): AQE splits skewed partitions; a document-frequency
-    cap on shingles is the standard mitigation (max bucket ~25 at test
-    scale, so the exact path runs uncapped).
+    then pair key — both map-side combinable.
+
+    Hot shingles (stopword runs) are the skew/memory risk at scale
+    (collect_list per bucket is O(df), pair-gen O(df^2)). ``max_df`` is the
+    standard mitigation: shingles appearing in more than ``max_df``
+    documents are dropped from the index BEFORE bucket arrays are built, so
+    every bucket is provably <= max_df docs and pair-gen <= max_df^2. The
+    capped run under-counts ``common`` for pairs whose overlap includes a
+    dropped shingle (na/nb stay full-size, so reported jaccard is a lower
+    bound) and loses pairs whose ONLY overlap is hot shingles — exactly the
+    pairs that aren't meaningfully similar. The df pre-pass shuffles on the
+    same shingle key the bucket groupBy uses, so it adds a map-side-
+    combinable count, not a new partitioning. Default None = exact path
+    (max bucket ~25 at test scale).
     """
     sh = with_shingles(docs)
     exploded = (
         sh.select("doc_id", F.size("sh").alias("n"), F.explode_outer("sh").alias("shingle"))
         .where(F.col("shingle").isNotNull())
     )
+    if max_df is not None:
+        hot = (
+            exploded.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("shingle")
+        )
+        exploded = exploded.join(hot, "shingle", "left_anti")
     buckets = exploded.groupBy("shingle").agg(
         F.array_sort(
             F.collect_list(F.struct(F.col("doc_id"), F.col("n")))

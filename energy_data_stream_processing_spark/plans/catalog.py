@@ -47,6 +47,7 @@ def all_queries() -> dict[str, CatalogQuery]:
     # Import side-effect modules lazily so a broken optional module can't
     # take down the whole catalog at import time.
     from . import energy_queries  # noqa: F401
+    from . import ops_queries  # noqa: F401
     from . import profile_queries  # noqa: F401
     from . import sampling_queries  # noqa: F401
     from . import session_queries  # noqa: F401

@@ -483,11 +483,60 @@ def running_user_totals_stream(raw_events: DataFrame) -> DataFrame:
     )
 
 
+def running_user_totals_stream_groupstate(raw_events: DataFrame) -> DataFrame:
+    """Protobuf-free twin of ``running_user_totals_stream``: identical
+    per-user running (count, cents) state kept through the older GroupState
+    flavor (``applyInPandasWithState``), which rides the plain Arrow channel
+    — no state-server protobuf — so the operator stays ACTIVE in containers
+    without ``google.protobuf``. Exact integer merge, update-mode emission,
+    same output schema; the catalog entry picks whichever flavor the
+    environment supports and gates both against the same batch oracle."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType(), True),
+            StructField("n_events", LongType(), True),
+            StructField("total_cents", LongType(), True),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType(), True),
+            StructField("cents", LongType(), True),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # values are exact 2-decimal doubles -> cents are exact ints
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+        )
+
+    return (
+        raw_events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def _has_protobuf() -> bool:
     # transformWithStateInPandas speaks protobuf to the state server; the
-    # driver container may not ship google.protobuf, so the catalog entry is
-    # environment-gated (import-try, per the no-new-deps rule) — the operator
-    # itself and its test skip cleanly where unavailable.
+    # driver container may not ship google.protobuf (import-try, per the
+    # no-new-deps rule). Where absent, the GroupState twin carries the entry.
     try:
         from google.protobuf import descriptor  # noqa: F401
 
@@ -496,38 +545,39 @@ def _has_protobuf() -> bool:
         return False
 
 
-def _register_running_totals(fn):
-    if not _has_protobuf():
-        return fn
-    return register(
-        "streaming_running_totals",
-        oracle="""
+@register(
+    "streaming_running_totals",
+    oracle="""
 SELECT user_id, count(*) AS n_events,
   cast(sum(cast(cast(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents
 FROM events GROUP BY user_id
 """,
-        doc="Spark 4 arbitrary stateful streaming (transformWithStateInPandas "
-        "+ ValueState): per-user running totals, each micro-batch merging "
-        "into typed per-key state; converged state is gated against the "
-        "one-pass batch aggregation. Counts/cents are exact integers, so "
-        "the cross-batch merge is order-independent. Scale: state is two "
-        "longs per user, sharded by the user_id shuffle, RocksDB-backed "
-        "and checkpointed on a cluster.",
-    )(fn)
-
-
-@_register_running_totals
+    doc="Arbitrary stateful streaming: per-user running totals, each "
+    "micro-batch merging into typed per-key state; converged state is "
+    "gated against the one-pass batch aggregation. Uses the Spark 4 "
+    "StatefulProcessor (transformWithStateInPandas + ValueState) where "
+    "the environment ships its protobuf dependency, else the semantically "
+    "identical GroupState flavor (applyInPandasWithState) — same state, "
+    "same output, same oracle. Counts/cents are exact integers, so the "
+    "cross-batch merge is order-independent. Scale: state is two longs "
+    "per user, sharded by the user_id shuffle, RocksDB-backed and "
+    "checkpointed on a cluster.",
+)
 def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    # transformWithState requires the RocksDB state store provider (the
-    # default HDFS-backed store does not implement it)
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
     raw = stream_raw_events(spark, sf_dir)
-    out = run_stream_to_table(spark, running_user_totals_stream(raw), mode="update")
+    if _has_protobuf():
+        # transformWithState requires the RocksDB state store provider (the
+        # default HDFS-backed store does not implement it)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        totals = running_user_totals_stream(raw)
+    else:
+        totals = running_user_totals_stream_groupstate(raw)
+    out = run_stream_to_table(spark, totals, mode="update")
     # availableNow on one file = one batch; dedup defensively (n is monotone)
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (

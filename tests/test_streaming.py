@@ -316,3 +316,39 @@ def test_nanos_vintage_chunk_stream(spark, tmp_path):
     )
     got = {r["event_type"]: r["n"] for r in out.collect()}
     assert got == {"view": n // 2, "purchase": n // 2}
+
+
+def test_groupstate_running_totals_multibatch_equals_batch(spark, sf_dir, tmp_path):
+    """Protobuf-free running-totals twin (applyInPandasWithState): per-user
+    state merged across 3 replayed micro-batches must equal the one-pass
+    batch aggregation exactly — this flavor carries the catalog entry in
+    environments without google.protobuf, so it is gated unconditionally."""
+    from energy_data_stream_processing_spark.streaming.runner import (
+        ascending_time_chunks,
+        run_stream_to_table,
+        running_user_totals_stream_groupstate,
+        stream_raw_events,
+    )
+
+    src = ascending_time_chunks(spark, sf_dir, 3)
+    raw_stream = stream_raw_events(spark, sf_dir, source_dir=src, max_files_per_trigger=1)
+    out = run_stream_to_table(
+        spark, running_user_totals_stream_groupstate(raw_stream), mode="update"
+    )
+    # update-mode memory sink holds every emission; totals are monotone so
+    # the converged state per user is the max
+    final = out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"), F.max("total_cents").alias("total_cents")
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+    )
+    assert sorted(map(tuple, final.collect())) == sorted(map(tuple, batch.collect()))

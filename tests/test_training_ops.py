@@ -240,3 +240,55 @@ def test_mixture_sample_invariants(spark, sf_dir):
             assert r["target_share"] >= raw_share  # boosted
         elif raw_share > 1.0 / len(rows):
             assert r["target_share"] <= raw_share  # damped
+
+
+def test_ngram_jaccard_max_df_bounds_hot_shingles(spark):
+    """Pathological stopword-run corpus: every doc opens with the same
+    10-word run (hot shingles with df == n_docs, the O(df^2) pair-gen
+    bomb). With max_df set, (1) hot shingles are dropped from the index so
+    every bucket is provably bounded, (2) pairs whose ONLY overlap is the
+    stopword run disappear, (3) genuinely-similar pairs (rare-shingle
+    overlap) survive with their jaccard a lower bound of the exact value."""
+    from pyspark.sql import functions as F
+
+    from energy_data_stream_processing_spark.operators.dedup import with_shingles
+
+    stop_run = "the quick brown fox jumps over the lazy sleeping dog"
+    n_docs = 40
+    rows = []
+    for d in range(n_docs):
+        body = " ".join(f"w{d}_{i}" for i in range(30))
+        rows.append((2 * d, f"{stop_run} {body}"))
+        # near-dup twin: same body, two words changed
+        twin = body.split()
+        twin[3], twin[17] = "xx", "yy"
+        rows.append((2 * d + 1, f"{stop_run} {' '.join(twin)}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    max_df = 8
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.0, max_df=max_df).collect()
+    }
+
+    true_pairs = {(2 * d, 2 * d + 1) for d in range(n_docs)}
+    # uncapped: stopword run links EVERY doc pair (the explosion)
+    assert len(exact) == (2 * n_docs) * (2 * n_docs - 1) // 2
+    # capped: only genuine near-dup twins survive; the all-pairs noise is gone
+    assert set(capped) == true_pairs
+    # capped jaccard is a lower bound of exact (common under-counted only)
+    for p in true_pairs:
+        assert capped[p] <= exact[p] + 1e-12
+        assert capped[p] > 0.4  # rare-shingle overlap keeps them clearly similar
+
+    # the index really is bounded: no surviving shingle has df > max_df
+    sh = with_shingles(docs).select(
+        "doc_id", F.explode("sh").alias("shingle")
+    )
+    dfreq = sh.groupBy("shingle").count()
+    hot = {r["shingle"] for r in dfreq.where(F.col("count") > max_df).collect()}
+    assert hot, "fixture must actually contain hot shingles"
