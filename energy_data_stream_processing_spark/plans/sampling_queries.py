@@ -500,3 +500,74 @@ def q_heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("occurrences").cast("double") / F.col("n")).alias("corpus_share"),
         )
     )
+
+
+@register(
+    "greedy_sequence_packing",
+    # No oracle: first-fit-decreasing is an inherently sequential greedy
+    # algorithm, not SQL-expressible; invariants (capacity, conservation,
+    # the FFD half-full guarantee) are property-tested instead.
+    doc="Constructive sequence packing (the counterpart of "
+    "sequence_packing_audit's padding-waste measurement): documents are "
+    "sharded deterministically (doc_id % n_shards), each shard packs its "
+    "own docs into 256-token context windows with first-fit-decreasing — "
+    "sort by (n_tokens desc, doc_id), place each doc in the first bin "
+    "with room — and emits per-bin occupancy. Shard-local packing is the "
+    "100 TB design: FFD is sequential, so global FFD cannot distribute; "
+    "per-shard FFD keeps the same 11/9-OPT+1 bound within every shard "
+    "while shards pack in parallel with NO shuffle beyond the shard "
+    "groupBy, and utilization loss vs global packing is at most one "
+    "under-filled bin per shard. applyInPandas is the right tool (true "
+    "per-group sequential algorithm), not a hot-path scalar UDF; "
+    "overlong docs clip at the window (the training-side truncation "
+    "rule). Deterministic: stable sort keys, stable shard keys.",
+)
+def q_greedy_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bpe_tokens
+
+    window, n_shards = 256, 8
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.least(
+            F.size(bpe_tokens(F.col("text"))).cast("long"), F.lit(window)
+        ).alias("n_tokens"),
+        (F.col("doc_id") % n_shards).alias("shard"),
+    )
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        shard = int(pdf["shard"].iloc[0]) if len(pdf) else 0
+        fills: list[int] = []
+        counts: list[int] = []
+        for t in pdf["n_tokens"].astype(int):
+            for b in range(len(fills)):
+                if fills[b] + t <= window:
+                    fills[b] += t
+                    counts[b] += 1
+                    break
+            else:
+                fills.append(t)
+                counts.append(1)
+        return pd.DataFrame(
+            {
+                "shard": shard,
+                "bin_id": range(len(fills)),
+                "n_docs": counts,
+                "bin_tokens": fills,
+                "utilization": [f / float(window) for f in fills],
+            }
+        )
+
+    out_schema = (
+        "shard long, bin_id long, n_docs long, bin_tokens long, utilization double"
+    )
+    return (
+        toks.groupBy("shard")
+        .applyInPandas(pack, out_schema)
+        .orderBy("shard", "bin_id")
+    )

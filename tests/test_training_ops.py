@@ -292,3 +292,43 @@ def test_ngram_jaccard_max_df_bounds_hot_shingles(spark):
     dfreq = sh.groupBy("shingle").count()
     hot = {r["shingle"] for r in dfreq.where(F.col("count") > max_df).collect()}
     assert hot, "fixture must actually contain hot shingles"
+
+
+def test_greedy_packing_invariants(spark, sf_dir):
+    """FFD packing invariants: no bin exceeds the 256-token window; tokens
+    are conserved (sum of bin fills == sum of clipped doc token counts);
+    per shard at most ONE bin is less than half full (the classic FFD
+    guarantee: two half-empty bins would have been merged); and bin count
+    meets the ceiling lower bound."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from energy_data_stream_processing_spark.operators.text import bpe_tokens
+    from energy_data_stream_processing_spark.plans.catalog import all_queries
+
+    window = 256
+    out = all_queries()["greedy_sequence_packing"].builder(spark, sf_dir).collect()
+    assert out, "packer produced no bins"
+    assert all(r["bin_tokens"] <= window for r in out)
+    assert all(0.0 < r["utilization"] <= 1.0 for r in out)
+
+    docs = load_table(spark, sf_dir, "documents")
+    clipped = docs.select(
+        F.least(F.size(bpe_tokens(F.col("text"))).cast("long"), F.lit(window)).alias("t"),
+        (F.col("doc_id") % 8).alias("shard"),
+    )
+    per_shard = {
+        r["shard"]: (r["total"], r["n"])
+        for r in clipped.groupBy("shard")
+        .agg(F.sum("t").alias("total"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    tot_docs = sum(r["n_docs"] for r in out)
+    assert tot_docs == sum(n for _, n in per_shard.values())
+    for shard, (total, _) in per_shard.items():
+        bins = [r for r in out if r["shard"] == shard]
+        assert sum(r["bin_tokens"] for r in bins) == total  # conservation
+        assert len(bins) >= math.ceil(total / window)  # lower bound
+        under_half = [r for r in bins if r["bin_tokens"] < window / 2]
+        assert len(under_half) <= 1, f"shard {shard}: FFD half-full guarantee broken"
