@@ -68,6 +68,9 @@ UDF_FREE = [
     "pii_redaction_audit",
     "mixture_temperature_sample",
     "ngram_decontamination",
+    "line_dedup_audit",
+    "ops_events_rate",
+    "ops_latency_p95",
 ]
 
 # Dense-math operators where an Arrow-vectorized UDF is the DESIGN (numpy

@@ -397,3 +397,37 @@ def test_pii_redaction_scrubs_all_planted(spark, parts):
         assert total >= 1, row
     else:
         assert total == 0 and red == text, row
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from([f"t{i}" for i in range(12)]), min_size=8, max_size=25
+        ),
+        min_size=4,
+        max_size=12,
+    )
+)
+def test_ngram_jaccard_df_cap_is_conservative(spark, docs_words):
+    """For ANY corpus: the df-capped pair set is a subset of the exact pair
+    set at the same threshold, and every surviving pair's jaccard is a
+    lower bound of its exact value (dropping hot shingles can only remove
+    common counts, never add them)."""
+    from energy_data_stream_processing_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.05).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.05, max_df=3).collect()
+    }
+    assert set(capped) <= set(exact)
+    for pair, jac in capped.items():
+        assert jac <= exact[pair] + 1e-12
