@@ -1347,3 +1347,84 @@ def q_energy_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         shape(hourly, "hour").unionByName(shape(daily, "day")).unionByName(shape(weekly, "week"))
     )
+
+
+@register(
+    "revenue_reconciliation",
+    oracle=_oracle_ev(
+        """
+, sw AS (
+  SELECT cast(event_time AS DATE) AS day, customer_id,
+         cast(sum(cast(payment_amount AS DECIMAL(18,2))) AS DOUBLE) AS switch_revenue
+  FROM energy_events
+  WHERE event_type = 'tariff_switch' AND payment_amount IS NOT NULL
+  GROUP BY 1, 2
+),
+bp AS (
+  SELECT cast(event_time AS DATE) AS day, customer_id,
+         cast(sum(cast(payment_amount AS DECIMAL(18,2))) AS DOUBLE) AS bill_revenue
+  FROM energy_events
+  WHERE event_type = 'bill_payment' AND payment_amount IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT coalesce(sw.day, bp.day) AS day,
+       coalesce(sw.customer_id, bp.customer_id) AS customer_id,
+       coalesce(sw.switch_revenue, 0.0) AS switch_revenue,
+       coalesce(bp.bill_revenue, 0.0) AS bill_revenue,
+       CASE WHEN sw.day IS NULL THEN 'bill_only'
+            WHEN bp.day IS NULL THEN 'switch_only'
+            ELSE 'both' END AS status
+FROM sw FULL OUTER JOIN bp
+  ON sw.day = bp.day AND sw.customer_id = bp.customer_id
+ORDER BY day, customer_id, status
+"""
+    ),
+    doc="Cross-stream revenue reconciliation — the FULL OUTER JOIN shape "
+    "(absent from the reference's SQL surface, indispensable in a "
+    "warehouse): per (day, customer), tariff-switch revenue vs "
+    "bill-payment revenue with explicit presence status, so a missing "
+    "feed side surfaces as switch_only/bill_only rows instead of "
+    "silently dropping (all three arms non-vacuous on this corpus: "
+    "144 both / 467 switch_only / 993 bill_only at sf0.01). Exact "
+    "DECIMAL sums cast to double at the edge (engine determinism rule). "
+    "Scale: both sides pre-aggregate to (day, customer) grain BEFORE "
+    "the join — the full outer join runs on two grouped frames sharing "
+    "one hash partitioning, never on facts.",
+)
+def q_revenue_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = energy_events(spark, sf_dir)
+    pay = F.col("payment_amount").cast("decimal(18,2)")
+    base = ev.where(F.col("payment_amount").isNotNull())
+
+    def side(et: str, out: str) -> DataFrame:
+        return (
+            base.where(F.col("event_type") == et)
+            .groupBy(
+                F.col("event_time").cast("date").alias("day"),
+                F.col("customer_id"),
+            )
+            .agg(F.sum(pay).cast("double").alias(out))
+        )
+
+    sw = side("tariff_switch", "switch_revenue")
+    bp = side("bill_payment", "bill_revenue")
+    joined = sw.alias("sw").join(
+        bp.alias("bp"),
+        (F.col("sw.day") == F.col("bp.day"))
+        & (F.col("sw.customer_id") == F.col("bp.customer_id")),
+        "full_outer",
+    )
+    status = (
+        F.when(F.col("sw.day").isNull(), "bill_only")
+        .when(F.col("bp.day").isNull(), "switch_only")
+        .otherwise("both")
+    )
+    return joined.select(
+        F.coalesce(F.col("sw.day"), F.col("bp.day")).alias("day"),
+        F.coalesce(F.col("sw.customer_id"), F.col("bp.customer_id")).alias(
+            "customer_id"
+        ),
+        F.coalesce(F.col("sw.switch_revenue"), F.lit(0.0)).alias("switch_revenue"),
+        F.coalesce(F.col("bp.bill_revenue"), F.lit(0.0)).alias("bill_revenue"),
+        status.alias("status"),
+    ).orderBy("day", "customer_id", "status")
