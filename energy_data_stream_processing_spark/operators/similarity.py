@@ -218,6 +218,44 @@ def _train_ivf_centroids(
     return C
 
 
+def _cell_assign_udf(C):
+    """Arrow-batched nearest-centroid assignment against frozen centroids
+    ``C``: one (n, dim) @ (dim, nlist) BLAS call per batch."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    @pandas_udf(IntegerType())
+    def assign_cell(emb):
+        import numpy as np
+        import pandas as pd
+
+        if len(emb) == 0:
+            return pd.Series([], dtype="int32")
+        mat = np.stack(emb.map(lambda a: np.asarray(a, dtype=np.float64)).to_list())
+        return pd.Series(np.argmax(mat @ C.T, axis=1).astype(np.int32))
+
+    return assign_cell
+
+
+def _cell_probe_udf(C, nprobe: int):
+    """Arrow-batched top-``nprobe`` nearest-centroid probe list per query."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def probe_cells(emb):
+        import numpy as np
+        import pandas as pd
+
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack(emb.map(lambda a: np.asarray(a, dtype=np.float64)).to_list())
+        order = np.argsort(-(mat @ C.T), axis=1)[:, :nprobe]
+        return pd.Series(order.astype(np.int32).tolist())
+
+    return probe_cells
+
+
 def ivf_topk(
     embeddings: DataFrame,
     num_queries: int = 20,
@@ -239,31 +277,9 @@ def ivf_topk(
     id-only. Recall is tuned by nprobe (measured vs the exact baseline in
     tests).
     """
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import ArrayType, IntegerType
-
     C = _train_ivf_centroids(embeddings, nlist)
-
-    @pandas_udf(IntegerType())
-    def assign_cell(emb):
-        import numpy as np
-        import pandas as pd
-
-        if len(emb) == 0:
-            return pd.Series([], dtype="int32")
-        mat = np.stack(emb.map(lambda a: np.asarray(a, dtype=np.float64)).to_list())
-        return pd.Series(np.argmax(mat @ C.T, axis=1).astype(np.int32))
-
-    @pandas_udf(ArrayType(IntegerType()))
-    def probe_cells(emb):
-        import numpy as np
-        import pandas as pd
-
-        if len(emb) == 0:
-            return pd.Series([], dtype=object)
-        mat = np.stack(emb.map(lambda a: np.asarray(a, dtype=np.float64)).to_list())
-        order = np.argsort(-(mat @ C.T), axis=1)[:, :nprobe]
-        return pd.Series(order.astype(np.int32).tolist())
+    assign_cell = _cell_assign_udf(C)
+    probe_cells = _cell_probe_udf(C, nprobe)
 
     cells = embeddings.select("vec_id", assign_cell(F.col("embedding")).alias("cell"))
     qcells = (
@@ -317,4 +333,103 @@ def hard_negatives(embeddings: DataFrame, num_queries: int = 50, k: int = 3) -> 
             "cosine",
             F.col("rank").cast("integer").alias("rank"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Persisted incremental IVF index: the ANN counterpart of the engine's
+# continuous-aggregate maintenance (sources/sinks.py::refresh_hourly_
+# incremental). An index at rest is (a) a tiny frozen-centroid table and
+# (b) the corpus partitioned on disk by (increment, cell) — so ingesting
+# new vectors prices at O(increment) (one narrow assignment pass, frozen
+# centroids) and a query scans ONLY its probed cell partitions via
+# partition pruning, never the corpus.
+# --------------------------------------------------------------------------
+def build_ivf_index(spark, embeddings: DataFrame, index_path: str, nlist: int = 16):
+    """Train centroids on the base corpus (deterministic bounded sample,
+    spherical k-means), persist them, and land the base assignment as
+    increment "base". Later vectors arrive via refresh_ivf_incremental —
+    centroids stay FROZEN (the standard IVF maintenance contract: re-train
+    is an offline rebuild, not an ingest-path operation)."""
+    C = _train_ivf_centroids(embeddings, nlist)
+    cdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in C[i]]) for i in range(len(C))],
+        "cell int, centroid array<double>",
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
+    refresh_ivf_incremental(spark, index_path, embeddings, increment_id="base")
+
+
+def _load_ivf_centroids(spark, index_path: str):
+    import numpy as np
+
+    rows = spark.read.parquet(f"{index_path}/centroids").orderBy("cell").collect()
+    return np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in rows])
+
+
+def refresh_ivf_incremental(
+    spark, index_path: str, increment: DataFrame, increment_id: str
+) -> None:
+    """Fold new vectors into the persisted index: assign ONLY the increment
+    against the frozen centroids (narrow Arrow-batched pass) and land it
+    keyed by (_increment_id, cell) with dynamic partition overwrite — a
+    replayed increment rewrites exactly its own files, so the index is
+    idempotent under at-least-once delivery (same mechanics as
+    refresh_hourly_incremental / foreach_batch_raw_append)."""
+    from ..sources.sinks import _conf_override
+
+    C = _load_ivf_centroids(spark, index_path)
+    assigned = increment.select(
+        "vec_id",
+        "embedding",
+        _cell_assign_udf(C)(F.col("embedding")).alias("cell"),
+    )
+    with _conf_override(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
+        (
+            assigned.withColumn("_increment_id", F.lit(str(increment_id)))
+            .write.mode("overwrite")
+            .partitionBy("_increment_id", "cell")
+            .parquet(f"{index_path}/cells")
+        )
+
+
+def ivf_index_topk(
+    spark, index_path: str, queries: DataFrame, k: int = 5, nprobe: int = 6
+) -> DataFrame:
+    """Query the persisted index: per query, probe the ``nprobe`` nearest
+    cells; the corpus scan carries ``cell IN (probed)`` so partition pruning
+    reads only the probed cell directories (gated in tests by
+    PartitionFilters in the physical plan); candidates exact-cosine verify
+    and rank top-k. ``queries`` is a (query_id, embedding) frame."""
+    C = _load_ivf_centroids(spark, index_path)
+    qcells = queries.select(
+        F.col("query_id"),
+        F.explode_outer(_cell_probe_udf(C, nprobe)(F.col("embedding"))).alias("cell"),
+    ).where(F.col("cell").isNotNull())
+    # bounded collect: at most nlist distinct cells (16 by default)
+    probed = sorted(r["cell"] for r in qcells.select("cell").distinct().collect())
+    corpus = (
+        spark.read.parquet(f"{index_path}/cells")
+        .where(F.col("cell").isin([int(c) for c in probed]))
+        .select("vec_id", "cell", _as_double("embedding").alias("v"))
+    )
+    qvec = queries.select(
+        "query_id", _as_double("embedding").alias("q")
+    )
+    pairs = (
+        corpus.join(F.broadcast(qcells), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "v")
+        .distinct()
+    )
+    cos = F.expr(
+        _DOT.format(a="q", b="v") + " / (" + _NORM.format(a="q") + " * " + _NORM.format(a="v") + ")"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        pairs.join(F.broadcast(qvec), "query_id")
+        .select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
     )

@@ -342,6 +342,45 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(_emb(spark, sf_dir), num_queries=20, k=5)
 
 
+@register(
+    "ann_ivf_incremental",
+    oracle=None,  # persisted-index maintenance; equivalence + replay gated in tests
+    doc="Persisted incremental IVF index lifecycle (operators/similarity.py: "
+    "build_ivf_index / refresh_ivf_incremental / ivf_index_topk) — the ANN "
+    "counterpart of refresh_hourly_incremental: centroids train ONCE on "
+    "the base corpus and freeze; each vector increment is one narrow "
+    "Arrow-batched assignment pass landed by (_increment_id, cell) with "
+    "dynamic partition overwrite (replayed increments rewrite exactly "
+    "their own files — idempotent under at-least-once delivery); queries "
+    "probe 6 of 16 cells and the scan's PartitionFilters prune to probed "
+    "cell directories, so query cost tracks cell size, not corpus size. "
+    "Tests prove split-vs-single-increment equivalence, replay "
+    "idempotence, and the pruned scan. Here: base = vec_id % 3 != 2, one "
+    "increment carries the rest, first 20 vectors query top-5.",
+)
+def q_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+        refresh_ivf_incremental,
+    )
+
+    emb = _emb(spark, sf_dir)
+    index_path = tempfile.mkdtemp(prefix="ivf-index-") + "/idx"
+    build_ivf_index(spark, emb.where(F.col("vec_id") % 3 != 2), index_path)
+    refresh_ivf_incremental(
+        spark, index_path, emb.where(F.col("vec_id") % 3 == 2), "inc1"
+    )
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_index_topk(spark, index_path, queries, k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing
 # --------------------------------------------------------------------------

@@ -332,3 +332,60 @@ def test_greedy_packing_invariants(spark, sf_dir):
         assert len(bins) >= math.ceil(total / window)  # lower bound
         under_half = [r for r in bins if r["bin_tokens"] < window / 2]
         assert len(under_half) <= 1, f"shard {shard}: FFD half-full guarantee broken"
+
+
+def test_ivf_incremental_index_equivalence_replay_pruning(spark, sf_dir, tmp_path):
+    """Persisted incremental IVF index: (1) an index built as base + two
+    increments answers queries IDENTICALLY to one built with a single
+    increment carrying the same vectors (frozen centroids make assignment
+    pointwise, so composition order cannot matter); (2) replaying an
+    increment leaves the index unchanged (dynamic partition overwrite keyed
+    by increment id); (3) the query-side corpus scan prunes to probed cell
+    partitions (PartitionFilters in the physical plan)."""
+    from pyspark.sql import functions as F
+
+    from energy_data_stream_processing_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+        refresh_ivf_incremental,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 4 == 0)
+    inc1 = emb.where(F.col("vec_id") % 4 == 1)
+    inc2 = emb.where(F.col("vec_id") % 4 >= 2)
+    queries = emb.where(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    split_path = str(tmp_path / "idx_split")
+    build_ivf_index(spark, base, split_path)
+    refresh_ivf_incremental(spark, split_path, inc1, "inc1")
+    refresh_ivf_incremental(spark, split_path, inc2, "inc2")
+
+    single_path = str(tmp_path / "idx_single")
+    build_ivf_index(spark, base, single_path)
+    refresh_ivf_incremental(
+        spark, single_path, emb.where(F.col("vec_id") % 4 != 0), "all"
+    )
+
+    got_split = sorted(map(tuple, ivf_index_topk(spark, split_path, queries).collect()))
+    got_single = sorted(map(tuple, ivf_index_topk(spark, single_path, queries).collect()))
+    assert got_split == got_single and got_split
+
+    # replay: re-applying inc1 must change nothing
+    refresh_ivf_incremental(spark, split_path, inc1, "inc1")
+    replayed = sorted(map(tuple, ivf_index_topk(spark, split_path, queries).collect()))
+    assert replayed == got_split
+    cells = spark.read.parquet(f"{split_path}/cells")
+    assert cells.count() == emb.count()  # no duplicated vectors after replay
+
+    # pruning: the pruned corpus scan carries non-empty cell PartitionFilters
+    probed_scan = (
+        spark.read.parquet(f"{split_path}/cells")
+        .where(F.col("cell").isin([0, 1, 2]))
+    )
+    plan = probed_scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1][:200]
+    assert "cell" in seg, f"cell not in partition filters: {seg}"
