@@ -134,13 +134,18 @@ LEFT JOIN hist lo ON lo.idx = sel.idx - 1
     "frame; the interpolation is array/higher-order expressions on a "
     "1-row frame. Scale: input is bounded by minutes, not events.",
 )
-def q_ops_latency_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
-    b = _batches(spark, sf_dir)
+def histogram_p95(batches_df: DataFrame) -> DataFrame:
+    """Prometheus ``histogram_quantile(0.95, ...)`` over a ``dur_s`` column:
+    bucket CDF as conditional counts in ONE aggregate, then bucketQuantile's
+    linear interpolation inside the target bucket, with the +Inf overflow
+    clamped to the highest finite bound. Split out of the catalog entry so
+    the algorithm is unit-testable on synthetic distributions (overflow and
+    first-bucket edges included) against an independent reference."""
     aggs = [F.count(F.lit(1)).alias("n")] + [
         F.count(F.when(F.col("dur_s") <= le, 1)).alias(f"c{i}")
         for i, le in enumerate(LATENCY_BUCKETS_S)
     ]
-    wide = b.agg(*aggs)
+    wide = batches_df.agg(*aggs)
     les = F.array(*[F.lit(float(le)) for le in LATENCY_BUCKETS_S])
     cums = F.array(*[F.col(f"c{i}") for i in range(len(LATENCY_BUCKETS_S))])
     target = F.lit(0.95) * F.col("n").cast("double")
@@ -159,3 +164,7 @@ def q_ops_latency_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_batches"),
         p95.alias("p95_latency_s"),
     )
+
+
+def q_ops_latency_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return histogram_p95(_batches(spark, sf_dir))

@@ -313,3 +313,44 @@ def test_incremental_rollup_refresh_equals_batch(spark, sf_dir, tmp_path):
     assert sorted(t2b) == sorted(t2)
     replayed = sorted(map(tuple, read_hourly_metrics_parquet(spark, store).collect()))
     assert replayed == batch
+
+
+def test_histogram_p95_matches_promql_reference(spark):
+    """The Spark histogram_quantile stage must agree with an independent
+    Python port of promql's bucketQuantile on synthetic latency
+    distributions covering every code path: interpolation inside a middle
+    bucket, the first bucket (lower bound 0), an exact-boundary target, and
+    the +Inf overflow clamp (Prometheus returns the highest finite bound)."""
+    from energy_data_stream_processing_spark.functions.observe import LATENCY_BUCKETS_S
+    from energy_data_stream_processing_spark.plans.ops_queries import histogram_p95
+
+    def reference_p95(durs):
+        # port of promql bucketQuantile(0.95): cumulative bucket counts,
+        # rank = q * total, linear interpolation within the target bucket
+        n = len(durs)
+        cums = [sum(1 for d in durs if d <= le) for le in LATENCY_BUCKETS_S]
+        target = 0.95 * n
+        idx = sum(1 for c in cums if c < target)
+        if idx >= len(LATENCY_BUCKETS_S):
+            return LATENCY_BUCKETS_S[-1]
+        lo_le = 0.0 if idx == 0 else LATENCY_BUCKETS_S[idx - 1]
+        lo_cum = 0 if idx == 0 else cums[idx - 1]
+        hi_le, hi_cum = LATENCY_BUCKETS_S[idx], cums[idx]
+        return lo_le + (hi_le - lo_le) * (target - lo_cum) / (hi_cum - lo_cum)
+
+    cases = {
+        "middle-bucket": [0.003, 0.004, 0.02, 0.07, 0.2, 0.4, 0.45, 0.3, 0.25, 0.08],
+        "first-bucket": [0.0002, 0.0004, 0.0006, 0.0008],
+        "boundary": [0.001] * 19 + [0.005],
+        "overflow": [6.0, 7.0, 8.0, 9.0],  # all beyond the 5s envelope
+        "mixed-overflow": [0.01] * 3 + [9.9] * 17,  # p95 in +Inf -> clamp
+        "single": [0.42],
+    }
+    for name, durs in cases.items():
+        bdf = spark.createDataFrame([(float(d),) for d in durs], "dur_s double")
+        row = histogram_p95(bdf).collect()[0]
+        want = reference_p95(durs)
+        assert row["n_batches"] == len(durs), name
+        assert abs(row["p95_latency_s"] - want) < 1e-12, (
+            f"{name}: spark {row['p95_latency_s']} vs reference {want}"
+        )
