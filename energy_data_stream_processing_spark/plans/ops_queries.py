@@ -120,20 +120,6 @@ LEFT JOIN hist lo ON lo.idx = sel.idx - 1
 """
 
 
-@register(
-    "ops_latency_p95",
-    oracle=_p95_oracle(),
-    doc="PromQL histogram_quantile(0.95, batch_duration_seconds_bucket) "
-    "twin (dashboard.json latency panel): cumulative bucket counts over "
-    "the reference's 1ms-5s histogram envelope (consumer/consumer.py:31), "
-    "then Prometheus's linear interpolation inside the target bucket — "
-    "lower + (upper-lower) * (rank-cumBelow)/(cumIn-cumBelow), with the "
-    "+Inf overflow clamped to the highest finite bound, exactly as "
-    "promql's bucketQuantile does. UDF-free: the bucket CDF is 8 "
-    "conditional counts in ONE aggregate over the minutes-sized batch "
-    "frame; the interpolation is array/higher-order expressions on a "
-    "1-row frame. Scale: input is bounded by minutes, not events.",
-)
 def histogram_p95(batches_df: DataFrame) -> DataFrame:
     """Prometheus ``histogram_quantile(0.95, ...)`` over a ``dur_s`` column:
     bucket CDF as conditional counts in ONE aggregate, then bucketQuantile's
@@ -166,5 +152,22 @@ def histogram_p95(batches_df: DataFrame) -> DataFrame:
     )
 
 
+@register(
+    "ops_latency_p95",
+    oracle=_p95_oracle(),
+    doc="PromQL histogram_quantile(0.95, batch_duration_seconds_bucket) "
+    "twin (dashboard.json latency panel): cumulative bucket counts over "
+    "the reference's 1ms-5s histogram envelope (consumer/consumer.py:31), "
+    "then Prometheus's linear interpolation inside the target bucket — "
+    "lower + (upper-lower) * (rank-cumBelow)/(cumIn-cumBelow), with the "
+    "+Inf overflow clamped to the highest finite bound, exactly as "
+    "promql's bucketQuantile does. UDF-free: the bucket CDF is 8 "
+    "conditional counts in ONE aggregate over the minutes-sized batch "
+    "frame; the interpolation is array/higher-order expressions on a "
+    "1-row frame. Scale: input is bounded by minutes, not events. The "
+    "interpolation stage (histogram_p95) is additionally unit-gated "
+    "against an independent promql bucketQuantile port on synthetic "
+    "distributions covering overflow and first-bucket edges.",
+)
 def q_ops_latency_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_p95(_batches(spark, sf_dir))
