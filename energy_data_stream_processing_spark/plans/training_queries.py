@@ -1203,11 +1203,11 @@ ORDER BY l.doc_id
     "C4/RefinedWeb 'remove any line occurring elsewhere verbatim' scrub "
     "thresholds on. UDF-free: chunking is transform(sequence)/slice over "
     "the split array, all JVM-side. Scale: inverted-index shape — explode "
-    "to (line, doc) once, ONE map-side-combinable distinct-count shuffle "
-    "on line, the line-keyed join reuses that partitioning, then one "
-    "doc_id re-agg; never an all-pairs form. At 100 TB swap the exact "
-    "per-line distinct count for approx>=2 via a 2-level count "
-    "(first-two-docs short-circuit) and the join stays identical.",
+    "to (line, doc) once, ONE shuffle on line computing the cross-doc "
+    "flag as min(doc_id) != max(doc_id) (exactly equivalent to "
+    "count_distinct >= 2 but plain min/max partials — no distinct "
+    "expansion, fully map-side-combinable); the line-keyed join reuses "
+    "that partitioning, then one doc_id re-agg; never an all-pairs form.",
 )
 def q_line_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -1223,8 +1223,13 @@ def q_line_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("line"),
     )
-    dfreq = lines.groupBy("line").agg(F.count_distinct("doc_id").alias("nd"))
-    dup = F.count(F.when(F.col("nd") >= 2, 1))
+    # min != max over doc_id <=> the line occurs in >= 2 distinct docs —
+    # same truth value as count_distinct(doc_id) >= 2 without the
+    # distinct-aggregate expansion (plain min/max partials combine map-side)
+    dfreq = lines.groupBy("line").agg(
+        (F.min("doc_id") != F.max("doc_id")).alias("is_dup")
+    )
+    dup = F.count(F.when(F.col("is_dup"), 1))
     return (
         lines.join(dfreq, "line")
         .groupBy("doc_id")
