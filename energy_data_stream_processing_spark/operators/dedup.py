@@ -241,26 +241,52 @@ def minhash_lsh_pairs(
         .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     )
 
-    a = bands_df.alias("a")
-    b = bands_df.alias("b")
+    # Bucket-groupBy + array-side pair generation instead of a (band,
+    # bucket) self-join: the self-join form recomputed the signature UDF
+    # once per side (the regex shingling + numpy pass is the dominant
+    # cost); this form scans `sigs` ONCE. Bucket arrays are bounded by
+    # duplicate-cluster size — exactly the candidate volume LSH emits by
+    # definition.
+    buckets = (
+        bands_df.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .where(F.size("ds") >= 2)
+    )
+    pair_expr = (
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, greatest(0, size(ds) - i - 1)), "
+        "y -> struct(x AS doc_a, y AS doc_b))))"
+    )
     candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
+    # Verification with ONE shingle scan: explode each candidate pair to
+    # its two member ids, broadcast that (candidates are few), join the
+    # single shingle projection, regroup by pair picking each side's array.
+    # The old two-join form scanned with_shingles twice.
     sh = with_shingles(docs, hashed=True)
-    return (
-        candidates.join(
-            sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a"
+    cand_ids = candidates.select(
+        "doc_a", "doc_b", F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    )
+    per_pair = (
+        sh.join(F.broadcast(cand_ids), "doc_id")
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.first(
+                F.when(F.col("doc_id") == F.col("doc_a"), F.col("sh")),
+                ignorenulls=True,
+            ).alias("sh_a"),
+            F.first(
+                F.when(F.col("doc_id") == F.col("doc_b"), F.col("sh")),
+                ignorenulls=True,
+            ).alias("sh_b"),
         )
-        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
-        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+    )
+    return (
+        per_pair.withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
         .select(
             "doc_a",
             "doc_b",
