@@ -569,15 +569,20 @@ def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = stream_raw_events(spark, sf_dir)
     if _has_protobuf():
         # transformWithState requires the RocksDB state store provider (the
-        # default HDFS-backed store does not implement it)
-        spark.conf.set(
+        # default HDFS-backed store does not implement it); scope the
+        # override so later streams on the shared session keep the default.
+        with _conf_override(
+            spark,
             "spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-        )
-        totals = running_user_totals_stream(raw)
+        ):
+            out = run_stream_to_table(
+                spark, running_user_totals_stream(raw), mode="update"
+            )
     else:
-        totals = running_user_totals_stream_groupstate(raw)
-    out = run_stream_to_table(spark, totals, mode="update")
+        out = run_stream_to_table(
+            spark, running_user_totals_stream_groupstate(raw), mode="update"
+        )
     # availableNow on one file = one batch; dedup defensively (n is monotone)
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (
