@@ -571,3 +571,61 @@ def q_greedy_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(pack, out_schema)
         .orderBy("shard", "bin_id")
     )
+
+
+@register(
+    "weighted_reservoir_sample",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang,
+    cast(len(regexp_extract_all(lower(trim(text)), '{BPE_TOKEN_RE}')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, lang, n_tokens,
+    ln(({_duck_bucket('doc_id')} + 1) / 4294967296.0)
+      / cast(n_tokens AS DOUBLE) AS k
+  FROM t WHERE n_tokens >= 1
+),
+r AS (
+  SELECT lang, doc_id, n_tokens,
+         row_number() OVER (PARTITION BY lang ORDER BY k DESC, doc_id) AS rank
+  FROM keyed
+)
+SELECT lang, cast(rank AS INT) AS rank, doc_id, n_tokens
+FROM r WHERE rank <= 5
+ORDER BY lang, rank
+""",
+    doc="Weighted sampling WITHOUT replacement, k=5 per language, inclusion "
+    "probability proportional to token count — the Efraimidis-Spirakis "
+    "A-ES reservoir scheme: each doc draws key = ln(u)/w for a "
+    "deterministic uniform u (md5-prefix arithmetic shared bit-exact with "
+    "the oracle) and the k largest keys per group win; equivalent to "
+    "ranking u^(1/w), the classic one-pass weighted reservoir. "
+    "Deterministic: u is content-keyed, not RNG-keyed, so the sample is "
+    "reproducible and stable under corpus growth outside the sampled "
+    "groups. The selection comparator runs on ln() doubles — the only "
+    "libm call in any compared output path; a cross-engine 1-ulp rank "
+    "flip needs two keys within ~2^-52 relative, vanishing at catalog "
+    "scale and tie-broken by doc_id on exact equality. Scale: key "
+    "derivation is scan-stage expression work; one lang-keyed shuffle; "
+    "rank<=5 is WindowGroupLimit-pushed so executors retain 5 rows per "
+    "group, never the corpus.",
+)
+def q_weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(bpe_tokens(F.col("text"))).cast("long")
+    base = docs.select("doc_id", "lang", n_tokens.alias("n_tokens")).where(
+        F.col("n_tokens") >= 1
+    )
+    u = (hash_bucket(F.col("doc_id")) + F.lit(1)) / F.lit(4294967296.0)
+    keyed = base.withColumn("k", F.log(u) / F.col("n_tokens").cast("double"))
+    w = Window.partitionBy("lang").orderBy(F.col("k").desc(), "doc_id")
+    return (
+        keyed.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 5)
+        .select("lang", "rank", "doc_id", "n_tokens")
+        .orderBy("lang", "rank")
+    )

@@ -389,3 +389,71 @@ def test_ivf_incremental_index_equivalence_replay_pruning(spark, sf_dir, tmp_pat
     assert "PartitionFilters" in plan
     seg = plan.split("PartitionFilters")[1][:200]
     assert "cell" in seg, f"cell not in partition filters: {seg}"
+
+
+def test_weighted_reservoir_matches_independent_fold(spark, sf_dir):
+    """A-ES weighted reservoir vs a pure-Python third implementation: same
+    md5-prefix uniform, same ln(u)/w keys, same per-lang top-5 — plus the
+    dominance property (a doc given overwhelming weight must win its
+    group) on a constructed frame."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from energy_data_stream_processing_spark.operators.text import bpe_tokens
+    from energy_data_stream_processing_spark.plans.catalog import all_queries
+
+    got = [
+        (r["lang"], r["rank"], r["doc_id"], r["n_tokens"])
+        for r in all_queries()["weighted_reservoir_sample"].builder(spark, sf_dir).collect()
+    ]
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = docs.select(
+        "doc_id", "lang", F.size(bpe_tokens(F.col("text"))).cast("long").alias("w")
+    ).collect()
+
+    def key(doc_id: int, w: int) -> float:
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+        return math.log((h + 1) / 4294967296.0) / float(w)
+
+    by_lang: dict = {}
+    for r in rows:
+        if r["w"] >= 1:
+            by_lang.setdefault(r["lang"], []).append(
+                (key(r["doc_id"], r["w"]), r["doc_id"], r["w"])
+            )
+    want = []
+    for lang in sorted(by_lang):
+        ordered = sorted(by_lang[lang], key=lambda t: (-t[0], t[1]))[:5]
+        want += [(lang, i + 1, d, w) for i, (_, d, w) in enumerate(ordered)]
+    assert got == want
+
+    # dominance: overwhelming weight wins its group
+    synth = spark.createDataFrame(
+        [(i, "xx", "w " * 5) for i in range(50)] + [(99, "xx", "w " * 4000)],
+        "doc_id long, lang string, text string",
+    )
+    from energy_data_stream_processing_spark.plans.sampling_queries import (
+        hash_bucket,
+    )
+
+    n_tokens = F.size(bpe_tokens(F.col("text"))).cast("long")
+    u = (hash_bucket(F.col("doc_id")) + F.lit(1)) / F.lit(4294967296.0)
+    from pyspark.sql.window import Window
+
+    keyed = synth.select("doc_id", "lang", n_tokens.alias("n_tokens")).withColumn(
+        "k", F.log(u) / F.col("n_tokens").cast("double")
+    )
+    top = (
+        keyed.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(F.col("k").desc(), "doc_id")
+            ),
+        )
+        .where(F.col("rank") == 1)
+        .collect()
+    )
+    assert top[0]["doc_id"] == 99, "4000x-weight doc must rank first"
