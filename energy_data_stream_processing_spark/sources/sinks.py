@@ -289,3 +289,82 @@ def refresh_hourly_incremental(
     )
     upsert_hourly_metrics_parquet(spark, recomputed, store_path)
     return touched
+
+
+def small_files_audit(spark: SparkSession, path: str) -> DataFrame:
+    """Per-partition file/row statistics for the date-partitioned raw store —
+    the small-files signal every parquet lakehouse compacts on (each
+    micro-batch append lands at least one file per touched day; thousands of
+    tiny files turn scan planning and footer reads into the bottleneck long
+    before data volume does)."""
+    # input_file_name() is nondeterministic to the analyzer — project it to
+    # a plain column before aggregating over it
+    df = spark.read.parquet(path).select(
+        "event_date", F.input_file_name().alias("_file")
+    )
+    return df.groupBy("event_date").agg(
+        F.count_distinct("_file").alias("n_files"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def compact_raw_store(
+    spark: SparkSession, path: str, max_files_per_partition: int = 1
+) -> list:
+    """Compact oversplit date partitions of the raw store in place.
+
+    Only partitions whose file count exceeds ``max_files_per_partition``
+    are rewritten: their rows re-shuffle by event_date (one writer task per
+    day -> one file per day), lineage is truncated with an eager
+    localCheckpoint so the dynamic-partition overwrite can target the same
+    path being read, and untouched partitions' files are left byte-for-byte
+    alone. Contract (standard lakehouse compaction): run it between ingest
+    cycles — replaying a pre-compaction batch id after compaction would
+    re-append, exactly as in any checkpoint/compact design.
+
+    Returns the list of compacted event_date values.
+    """
+    audit = small_files_audit(spark, path).collect()
+    touched = sorted(
+        str(r["event_date"]) for r in audit if r["n_files"] > max_files_per_partition
+    )
+    if not touched:
+        return []
+    compacted = (
+        spark.read.parquet(path)
+        .where(F.col("event_date").cast("string").isin(touched))
+        .repartition("event_date")
+        .localCheckpoint(eager=True)
+    )
+    with _conf_override(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
+        (
+            compacted.write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(path)
+        )
+    return touched
+
+
+def backfill_hourly_range(
+    spark: SparkSession,
+    raw_path: str,
+    store_path: str,
+    date_lo: str,
+    date_hi: str,
+) -> int:
+    """Backfill/repair the hourly metrics store for a date range: recompute
+    every hour in [date_lo, date_hi] from the raw store (partition pruning
+    limits the scan to those days) and per-hour dynamic-overwrite them into
+    the metrics store. The range form of refresh_hourly_incremental's
+    touched-hour recompute — what an orchestrator schedules per day/window
+    after late corrections or logic changes; idempotent by construction
+    (recompute-and-overwrite, no additive merge). Returns hours written.
+    """
+    from ..operators.hourly import hourly_business_metrics
+
+    raw = spark.read.parquet(raw_path).where(
+        F.col("event_date").between(date_lo, date_hi)
+    )
+    recomputed = hourly_business_metrics(raw)
+    upsert_hourly_metrics_parquet(spark, recomputed, store_path)
+    return recomputed.count()

@@ -354,3 +354,63 @@ def test_histogram_p95_matches_promql_reference(spark):
         assert abs(row["p95_latency_s"] - want) < 1e-12, (
             f"{name}: spark {row['p95_latency_s']} vs reference {want}"
         )
+
+
+def test_compact_raw_store_and_backfill(spark, sf_dir, tmp_path):
+    """Five small appends oversplit each day's partition; compaction must
+    collapse oversplit days to one file each, keep the row set identical,
+    leave under-target partitions' files untouched, and a subsequent
+    range backfill over the compacted store must equal the one-pass batch
+    aggregation."""
+    from energy_data_stream_processing_spark.sources.sinks import (
+        backfill_hourly_range,
+        compact_raw_store,
+        read_hourly_metrics_parquet,
+        small_files_audit,
+        write_raw_events_parquet,
+    )
+
+    path = str(tmp_path / "raw_split")
+    ev = energy_events(spark, sf_dir)
+    days = sorted(
+        r[0] for r in ev.select(F.to_date("event_time").alias("d")).distinct().collect()
+    )
+    lone_day = days[-1]
+    # 5 slivers per day for all but the last day; the last day lands once
+    busy = ev.where(F.to_date("event_time") != str(lone_day))
+    for s in range(5):
+        write_raw_events_parquet(busy.where(F.col("event_id") % 5 == s), path)
+    write_raw_events_parquet(
+        ev.where(F.to_date("event_time") == str(lone_day)), path
+    )
+
+    before = {str(r["event_date"]): r for r in small_files_audit(spark, path).collect()}
+    assert any(r["n_files"] > 1 for r in before.values())
+    assert before[str(lone_day)]["n_files"] == 1
+    rows_before = sorted(map(tuple, spark.read.parquet(path).drop("event_date").collect()))
+
+    import os
+
+    lone_dir = f"{path}/event_date={lone_day}"
+    lone_files_before = sorted(os.listdir(lone_dir))
+
+    compacted = compact_raw_store(spark, path, max_files_per_partition=1)
+    assert compacted and str(lone_day) not in compacted
+
+    after = {str(r["event_date"]): r for r in small_files_audit(spark, path).collect()}
+    assert all(r["n_files"] == 1 for r in after.values())
+    assert {k: v["n_rows"] for k, v in after.items()} == {
+        k: v["n_rows"] for k, v in before.items()
+    }
+    rows_after = sorted(map(tuple, spark.read.parquet(path).drop("event_date").collect()))
+    assert rows_after == rows_before
+    # under-target partition untouched byte-for-byte (same file names)
+    assert sorted(os.listdir(lone_dir)) == lone_files_before
+
+    # range backfill over the compacted store == one-pass batch aggregation
+    store = str(tmp_path / "hourly_bf")
+    n = backfill_hourly_range(spark, path, store, str(days[0]), str(days[-1]))
+    assert n > 0
+    stored = sorted(map(tuple, read_hourly_metrics_parquet(spark, store).collect()))
+    batch = sorted(map(tuple, hourly_business_metrics(ev).collect()))
+    assert stored == batch
