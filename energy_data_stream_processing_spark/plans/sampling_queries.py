@@ -573,9 +573,7 @@ def q_greedy_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "weighted_reservoir_sample",
-    oracle=f"""
+WEIGHTED_RESERVOIR_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, lang,
     cast(len(regexp_extract_all(lower(trim(text)), '{BPE_TOKEN_RE}')) AS BIGINT) AS n_tokens
@@ -595,7 +593,12 @@ r AS (
 SELECT lang, cast(rank AS INT) AS rank, doc_id, n_tokens
 FROM r WHERE rank <= 5
 ORDER BY lang, rank
-""",
+"""
+
+
+@register(
+    "weighted_reservoir_sample",
+    oracle=WEIGHTED_RESERVOIR_ORACLE,
     doc="Weighted sampling WITHOUT replacement, k=5 per language, inclusion "
     "probability proportional to token count — the Efraimidis-Spirakis "
     "A-ES reservoir scheme: each doc draws key = ln(u)/w for a "

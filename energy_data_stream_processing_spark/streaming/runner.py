@@ -1010,3 +1010,71 @@ def q_streaming_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
         F.count_distinct(F.col("source")).alias("n_sources"),
     )
+
+
+from ..plans.sampling_queries import WEIGHTED_RESERVOIR_ORACLE  # noqa: E402
+
+
+@register(
+    "streaming_weighted_reservoir",
+    oracle=WEIGHTED_RESERVOIR_ORACLE,  # batch entry's oracle — true batch≡streaming gate
+    doc="Streaming weighted reservoir (A-ES) over micro-batches: each "
+    "foreachBatch increment computes its docs' ln(u)/w keys and persists "
+    "ONLY its per-language top-5 keyed by batch id (dynamic partition "
+    "overwrite — replayed batches rewrite their own files). Per-batch "
+    "top-k is a SUFFICIENT STATISTIC for global top-k (selection is "
+    "distributive over union), so ranking the stored candidates after "
+    "the stream drains equals the one-pass batch sample exactly — the "
+    "same oracle gates both. State is k rows per (batch, lang), not the "
+    "corpus: the streaming form of the sampler a continuous ingest "
+    "pipeline runs.",
+)
+def q_streaming_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.text import bpe_tokens
+    from ..plans.sampling_queries import hash_bucket
+
+    src = ascending_doc_chunks(spark, sf_dir, 3)
+    store = tempfile.mkdtemp(prefix="reservoir-") + "/cands"
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        n_tokens = F.size(bpe_tokens(F.col("text"))).cast("long")
+        base = batch_df.select(
+            "doc_id", "lang", n_tokens.alias("n_tokens")
+        ).where(F.col("n_tokens") >= 1)
+        u = (hash_bucket(F.col("doc_id")) + F.lit(1)) / F.lit(4294967296.0)
+        keyed = base.withColumn("k", F.log(u) / F.col("n_tokens").cast("double"))
+        w = Window.partitionBy("lang").orderBy(F.col("k").desc(), "doc_id")
+        top = keyed.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= 5)
+        with _conf_override(s, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
+            (
+                top.drop("_rn")
+                .withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("_batch_id")
+                .parquet(store)
+            )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="reservoir-ckpt-"))
+        .start()
+    )
+    q.awaitTermination()
+
+    cands = spark.read.parquet(store)
+    w = Window.partitionBy("lang").orderBy(F.col("k").desc(), "doc_id")
+    return (
+        cands.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 5)
+        .select("lang", "rank", "doc_id", "n_tokens")
+        .orderBy("lang", "rank")
+    )
+
