@@ -71,6 +71,8 @@ UDF_FREE = [
     "line_dedup_audit",
     "ops_events_rate",
     "ops_latency_p95",
+    "weighted_reservoir_sample",
+    "revenue_reconciliation",
 ]
 
 # Dense-math operators where an Arrow-vectorized UDF is the DESIGN (numpy
