@@ -394,3 +394,90 @@ def q_robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(out).cast("double") / F.count(F.lit(1))).alias("outlier_rate"),
         )
     )
+
+
+def _skew_oracle() -> str:
+    arms = []
+    for col in ("user_id", "event_type"):
+        arms.append(f"""
+SELECT '{col}' AS key_column,
+  cast(sum(cnt) AS BIGINT) AS n_rows,
+  cast(max(nk) AS BIGINT) AS n_keys,
+  cast(max(cnt) AS DOUBLE) / cast(sum(cnt) AS DOUBLE) AS top1_share,
+  cast(sum(CASE WHEN rnk <= 10 THEN cnt ELSE 0 END) AS DOUBLE)
+    / cast(sum(cnt) AS DOUBLE) AS top10_share,
+  sum((2.0 * rn - nk - 1) * cnt)
+    / (cast(max(nk) AS DOUBLE) * sum(cnt)) AS gini
+FROM (
+  SELECT cnt,
+         row_number() OVER (ORDER BY cnt, k) AS rn,
+         row_number() OVER (ORDER BY cnt DESC, k) AS rnk,
+         count(*) OVER () AS nk
+  FROM (SELECT cast({col} AS VARCHAR) AS k, count(*) AS cnt
+        FROM events GROUP BY 1)
+)""")
+    return "\nUNION ALL\n".join(arms) + "\nORDER BY key_column"
+
+
+@register(
+    "key_skew_profile",
+    oracle=_skew_oracle(),
+    doc="Shuffle-key skew diagnostic — the statistic that decides between a "
+    "plain hash shuffle, AQE skew splitting, and explicit salting "
+    "(operators/skew.py) BEFORE a 100 TB job runs: per candidate key "
+    "column (user_id, event_type), row/key counts, the share of rows on "
+    "the hottest key and hottest 10 keys, and the Gini coefficient of "
+    "the per-key row distribution (0 = uniform, ->1 = one key owns the "
+    "table). Computed entirely on the GROUPED (key, count) frame — the "
+    "fact contributes one map-side-combinable count shuffle per column, "
+    "and the ranking windows run over key-cardinality rows, never facts. "
+    "Gini via the rank formula sum((2 rn - n - 1) c_rn) / (n * total); "
+    "rank ties across equal counts leave the sum invariant, so the value "
+    "is deterministic and the DuckDB twin hash-matches exactly.",
+)
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    outs = []
+    for col in ("user_id", "event_type"):
+        counts = ev.groupBy(F.col(col).cast("string").alias("k")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        rn = F.row_number().over(Window.orderBy("cnt", "k"))
+        rnk = F.row_number().over(Window.orderBy(F.col("cnt").desc(), "k"))
+        # n_keys as a window column (count OVER ()) so the gini sum's
+        # argument stays a plain expression, not a nested aggregate
+        ranked = counts.select(
+            "cnt",
+            rn.alias("rn"),
+            rnk.alias("rnk"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("nk"),
+        )
+        total = F.sum("cnt")
+        outs.append(
+            ranked.agg(
+                F.lit(col).alias("key_column"),
+                total.cast("long").alias("n_rows"),
+                F.max("nk").cast("long").alias("n_keys"),
+                (F.max("cnt").cast("double") / total.cast("double")).alias(
+                    "top1_share"
+                ),
+                (
+                    F.sum(F.when(F.col("rnk") <= 10, F.col("cnt")).otherwise(0)).cast(
+                        "double"
+                    )
+                    / total.cast("double")
+                ).alias("top10_share"),
+                (
+                    F.sum(
+                        (2.0 * F.col("rn") - F.col("nk") - F.lit(1)) * F.col("cnt")
+                    )
+                    / (F.max("nk").cast("double") * total)
+                ).alias("gini"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("key_column")

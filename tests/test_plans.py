@@ -73,6 +73,7 @@ UDF_FREE = [
     "ops_latency_p95",
     "weighted_reservoir_sample",
     "revenue_reconciliation",
+    "key_skew_profile",
 ]
 
 # Dense-math operators where an Arrow-vectorized UDF is the DESIGN (numpy
