@@ -53,14 +53,28 @@ _PROVEN_R3 = {
 }
 _FIXED_THIS_ROUND = ["asof_active_tariff", "range_join_tariff_periods"]
 
+# Round-4 additions: prioritized right after the fixed pair so every new
+# operator lands inside the gate's ~50-entry prefix.
+_NEW_R4 = [
+    "ops_events_rate",
+    "ops_latency_p95",
+    "line_dedup_audit",
+    "greedy_sequence_packing",
+    "revenue_reconciliation",
+    "ann_ivf_incremental",
+    "weighted_reservoir_sample",
+    "streaming_weighted_reservoir",
+    "key_skew_profile",
+    "streaming_running_totals",
+]
+
 
 def _ordered_names() -> list[str]:
     names = all_queries()
-    fresh = sorted(
-        n for n in names if n not in _PROVEN_R3 and n not in _FIXED_THIS_ROUND
-    )
+    head = _FIXED_THIS_ROUND + [n for n in _NEW_R4 if n in names]
+    fresh = sorted(n for n in names if n not in _PROVEN_R3 and n not in head)
     proven = sorted(n for n in names if n in _PROVEN_R3)
-    return _FIXED_THIS_ROUND + fresh + proven
+    return head + fresh + proven
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
