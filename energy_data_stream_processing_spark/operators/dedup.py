@@ -123,6 +123,23 @@ def ngram_jaccard_pairs(
     combinable count, not a new partitioning. Default None = exact path
     (max bucket ~25 at test scale).
     """
+    common = _ngram_pair_counts(docs, max_df=max_df)
+    jac = F.col("common").cast("double") / (
+        (F.col("na") + F.col("nb") - F.col("common")).cast("double")
+    )
+    return (
+        common.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def _ngram_pair_counts(docs: DataFrame, max_df: int | None = None) -> DataFrame:
+    """Shared inverted-index pair pipeline behind the exact set-similarity
+    operators (Jaccard, containment): one shingle explode, shingle-bucket
+    groupBy, array-side (i < j) pair generation, then a pair-key count —
+    yields (doc_a, doc_b, na, nb, common). Both shuffles are map-side
+    combinable; the similarity metric is a post-hoc projection, so adding a
+    new metric costs zero additional shuffles."""
     sh = with_shingles(docs)
     exploded = (
         sh.select("doc_id", F.size("sh").alias("n"), F.explode_outer("sh").alias("shingle"))
@@ -152,15 +169,41 @@ def ngram_jaccard_pairs(
         .where(F.col("p").isNotNull())
         .select("p.doc_a", "p.na", "p.doc_b", "p.nb")
     )
-    common = pairs.groupBy("doc_a", "doc_b", "na", "nb").agg(
+    return pairs.groupBy("doc_a", "doc_b", "na", "nb").agg(
         F.count(F.lit(1)).alias("common")
     )
-    jac = F.col("common").cast("double") / (
-        (F.col("na") + F.col("nb") - F.col("common")).cast("double")
-    )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame, threshold: float = 0.5, max_df: int | None = None
+) -> DataFrame:
+    """Asymmetric near-dup detection: word-3-gram containment
+    ``|A ∩ B| / min(|A|, |B|)`` — 1.0 when the smaller document's shingle
+    set is entirely inside the larger one. Jaccard misses subset
+    duplication (a paragraph quoted inside a long page scores near zero on
+    union-normalized similarity); containment is the standard metric for
+    quote/excerpt/boilerplate detection in pretraining-corpus curation.
+
+    Same single-scan inverted-index plan as ``ngram_jaccard_pairs``
+    (see ``_ngram_pair_counts``); only the final projection differs, so the
+    cost profile and the ``max_df`` hot-shingle mitigation are identical.
+    """
+    common = _ngram_pair_counts(docs, max_df=max_df)
+    cont = F.col("common").cast("double") / F.least(
+        F.col("na"), F.col("nb")
+    ).cast("double")
     return (
-        common.select("doc_a", "doc_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
+        common.where((F.col("na") > 0) & (F.col("nb") > 0))
+        .select(
+            "doc_a",
+            "doc_b",
+            cont.alias("containment"),
+            # which side is contained: the smaller shingle set
+            F.when(F.col("na") <= F.col("nb"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("contained_doc"),
+        )
+        .where(F.col("containment") >= threshold)
     )
 
 

@@ -1131,6 +1131,84 @@ def q_asof_active_tariff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_tolerance_tariff",
+    oracle=_oracle_ev(
+        """
+, readings AS (
+  SELECT event_id, customer_id, event_time,
+         cast(energy_consumed AS DOUBLE) AS energy_consumed
+  FROM energy_events WHERE event_type = 'energy_consumed'
+),
+switches AS (
+  SELECT customer_id, event_time, arg_max(tariff_type, event_id) AS active_tariff
+  FROM energy_events WHERE event_type = 'tariff_switch'
+  GROUP BY customer_id, event_time
+)
+SELECT r.event_id, r.customer_id, r.event_time, r.energy_consumed,
+  CASE WHEN s.event_time IS NOT NULL
+            AND epoch_us(r.event_time) - epoch_us(s.event_time) <= 86400000000
+       THEN s.active_tariff END AS active_tariff,
+  CASE WHEN s.event_time IS NOT NULL
+            AND epoch_us(r.event_time) - epoch_us(s.event_time) <= 86400000000
+       THEN cast(epoch_us(r.event_time) - epoch_us(s.event_time) AS DOUBLE) / 1e6
+       END AS switch_age_s
+FROM readings r ASOF LEFT JOIN switches s
+  ON r.customer_id = s.customer_id AND r.event_time >= s.event_time
+ORDER BY r.event_id
+"""
+    ),
+    doc="As-of join with a match tolerance (pandas merge_asof(tolerance=...) "
+    "parity): each reading gets the customer's most recent tariff switch "
+    "ONLY if it happened within the last 24 h — a stale point-in-time match "
+    "is often worse than no match (sensor attribution, price snapshots). "
+    "Same ONE-shuffle union+carry composition as asof_active_tariff "
+    "(operators/asof.py) with the switch timestamp carried alongside the "
+    "value so the tolerance is a post-hoc null-out, not a second pass; "
+    "DuckDB's native ASOF JOIN + CASE is the independent oracle. Age "
+    "computed in integer microseconds on both sides (unix_micros / "
+    "epoch_us) so the tolerance edge is exact, not float-rounded.",
+)
+def q_asof_tolerance_tariff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = energy_events(spark, sf_dir)
+    readings = ev.where(F.col("event_type") == "energy_consumed").select(
+        "event_id",
+        "customer_id",
+        "event_time",
+        F.col("energy_consumed").cast("double").alias("energy_consumed"),
+    )
+    switches = (
+        ev.where(F.col("event_type") == "tariff_switch")
+        .groupBy("customer_id", "event_time")
+        .agg(F.max_by("tariff_type", "event_id").alias("active_tariff"))
+        .select(
+            "customer_id",
+            "event_time",
+            "active_tariff",
+            F.col("event_time").alias("switch_ts"),
+        )
+    )
+    joined = asof_join(
+        readings,
+        switches,
+        key="customer_id",
+        ts="event_time",
+        value_cols=["active_tariff", "switch_ts"],
+    )
+    age_us = F.unix_micros(F.col("event_time")) - F.unix_micros(F.col("switch_ts"))
+    within = F.col("switch_ts").isNotNull() & (age_us <= F.lit(86_400_000_000))
+    return joined.select(
+        "event_id",
+        "customer_id",
+        "event_time",
+        "energy_consumed",
+        F.when(within, F.col("active_tariff")).alias("active_tariff"),
+        F.when(within, age_us.cast("double") / 1e6).alias("switch_age_s"),
+    ).orderBy("event_id")
+
+
+@register(
     "range_join_tariff_periods",
     oracle=_oracle_ev(
         """

@@ -481,3 +481,194 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("key_column")
+
+
+@register(
+    "k_anonymity_audit",
+    oracle="""
+WITH qi AS (
+  SELECT lang, source, cast(floor(n_chars / 400) AS BIGINT) AS length_band,
+         count(*) AS group_size
+  FROM documents GROUP BY 1, 2, 3
+)
+SELECT lang, source,
+  cast(sum(group_size) AS BIGINT) AS n_docs,
+  count(*) AS n_qi_groups,
+  count(CASE WHEN group_size < 5 THEN 1 END) AS n_at_risk_groups,
+  cast(coalesce(sum(CASE WHEN group_size < 5 THEN group_size END), 0) AS BIGINT)
+    AS n_at_risk_docs,
+  cast(min(group_size) AS BIGINT) AS min_group_size
+FROM qi GROUP BY 1, 2
+""",
+    doc="k-anonymity audit over quasi-identifier combinations (lang, "
+    "source, 400-char length band): documents in a QI group smaller than "
+    "k=5 are re-identification risks under linkage attacks — the release "
+    "gate privacy reviews run before publishing a corpus, complementing "
+    "content-level PII redaction (pii_redaction_audit) with STRUCTURAL "
+    "disclosure risk. Two stacked aggregations (QI group sizes, then the "
+    "per-(lang,source) risk rollup); the second groups a strict prefix of "
+    "the first's keys, so Catalyst reuses the partitioning — ONE fact-"
+    "sized shuffle. At 100 TB the QI-group frame is bounded by the QI "
+    "cross-product, not the corpus.",
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    qi = docs.groupBy(
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / 400).cast("long").alias("length_band"),
+    ).agg(F.count(F.lit(1)).alias("group_size"))
+    at_risk = F.col("group_size") < 5
+    return qi.groupBy("lang", "source").agg(
+        F.sum("group_size").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_qi_groups"),
+        F.count(F.when(at_risk, 1)).alias("n_at_risk_groups"),
+        F.coalesce(
+            F.sum(F.when(at_risk, F.col("group_size"))), F.lit(0)
+        ).cast("long").alias("n_at_risk_docs"),
+        F.min("group_size").cast("long").alias("min_group_size"),
+    )
+
+
+@register(
+    "vintage_drift_psi",
+    oracle="""
+WITH b AS (
+  SELECT *, cast(epoch_us(ts) AS DOUBLE) AS us FROM events
+),
+mid AS (
+  SELECT (min(us) + max(us)) / 2.0 AS mid_us FROM b
+),
+halves AS (
+  SELECT event_type,
+    CASE WHEN us <= mid_us THEN 'a' ELSE 'b' END AS half,
+    count(*) AS n,
+    count(*) - count(value) AS n_null_value
+  FROM b, mid GROUP BY 1, 2
+),
+tot AS (
+  SELECT half, sum(n) AS half_n FROM halves GROUP BY 1
+),
+shares AS (
+  SELECT event_type,
+    coalesce(max(CASE WHEN half = 'a' THEN n END), 0) AS n_a,
+    coalesce(max(CASE WHEN half = 'b' THEN n END), 0) AS n_b,
+    cast(coalesce(max(CASE WHEN half = 'a' THEN n END), 0) AS DOUBLE)
+      / max(CASE WHEN half = 'a' THEN t.half_n END) AS share_a,
+    cast(coalesce(max(CASE WHEN half = 'b' THEN n END), 0) AS DOUBLE)
+      / max(CASE WHEN half = 'b' THEN t.half_n END) AS share_b,
+    cast(coalesce(max(CASE WHEN half = 'a' THEN n_null_value END), 0) AS DOUBLE)
+      / greatest(coalesce(max(CASE WHEN half = 'a' THEN n END), 0), 1) AS null_rate_a,
+    cast(coalesce(max(CASE WHEN half = 'b' THEN n_null_value END), 0) AS DOUBLE)
+      / greatest(coalesce(max(CASE WHEN half = 'b' THEN n END), 0), 1) AS null_rate_b
+  FROM halves JOIN tot t USING (half) GROUP BY event_type
+)
+SELECT event_type, cast(n_a AS BIGINT) AS n_a, cast(n_b AS BIGINT) AS n_b,
+  share_a, share_b,
+  (greatest(share_a, 1e-6) - greatest(share_b, 1e-6))
+    * ln(greatest(share_a, 1e-6) / greatest(share_b, 1e-6)) AS psi_term,
+  null_rate_a, null_rate_b
+FROM shares
+""",
+    doc="Temporal drift detection between the first and second half of the "
+    "table's time range: per event_type, the Population Stability Index "
+    "contribution (share_a - share_b) * ln(share_a / share_b) (shares "
+    "epsilon-clamped at 1e-6 so a type absent from one half contributes a "
+    "large-but-finite term) plus value null-rate drift. PSI is THE "
+    "standard production monitor for distribution shift between dataset "
+    "vintages; total PSI > 0.2 conventionally blocks a release. All "
+    "inputs are exact integer counts — shares and psi_term derive from "
+    "identical IEEE expressions in both engines, so the gate is value-"
+    "exact. Midpoint computed in integer microseconds (unix_micros / "
+    "epoch_us, exact in double far below 2^53). Plan: ONE fact scan into "
+    "a (type, half) partial agg (the min/max midpoint rides a broadcast "
+    "scalar join); everything after is types-sized.",
+)
+def q_vintage_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros(F.col("ts")).cast("double")
+    )
+    mid = ev.agg(((F.min("us") + F.max("us")) / 2.0).alias("mid_us"))
+    halves = (
+        ev.join(F.broadcast(mid))
+        .groupBy(
+            "event_type",
+            F.when(F.col("us") <= F.col("mid_us"), "a").otherwise("b").alias("half"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.count(F.lit(1)) - F.count("value")).alias("n_null_value"),
+        )
+    )
+    tot = halves.groupBy("half").agg(F.sum("n").alias("half_n"))
+    joined = halves.join(F.broadcast(tot), "half")
+    half_is = lambda h, c: F.max(F.when(F.col("half") == h, F.col(c)))  # noqa: E731
+    shares = joined.groupBy("event_type").agg(
+        F.coalesce(half_is("a", "n"), F.lit(0)).alias("n_a"),
+        F.coalesce(half_is("b", "n"), F.lit(0)).alias("n_b"),
+        (
+            F.coalesce(half_is("a", "n"), F.lit(0)).cast("double")
+            / half_is("a", "half_n")
+        ).alias("share_a"),
+        (
+            F.coalesce(half_is("b", "n"), F.lit(0)).cast("double")
+            / half_is("b", "half_n")
+        ).alias("share_b"),
+        (
+            F.coalesce(half_is("a", "n_null_value"), F.lit(0)).cast("double")
+            / F.greatest(F.coalesce(half_is("a", "n"), F.lit(0)), F.lit(1))
+        ).alias("null_rate_a"),
+        (
+            F.coalesce(half_is("b", "n_null_value"), F.lit(0)).cast("double")
+            / F.greatest(F.coalesce(half_is("b", "n"), F.lit(0)), F.lit(1))
+        ).alias("null_rate_b"),
+    )
+    eps = lambda c: F.greatest(F.col(c), F.lit(1e-6))  # noqa: E731
+    return shares.select(
+        "event_type",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        "share_a",
+        "share_b",
+        ((eps("share_a") - eps("share_b")) * F.log(eps("share_a") / eps("share_b"))).alias(
+            "psi_term"
+        ),
+        "null_rate_a",
+        "null_rate_b",
+    )
+
+
+@register(
+    "approx_percentile_audit",
+    oracle=None,  # sketch internals are engine-specific; gated by the
+    # error-bound + determinism tests in tests/test_round4_ops.py
+    doc="Accuracy audit of the t-digest-style approximate percentile "
+    "sketch against the exact sort-based percentile, per event_type: at "
+    "100 TB the exact percentile's per-group sort is the scale risk and "
+    "approx_percentile (one mergeable sketch pass, no sort) is the "
+    "production path — this query measures what that trade buys and "
+    "costs ON THE SAME SCAN, the calibration run before switching a "
+    "monitor from exact to sketch. Rows-only entry by design: the sketch "
+    "is Spark-internal; the differential gate is the |approx - exact| <= "
+    "bound property test. Both aggregate families fold into ONE groupBy "
+    "(no second scan).",
+)
+def q_approx_percentile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.where(F.col("value").isNotNull()).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.expr("percentile(value, 0.5)").alias("exact_p50"),
+        F.expr("percentile(value, 0.95)").alias("exact_p95"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("approx_p50"),
+        F.expr("approx_percentile(value, 0.95, 10000)").alias("approx_p95"),
+    )
+    return g.select(
+        "event_type",
+        "n_values",
+        "exact_p50",
+        "approx_p50",
+        F.abs(F.col("exact_p50") - F.col("approx_p50")).alias("abs_err_p50"),
+        "exact_p95",
+        "approx_p95",
+        F.abs(F.col("exact_p95") - F.col("approx_p95")).alias("abs_err_p95"),
+    ).orderBy("event_type")

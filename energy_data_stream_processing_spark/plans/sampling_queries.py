@@ -632,3 +632,54 @@ def q_weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "rank", "doc_id", "n_tokens")
         .orderBy("lang", "rank")
     )
+
+
+@register(
+    "kfold_assignment",
+    oracle=f"""
+WITH folds AS (
+  SELECT {_duck_bucket('doc_id')} % 5 AS fold, doc_id, n_chars, lang
+  FROM documents
+),
+tot AS (SELECT count(*) AS n_total FROM folds)
+SELECT cast(fold AS BIGINT) AS fold,
+  count(*) AS n_eval,
+  cast(max(t.n_total) - count(*) AS BIGINT) AS n_train,
+  cast(sum(n_chars) AS BIGINT) AS eval_chars,
+  count(DISTINCT lang) AS eval_langs,
+  cast(sum(doc_id) AS BIGINT) AS eval_checksum
+FROM folds, tot t GROUP BY fold
+""",
+    doc="Deterministic 5-fold cross-validation assignment audit: fold = "
+    "md5-hash(doc_id) mod 5, each fold reported with its eval size, the "
+    "complementary train size, char volume, language coverage, and a "
+    "checksum over eval ids proving both engines assign the exact same "
+    "documents. Hash-of-id folds (vs random) are reproducible across "
+    "runs/engines and stable under corpus growth — a document never "
+    "changes folds when new data arrives, so per-fold metrics stay "
+    "comparable across dataset vintages (same rationale as "
+    "train_val_test_split, which this generalizes to k rotating "
+    "hold-outs). Plan: narrow projection + one 5-key partial-agg "
+    "shuffle; the corpus total rides a broadcast scalar join.",
+)
+def q_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    folds = docs.select(
+        (hash_bucket(F.col("doc_id")) % 5).alias("fold"), "doc_id", "n_chars", "lang"
+    )
+    tot = folds.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        folds.join(F.broadcast(tot))
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            (F.max("n_total") - F.count(F.lit(1))).cast("long").alias("n_train"),
+            F.sum("n_chars").cast("long").alias("eval_chars"),
+            F.count_distinct("lang").alias("eval_langs"),
+            F.sum("doc_id").cast("long").alias("eval_checksum"),
+        )
+        .select(
+            F.col("fold").cast("long").alias("fold"),
+            "n_eval", "n_train", "eval_chars", "eval_langs", "eval_checksum",
+        )
+    )

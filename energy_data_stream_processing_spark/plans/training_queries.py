@@ -256,6 +256,50 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.015)
 
 
+_CONTAINMENT_CTES = """tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tok FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(tok) >= 3
+         THEN list_transform(generate_series(1, len(tok) - 2), i -> array_to_string(tok[i:i+2], ' '))
+         ELSE []::VARCHAR[] END)) AS shingle
+  FROM tok
+),
+counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+cpairs AS (
+  SELECT doc_a, doc_b,
+         cast(common AS DOUBLE) / cast(least(ca.n, cb.n) AS DOUBLE) AS containment,
+         CASE WHEN ca.n <= cb.n THEN doc_a ELSE doc_b END AS contained_doc
+  FROM common
+  JOIN counts ca ON ca.doc_id = doc_a
+  JOIN counts cb ON cb.doc_id = doc_b
+  WHERE ca.n > 0 AND cb.n > 0
+    AND cast(common AS DOUBLE) / cast(least(ca.n, cb.n) AS DOUBLE) >= 0.08
+)"""
+
+
+@register(
+    "dedup_ngram_containment",
+    oracle=f"WITH {_CONTAINMENT_CTES}\nSELECT doc_a, doc_b, containment, contained_doc FROM cpairs",
+    doc="Asymmetric subset/quote duplication: word-3-gram containment "
+    "|A∩B| / min(|A|,|B|) >= 0.08 with the contained (smaller) side "
+    "identified. Catches excerpt and boilerplate duplication that "
+    "union-normalized Jaccard scores near zero. Same single-scan inverted "
+    "shingle index as dedup_ngram_jaccard (operators/dedup.py::"
+    "_ngram_pair_counts) — the metric is a final projection, so the "
+    "shuffle profile is identical and the max_df hot-shingle cap applies "
+    "unchanged.",
+)
+def q_dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(_docs(spark, sf_dir), threshold=0.08)
+
+
 @register(
     "dedup_minhash_lsh",
     oracle=None,  # xxhash64-based; verified by recall test vs exact Jaccard
