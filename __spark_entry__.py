@@ -56,6 +56,13 @@ _FIXED_THIS_ROUND = ["asof_active_tariff", "range_join_tariff_periods"]
 # Round-4 additions: prioritized right after the fixed pair so every new
 # operator lands inside the gate's ~50-entry prefix.
 _NEW_R4 = [
+    "dedup_ngram_containment",
+    "asof_tolerance_tariff",
+    "k_anonymity_audit",
+    "vintage_drift_psi",
+    "kfold_assignment",
+    "zorder_layout_audit",
+    "approx_percentile_audit",
     "ops_events_rate",
     "ops_latency_p95",
     "line_dedup_audit",

@@ -672,3 +672,99 @@ def q_approx_percentile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "approx_p95",
         F.abs(F.col("exact_p95") - F.col("approx_p95")).alias("abs_err_p95"),
     ).orderBy("event_type")
+
+
+@register(
+    "zorder_layout_audit",
+    oracle=f"""
+WITH b AS (
+  SELECT user_id, cast(epoch_us(ts) AS DOUBLE) AS us FROM events
+),
+lims AS (
+  SELECT min(user_id) AS lo_u, max(user_id) AS hi_u,
+         min(us) AS lo_t, max(us) AS hi_t
+  FROM b
+),
+bk AS (
+  SELECT
+    least(greatest(cast(floor((user_id - lo_u) * 256.0 / (hi_u - lo_u + 1e-9)) AS BIGINT), 0), 255) AS ub,
+    least(greatest(cast(floor((us - lo_t) * 256.0 / (hi_t - lo_t + 1e-9)) AS BIGINT), 0), 255) AS tb
+  FROM b, lims
+),
+tagged AS (
+  SELECT 'zorder' AS layout,
+         (((ub & 1) << 0) | ((tb & 1) << 1) | ((ub & 2) << 1) | ((tb & 2) << 2) | ((ub & 4) << 2) | ((tb & 4) << 3) | ((ub & 8) << 3) | ((tb & 8) << 4) | ((ub & 16) << 4) | ((tb & 16) << 5) | ((ub & 32) << 5) | ((tb & 32) << 6) | ((ub & 64) << 6) | ((tb & 64) << 7) | ((ub & 128) << 7) | ((tb & 128) << 8)) // 256 AS chunk, ub, tb FROM bk
+  UNION ALL
+  SELECT 'lex' AS layout, ub AS chunk, ub, tb FROM bk
+),
+chunks AS (
+  SELECT layout, chunk, count(*) AS n,
+    max(ub) - min(ub) + 1 AS user_span,
+    max(tb) - min(tb) + 1 AS time_span
+  FROM tagged GROUP BY 1, 2
+)
+SELECT layout, count(*) AS n_chunks,
+  avg(cast(user_span AS DOUBLE)) AS avg_user_span,
+  avg(cast(time_span AS DOUBLE)) AS avg_time_span,
+  cast(max(user_span) AS BIGINT) AS max_user_span,
+  cast(max(time_span) AS BIGINT) AS max_time_span
+FROM chunks GROUP BY layout
+""",
+    doc="Data-layout planning audit: scale (user_id, event time) to 8-bit "
+    "buckets, then compare chunking by the Morton/z-order interleaved key "
+    "(operators/zorder.py — Delta/Iceberg's OPTIMIZE ZORDER BY as a plain "
+    "column expression) against lexicographic (user-first) chunking. Per "
+    "256-row-group-sized chunk it reports the min/max span of EACH "
+    "dimension — parquet footer pruning skips a chunk iff the predicate "
+    "misses its span, so avg span IS expected scan fraction per point "
+    "predicate: z-order bounds both dimensions (~16x16 hyper-rectangles), "
+    "lex bounds only its leading dimension (time span stays ~256). The "
+    "interleave is an unrolled shift/or expression tree inside whole-stage "
+    "codegen; the bucket scaling min/max ride a broadcast scalar join — "
+    "ONE fact scan feeds both layouts via a 2x explode. Companion test "
+    "proves the locality claim numerically.",
+)
+def q_zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.zorder import interleave_bits, scale_to_bucket
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts")).cast("double").alias("us")
+    )
+    lims = ev.agg(
+        F.min("user_id").alias("lo_u"),
+        F.max("user_id").alias("hi_u"),
+        F.min("us").alias("lo_t"),
+        F.max("us").alias("hi_t"),
+    )
+    bk = ev.join(F.broadcast(lims)).select(
+        scale_to_bucket(F.col("user_id"), F.col("lo_u"), F.col("hi_u"), 8).alias("ub"),
+        scale_to_bucket(F.col("us"), F.col("lo_t"), F.col("hi_t"), 8).alias("tb"),
+    )
+    z = interleave_bits(F.col("ub"), F.col("tb"), 8)
+    tagged = bk.select(
+        "ub",
+        "tb",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    (z / 256).cast("long").alias("chunk"),
+                ),
+                F.struct(
+                    F.lit("lex").alias("layout"), F.col("ub").alias("chunk")
+                ),
+            )
+        ).alias("lc"),
+    ).select("lc.layout", "lc.chunk", "ub", "tb")
+    chunks = tagged.groupBy("layout", "chunk").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.max("ub") - F.min("ub") + 1).alias("user_span"),
+        (F.max("tb") - F.min("tb") + 1).alias("time_span"),
+    )
+    return chunks.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.avg(F.col("user_span").cast("double")).alias("avg_user_span"),
+        F.avg(F.col("time_span").cast("double")).alias("avg_time_span"),
+        F.max("user_span").cast("long").alias("max_user_span"),
+        F.max("time_span").cast("long").alias("max_time_span"),
+    )

@@ -74,6 +74,13 @@ UDF_FREE = [
     "weighted_reservoir_sample",
     "revenue_reconciliation",
     "key_skew_profile",
+    "dedup_ngram_containment",
+    "asof_tolerance_tariff",
+    "k_anonymity_audit",
+    "vintage_drift_psi",
+    "kfold_assignment",
+    "approx_percentile_audit",
+    "zorder_layout_audit",
 ]
 
 # Dense-math operators where an Arrow-vectorized UDF is the DESIGN (numpy
@@ -509,3 +516,59 @@ def test_pii_redaction_single_shuffle(spark, sf_dir):
     the tiny per-source audit aggregation."""
     plan = _plan(spark, sf_dir, "pii_redaction_audit")
     assert plan.count("Exchange") == 1, plan[:600]
+
+
+def test_runtime_bloom_filter_engages_on_selective_fact_join(spark, sf_dir):
+    """SCALE.md §7 claims Spark's runtime bloom-filter pruning becomes a
+    third pruning level for selective fact-fact joins at 100 TB (its size
+    thresholds keep it inert at test scale). Prove the claim is real for
+    this engine's join shape, not an aspiration: with the application-side
+    threshold lowered to test scale, the filtered orders side must inject a
+    might_contain(...) filter onto the lineitem scan, and the joined result
+    must be unchanged."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+
+    def run():
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        od = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        return (
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        df = run()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:800]
+        with_bloom = {tuple(r) for r in df.collect()}
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    without = {tuple(r) for r in run().collect()}
+    assert with_bloom == without
+
+
+def test_zorder_audit_single_fact_scan_no_udf(spark, sf_dir):
+    """The layout audit feeds both chunkings from ONE events scan (the
+    min/max scaling bounds ride a broadcast scalar join, the 2x layout fan-
+    out is an array explode, the Morton key is an unrolled shift/or tree in
+    codegen — no Python anywhere)."""
+    plan = _plan(spark, sf_dir, "zorder_layout_audit")
+    assert len(re.findall(r"FileScan parquet", plan)) == 2  # events + limits
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
