@@ -62,6 +62,7 @@ _NEW_R4 = [
     "vintage_drift_psi",
     "kfold_assignment",
     "zorder_layout_audit",
+    "unigram_surprisal_filter",
     "approx_percentile_audit",
     "ops_events_rate",
     "ops_latency_p95",

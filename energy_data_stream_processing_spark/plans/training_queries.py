@@ -1286,3 +1286,77 @@ def q_line_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "unigram_surprisal_filter",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+uni AS (SELECT term, count(*) AS cnt FROM toks2 GROUP BY 1),
+tot AS (SELECT cast(sum(cnt) AS DOUBLE) AS t FROM uni),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY 1, 2),
+contrib AS (
+  SELECT tf.doc_id, tf.term, tf.tf, cast(tf.tf AS DOUBLE) * ln(uni.cnt) AS s
+  FROM tf JOIN uni USING (term)
+),
+per_doc AS (
+  SELECT doc_id,
+    cast(sum(tf) AS BIGINT) AS n_tokens,
+    list_reduce(list_prepend(0.0, list(s ORDER BY term)), (a, b) -> a + b) AS lsum
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+  floor((ln(t.t) - lsum / n_tokens) * 1e6 + 0.5) / 1e6 AS surprisal
+FROM per_doc, tot t
+ORDER BY surprisal DESC, doc_id
+LIMIT 20
+""",
+    doc="Perplexity-style quality filtering (the CCNet/Gopher recipe, with "
+    "the LM reduced to the corpus's own unigram model so it is exactly "
+    "computable in-engine): per-doc mean token surprisal "
+    "mean(-ln p(tok)) = ln(T) - sum(tf*ln cnt)/n, top-20 most surprising "
+    "documents = the out-of-distribution / garbled candidates a quality "
+    "gate reviews first. Determinism: per-term contributions fold in term "
+    "order (Spark aggregate() over array_sort(collect_list) == DuckDB "
+    "list_reduce over ORDER BY list) with a final 1e-6 half-up round "
+    "washing the Java-vs-C ln() last-ulp delta — the bm25_search recipe. "
+    "Spark plan: ONE tokenize feeds both the unigram counts and the "
+    "per-doc tfs; both shuffle on the SAME term key (exchange reuse), the "
+    "corpus total rides a broadcast scalar; top-20 is "
+    "TakeOrderedAndProject. Scale: everything is token-frame shaped "
+    "(linear); the unigram 'model' is the join side and would be "
+    "hot-term-skewed — the same max_df-style cap as the shingle index "
+    "applies if a real vocab distribution needs it.",
+)
+def q_unigram_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).where(F.col("term") != "")
+    uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = uni.agg(F.sum("cnt").cast("double").alias("t"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    contrib = tf.join(uni, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        (F.col("tf").cast("double") * F.log(F.col("cnt"))).alias("s"),
+    )
+    per_doc = contrib.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(term, s))), "
+            "CAST(0 AS DOUBLE), (a, x) -> a + x.s)"
+        ).alias("lsum"),
+    )
+    out = per_doc.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "n_tokens",
+        F.expr("floor((ln(t) - lsum / n_tokens) * 1e6 + 0.5) / 1e6").alias(
+            "surprisal"
+        ),
+    )
+    return out.orderBy(F.col("surprisal").desc(), "doc_id").limit(20)

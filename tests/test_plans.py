@@ -81,6 +81,7 @@ UDF_FREE = [
     "kfold_assignment",
     "approx_percentile_audit",
     "zorder_layout_audit",
+    "unigram_surprisal_filter",
 ]
 
 # Dense-math operators where an Arrow-vectorized UDF is the DESIGN (numpy
@@ -571,4 +572,13 @@ def test_zorder_audit_single_fact_scan_no_udf(spark, sf_dir):
     codegen — no Python anywhere)."""
     plan = _plan(spark, sf_dir, "zorder_layout_audit")
     assert len(re.findall(r"FileScan parquet", plan)) == 2  # events + limits
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_surprisal_single_tokenize_and_topk(spark, sf_dir):
+    """unigram_surprisal_filter: top-20 must be TakeOrderedAndProject (no
+    global sort), and the corpus-total scalar a broadcast."""
+    plan = _plan(spark, sf_dir, "unigram_surprisal_filter")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
