@@ -63,6 +63,7 @@ _NEW_R4 = [
     "kfold_assignment",
     "zorder_layout_audit",
     "unigram_surprisal_filter",
+    "dedup_incremental_minhash",
     "approx_percentile_audit",
     "ops_events_rate",
     "ops_latency_p95",

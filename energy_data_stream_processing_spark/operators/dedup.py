@@ -247,6 +247,30 @@ def minhash_signatures(docs: DataFrame, num_perm: int = 32) -> DataFrame:
     )
 
 
+def _band_frame(sigs: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """(doc_id, band, bucket) LSH band codes from a signature frame: each
+    band hashes its ``num_perm/bands`` consecutive signature slots with
+    xxhash64 (band index salted in, so equal slot values in different bands
+    never collide)."""
+    rows_per_band = num_perm // bands
+    return (
+        sigs.select(
+            "doc_id",
+            F.explode_outer(
+                F.expr(
+                    f"""
+                    transform(sequence(0, {bands - 1}),
+                              b -> struct(b AS band,
+                                          xxhash64(concat_ws(',', b, slice(signature, b * {rows_per_band} + 1, {rows_per_band}))) AS bucket))
+                    """
+                )
+            ).alias("bb"),
+        )
+        .where(F.col("bb").isNotNull())
+        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.015,
@@ -265,24 +289,8 @@ def minhash_lsh_pairs(
     scale path: candidate volume is bucket-local instead of all-pairs, and
     verification touches only colliding pairs.
     """
-    rows_per_band = num_perm // bands
     sigs = minhash_signatures(docs, num_perm)
-    bands_df = (
-        sigs.select(
-            "doc_id",
-            F.explode_outer(
-                F.expr(
-                    f"""
-                    transform(sequence(0, {bands - 1}),
-                              b -> struct(b AS band,
-                                          xxhash64(concat_ws(',', b, slice(signature, b * {rows_per_band} + 1, {rows_per_band}))) AS bucket))
-                    """
-                )
-            ).alias("bb"),
-        )
-        .where(F.col("bb").isNotNull())
-        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    )
+    bands_df = _band_frame(sigs, num_perm, bands)
 
     # Bucket-groupBy + array-side pair generation instead of a (band,
     # bucket) self-join: the self-join form recomputed the signature UDF
@@ -461,4 +469,119 @@ def connected_components(
             break
     return nodes.select("doc_id").join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce("component_id", F.col("doc_id")).alias("component_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup index: near-dup detection at ingest WITHOUT corpus rescan
+# --------------------------------------------------------------------------
+def build_dedup_index(
+    spark,
+    index_path: str,
+    docs: DataFrame,
+    num_perm: int = 32,
+    bands: int = 16,
+    increment_id: str = "base",
+) -> None:
+    """Persist the MinHash-LSH dedup index for a corpus: per-doc band codes
+    (``bands/``) and hashed distinct-shingle arrays (``shingles/``, the
+    exact-verification data). Both land keyed by ``_increment_id`` with
+    dynamic partition overwrite, so a replayed build rewrites exactly its
+    own files (idempotent under at-least-once delivery — the
+    refresh_hourly_incremental / refresh_ivf_incremental contract).
+
+    Why this exists: at 100 TB the batch ``minhash_lsh_pairs`` rescan per
+    ingest is the scale killer — a new increment must only (a) compute its
+    OWN signatures (narrow, linear in the increment) and (b) shuffle-join
+    its band codes against the stored band frame. The store is
+    corpus-sized but narrow (ints only, no text)."""
+    from ..sources.sinks import _conf_override
+
+    sigs = minhash_signatures(docs, num_perm)
+    bands_df = _band_frame(sigs, num_perm, bands)
+    sh = with_shingles(docs, hashed=True)
+    with _conf_override(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
+        (
+            bands_df.withColumn("_increment_id", F.lit(str(increment_id)))
+            .write.mode("overwrite")
+            .partitionBy("_increment_id")
+            .parquet(f"{index_path}/bands")
+        )
+        (
+            sh.withColumn("_increment_id", F.lit(str(increment_id)))
+            .write.mode("overwrite")
+            .partitionBy("_increment_id")
+            .parquet(f"{index_path}/shingles")
+        )
+
+
+def dedup_increment(
+    spark,
+    index_path: str,
+    increment: DataFrame,
+    increment_id: str,
+    threshold: float = 0.015,
+    num_perm: int = 32,
+    bands: int = 16,
+) -> DataFrame:
+    """Fold a document increment into the persisted dedup index and return
+    every near-dup pair (exact Jaccard >= threshold) INVOLVING an increment
+    document — against the existing corpus AND within the increment.
+
+    The increment lands first (idempotently, keyed by its increment_id), so
+    candidate generation is ONE equi-join of the increment's band codes
+    against the full stored band frame: work is |increment bands| x
+    collision volume, never corpus x corpus. Verification reads only the
+    colliding docs' stored shingle arrays. Equivalence law (tested): the
+    result equals batch ``minhash_lsh_pairs`` over the whole corpus
+    restricted to pairs touching the increment."""
+    build_dedup_index(
+        spark, index_path, increment,
+        num_perm=num_perm, bands=bands, increment_id=increment_id,
+    )
+    store_bands = spark.read.parquet(f"{index_path}/bands")
+    inc_bands = store_bands.where(F.col("_increment_id") == str(increment_id))
+    cand = (
+        inc_bands.alias("n")
+        .join(
+            store_bands.alias("o"),
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.bucket") == F.col("o.bucket"))
+            & (F.col("n.doc_id") != F.col("o.doc_id")),
+        )
+        .select(
+            F.least("n.doc_id", "o.doc_id").alias("doc_a"),
+            F.greatest("n.doc_id", "o.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sh = spark.read.parquet(f"{index_path}/shingles").select("doc_id", "sh")
+    cand_ids = cand.select(
+        "doc_a", "doc_b", F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    )
+    per_pair = (
+        sh.join(F.broadcast(cand_ids), "doc_id")
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.first(
+                F.when(F.col("doc_id") == F.col("doc_a"), F.col("sh")),
+                ignorenulls=True,
+            ).alias("sh_a"),
+            F.first(
+                F.when(F.col("doc_id") == F.col("doc_b"), F.col("sh")),
+                ignorenulls=True,
+            ).alias("sh_b"),
+        )
+    )
+    return (
+        per_pair.withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("common").cast("double")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("common")).cast("double")
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
     )

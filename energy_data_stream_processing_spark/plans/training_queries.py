@@ -1360,3 +1360,37 @@ def q_unigram_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return out.orderBy(F.col("surprisal").desc(), "doc_id").limit(20)
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=None,  # xxhash64-based; gated by the batch==incremental
+    # equivalence law + idempotent-replay tests in tests/test_round4_ops.py
+    doc="Ingest-time near-dup detection against a PERSISTED MinHash-LSH "
+    "index (operators/dedup.py::build_dedup_index / dedup_increment): the "
+    "corpus's band codes and hashed shingle arrays live in a parquet "
+    "store keyed by increment id (dynamic partition overwrite = replay-"
+    "idempotent, the refresh_ivf_incremental contract); a new 20% "
+    "document increment computes only ITS OWN signatures and equi-joins "
+    "its band codes against the store — work is increment-sized plus "
+    "collision volume, never a corpus rescan. This is the operation that "
+    "makes near-dedup sustainable at 100 TB: the batch minhash_lsh_pairs "
+    "rescan per ingest is quadratic in corpus growth; this is linear. "
+    "Gated by the equivalence LAW: result == batch LSH pairs over the "
+    "full corpus restricted to pairs touching the increment (exact "
+    "jaccard values included), plus idempotent double-apply.",
+)
+def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.dedup import build_dedup_index, dedup_increment
+
+    docs = _docs(spark, sf_dir)
+    base = docs.where(F.col("doc_id") % 5 != 0)
+    inc = docs.where(F.col("doc_id") % 5 == 0)
+    with tempfile.TemporaryDirectory(prefix="dedup_idx_") as d:
+        build_dedup_index(spark, d, base, increment_id="base")
+        out = dedup_increment(spark, d, inc, increment_id="inc1", threshold=0.015)
+        # materialize before the index directory disappears
+        rows = out.orderBy("doc_a", "doc_b").collect()
+    return spark.createDataFrame(rows, out.schema)

@@ -149,3 +149,54 @@ def test_kfold_partitions_corpus(spark, sf_dir):
     assert sum(r.n_eval for r in rows) == total
     for r in rows:
         assert r.n_train == total - r.n_eval
+
+
+def test_incremental_dedup_equals_batch_restricted(spark, sf_dir, tmp_path):
+    """The equivalence law behind dedup_incremental_minhash: folding an
+    increment into the persisted index finds EXACTLY the batch LSH pairs
+    that touch the increment, with identical jaccard values."""
+    from energy_data_stream_processing_spark.operators.dedup import (
+        build_dedup_index,
+        dedup_increment,
+        minhash_lsh_pairs,
+    )
+    from energy_data_stream_processing_spark.sources.adapter import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % 5 != 0)
+    inc = docs.where(F.col("doc_id") % 5 == 0)
+    idx = str(tmp_path / "idx")
+    build_dedup_index(spark, idx, base, increment_id="base")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_increment(spark, idx, inc, increment_id="i1").collect()
+    }
+    inc_ids = {r.doc_id for r in inc.select("doc_id").collect()}
+    want = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_lsh_pairs(docs).collect()
+        if r.doc_a in inc_ids or r.doc_b in inc_ids
+    }
+    assert got == want and len(got) > 0
+
+
+def test_incremental_dedup_replay_idempotent(spark, sf_dir, tmp_path):
+    """Re-applying the same increment id must not change the store or the
+    result (at-least-once delivery safety)."""
+    from energy_data_stream_processing_spark.operators.dedup import (
+        build_dedup_index,
+        dedup_increment,
+    )
+    from energy_data_stream_processing_spark.sources.adapter import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % 5 != 0)
+    inc = docs.where(F.col("doc_id") % 5 == 0)
+    idx = str(tmp_path / "idx")
+    build_dedup_index(spark, idx, base, increment_id="base")
+    r1 = sorted(map(tuple, dedup_increment(spark, idx, inc, increment_id="i1").collect()))
+    n_bands_1 = spark.read.parquet(f"{idx}/bands").count()
+    r2 = sorted(map(tuple, dedup_increment(spark, idx, inc, increment_id="i1").collect()))
+    n_bands_2 = spark.read.parquet(f"{idx}/bands").count()
+    assert r1 == r2
+    assert n_bands_1 == n_bands_2
