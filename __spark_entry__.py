@@ -64,6 +64,7 @@ _NEW_R4 = [
     "zorder_layout_audit",
     "unigram_surprisal_filter",
     "dedup_incremental_minhash",
+    "streaming_incremental_dedup",
     "approx_percentile_audit",
     "ops_events_rate",
     "ops_latency_p95",

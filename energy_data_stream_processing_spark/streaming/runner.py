@@ -1078,3 +1078,62 @@ def q_streaming_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFram
         .orderBy("lang", "rank")
     )
 
+
+
+@register(
+    "streaming_incremental_dedup",
+    oracle=None,  # xxhash64-based; gated by the stream≡batch law test
+    doc="Continuous near-dup detection: documents arrive as ordered micro-"
+    "batches and each foreachBatch increment folds into the PERSISTED "
+    "MinHash-LSH index (operators/dedup.py::dedup_increment — lands its "
+    "band codes + shingle arrays keyed by increment id, then joins only "
+    "ITS OWN bands against the store), persisting the discovered pairs "
+    "keyed by batch id with dynamic partition overwrite. A pair "
+    "(x∈bᵢ, y∈bⱼ, i<j) is found exactly once — when the LATER side "
+    "arrives (the earlier side is already in the store); within-batch "
+    "pairs surface from the batch's self-collisions. The union of all "
+    "per-batch pair sets therefore equals batch minhash_lsh_pairs over "
+    "the full corpus EXACTLY (jaccard values included) — the law "
+    "tests/test_round4_ops.py pins. Work per batch is increment-sized; "
+    "the corpus is never re-scanned — the streaming form of the ingest "
+    "dedup a 100 TB pipeline runs. (availableNow replay note: a batch "
+    "retried BEFORE later batches land is idempotent via its keyed "
+    "partitions; that is the checkpoint contract Structured Streaming "
+    "guarantees.)",
+)
+def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dedup_increment
+
+    src = ascending_doc_chunks(spark, sf_dir, 3)
+    root = tempfile.mkdtemp(prefix="stream-dedup-")
+    idx = f"{root}/idx"
+    pairs_dir = f"{root}/pairs"
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        found = dedup_increment(s, idx, batch_df, increment_id=f"b{batch_id}")
+        with _conf_override(s, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
+            (
+                found.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("_batch_id")
+                .parquet(pairs_dir)
+            )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream-dedup-ckpt-"))
+        .start()
+    )
+    q.awaitTermination()
+
+    return (
+        spark.read.parquet(pairs_dir)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )

@@ -200,3 +200,17 @@ def test_incremental_dedup_replay_idempotent(spark, sf_dir, tmp_path):
     n_bands_2 = spark.read.parquet(f"{idx}/bands").count()
     assert r1 == r2
     assert n_bands_1 == n_bands_2
+
+
+def test_streaming_incremental_dedup_equals_batch(spark, sf_dir):
+    """The stream≡batch law: the union of per-micro-batch incremental dedup
+    results over ordered document chunks equals one-shot batch LSH pairs
+    over the full corpus, jaccard values included."""
+    from energy_data_stream_processing_spark.operators.dedup import minhash_lsh_pairs
+    from energy_data_stream_processing_spark.sources.adapter import load_table
+
+    q = all_queries()["streaming_incremental_dedup"]
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in q.builder(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    want = {(r.doc_a, r.doc_b): r.jaccard for r in minhash_lsh_pairs(docs).collect()}
+    assert got == want and len(got) > 0
