@@ -65,6 +65,8 @@ _NEW_R4 = [
     "unigram_surprisal_filter",
     "dedup_incremental_minhash",
     "streaming_incremental_dedup",
+    "asof_forward_next_switch",
+    "embedding_dim_profile",
     "approx_percentile_audit",
     "ops_events_rate",
     "ops_latency_p95",

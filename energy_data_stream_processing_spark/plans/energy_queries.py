@@ -1209,6 +1209,83 @@ def q_asof_tolerance_tariff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_forward_next_switch",
+    oracle=_oracle_ev(
+        """
+, readings AS (
+  SELECT event_id, customer_id, event_time, -epoch_us(event_time) AS nts,
+         cast(energy_consumed AS DOUBLE) AS energy_consumed
+  FROM energy_events WHERE event_type = 'energy_consumed'
+),
+switches AS (
+  SELECT customer_id, event_time, -epoch_us(event_time) AS nts,
+         arg_max(tariff_type, event_id) AS next_tariff
+  FROM energy_events WHERE event_type = 'tariff_switch'
+  GROUP BY customer_id, event_time
+)
+SELECT r.event_id, r.customer_id, r.event_time, r.energy_consumed,
+       s.next_tariff,
+       cast((epoch_us(s.event_time) - epoch_us(r.event_time)) AS DOUBLE) / 1e6
+         AS lead_time_s
+FROM readings r ASOF LEFT JOIN switches s
+  ON r.customer_id = s.customer_id AND r.nts >= s.nts
+ORDER BY r.event_id
+"""
+    ),
+    doc="FORWARD as-of join (pandas merge_asof(direction='forward') "
+    "parity): each consumption reading gets the customer's NEXT tariff "
+    "switch at-or-after it and the lead time until it takes effect — the "
+    "'next maintenance after failure' / 'next price change after trade' "
+    "shape. Implementation is the ONE-shuffle union+carry as-of "
+    "(operators/asof.py) run on NEGATED integer-microsecond time, which "
+    "turns most-recent-before into earliest-after with zero new operator "
+    "code; DuckDB's native ASOF JOIN under the same negation is the "
+    "independent oracle. Ties (switch exactly at the reading's timestamp) "
+    "match, mirroring the backward join's >= convention.",
+)
+def q_asof_forward_next_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = energy_events(spark, sf_dir)
+    readings = ev.where(F.col("event_type") == "energy_consumed").select(
+        "event_id",
+        "customer_id",
+        "event_time",
+        (-F.unix_micros(F.col("event_time"))).alias("nts"),
+        F.col("energy_consumed").cast("double").alias("energy_consumed"),
+    )
+    switches = (
+        ev.where(F.col("event_type") == "tariff_switch")
+        .groupBy("customer_id", "event_time")
+        .agg(F.max_by("tariff_type", "event_id").alias("next_tariff"))
+        .select(
+            "customer_id",
+            (-F.unix_micros(F.col("event_time"))).alias("nts"),
+            "next_tariff",
+            F.col("event_time").alias("switch_ts"),
+        )
+    )
+    joined = asof_join(
+        readings,
+        switches,
+        key="customer_id",
+        ts="nts",
+        value_cols=["next_tariff", "switch_ts"],
+    )
+    lead_s = (
+        F.unix_micros(F.col("switch_ts")) - F.unix_micros(F.col("event_time"))
+    ).cast("double") / 1e6
+    return joined.select(
+        "event_id",
+        "customer_id",
+        "event_time",
+        "energy_consumed",
+        "next_tariff",
+        lead_s.alias("lead_time_s"),
+    ).orderBy("event_id")
+
+
+@register(
     "range_join_tariff_periods",
     oracle=_oracle_ev(
         """

@@ -1394,3 +1394,54 @@ def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize before the index directory disappears
         rows = out.orderBy("doc_a", "doc_b").collect()
     return spark.createDataFrame(rows, out.schema)
+
+
+@register(
+    "embedding_dim_profile",
+    oracle="""
+WITH cells AS (
+  SELECT vec_id,
+    generate_subscripts(embedding, 1) - 1 AS dim,
+    cast(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+)
+SELECT dim,
+  count(*) AS n,
+  cast(min(val) AS DOUBLE) AS min_val,
+  cast(max(val) AS DOUBLE) AS max_val,
+  floor(list_reduce(list_prepend(0.0, list(val ORDER BY vec_id)), (a, b) -> a + b)
+        / count(*) * 1e9 + 0.5) / 1e9 AS mean_val,
+  count(CASE WHEN val = 0.0 THEN 1 END) AS n_zero
+FROM cells GROUP BY dim
+""",
+    doc="Per-dimension feature statistics over the embedding column (the "
+    "dataset-card numbers: each of the 64 dims' min/max/mean/zero-count) "
+    "— the pre-training sanity check that catches a dead dimension, a "
+    "scale blow-up, or an all-zeros projection before a model trains on "
+    "it. posexplode is the JVM-side array unpivot; per-dim means fold in "
+    "vec_id order (Spark aggregate() over array_sort(collect_list) == "
+    "DuckDB list_reduce over ORDER BY list) with a 1e-9 round — exact "
+    "float64 addends in both engines since float32->float64 widening is "
+    "value-preserving. Scale: ONE scan, one shuffle on the 64-value dim "
+    "key; at 100 TB the ordered fold swaps for a fixed-shape tree sum "
+    "(chunk by vec_id range, fold chunks in order) with the same "
+    "map-side-combinable profile — or the mean gate relaxes to a "
+    "tolerance compare; min/max/counts are order-free either way.",
+)
+def q_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    cells = emb.select(
+        "vec_id", F.posexplode(F.col("embedding"))
+    ).select(
+        "vec_id", F.col("pos").alias("dim"), F.col("col").cast("double").alias("val")
+    )
+    return cells.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+        F.expr(
+            "floor(aggregate(array_sort(collect_list(struct(vec_id, val))), "
+            "CAST(0 AS DOUBLE), (a, x) -> a + x.val) / count(*) * 1e9 + 0.5) / 1e9"
+        ).alias("mean_val"),
+        F.count(F.when(F.col("val") == 0.0, 1)).alias("n_zero"),
+    )

@@ -82,6 +82,8 @@ UDF_FREE = [
     "approx_percentile_audit",
     "zorder_layout_audit",
     "unigram_surprisal_filter",
+    "asof_forward_next_switch",
+    "embedding_dim_profile",
 ]
 
 # Dense-math operators where an Arrow-vectorized UDF is the DESIGN (numpy
