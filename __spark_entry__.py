@@ -66,6 +66,7 @@ _NEW_R4 = [
     "dedup_incremental_minhash",
     "streaming_incremental_dedup",
     "asof_forward_next_switch",
+    "streaming_asof_enrichment",
     "embedding_dim_profile",
     "approx_percentile_audit",
     "ops_events_rate",

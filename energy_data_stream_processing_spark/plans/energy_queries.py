@@ -1079,10 +1079,10 @@ def q_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return churned.unionByName(retained).orderBy("cohort", "customer_id")
 
 
-@register(
-    "asof_active_tariff",
-    oracle=_oracle_ev(
-        """
+# Shared with the streaming twin (streaming_asof_enrichment): a true
+# batch≡streaming differential on the same DuckDB ASOF JOIN oracle.
+ASOF_ACTIVE_TARIFF_ORACLE = _oracle_ev(
+    """
 , readings AS (
   SELECT event_id, customer_id, event_time,
          cast(energy_consumed AS DOUBLE) AS energy_consumed
@@ -1098,7 +1098,12 @@ FROM readings r ASOF LEFT JOIN switches s
   ON r.customer_id = s.customer_id AND r.event_time >= s.event_time
 ORDER BY r.event_id
 """
-    ),
+)
+
+
+@register(
+    "asof_active_tariff",
+    oracle=ASOF_ACTIVE_TARIFF_ORACLE,
     doc="As-of join (operators/asof.py): each consumption reading gets the "
     "customer's tariff active AT THAT MOMENT. Spark has no native ASOF; the "
     "union+carry-forward-window composition costs ONE shuffle, and DuckDB's "

@@ -1137,3 +1137,89 @@ def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
+
+
+from ..plans.energy_queries import ASOF_ACTIVE_TARIFF_ORACLE  # noqa: E402
+
+
+@register(
+    "streaming_asof_enrichment",
+    oracle=ASOF_ACTIVE_TARIFF_ORACLE,  # batch entry's oracle — true batch≡streaming gate
+    doc="Continuous point-in-time enrichment: events replay as 4 time-"
+    "ascending micro-batches; each foreachBatch increment (1) lands its "
+    "tariff switches into an accumulating store keyed by batch id "
+    "(dynamic overwrite — replay-idempotent), then (2) as-of joins ITS "
+    "OWN consumption readings against the full switch store (operators/"
+    "asof.py union+carry, one customer_id shuffle over batch-sized "
+    "readings) and appends the enriched rows. Time-ordered arrival "
+    "guarantees every switch at-or-before a reading is already in the "
+    "store when the reading's batch runs (equal timestamps share a "
+    "chunk), so the union over batches equals the batch as-of EXACTLY — "
+    "gated by the SAME DuckDB ASOF JOIN oracle as asof_active_tariff. "
+    "This is the streaming enrichment shape (trade-vs-quote, reading-vs-"
+    "price) a 100 TB pipeline runs continuously: per-batch work is "
+    "batch-sized; the store grows switch-sized, never fact-sized.",
+)
+def q_streaming_asof_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    src = ascending_time_chunks(spark, sf_dir, 4)
+    root = tempfile.mkdtemp(prefix="stream-asof-")
+    sw_dir = f"{root}/switches"
+    out_dir = f"{root}/enriched"
+    schema = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet")).schema
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        view = f"asof_batch_{uuid.uuid4().hex[:8]}"
+        batch_df.createOrReplaceTempView(view)
+        en = s.sql(ENERGY_EVENTS_SQL.replace("FROM events", f"FROM {view}"))
+        sw = (
+            en.where(F.col("event_type") == "tariff_switch")
+            .groupBy("customer_id", "event_time")
+            .agg(F.max_by("tariff_type", "event_id").alias("active_tariff"))
+        )
+        with _conf_override(s, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
+            (
+                sw.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("_batch_id")
+                .parquet(sw_dir)
+            )
+        readings = en.where(F.col("event_type") == "energy_consumed").select(
+            "event_id",
+            "customer_id",
+            "event_time",
+            F.col("energy_consumed").cast("double").alias("energy_consumed"),
+        )
+        store = s.read.parquet(sw_dir).select(
+            "customer_id", "event_time", "active_tariff"
+        )
+        enriched = asof_join(
+            readings, store, key="customer_id", ts="event_time",
+            value_cols=["active_tariff"],
+        )
+        with _conf_override(s, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
+            (
+                enriched.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("_batch_id")
+                .parquet(out_dir)
+            )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream-asof-ckpt-"))
+        .start()
+    )
+    q.awaitTermination()
+
+    return (
+        spark.read.parquet(out_dir)
+        .select("event_id", "customer_id", "event_time", "energy_consumed", "active_tariff")
+        .orderBy("event_id")
+    )
