@@ -68,6 +68,7 @@ _NEW_R4 = [
     "asof_forward_next_switch",
     "streaming_asof_enrichment",
     "embedding_dim_profile",
+    "multimodal_phash_dedup",
     "approx_percentile_audit",
     "ops_events_rate",
     "ops_latency_p95",

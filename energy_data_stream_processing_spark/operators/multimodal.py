@@ -208,3 +208,82 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
             yield _pd.DataFrame(rows, columns=["doc_id", "frame_no", "offset_bytes", "frame_feature"])
 
     return media.select("doc_id", "content").mapInPandas(batch, FRAMES_SCHEMA)
+
+
+def phash_media(media: DataFrame) -> DataFrame:
+    """Per-item 64-bit perceptual-hash-style signature over the binary
+    column — the image near-dup primitive (real pHash = decode -> 32x32
+    grayscale -> DCT -> 8x8 low-frequency block -> median threshold; the
+    codec-free stand-in here folds the bytes into 64 positional buckets and
+    thresholds against their median, which preserves the property that
+    matters for the plumbing AND the tests: identical payloads hash
+    identically, and a small byte edit flips few bits).
+
+    Arrow-batched pandas_udf (one numpy pass per batch); the hash is an
+    int64 column, so everything downstream (banding, joins) is JVM-side.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def ph(content: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for b in content:
+            if b is None or len(b) == 0:
+                out.append(0)
+                continue
+            a = np.frombuffer(bytes(b), dtype=np.uint8)
+            pad = (-len(a)) % 64
+            if pad:
+                a = np.concatenate([a, np.zeros(pad, dtype=np.uint8)])
+            buckets = a.reshape(-1, 64).sum(axis=0, dtype=np.int64)
+            med = np.median(buckets)
+            bits = (buckets > med).astype(np.uint64)
+            h = np.uint64(0)
+            for i in range(64):
+                h |= bits[i] << np.uint64(i)
+            out.append(int(h.astype(np.int64)))
+        return pd.Series(out)
+
+    return media.select("doc_id", ph(F.col("content")).alias("phash"))
+
+
+def phash_near_dup_pairs(media: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-duplicate media pairs: band-blocked candidate generation over
+    the 64-bit signature (4x16-bit bands — complete for Hamming <= 3,
+    recall-heavy heuristic above), verified by exact ``bit_count(xor)``.
+    Same shape as text SimHash (dedup.py::simhash_pairs): bucket groupBy +
+    array-side pair-gen, candidate volume bounded by duplicate
+    multiplicity, never all-pairs."""
+    sig = phash_media(media)
+    bands = sig.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), b -> struct(b AS band, "
+                "shiftright(phash, b * 16) & 65535 AS code))"
+            )
+        ).alias("bc"),
+    ).select("doc_id", "phash", "bc.band", "bc.code")
+    buckets = (
+        bands.groupBy("band", "code")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "phash"))).alias("ds"))
+        .where(F.size("ds") >= 2)
+    )
+    pair_expr = (
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, greatest(0, size(ds) - i - 1)), "
+        "y -> struct(x.doc_id AS doc_a, x.phash AS ha, "
+        "y.doc_id AS doc_b, y.phash AS hb))))"
+    )
+    return (
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.ha", "p.hb")
+        .distinct()
+        .withColumn("hamming", F.expr("bit_count(ha ^ hb)").cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

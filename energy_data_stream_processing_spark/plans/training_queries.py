@@ -1445,3 +1445,25 @@ def q_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_val"),
         F.count(F.when(F.col("val") == 0.0, 1)).alias("n_zero"),
     )
+
+
+@register(
+    "multimodal_phash_dedup",
+    oracle=None,  # signature internals are the engine's own; gated by the
+    # planted-duplicate property tests in tests/test_round4_ops.py
+    doc="Perceptual-hash near-dup detection over the media binary column "
+    "(operators/multimodal.py::phash_media / phash_near_dup_pairs): "
+    "64-bit signature per payload via one Arrow-batched numpy pass (the "
+    "codec-free stand-in for DCT pHash, at the documented real_decode "
+    "plug point), then 4x16-bit band blocking + exact bit_count(xor) "
+    "verification — the image-dedup twin of SimHash, candidate volume "
+    "bounded by duplicate multiplicity. Scale: signatures are int64s; "
+    "banding/verification never touch payload bytes again.",
+)
+def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import media_table, phash_near_dup_pairs
+
+    return (
+        phash_near_dup_pairs(media_table(_docs(spark, sf_dir)), max_hamming=6)
+        .orderBy("doc_a", "doc_b")
+    )

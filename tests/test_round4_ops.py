@@ -214,3 +214,38 @@ def test_streaming_incremental_dedup_equals_batch(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     want = {(r.doc_a, r.doc_b): r.jaccard for r in minhash_lsh_pairs(docs).collect()}
     assert got == want and len(got) > 0
+
+
+def test_phash_identical_and_near_identical_payloads(spark):
+    """Identical binaries collide at Hamming 0; a single-byte edit stays
+    within a small Hamming distance (found by the banded search); unrelated
+    payloads are not paired."""
+    from energy_data_stream_processing_spark.operators.multimodal import (
+        phash_media,
+        phash_near_dup_pairs,
+    )
+
+    base = bytes(range(256)) * 8
+    edited = bytearray(base)
+    edited[100] ^= 0xFF
+    other = bytes(reversed(base)) * 2
+    media = spark.createDataFrame(
+        [(1, base), (2, bytes(edited)), (3, other), (4, base)],
+        "doc_id long, content binary",
+    )
+    sigs = {r.doc_id: r.phash for r in phash_media(media).collect()}
+    assert sigs[1] == sigs[4]  # identical payloads -> identical signature
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in phash_near_dup_pairs(media, max_hamming=8).collect()
+    }
+    assert pairs[(1, 4)] == 0
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 8  # one-byte edit is near
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_phash_deterministic_across_runs(spark, sf_dir):
+    q = all_queries()["multimodal_phash_dedup"]
+    a = sorted(map(tuple, q.builder(spark, sf_dir).collect()))
+    b = sorted(map(tuple, q.builder(spark, sf_dir).collect()))
+    assert a == b
