@@ -69,6 +69,7 @@ _NEW_R4 = [
     "streaming_asof_enrichment",
     "embedding_dim_profile",
     "multimodal_phash_dedup",
+    "ann_recall_eval",
     "approx_percentile_audit",
     "ops_events_rate",
     "ops_latency_p95",

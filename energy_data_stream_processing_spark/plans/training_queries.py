@@ -1467,3 +1467,39 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         phash_near_dup_pairs(media_table(_docs(spark, sf_dir)), max_hamming=6)
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "ann_recall_eval",
+    oracle=None,  # the LSH side is the engine's own sketch; gated by the
+    # mean-recall floor test in tests/test_round4_ops.py
+    doc="Retrieval-quality evaluation as a first-class operator: per-query "
+    "recall@5 of the LSH ANN index against exact brute-force cosine — the "
+    "number a production vector pipeline monitors after every index "
+    "rebuild (the repo's recall TESTS pin a floor; this makes the metric "
+    "itself queryable/loggable). One join of the two top-k frames on "
+    "(query_id, neighbor_id); both sides are query-count-sized, so the "
+    "eval costs nothing next to the searches it scores. At 100 TB the "
+    "exact side runs on a sampled query panel — recall estimation only "
+    "needs a few hundred queries regardless of corpus size.",
+)
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_topk, lsh_topk
+
+    emb = _emb(spark, sf_dir)
+    exact = cosine_topk(emb, num_queries=20, k=5).select(
+        "query_id", F.col("neighbor_id").alias("nid")
+    )
+    approx = lsh_topk(emb, num_queries=20, k=5).select(
+        "query_id", F.col("neighbor_id").alias("nid"), F.lit(1).alias("hit")
+    )
+    joined = exact.join(approx, ["query_id", "nid"], "left")
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hit"),
+            (F.coalesce(F.sum("hit"), F.lit(0)) / F.count(F.lit(1))).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )

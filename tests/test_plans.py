@@ -584,3 +584,20 @@ def test_surprisal_single_tokenize_and_topk(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_multimodal_meta_never_reads_payload(spark, sf_dir):
+    """Metadata-only media queries must not deserialize the binary payload
+    column: the media frame carries (content, meta) but the meta projection
+    must prune content out of the scan."""
+    from energy_data_stream_processing_spark.operators.multimodal import media_table
+    from energy_data_stream_processing_spark.sources.adapter import load_table
+    import tempfile
+
+    # materialize a real media parquet so the scan's ReadSchema is honest
+    d = tempfile.mkdtemp(prefix="media-") + "/media.parquet"
+    media_table(load_table(spark, sf_dir, "documents")).write.parquet(d)
+    meta_only = spark.read.parquet(d).select("doc_id", "meta.n_chars", "meta.source")
+    plan = meta_only._jdf.queryExecution().executedPlan().toString()
+    schemas = re.findall(r"ReadSchema: struct<([^\n]*)", plan)
+    assert schemas and all("content" not in s for s in schemas), schemas

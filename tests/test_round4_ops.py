@@ -249,3 +249,32 @@ def test_phash_deterministic_across_runs(spark, sf_dir):
     a = sorted(map(tuple, q.builder(spark, sf_dir).collect()))
     b = sorted(map(tuple, q.builder(spark, sf_dir).collect()))
     assert a == b
+
+
+def test_ann_recall_eval_floor(spark, sf_dir):
+    """The queryable recall metric must agree with an independently-computed
+    overlap of the two top-k frames, and clear the same floor the repo's
+    recall gates use at this corpus size (sf0.001 is 100 vectors — LSH
+    buckets are sparse, so the existing ANN gate asserts >= 0.2; the
+    measured mean here is ~0.7)."""
+    from energy_data_stream_processing_spark.operators.similarity import (
+        cosine_topk,
+        lsh_topk,
+    )
+    from energy_data_stream_processing_spark.sources.adapter import load_table
+
+    q = all_queries()["ann_recall_eval"]
+    rows = q.builder(spark, sf_dir).collect()
+    assert len(rows) == 20
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {}
+    for r in cosine_topk(emb, num_queries=20, k=5).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in lsh_topk(emb, num_queries=20, k=5).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in rows:
+        want = len(exact[r.query_id] & approx.get(r.query_id, set())) / 5
+        assert r.k == 5 and abs(r.recall_at_5 - want) < 1e-12
+    mean = sum(r.recall_at_5 for r in rows) / len(rows)
+    assert mean >= 0.4, f"mean recall {mean}"
