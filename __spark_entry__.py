@@ -70,6 +70,7 @@ _NEW_R4 = [
     "embedding_dim_profile",
     "multimodal_phash_dedup",
     "ann_recall_eval",
+    "scd2_incremental_apply",
     "approx_percentile_audit",
     "ops_events_rate",
     "ops_latency_p95",

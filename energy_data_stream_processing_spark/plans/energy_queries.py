@@ -1371,10 +1371,10 @@ def q_range_join_tariff_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
-@register(
-    "scd2_tariff_history",
-    oracle=_oracle_ev(
-        """
+# Shared with the incremental-maintenance twin (scd2_incremental_apply):
+# the maintained store must converge to exactly this batch build.
+SCD2_ORACLE = _oracle_ev(
+    """
 SELECT customer_id, tariff_type,
   event_time AS valid_from,
   lead(event_time) OVER w AS valid_to,
@@ -1384,7 +1384,12 @@ FROM energy_events
 WHERE event_type = 'tariff_switch'
 WINDOW w AS (PARTITION BY customer_id ORDER BY event_time, event_id)
 """
-    ),
+)
+
+
+@register(
+    "scd2_tariff_history",
+    oracle=SCD2_ORACLE,
     doc="Slowly-changing-dimension type-2 build of each customer's tariff "
     "history from the tariff_switch event stream: effective-dated rows "
     "(valid_from, valid_to) via lead() per customer, monotone version "
@@ -1588,3 +1593,44 @@ def q_revenue_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("bp.bill_revenue"), F.lit(0.0)).alias("bill_revenue"),
         status.alias("status"),
     ).orderBy("day", "customer_id", "status")
+
+
+@register(
+    "scd2_incremental_apply",
+    oracle=SCD2_ORACLE,  # the batch build's oracle — incremental≡batch gate
+    doc="Incremental SCD2 dimension maintenance (operators/scd2.py): the "
+    "tariff dimension persists partitioned by a 32-way customer-hash "
+    "bucket; a batch of LATE-ARRIVING switch events (every 4th event id — "
+    "interleaved in time, the hard case) folds in by reconstructing ONLY "
+    "the affected buckets' source switches from the stored rows (SCD2 "
+    "output is a lossless encoding of its inputs when the source event id "
+    "rides along), unioning the increment, re-running the window build on "
+    "that slice, and dynamic-overwriting just those bucket partitions. "
+    "Versions renumber and validity ranges reopen/close exactly as a full "
+    "rebuild would — the store must equal the one-shot batch "
+    "scd2_tariff_history (SHARED oracle). At 100 TB: per-ingest work is "
+    "bucket-slice-sized; unaffected buckets are never read or written — "
+    "the warehouse-dimension form of the incremental-rollup contract "
+    "(refresh_hourly_incremental).",
+)
+def q_scd2_incremental_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.scd2 import scd2_apply_increment, scd2_init_store
+
+    ev = energy_events(spark, sf_dir)
+    sw = ev.where(F.col("event_type") == "tariff_switch").select(
+        "customer_id", "tariff_type", "event_time", "event_id"
+    )
+    base = sw.where(F.col("event_id") % 4 != 0)
+    late = sw.where(F.col("event_id") % 4 == 0)
+    with tempfile.TemporaryDirectory(prefix="scd2_store_") as d:
+        store = f"{d}/dim"
+        scd2_init_store(spark, store, base)
+        scd2_apply_increment(spark, store, late)
+        out = spark.read.parquet(store).select(
+            "customer_id", "tariff_type", "valid_from", "valid_to",
+            "version", "is_current",
+        )
+        rows = out.orderBy("customer_id", "version").collect()
+    return spark.createDataFrame(rows, out.schema)

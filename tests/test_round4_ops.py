@@ -278,3 +278,67 @@ def test_ann_recall_eval_floor(spark, sf_dir):
         assert r.k == 5 and abs(r.recall_at_5 - want) < 1e-12
     mean = sum(r.recall_at_5 for r in rows) / len(rows)
     assert mean >= 0.4, f"mean recall {mean}"
+
+
+def test_scd2_multi_increment_equals_batch(spark, sf_dir, tmp_path):
+    """Three successive late-data increments (event_id mod 3 splits, applied
+    out of time order) must leave the maintained store equal to the batch
+    SCD2 build over all switches."""
+    from energy_data_stream_processing_spark.operators.scd2 import (
+        scd2_apply_increment,
+        scd2_build,
+        scd2_init_store,
+    )
+    from energy_data_stream_processing_spark.sources.adapter import energy_events
+
+    ev = energy_events(spark, sf_dir)
+    sw = ev.where(F.col("event_type") == "tariff_switch").select(
+        "customer_id", "tariff_type", "event_time", "event_id"
+    )
+    store = str(tmp_path / "dim")
+    # hash-based thirds: raw event_ids are not uniform mod small integers
+    m = F.pmod(F.xxhash64(F.col("event_id")), F.lit(3))
+    for part in (1, 2, 0):
+        assert sw.where(m == part).count() > 0
+    scd2_init_store(spark, store, sw.where(m == 1))
+    scd2_apply_increment(spark, store, sw.where(m == 2))
+    scd2_apply_increment(spark, store, sw.where(m == 0))
+    cols = ["customer_id", "tariff_type", "valid_from", "valid_to", "version", "is_current"]
+    got = sorted(map(tuple, spark.read.parquet(store).select(*cols).collect()))
+    want = sorted(map(tuple, scd2_build(sw).select(*cols).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_scd2_apply_touches_only_affected_buckets(spark, sf_dir, tmp_path):
+    """An increment for ONE customer must rewrite only that customer's
+    bucket partition; all other bucket directories keep their files."""
+    import os
+
+    from energy_data_stream_processing_spark.operators.scd2 import (
+        scd2_apply_increment,
+        scd2_init_store,
+    )
+    from energy_data_stream_processing_spark.sources.adapter import energy_events
+
+    ev = energy_events(spark, sf_dir)
+    sw = ev.where(F.col("event_type") == "tariff_switch").select(
+        "customer_id", "tariff_type", "event_time", "event_id"
+    )
+    one = sw.orderBy("event_id").limit(1)
+    store = str(tmp_path / "dim")
+    scd2_init_store(spark, store, sw)
+    before = {
+        d: sorted(os.listdir(f"{store}/{d}"))
+        for d in os.listdir(store)
+        if d.startswith("_cbucket=")
+    }
+    target = one.collect()[0]
+    inc = sw.where(F.col("customer_id") == target["customer_id"]).limit(1)
+    scd2_apply_increment(spark, store, inc)
+    after = {
+        d: sorted(os.listdir(f"{store}/{d}"))
+        for d in os.listdir(store)
+        if d.startswith("_cbucket=")
+    }
+    changed = [d for d in before if before[d] != after.get(d)]
+    assert len(changed) == 1, f"expected 1 rewritten bucket, got {changed}"
