@@ -1,0 +1,168 @@
+"""Custom Python DataSource (Spark 4 DataSource API): paced JSONL replay.
+
+The reference's transport layer is a Kafka producer that replays a JSONL
+file line by line — parsing each line, diverting malformed JSON and
+envelope-invalid events to an error log with a reason, optionally
+shuffling, and pacing sends with a sleep (producer/producer.py:41-67).
+This module is that transport re-expressed as a first-class Spark source:
+
+- ``jsonl_replay`` batch form: one scan, every line becomes a row carrying
+  its validity verdict and the producer's exact reason string.
+- streaming form: offsets are LINE NUMBERS and each micro-batch advances by
+  ``lines_per_batch`` — the paced replay the reference gets from
+  ``time.sleep``, but replayable and checkpoint-resumable (a restarted
+  query resumes mid-file from the committed line offset, which the
+  reference's fire-and-forget loop cannot do).
+
+Envelope verdicts mirror producer.py::validate_event:
+  * unparseable line            -> "Malformed JSON"
+  * parsed but not a dict       -> "Event is not a dictionary"
+  * missing envelope keys       -> "Missing required keys: <sorted names>"
+    (the reference formats the raw Python set — engine-side the names are
+    sorted so the reason string is deterministic; documented divergence)
+  * empty event_type / payload  -> "event_type or payload is empty"
+    (the reference calls .strip() on a possibly-non-string event_type and
+    crashes on e.g. a numeric type; engine-side non-strings stringify —
+    documented divergence, same verdict)
+
+Deterministic shuffle: ``shuffle_seed`` orders lines by md5(seed:line_no) —
+the reference's random.shuffle made replays irreproducible; this keeps the
+"shuffled arrival" test semantics WITHOUT losing replay determinism.
+
+Scale note: this source is the TRANSPORT-semantics twin (single ordered
+file, like the single Kafka partition it stands in for). Parallel bulk
+ingest of many JSONL files stays on the native reader (sources/jsonl.py),
+which splits per file; a sharded topic maps to one replay source per shard
+directory.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+REPLAY_SCHEMA = (
+    "line_no bigint, valid boolean, reason string, event_type string, "
+    "event_time string, payload string, raw string"
+)
+
+_REQUIRED = ("event_type", "event_time", "payload")
+
+
+def _order(path: str, seed: str | None) -> list[int]:
+    import hashlib
+
+    with open(path) as f:
+        n = sum(1 for _ in f)
+    idx = list(range(n))
+    if seed is not None:
+        idx.sort(key=lambda i: hashlib.md5(f"{seed}:{i}".encode()).hexdigest())
+    return idx
+
+
+def _parse_line(line_no: int, raw: str):
+    line = raw.rstrip("\n")
+    try:
+        event = json.loads(line)
+    except json.JSONDecodeError:
+        return (line_no, False, "Malformed JSON", None, None, None, line)
+    if not isinstance(event, dict):
+        return (line_no, False, "Event is not a dictionary", None, None, None, line)
+    missing = [k for k in _REQUIRED if k not in event]
+    if missing:
+        return (
+            line_no, False,
+            f"Missing required keys: {sorted(missing)}",
+            None, None, None, line,
+        )
+    etype = str(event.get("event_type") or "")
+    payload = event.get("payload")
+    if not etype.strip() or not payload:
+        return (line_no, False, "event_type or payload is empty", None, None, None, line)
+    return (
+        line_no, True, "",
+        etype,
+        str(event.get("event_time")),
+        json.dumps(payload, sort_keys=True),
+        line,
+    )
+
+
+class _Range(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class _ReplayBatchReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options["path"]
+        self.seed = options.get("shuffle_seed")
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [_Range(0, len(_order(self.path, None)))]
+
+    def read(self, part: _Range) -> Iterator[tuple]:
+        order = _order(self.path, self.seed)
+        with open(self.path) as f:
+            lines = f.readlines()
+        for pos in range(part.start, part.end):
+            yield _parse_line(pos, lines[order[pos]])
+
+
+class _ReplayStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.path = options["path"]
+        self.seed = options.get("shuffle_seed")
+        self.per_batch = int(options.get("lines_per_batch", "50"))
+        self.total = len(_order(self.path, None))
+
+    def initialOffset(self) -> dict:
+        return {"line": 0}
+
+    def latestOffset(self) -> dict:
+        # monotone pacing: each trigger exposes at most lines_per_batch more
+        cur = getattr(self, "_last", 0)
+        nxt = min(self.total, cur + self.per_batch)
+        self._last = nxt
+        return {"line": nxt}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        return [_Range(int(start["line"]), int(end["line"]))]
+
+    def read(self, part: _Range) -> Iterator[tuple]:
+        order = _order(self.path, self.seed)
+        with open(self.path) as f:
+            lines = f.readlines()
+        for pos in range(part.start, part.end):
+            yield _parse_line(pos, lines[order[pos]])
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class JsonlReplayDataSource(DataSource):
+    """``spark.read.format("jsonl_replay").option("path", ...)`` — see
+    module docstring. Register with
+    ``spark.dataSource.register(JsonlReplayDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_replay"
+
+    def schema(self) -> str | StructType:
+        return REPLAY_SCHEMA
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _ReplayBatchReader(self.options)
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return _ReplayStreamReader(self.options)
