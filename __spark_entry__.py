@@ -71,6 +71,7 @@ _NEW_R4 = [
     "multimodal_phash_dedup",
     "ann_recall_eval",
     "scd2_incremental_apply",
+    "dedup_cluster_keep_best",
     "approx_percentile_audit",
     "ops_events_rate",
     "ops_latency_p95",

@@ -1503,3 +1503,69 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "dedup_cluster_keep_best",
+    oracle=f"""
+WITH RECURSIVE {_NGRAM_PAIRS_CTES},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jpairs
+  UNION ALL SELECT doc_b, doc_a FROM jpairs
+),
+reach AS (
+  SELECT doc_id AS src, doc_id AS node FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src
+),
+comp AS (SELECT src AS doc_id, min(node) AS component_id FROM reach GROUP BY src),
+scored AS (
+  SELECT c.component_id, d.doc_id, len(string_split(lower(trim(d.text)), ' ')) AS n_words
+  FROM comp c JOIN documents d USING (doc_id)
+)
+SELECT component_id,
+  count(*) AS cluster_size,
+  arg_max(doc_id, cast(n_words AS BIGINT) * 100000000 - doc_id) AS keep_doc_id,
+  cast(max(n_words) AS BIGINT) AS keep_n_words,
+  cast(sum(n_words) - max(n_words) AS BIGINT) AS dropped_words
+FROM scored GROUP BY component_id
+HAVING count(*) > 1
+""",
+    doc="Canonical-copy selection for near-dup clusters — the curation "
+    "decision pairwise dedup exists to feed: within each connected "
+    "component of the exact-Jaccard pair graph, KEEP the longest copy "
+    "(word count, doc_id tiebreak; exact dups tie on length so the rule "
+    "degrades to min-id there) and account the words dropped. Spark side "
+    "reuses the iterative min-label components "
+    "(operators/dedup.py::connected_components) + one max_by per cluster; "
+    "the oracle is the independent recursive-CTE closure + arg_max. "
+    "Scale: components are bounded by duplicate-cluster size; the scoring "
+    "join and per-cluster agg shuffle on component_id — cluster-count "
+    "sized, not corpus sized.",
+)
+def q_dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components, words
+    from ..operators.dedup import ngram_jaccard_pairs as _njp
+
+    docs = _docs(spark, sf_dir)
+    pairs = _njp(docs, threshold=0.015)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    comp = connected_components(docs.select("doc_id"), edges)
+    scored = comp.join(
+        docs.select("doc_id", F.size(words()).alias("n_words")), "doc_id"
+    )
+    return (
+        scored.groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.max_by(
+                "doc_id",
+                F.col("n_words").cast("long") * 100000000 - F.col("doc_id"),
+            ).alias("keep_doc_id"),
+            F.max("n_words").cast("long").alias("keep_n_words"),
+            (F.sum("n_words") - F.max("n_words")).cast("long").alias("dropped_words"),
+        )
+        .where(F.col("cluster_size") > 1)
+    )
