@@ -72,6 +72,7 @@ _NEW_R4 = [
     "ann_recall_eval",
     "scd2_incremental_apply",
     "dedup_cluster_keep_best",
+    "markov_stationary_distribution",
     "approx_percentile_audit",
     "ops_events_rate",
     "ops_latency_p95",

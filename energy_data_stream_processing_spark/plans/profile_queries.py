@@ -768,3 +768,90 @@ def q_zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("user_span").cast("long").alias("max_user_span"),
         F.max("time_span").cast("long").alias("max_time_span"),
     )
+
+
+@register(
+    "markov_stationary_distribution",
+    oracle="""
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_type,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+counts AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+p AS (
+  SELECT prev_type, next_type,
+    cast(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type) AS p
+  FROM counts
+),
+states AS (SELECT DISTINCT prev_type AS s FROM p),
+nstates AS (SELECT cast(count(*) AS DOUBLE) AS k FROM states),
+it AS (
+  SELECT 0 AS i, s, 1.0 / k AS x FROM states, nstates
+  UNION ALL
+  SELECT i + 1, nxt.s,
+    list_reduce(list_prepend(0.0, list(term ORDER BY prev)), (a, b) -> a + b)
+  FROM (
+    SELECT it.i, p.next_type AS s, p.prev_type AS prev, it.x * p.p AS term
+    FROM it JOIN p ON it.s = p.prev_type
+  ) nxt
+  WHERE i < 50
+  GROUP BY i, nxt.s
+),
+final AS (SELECT s, x FROM it WHERE i = 50)
+SELECT s AS event_type,
+  floor(x * 1e9 + 0.5) / 1e9 AS stationary_prob
+FROM final
+""",
+    doc="Long-run occupancy of the user-behavior Markov chain: power "
+    "iteration x P^50 from uniform over the row-normalized transition "
+    "matrix (event_transitions) — 'what share of steady-state activity is "
+    "each event type', the stationary view session path analysis feeds "
+    "on. Iteration arithmetic is IDENTICAL cross-engine: each new "
+    "component folds its <=|types| incoming terms in prev-state order "
+    "(Spark reproduces the oracle's list_reduce-over-ORDER-BY with a "
+    "driver-side fold over the same sorted terms — the matrix is "
+    "|types|^2, a bounded driver scalar like the IVF centroids), with a "
+    "final 1e-9 half-up round. Scale: the ONLY fact-sized work is the "
+    "per-user lag shuffle; iteration cost is |types|^2 x 50 regardless "
+    "of corpus size.",
+)
+def q_markov_stationary_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", "event_type", F.lag("event_type").over(w).alias("prev_type"))
+    counts = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pw = Window.partitionBy("prev_type")
+    p_rows = counts.select(
+        "prev_type",
+        "next_type",
+        (F.col("n").cast("double") / F.sum("n").over(pw)).alias("p"),
+    ).collect()  # |types|^2 rows — bounded driver scalar, like IVF centroids
+
+    P: dict[tuple[str, str], float] = {(r.prev_type, r.next_type): r.p for r in p_rows}
+    states = sorted({r.prev_type for r in p_rows})
+    x = {s: 1.0 / float(len(states)) for s in states}
+    for _ in range(50):
+        nxt: dict[str, float] = {}
+        for j in sorted({t for (_, t) in P}):
+            # fold incoming terms in prev-state order — the oracle's
+            # list_reduce(list(term ORDER BY prev)) exactly
+            acc = 0.0
+            for i in sorted(states):
+                if (i, j) in P:
+                    acc = acc + x.get(i, 0.0) * P[(i, j)]
+            nxt[j] = acc
+        x = {s: nxt.get(s, 0.0) for s in states}
+    import math
+
+    out = [(s, math.floor(x[s] * 1e9 + 0.5) / 1e9) for s in states]
+    return spark.createDataFrame(out, "event_type string, stationary_prob double")

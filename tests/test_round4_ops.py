@@ -342,3 +342,19 @@ def test_scd2_apply_touches_only_affected_buckets(spark, sf_dir, tmp_path):
     }
     changed = [d for d in before if before[d] != after.get(d)]
     assert len(changed) == 1, f"expected 1 rewritten bucket, got {changed}"
+
+
+def test_markov_stationary_is_distribution(spark, sf_dir):
+    """Stationary vector: non-negative, sums to 1 (within the 1e-9 round),
+    and is actually stationary — one more application of P moves it < 1e-6."""
+    q = all_queries()["markov_stationary_distribution"]
+    rows = {r.event_type: r.stationary_prob for r in q.builder(spark, sf_dir).collect()}
+    assert all(v >= 0 for v in rows.values())
+    assert abs(sum(rows.values()) - 1.0) < 1e-6
+    tr = all_queries()["event_transitions"]
+    P = {(r.prev_type, r.next_type): r.p for r in tr.builder(spark, sf_dir).collect()}
+    moved = {
+        j: sum(rows.get(i, 0.0) * P.get((i, j), 0.0) for i in rows)
+        for j in rows
+    }
+    assert max(abs(moved[j] - rows[j]) for j in rows) < 1e-6
