@@ -73,6 +73,10 @@ _NEW_R4 = [
     "scd2_incremental_apply",
     "dedup_cluster_keep_best",
     "markov_stationary_distribution",
+    "cross_source_dup_matrix",
+    "ngram_novelty_curve",
+    "funnel_conversion_latency",
+    "tariff_revenue_attribution",
     "approx_percentile_audit",
     "ops_events_rate",
     "ops_latency_p95",

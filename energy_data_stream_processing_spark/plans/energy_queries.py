@@ -1634,3 +1634,165 @@ def q_scd2_incremental_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = out.orderBy("customer_id", "version").collect()
     return spark.createDataFrame(rows, out.schema)
+
+
+@register(
+    "funnel_conversion_latency",
+    oracle=_oracle_ev(
+        """
+, firsts AS (
+  SELECT customer_id,
+    min(CASE WHEN event_type = 'view_tariffs' THEN event_time END) AS first_view,
+    min(CASE WHEN event_type = 'tariff_switch' THEN event_time END) AS first_switch
+  FROM energy_events GROUP BY customer_id
+),
+conv AS (
+  SELECT customer_id,
+    cast(epoch_us(first_switch) - epoch_us(first_view) AS DOUBLE) / 1e6 AS latency_s
+  FROM firsts
+  WHERE first_view IS NOT NULL AND first_switch IS NOT NULL
+    AND first_switch >= first_view
+)
+SELECT
+  (SELECT count(*) FROM firsts WHERE first_view IS NOT NULL) AS viewers,
+  count(*) AS converters,
+  cast(count(*) AS DOUBLE)
+    / (SELECT count(*) FROM firsts WHERE first_view IS NOT NULL) AS conversion_rate,
+  quantile_cont(latency_s, 0.5) AS p50_latency_s,
+  quantile_cont(latency_s, 0.9) AS p90_latency_s,
+  max(latency_s) AS max_latency_s
+FROM conv
+"""
+    ),
+    doc="Funnel conversion latency: time from a customer's FIRST tariff "
+    "view to their FIRST switch (converters = switch at-or-after view), "
+    "with conversion rate and exact p50/p90/max latency — the 'how long "
+    "does the funnel take' number next to engagement_funnel's 'how many "
+    "convert'. ONE customer_id-keyed aggregation computes both funnel "
+    "stages' first-times (conditional mins, no self-join); percentiles "
+    "run on the converters-sized frame. Exact interpolated percentiles "
+    "(Spark percentile == DuckDB quantile_cont) over integer-derived "
+    "microsecond latencies — value-exact cross-engine.",
+)
+def q_funnel_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = energy_events(spark, sf_dir)
+    firsts = ev.groupBy("customer_id").agg(
+        F.min(F.when(F.col("event_type") == "view_tariffs", F.col("event_time"))).alias(
+            "first_view"
+        ),
+        F.min(F.when(F.col("event_type") == "tariff_switch", F.col("event_time"))).alias(
+            "first_switch"
+        ),
+    )
+    conv = firsts.where(
+        F.col("first_view").isNotNull()
+        & F.col("first_switch").isNotNull()
+        & (F.col("first_switch") >= F.col("first_view"))
+    ).select(
+        (
+            (F.unix_micros("first_switch") - F.unix_micros("first_view")).cast("double")
+            / 1e6
+        ).alias("latency_s")
+    )
+    viewers = firsts.where(F.col("first_view").isNotNull()).agg(
+        F.count(F.lit(1)).alias("viewers")
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("converters"),
+        F.expr("percentile(latency_s, 0.5)").alias("p50_latency_s"),
+        F.expr("percentile(latency_s, 0.9)").alias("p90_latency_s"),
+        F.max("latency_s").alias("max_latency_s"),
+    ).join(F.broadcast(viewers)).select(
+        "viewers",
+        "converters",
+        (F.col("converters").cast("double") / F.col("viewers")).alias("conversion_rate"),
+        "p50_latency_s",
+        "p90_latency_s",
+        "max_latency_s",
+    )
+
+
+@register(
+    "tariff_revenue_attribution",
+    oracle=_oracle_ev(
+        """
+, payments AS (
+  SELECT event_id, customer_id, event_time,
+         cast(payment_amount AS DOUBLE) AS amount
+  FROM energy_events
+  WHERE event_type = 'bill_payment' AND payment_amount IS NOT NULL
+),
+switches AS (
+  SELECT customer_id, event_time, arg_max(tariff_type, event_id) AS active_tariff
+  FROM energy_events WHERE event_type = 'tariff_switch'
+  GROUP BY customer_id, event_time
+),
+attributed AS (
+  SELECT p.event_id, p.amount, coalesce(s.active_tariff, 'unattributed') AS tariff
+  FROM payments p ASOF LEFT JOIN switches s
+    ON p.customer_id = s.customer_id AND p.event_time >= s.event_time
+)
+SELECT tariff,
+  count(*) AS n_payments,
+  cast(floor(sum(cast(amount AS DECIMAL(28,2))) * 100 + 0.5) / 100 AS DOUBLE)
+    AS revenue,
+  cast(floor(sum(cast(amount AS DECIMAL(28,2))) * 100 + 0.5) / 100 AS DOUBLE)
+    / (SELECT cast(sum(cast(amount AS DECIMAL(28,2))) AS DOUBLE) FROM payments)
+    AS revenue_share
+FROM attributed GROUP BY tariff
+"""
+    ),
+    doc="Revenue attribution by tariff-in-force: every bill payment is "
+    "attributed to the tariff the customer was ON at payment time (the "
+    "as-of composition — payments with no prior switch land in "
+    "'unattributed'), then rolled up to revenue and share per tariff. "
+    "This is the business question the reference's revenue_overview "
+    "cannot answer (it groups by payment-day, not by the active tariff "
+    "dimension) and the canonical consumer of the as-of operator: "
+    "enrich-then-aggregate. Sums ride DECIMAL for order-independence, "
+    "cast DOUBLE at the edge. Plan: the ONE-shuffle as-of plus a "
+    "tariff-cardinality agg; the grand total is a broadcast scalar.",
+)
+def q_tariff_revenue_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = energy_events(spark, sf_dir)
+    payments = ev.where(
+        (F.col("event_type") == "bill_payment") & F.col("payment_amount").isNotNull()
+    ).select(
+        "event_id",
+        "customer_id",
+        "event_time",
+        F.col("payment_amount").cast("double").alias("amount"),
+    )
+    switches = (
+        ev.where(F.col("event_type") == "tariff_switch")
+        .groupBy("customer_id", "event_time")
+        .agg(F.max_by("tariff_type", "event_id").alias("active_tariff"))
+    )
+    attributed = asof_join(
+        payments, switches, key="customer_id", ts="event_time",
+        value_cols=["active_tariff"],
+    ).select(
+        F.coalesce("active_tariff", F.lit("unattributed")).alias("tariff"), "amount"
+    )
+    total = payments.agg(
+        F.sum(F.col("amount").cast("decimal(28,2)")).cast("double").alias("total")
+    )
+    dsum = F.sum(F.col("amount").cast("decimal(28,2)"))
+    return (
+        attributed.groupBy("tariff")
+        .agg(
+            F.count(F.lit(1)).alias("n_payments"),
+            F.expr(
+                "cast(floor(sum(cast(amount AS DECIMAL(28,2))) * 100 + 0.5) / 100 AS DOUBLE)"
+            ).alias("revenue"),
+        )
+        .join(F.broadcast(total))
+        .select(
+            "tariff",
+            "n_payments",
+            "revenue",
+            (F.col("revenue") / F.col("total")).alias("revenue_share"),
+        )
+    )

@@ -1569,3 +1569,134 @@ def q_dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("cluster_size") > 1)
     )
+
+
+@register(
+    "cross_source_dup_matrix",
+    oracle="""
+WITH fp AS (
+  SELECT md5(substr(lower(trim(text)), 1, 120)) AS fp, source, doc_id FROM documents
+),
+src_fp AS (SELECT DISTINCT fp, source FROM fp),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared_contents
+  FROM src_fp a JOIN src_fp b ON a.fp = b.fp AND a.source < b.source
+  GROUP BY 1, 2
+),
+sizes AS (SELECT source, count(DISTINCT fp) AS n_contents FROM fp GROUP BY 1)
+SELECT p.source_a, p.source_b, p.shared_contents,
+  sa.n_contents AS contents_a, sb.n_contents AS contents_b,
+  cast(p.shared_contents AS DOUBLE)
+    / least(sa.n_contents, sb.n_contents) AS overlap_coeff
+FROM pairs p
+JOIN sizes sa ON sa.source = p.source_a
+JOIN sizes sb ON sb.source = p.source_b
+""",
+    doc="Cross-source duplication matrix: for every source pair, how many "
+    "distinct leading contents (md5 of the first 120 normalized chars — "
+    "the cheap mirror-detection key that catches near-identical copies "
+    "with divergent tails, where the exact-content key returns nothing) "
+    "they share, normalized by the "
+    "smaller source's content count (overlap coefficient) — the curation "
+    "view that reveals mirror/scrape relationships between corpus "
+    "sources, deciding which source to keep as canonical BEFORE doc-level "
+    "dedup runs. Plan: fingerprint once, distinct (fp, source), self-join "
+    "on fp (bucket size = per-content source multiplicity, bounded), "
+    "tiny source-pair agg; source sizes ride a broadcast join back. "
+    "Scale: everything after the fingerprint agg is "
+    "|sources|^2 / content-multiplicity sized.",
+)
+def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    fp = docs.select(
+        F.md5(F.substring(F.lower(F.trim(F.col("text"))), 1, 120)).alias("fp"),
+        "source",
+    )
+    src_fp = fp.distinct()
+    sizes = fp.groupBy("source").agg(F.count_distinct("fp").alias("n_contents"))
+    a = src_fp.alias("a")
+    b = src_fp.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_contents"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n_contents").alias("contents_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n_contents").alias("contents_b"))
+    return (
+        pairs.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a", "source_b", "shared_contents", "contents_a", "contents_b",
+            (
+                F.col("shared_contents").cast("double")
+                / F.least("contents_a", "contents_b")
+            ).alias("overlap_coeff"),
+        )
+    )
+
+
+@register(
+    "ngram_novelty_curve",
+    oracle="""
+WITH tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tok FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(tok) >= 3
+         THEN list_transform(generate_series(1, len(tok) - 2), i -> array_to_string(tok[i:i+2], ' '))
+         ELSE []::VARCHAR[] END)) AS shingle
+  FROM tok
+),
+first_seen AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1),
+per_doc AS (
+  SELECT s.doc_id,
+    count(*) AS n_shingles,
+    count(CASE WHEN f.first_doc = s.doc_id THEN 1 END) AS n_novel
+  FROM sh s JOIN first_seen f USING (shingle) GROUP BY 1
+),
+banded AS (
+  SELECT cast(floor(doc_id / 100) AS BIGINT) AS doc_band,
+    cast(sum(n_shingles) AS BIGINT) AS shingles,
+    cast(sum(n_novel) AS BIGINT) AS novel
+  FROM per_doc GROUP BY 1
+)
+SELECT doc_band, shingles, novel,
+  cast(novel AS DOUBLE) / shingles AS novelty_rate
+FROM banded
+""",
+    doc="Corpus novelty curve: in ingestion (doc_id) order, what fraction "
+    "of each 100-doc band's word-3-gram shingles has never been seen in "
+    "any earlier document — the saturation signal that tells a data team "
+    "when additional collection from a source stops adding information "
+    "(novelty decaying toward the near-dup floor). Plan: ONE shingle "
+    "explode feeds both the global first-seen frame (min doc_id per "
+    "shingle — map-side combinable) and the per-doc counts; the join back "
+    "is shingle-keyed on the same partitioning. Scale: token-frame "
+    "shaped, no pair generation anywhere.",
+)
+def q_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _shingle_index
+
+    sh = _shingle_index(_docs(spark, sf_dir))
+    first_seen = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first_seen, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1)).alias("n_novel"),
+        )
+    )
+    return (
+        per_doc.groupBy(F.floor(F.col("doc_id") / 100).cast("long").alias("doc_band"))
+        .agg(
+            F.sum("n_shingles").cast("long").alias("shingles"),
+            F.sum("n_novel").cast("long").alias("novel"),
+        )
+        .select(
+            "doc_band", "shingles", "novel",
+            (F.col("novel").cast("double") / F.col("shingles")).alias("novelty_rate"),
+        )
+    )

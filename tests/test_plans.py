@@ -84,6 +84,11 @@ UDF_FREE = [
     "unigram_surprisal_filter",
     "asof_forward_next_switch",
     "embedding_dim_profile",
+    "cross_source_dup_matrix",
+    "ngram_novelty_curve",
+    "funnel_conversion_latency",
+    "tariff_revenue_attribution",
+    "dedup_cluster_keep_best",
 ]
 
 # Dense-math operators where an Arrow-vectorized UDF is the DESIGN (numpy
