@@ -77,6 +77,8 @@ _NEW_R4 = [
     "ngram_novelty_curve",
     "funnel_conversion_latency",
     "tariff_revenue_attribution",
+    "cohort_ltv_curves",
+    "consumption_payment_regression",
     "approx_percentile_audit",
     "ops_events_rate",
     "ops_latency_p95",

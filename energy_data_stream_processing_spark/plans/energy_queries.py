@@ -1796,3 +1796,193 @@ def q_tariff_revenue_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("revenue") / F.col("total")).alias("revenue_share"),
         )
     )
+
+
+@register(
+    "cohort_ltv_curves",
+    oracle=_oracle_ev(
+        """
+, first_seen AS (
+  SELECT customer_id, cast(date_trunc('week', min(event_time)) AS TIMESTAMP) AS cohort_week
+  FROM energy_events GROUP BY customer_id
+),
+pays AS (
+  SELECT e.customer_id, f.cohort_week,
+    cast(floor(epoch_us(e.event_time) / 1e6 / 604800.0) 
+       - floor(epoch_us(f.cohort_week) / 1e6 / 604800.0) AS BIGINT) AS week_age,
+    cast(e.payment_amount AS DECIMAL(28,2)) AS amount
+  FROM energy_events e JOIN first_seen f USING (customer_id)
+  WHERE e.event_type = 'bill_payment' AND e.payment_amount IS NOT NULL
+),
+cohort_sizes AS (
+  SELECT cohort_week, count(*) AS cohort_customers FROM first_seen GROUP BY 1
+),
+wk AS (
+  SELECT cohort_week, week_age, sum(amount) AS week_revenue
+  FROM pays GROUP BY 1, 2
+)
+SELECT w.cohort_week, w.week_age, s.cohort_customers,
+  cast(w.week_revenue AS DOUBLE) AS week_revenue,
+  cast(sum(w.week_revenue) OVER (PARTITION BY w.cohort_week ORDER BY w.week_age) AS DOUBLE)
+    / s.cohort_customers AS cum_ltv_per_customer
+FROM wk w JOIN cohort_sizes s USING (cohort_week)
+"""
+    ),
+    doc="Cohort lifetime-value curves: customers grouped by first-seen "
+    "week, revenue accumulated by week-of-age, normalized per cohort "
+    "customer — the (cohort x age) LTV matrix growth teams steer by, and "
+    "the time-indexed generalization of retention_cohorts. Week age is "
+    "integer epoch-week arithmetic (identical in both engines); revenue "
+    "accumulates in DECIMAL and the running cumulative runs over the "
+    "(cohorts x ages)-sized frame, never raw events. Plan: first-seen agg "
+    "shuffles on customer, payments join it back on the same key, then a "
+    "tiny (cohort, age) agg — two fact-scan shuffles total.",
+)
+def q_cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = energy_events(spark, sf_dir)
+    first_seen = ev.groupBy("customer_id").agg(
+        F.date_trunc("week", F.min("event_time")).alias("cohort_week")
+    )
+    epoch_week = lambda c: F.floor(  # noqa: E731
+        F.unix_micros(c).cast("double") / 1e6 / 604800.0
+    )
+    pays = (
+        ev.where(
+            (F.col("event_type") == "bill_payment") & F.col("payment_amount").isNotNull()
+        )
+        .join(first_seen, "customer_id")
+        .select(
+            "cohort_week",
+            (epoch_week(F.col("event_time")) - epoch_week(F.col("cohort_week")))
+            .cast("long")
+            .alias("week_age"),
+            F.col("payment_amount").cast("decimal(28,2)").alias("amount"),
+        )
+    )
+    sizes = first_seen.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_customers")
+    )
+    wk = pays.groupBy("cohort_week", "week_age").agg(F.sum("amount").alias("week_revenue"))
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        wk.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_age",
+            "cohort_customers",
+            F.col("week_revenue").cast("double").alias("week_revenue"),
+            (
+                F.sum("week_revenue").over(w).cast("double")
+                / F.col("cohort_customers")
+            ).alias("cum_ltv_per_customer"),
+        )
+    )
+
+
+@register(
+    "consumption_payment_regression",
+    oracle=_oracle_ev(
+        """
+, per_customer AS (
+  SELECT customer_id,
+    arg_max(tariff_type, event_id) FILTER (WHERE event_type = 'tariff_switch') AS tariff,
+    sum(cast(energy_consumed AS DECIMAL(28,3))) FILTER (WHERE event_type = 'energy_consumed') AS x,
+    sum(cast(payment_amount AS DECIMAL(28,2))) FILTER (WHERE event_type = 'bill_payment') AS y
+  FROM energy_events GROUP BY customer_id
+),
+pts AS (
+  SELECT coalesce(tariff, 'none') AS tariff, cast(x AS DOUBLE) AS x, cast(y AS DOUBLE) AS y
+  FROM per_customer WHERE x IS NOT NULL AND y IS NOT NULL
+),
+mom AS (
+  SELECT tariff, count(*) AS n,
+    list_reduce(list_prepend(0.0, list(x ORDER BY x, y)), (a, b) -> a + b) AS sx,
+    list_reduce(list_prepend(0.0, list(y ORDER BY x, y)), (a, b) -> a + b) AS sy,
+    list_reduce(list_prepend(0.0, list(x * x ORDER BY x, y)), (a, b) -> a + b) AS sxx,
+    list_reduce(list_prepend(0.0, list(y * y ORDER BY x, y)), (a, b) -> a + b) AS syy,
+    list_reduce(list_prepend(0.0, list(x * y ORDER BY x, y)), (a, b) -> a + b) AS sxy
+  FROM pts GROUP BY tariff HAVING count(*) >= 3
+)
+SELECT tariff, cast(n AS BIGINT) AS n,
+  floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e9 + 0.5) / 1e9 AS slope,
+  floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n * 1e9 + 0.5) / 1e9
+    AS intercept,
+  floor(
+    (n * sxy - sx * sy) * (n * sxy - sx * sy)
+      / ((n * sxx - sx * sx) * (n * syy - sy * sy)) * 1e9 + 0.5) / 1e9 AS r2
+FROM mom
+"""
+    ),
+    doc="Per-tariff OLS regression of total payments on total consumption "
+    "across customers: slope (effective marginal price), intercept (fixed "
+    "charge), r² — regression-as-aggregation from the five moment sums, "
+    "the distributed form every MPP engine uses (single pass, no matrix "
+    "library). Cross-engine exactness: each moment folds its customer "
+    "terms in (x, y) order (Spark aggregate over array_sort(collect_list) "
+    "== DuckDB list_reduce over ORDER BY), then identical closed-form "
+    "arithmetic + 1e-9 round. Per-customer totals ride DECIMAL before the "
+    "double fold. Plan: one customer_id agg (conditional sums), then a "
+    "tariff-cardinality moment agg. The ordered fold is the test-exact "
+    "variant; at 100 TB swap the folds for plain sums and gate with a "
+    "tolerance — the moments math is unchanged.",
+)
+def q_consumption_payment_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = energy_events(spark, sf_dir)
+    per_customer = ev.groupBy("customer_id").agg(
+        F.expr(
+            "max_by(tariff_type, CASE WHEN event_type = 'tariff_switch' THEN event_id END)"
+        ).alias("tariff"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "energy_consumed",
+                F.col("energy_consumed").cast("decimal(28,3)"),
+            )
+        ).alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "bill_payment",
+                F.col("payment_amount").cast("decimal(28,2)"),
+            )
+        ).alias("y"),
+    )
+    pts = per_customer.where(
+        F.col("x").isNotNull() & F.col("y").isNotNull()
+    ).select(
+        F.coalesce("tariff", F.lit("none")).alias("tariff"),
+        F.col("x").cast("double").alias("x"),
+        F.col("y").cast("double").alias("y"),
+    )
+    fold = (
+        "aggregate(array_sort(collect_list(struct(x, y, {expr} AS v))), "
+        "CAST(0 AS DOUBLE), (a, e) -> a + e.v)"
+    )
+    mom = pts.groupBy("tariff").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(fold.format(expr="x")).alias("sx"),
+        F.expr(fold.format(expr="y")).alias("sy"),
+        F.expr(fold.format(expr="x * x")).alias("sxx"),
+        F.expr(fold.format(expr="y * y")).alias("syy"),
+        F.expr(fold.format(expr="x * y")).alias("sxy"),
+    ).where(F.col("n") >= 3)
+    r = lambda e: F.floor(e * 1e9 + 0.5) / 1e9  # noqa: E731
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return mom.select(
+        "tariff",
+        F.col("n").cast("long").alias("n"),
+        r(slope).alias("slope"),
+        r((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+        r(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            )
+        ).alias("r2"),
+    )

@@ -89,6 +89,8 @@ UDF_FREE = [
     "funnel_conversion_latency",
     "tariff_revenue_attribution",
     "dedup_cluster_keep_best",
+    "cohort_ltv_curves",
+    "consumption_payment_regression",
 ]
 
 # Dense-math operators where an Arrow-vectorized UDF is the DESIGN (numpy
