@@ -79,6 +79,8 @@ _NEW_R4 = [
     "tariff_revenue_attribution",
     "cohort_ltv_curves",
     "consumption_payment_regression",
+    "inter_event_gap_profile",
+    "hour_of_week_seasonality",
     "approx_percentile_audit",
     "ops_events_rate",
     "ops_latency_p95",

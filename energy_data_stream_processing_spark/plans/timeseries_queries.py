@@ -475,3 +475,89 @@ def q_changelog_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_user.join(raw, "user_id").select(
         "user_id", "n_kept", "n_raw", "n_states"
     )
+
+
+@register(
+    "inter_event_gap_profile",
+    oracle="""
+WITH seq AS (
+  SELECT event_type,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+),
+gaps AS (SELECT event_type, cast(gap_us AS DOUBLE) / 1e6 AS gap_s FROM seq WHERE gap_us IS NOT NULL)
+SELECT event_type, count(*) AS n_gaps,
+  quantile_cont(gap_s, 0.5) AS p50_gap_s,
+  quantile_cont(gap_s, 0.95) AS p95_gap_s,
+  max(gap_s) AS max_gap_s
+FROM gaps GROUP BY event_type
+""",
+    doc="Inter-arrival gap profile per event type: the per-user gap "
+    "preceding each event (lag over the user timeline), summarized as "
+    "exact p50/p95/max — the capacity-planning and session-timeout-"
+    "calibration numbers (a sessionization gap threshold should sit "
+    "beyond p95 of within-session gaps). Integer-microsecond gaps make "
+    "the interpolated percentiles value-exact cross-engine. Plan: one "
+    "user_id shuffle for the lag, then a types-sized percentile agg "
+    "(exact sort per small group; approx_percentile is the documented "
+    "100 TB swap).",
+)
+def q_inter_event_gap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        (F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)).alias(
+            "gap_us"
+        ),
+    )
+    gaps = seq.where(F.col("gap_us").isNotNull()).select(
+        "event_type", (F.col("gap_us").cast("double") / 1e6).alias("gap_s")
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.expr("percentile(gap_s, 0.5)").alias("p50_gap_s"),
+        F.expr("percentile(gap_s, 0.95)").alias("p95_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+    )
+
+
+@register(
+    "hour_of_week_seasonality",
+    oracle="""
+WITH slots AS (
+  SELECT (cast(strftime(ts, '%w') AS INTEGER) * 24
+          + cast(strftime(ts, '%H') AS INTEGER)) AS how,
+    count(*) AS n
+  FROM events GROUP BY 1
+),
+tot AS (SELECT cast(sum(n) AS DOUBLE) AS t FROM slots)
+SELECT how AS hour_of_week, cast(n AS BIGINT) AS n,
+  cast(n AS DOUBLE) / t AS share,
+  cast(n AS DOUBLE) / (t / 168.0) AS load_factor
+FROM slots, tot
+""",
+    doc="Hour-of-week seasonality heatmap (0 = Sunday 00:00 .. 167 = "
+    "Saturday 23:00): event share per weekly slot and load factor vs the "
+    "uniform 1/168 baseline — the weekly rhythm capacity planning and "
+    "anomaly baselining start from (hourly_anomaly_zscore's per-type "
+    "z-scores assume this profile is stationary; this query IS that "
+    "profile). Integer counts, deterministic day-of-week arithmetic "
+    "(Spark dayofweek is 1-based Sunday; %w is 0-based — offset "
+    "reconciled). Plan: one 168-key map-side-combinable agg; the total "
+    "is a broadcast scalar.",
+)
+def q_hour_of_week_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    slots = ev.groupBy(
+        ((F.dayofweek(F.col("ts")) - 1) * 24 + F.hour(F.col("ts"))).alias("hour_of_week")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = slots.agg(F.sum("n").cast("double").alias("t"))
+    return slots.join(F.broadcast(tot)).select(
+        "hour_of_week",
+        F.col("n").cast("long").alias("n"),
+        (F.col("n").cast("double") / F.col("t")).alias("share"),
+        (F.col("n").cast("double") / (F.col("t") / 168.0)).alias("load_factor"),
+    )

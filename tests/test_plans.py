@@ -91,6 +91,8 @@ UDF_FREE = [
     "dedup_cluster_keep_best",
     "cohort_ltv_curves",
     "consumption_payment_regression",
+    "inter_event_gap_profile",
+    "hour_of_week_seasonality",
 ]
 
 # Dense-math operators where an Arrow-vectorized UDF is the DESIGN (numpy
