@@ -81,6 +81,8 @@ _NEW_R4 = [
     "consumption_payment_regression",
     "inter_event_gap_profile",
     "hour_of_week_seasonality",
+    "zipf_vocab_fit",
+    "burstiness_index",
     "approx_percentile_audit",
     "ops_events_rate",
     "ops_latency_p95",

@@ -561,3 +561,52 @@ def q_hour_of_week_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n").cast("double") / F.col("t")).alias("share"),
         (F.col("n").cast("double") / (F.col("t") / 168.0)).alias("load_factor"),
     )
+
+
+@register(
+    "burstiness_index",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+mom AS (
+  SELECT event_type, count(*) AS h, sum(n) AS sn, sum(n * n) AS snn
+  FROM hourly GROUP BY 1
+)
+SELECT event_type, cast(h AS BIGINT) AS n_hours,
+  cast(sn AS DOUBLE) / h AS mean_per_hour,
+  (cast(snn AS DOUBLE) - cast(sn AS DOUBLE) * sn / h) / (h - 1)
+    / (cast(sn AS DOUBLE) / h) AS fano_factor
+FROM mom WHERE h > 1
+""",
+    doc="Burstiness (Fano factor) per event type: variance-to-mean ratio "
+    "of hourly counts — 1.0 for Poisson arrivals, >1 bursty, <1 "
+    "regular/throttled. The single number that says whether a stream's "
+    "load is schedulable or spiky (and whether the reservoir/sampling "
+    "rates can assume Poisson). Derived entirely from integer "
+    "(count, sum, sum-of-squares) moments per type — identical IEEE "
+    "expressions cross-engine, no float accumulation. Plan: (type, hour) "
+    "partial agg then a types-sized moment agg, same shape as "
+    "hourly_anomaly_zscore.",
+)
+def q_burstiness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    mom = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("h"),
+        F.sum("n").alias("sn"),
+        F.sum(F.col("n") * F.col("n")).alias("snn"),
+    ).where(F.col("h") > 1)
+    mean = F.col("sn").cast("double") / F.col("h")
+    var = (
+        F.col("snn").cast("double") - F.col("sn").cast("double") * F.col("sn") / F.col("h")
+    ) / (F.col("h") - 1)
+    return mom.select(
+        "event_type",
+        F.col("h").cast("long").alias("n_hours"),
+        mean.alias("mean_per_hour"),
+        (var / mean).alias("fano_factor"),
+    )

@@ -1700,3 +1700,79 @@ def q_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("novel").cast("double") / F.col("shingles")).alias("novelty_rate"),
         )
     )
+
+
+@register(
+    "zipf_vocab_fit",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split(lower(trim(text)), ' ')) AS term FROM documents
+),
+counts AS (SELECT term, count(*) AS n FROM toks WHERE term <> '' GROUP BY 1),
+ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, term) AS rk FROM counts
+),
+pts AS (
+  SELECT ln(cast(rk AS DOUBLE)) AS x, ln(cast(n AS DOUBLE)) AS y, rk
+  FROM ranked WHERE rk <= 200
+),
+mom AS (
+  SELECT count(*) AS k,
+    list_reduce(list_prepend(0.0, list(x ORDER BY rk)), (a, b) -> a + b) AS sx,
+    list_reduce(list_prepend(0.0, list(y ORDER BY rk)), (a, b) -> a + b) AS sy,
+    list_reduce(list_prepend(0.0, list(x * x ORDER BY rk)), (a, b) -> a + b) AS sxx,
+    list_reduce(list_prepend(0.0, list(x * y ORDER BY rk)), (a, b) -> a + b) AS sxy
+  FROM pts
+)
+SELECT cast(k AS BIGINT) AS n_ranks,
+  floor((k * sxy - sx * sy) / (k * sxx - sx * sx) * 1e9 + 0.5) / 1e9 AS zipf_slope,
+  floor((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k * 1e9 + 0.5) / 1e9
+    AS log_intercept
+FROM mom
+""",
+    doc="Zipf's-law fit of the corpus vocabulary: OLS slope of "
+    "ln(frequency) on ln(rank) over the top-200 ranks (natural language "
+    "sits near -1; a flat slope flags synthetic/templated text, a cliff "
+    "flags boilerplate) — a one-number corpus-health diagnostic next to "
+    "heavy_hitters/vocab_topk. Rank ties break by term so the rank->count "
+    "mapping is deterministic; moments fold in rank order (the "
+    "cross-engine-exact OLS recipe of consumption_payment_regression) "
+    "with a 1e-9 round. Plan: token-count agg, top-200 rank window over "
+    "the vocab frame, single-row moment fold.",
+)
+def q_zipf_vocab_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim("text")), " ")).alias("term")
+    ).where(F.col("term") != "")
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    ranked = counts.select(
+        "n", F.row_number().over(Window.orderBy(F.col("n").desc(), "term")).alias("rk")
+    ).where(F.col("rk") <= 200)
+    pts = ranked.select(
+        "rk",
+        F.log(F.col("rk").cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    fold = (
+        "aggregate(array_sort(collect_list(struct(rk, {expr} AS v))), "
+        "CAST(0 AS DOUBLE), (a, e) -> a + e.v)"
+    )
+    mom = pts.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.expr(fold.format(expr="x")).alias("sx"),
+        F.expr(fold.format(expr="y")).alias("sy"),
+        F.expr(fold.format(expr="x * x")).alias("sxx"),
+        F.expr(fold.format(expr="x * y")).alias("sxy"),
+    )
+    r = lambda e: F.floor(e * 1e9 + 0.5) / 1e9  # noqa: E731
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return mom.select(
+        F.col("k").cast("long").alias("n_ranks"),
+        r(slope).alias("zipf_slope"),
+        r((F.col("sy") - slope * F.col("sx")) / F.col("k")).alias("log_intercept"),
+    )

@@ -93,6 +93,8 @@ UDF_FREE = [
     "consumption_payment_regression",
     "inter_event_gap_profile",
     "hour_of_week_seasonality",
+    "zipf_vocab_fit",
+    "burstiness_index",
 ]
 
 # Dense-math operators where an Arrow-vectorized UDF is the DESIGN (numpy
