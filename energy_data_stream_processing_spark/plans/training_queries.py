@@ -1748,9 +1748,13 @@ def q_zipf_vocab_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.lower(F.trim("text")), " ")).alias("term")
     ).where(F.col("term") != "")
     counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
-    ranked = counts.select(
+    # TakeOrdered top-200 BEFORE any global window: at a real vocab size the
+    # single-partition rank window would be the bottleneck; ranking 200
+    # pre-selected rows is constant work at any scale.
+    top = counts.orderBy(F.col("n").desc(), "term").limit(200)
+    ranked = top.select(
         "n", F.row_number().over(Window.orderBy(F.col("n").desc(), "term")).alias("rk")
-    ).where(F.col("rk") <= 200)
+    )
     pts = ranked.select(
         "rk",
         F.log(F.col("rk").cast("double")).alias("x"),
