@@ -83,6 +83,8 @@ _NEW_R4 = [
     "hour_of_week_seasonality",
     "zipf_vocab_fit",
     "burstiness_index",
+    "lang_id_confusion",
+    "seasonal_anomaly_zscore",
     "approx_percentile_audit",
     "ops_events_rate",
     "ops_latency_p95",

@@ -610,3 +610,74 @@ def q_burstiness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean.alias("mean_per_hour"),
         (var / mean).alias("fano_factor"),
     )
+
+
+@register(
+    "seasonal_anomaly_zscore",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+    (cast(strftime(ts, '%w') AS INTEGER) * 24
+     + cast(strftime(ts, '%H') AS INTEGER)) AS how,
+    count(*) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+slot_stats AS (
+  SELECT event_type, how, count(*) AS k, sum(n) AS sn, sum(n * n) AS snn
+  FROM hourly GROUP BY 1, 2
+),
+scored AS (
+  SELECT h.event_type, h.hour, h.n,
+    cast(s.sn AS DOUBLE) / s.k AS slot_mean,
+    (h.n - cast(s.sn AS DOUBLE) / s.k)
+      / sqrt((s.snn - cast(s.sn AS DOUBLE) * s.sn / s.k) / (s.k - 1)) AS z
+  FROM hourly h JOIN slot_stats s USING (event_type, how)
+  WHERE s.k > 1 AND s.snn * s.k > s.sn * s.sn
+)
+SELECT event_type, hour, n, slot_mean, z
+FROM scored WHERE abs(z) > 1.4
+""",
+    doc="Seasonally-adjusted anomaly screen: each (type, hour) count is "
+    "z-scored against ITS OWN hour-of-week slot's mean/stddev across "
+    "weeks — a Monday-09:00 spike is judged against Monday-09:00s, not "
+    "the flat per-type baseline of hourly_anomaly_zscore (which flags "
+    "every rush hour). This is the residual-after-seasonality detector "
+    "real ops alerting needs once hour_of_week_seasonality shows the "
+    "profile is non-uniform. Exact integer (k, sum, sum-of-squares) "
+    "moments per slot; constant-count slots (zero variance) are excluded "
+    "exactly in both engines. Plan: one (type, hour) partial agg (how "
+    "derives from hour — no second fact pass), slot moments over the "
+    "tiny frame, broadcast join back.",
+)
+def q_seasonal_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        ((F.dayofweek(F.col("ts")) - 1) * 24 + F.hour(F.col("ts"))).alias("how"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = hourly.groupBy("event_type", "how").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("sn"),
+        F.sum(F.col("n") * F.col("n")).alias("snn"),
+    )
+    mean = F.col("sn").cast("double") / F.col("k")
+    var = (
+        F.col("snn") - F.col("sn").cast("double") * F.col("sn") / F.col("k")
+    ) / (F.col("k") - 1)
+    scored = (
+        hourly.join(
+            F.broadcast(
+                stats.where(
+                    (F.col("k") > 1)
+                    & (F.col("snn") * F.col("k") > F.col("sn") * F.col("sn"))
+                )
+            ),
+            ["event_type", "how"],
+        )
+        .withColumn("slot_mean", mean)
+        .withColumn("z", (F.col("n") - mean) / F.sqrt(var))
+    )
+    return scored.where(F.abs(F.col("z")) > 1.4).select(
+        "event_type", "hour", "n", "slot_mean", "z"
+    )

@@ -1780,3 +1780,60 @@ def q_zipf_vocab_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         r(slope).alias("zipf_slope"),
         r((F.col("sy") - slope * F.col("sx")) / F.col("k")).alias("log_intercept"),
     )
+
+
+@register(
+    "lang_id_confusion",
+    oracle=f"""
+WITH t AS (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS w FROM documents),
+s AS (
+  SELECT doc_id, lang AS labeled_lang,
+    cast(len(list_filter(w, x -> list_contains({_MARK["en"]}, x))) AS INTEGER) AS score_en,
+    cast(len(list_filter(w, x -> list_contains({_MARK["es"]}, x))) AS INTEGER) AS score_es,
+    cast(len(list_filter(w, x -> list_contains({_MARK["de"]}, x))) AS INTEGER) AS score_de,
+    cast(len(list_filter(w, x -> list_contains({_MARK["fr"]}, x))) AS INTEGER) AS score_fr
+  FROM t
+),
+pred AS (
+  SELECT labeled_lang,
+    CASE WHEN score_en > 0 AND score_en >= score_es AND score_en >= score_de AND score_en >= score_fr THEN 'en'
+         WHEN score_es > 0 AND score_es >= score_de AND score_es >= score_fr THEN 'es'
+         WHEN score_de > 0 AND score_de >= score_fr THEN 'de'
+         WHEN score_fr > 0 THEN 'fr'
+         ELSE 'unknown' END AS predicted_lang
+  FROM s
+),
+cm AS (
+  SELECT labeled_lang, predicted_lang, count(*) AS n FROM pred GROUP BY 1, 2
+)
+SELECT labeled_lang, predicted_lang, n,
+  cast(n AS DOUBLE) / sum(n) OVER (PARTITION BY labeled_lang) AS row_rate,
+  labeled_lang = predicted_lang AS is_correct
+FROM cm
+""",
+    doc="Classifier-eval confusion matrix for the marker-word language ID "
+    "against the dataset's labeled lang: per (labeled, predicted) cell "
+    "count and row-normalized rate (per-label recall on the diagonal) — "
+    "the eval harness shape every in-engine model heuristic needs, "
+    "generalizing lang_id's per-doc output into the quality report a "
+    "data card publishes. Plan: the per-doc scoring is narrow scan-speed "
+    "expressions; the matrix is a |langs|² agg with the row-normalizer "
+    "window over that tiny frame.",
+)
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.text import lang_id as _lang_id
+
+    pred = _lang_id(_docs(spark, sf_dir)).select("labeled_lang", "predicted_lang")
+    cm = pred.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("labeled_lang")
+    return cm.select(
+        "labeled_lang",
+        "predicted_lang",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w)).alias("row_rate"),
+        (F.col("labeled_lang") == F.col("predicted_lang")).alias("is_correct"),
+    )

@@ -95,6 +95,8 @@ UDF_FREE = [
     "hour_of_week_seasonality",
     "zipf_vocab_fit",
     "burstiness_index",
+    "lang_id_confusion",
+    "seasonal_anomaly_zscore",
 ]
 
 # Dense-math operators where an Arrow-vectorized UDF is the DESIGN (numpy
