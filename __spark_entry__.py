@@ -85,6 +85,8 @@ _NEW_R4 = [
     "burstiness_index",
     "lang_id_confusion",
     "seasonal_anomaly_zscore",
+    "embedding_norm_outliers",
+    "dup_rate_by_source",
     "approx_percentile_audit",
     "ops_events_rate",
     "ops_latency_p95",

@@ -1837,3 +1837,110 @@ def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n").cast("double") / F.sum("n").over(w)).alias("row_rate"),
         (F.col("labeled_lang") == F.col("predicted_lang")).alias("is_correct"),
     )
+
+
+@register(
+    "embedding_norm_outliers",
+    oracle=f"""
+WITH vecs AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+norms AS (
+  SELECT vec_id, label,
+    sqrt(list_reduce(list_transform(generate_series(1, 64), i -> v[i] * v[i]), (x, y) -> x + y)) AS l2
+  FROM vecs
+),
+med AS (
+  SELECT quantile_cont(l2, 0.5) AS m FROM norms
+),
+mad AS (
+  SELECT quantile_cont(abs(l2 - med.m), 0.5) AS d FROM norms, med
+)
+SELECT n.vec_id, n.label, n.l2,
+  (n.l2 - med.m) / (1.4826 * mad.d) AS robust_z
+FROM norms n, med, mad
+WHERE abs((n.l2 - med.m) / (1.4826 * mad.d)) > 2.5
+ORDER BY n.vec_id
+""",
+    doc="Embedding-norm outlier screen: per-vector L2 norm (exact ordered "
+    "left-fold, bit-identical to DuckDB's list_reduce) flagged by robust "
+    "z-score against the corpus median/MAD (x1.4826 normal-consistency "
+    "scaling, the robust_outliers_mad recipe) — degenerate (near-zero) "
+    "or exploding vectors are the standard pre-index sanity failure that "
+    "poisons cosine similarity. Plan: one narrow pass computes norms; "
+    "median and MAD are two exact quantiles over the norms frame with "
+    "the scalars broadcast back (approx_percentile is the 100 TB swap).",
+)
+def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import _NORM
+
+    emb = _emb(spark, sf_dir)
+    norms = emb.select(
+        "vec_id",
+        "label",
+        F.expr(_NORM.format(a="transform(embedding, x -> cast(x AS DOUBLE))")).alias("l2"),
+    )
+    med = norms.agg(F.expr("percentile(l2, 0.5)").alias("m"))
+    with_m = norms.join(F.broadcast(med))
+    mad = with_m.agg(F.expr("percentile(abs(l2 - m), 0.5)").alias("d"))
+    rz = (F.col("l2") - F.col("m")) / (1.4826 * F.col("d"))
+    return (
+        with_m.join(F.broadcast(mad))
+        .select("vec_id", "label", "l2", rz.alias("robust_z"))
+        .where(F.abs(rz) > 2.5)
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "dup_rate_by_source",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id, source, md5(lower(trim(text))) AS fp FROM documents
+),
+grp AS (
+  SELECT fp, min(doc_id) AS keeper, count(*) AS n FROM fp GROUP BY fp
+),
+flags AS (
+  SELECT f.source,
+    CASE WHEN g.n > 1 THEN 1 ELSE 0 END AS in_dup_group,
+    CASE WHEN g.n > 1 AND f.doc_id <> g.keeper THEN 1 ELSE 0 END AS is_redundant
+  FROM fp f JOIN grp g USING (fp)
+)
+SELECT source, count(*) AS n_docs,
+  cast(sum(in_dup_group) AS BIGINT) AS docs_in_dup_groups,
+  cast(sum(is_redundant) AS BIGINT) AS redundant_docs,
+  cast(sum(is_redundant) AS DOUBLE) / count(*) AS redundancy_rate
+FROM flags GROUP BY source
+""",
+    doc="Per-source exact-duplication rollup: how many of each source's "
+    "documents sit in a multi-copy content group, and how many are "
+    "REDUNDANT (would be dropped by keep-min-id dedup) — the 'how much "
+    "of this source is copies' number that prices a source's real "
+    "contribution before licensing/ingesting more of it. Plan: "
+    "fingerprint once, content-group agg, join back on the same fp key, "
+    "source-sized rollup.",
+)
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import fingerprint
+
+    docs = _docs(spark, sf_dir)
+    fp = docs.select("doc_id", "source", fingerprint(F.col("text")).alias("fp"))
+    grp = fp.groupBy("fp").agg(
+        F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n")
+    )
+    flags = fp.join(grp, "fp").select(
+        "source",
+        F.when(F.col("n") > 1, 1).otherwise(0).alias("in_dup_group"),
+        F.when((F.col("n") > 1) & (F.col("doc_id") != F.col("keeper")), 1)
+        .otherwise(0)
+        .alias("is_redundant"),
+    )
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("in_dup_group").cast("long").alias("docs_in_dup_groups"),
+        F.sum("is_redundant").cast("long").alias("redundant_docs"),
+        (F.sum("is_redundant").cast("double") / F.count(F.lit(1))).alias(
+            "redundancy_rate"
+        ),
+    )

@@ -97,6 +97,8 @@ UDF_FREE = [
     "burstiness_index",
     "lang_id_confusion",
     "seasonal_anomaly_zscore",
+    "embedding_norm_outliers",
+    "dup_rate_by_source",
 ]
 
 # Dense-math operators where an Arrow-vectorized UDF is the DESIGN (numpy
