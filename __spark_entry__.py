@@ -87,6 +87,8 @@ _NEW_R4 = [
     "seasonal_anomaly_zscore",
     "embedding_norm_outliers",
     "dup_rate_by_source",
+    "session_type_cooccurrence",
+    "weekly_active_users_growth",
     "approx_percentile_audit",
     "ops_events_rate",
     "ops_latency_p95",

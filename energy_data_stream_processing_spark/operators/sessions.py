@@ -31,12 +31,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
-    """Per-user gap sessions with stable numbering.
-
-    Ordering ties (equal ts) break on event_id so session numbering is
-    deterministic under any input order.
-    """
+def sessionize_numbered(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Event-level frame with its per-user gap session number attached —
+    the shared first stage of sessionize; exposed so basket-style session
+    analyses (e.g. within-session co-occurrence) can reuse the numbering
+    without re-deriving the window chain."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
     with_flag = events.select(
@@ -46,9 +45,18 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         "event_type",
         F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0).alias("is_new"),
     )
-    numbered = with_flag.withColumn(
+    return with_flag.withColumn(
         "session_no", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-user gap sessions with stable numbering.
+
+    Ordering ties (equal ts) break on event_id so session numbering is
+    deterministic under any input order.
+    """
+    numbered = sessionize_numbered(events, gap_minutes)
     return (
         numbered.groupBy("user_id", "session_no")
         .agg(

@@ -290,3 +290,83 @@ def q_session_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").alias("total_events"),
         (F.sum("n_events").cast("double") / F.count(F.lit(1))).alias("avg_events"),
     )
+
+
+@register(
+    "session_type_cooccurrence",
+    oracle=_SESSIONS_ORACLE_CTE.format(gap_sec=1800)
+    + """,
+stypes AS (
+  SELECT DISTINCT user_id, session_no, event_type FROM numbered
+),
+n_sessions AS (SELECT cast(count(*) AS DOUBLE) AS ns FROM sessions),
+singles AS (
+  SELECT event_type, count(*) AS n FROM stypes GROUP BY 1
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+  FROM stypes a JOIN stypes b
+    ON a.user_id = b.user_id AND a.session_no = b.session_no
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, cast(p.n_both AS BIGINT) AS n_both,
+  cast(p.n_both AS DOUBLE) / t.ns AS support,
+  (cast(p.n_both AS DOUBLE) / t.ns)
+    / ((sa.n / t.ns) * (sb.n / t.ns)) AS lift
+FROM pairs p
+JOIN singles sa ON sa.event_type = p.type_a
+JOIN singles sb ON sb.event_type = p.type_b
+CROSS JOIN n_sessions t
+""",
+    doc="Within-session event-type co-occurrence with lift: which "
+    "behaviors happen together in one sitting (support = share of "
+    "sessions containing both types; lift vs independence) — the "
+    "market-basket analysis of the session stream, reusing the "
+    "sessionization CTE as its basket builder (sessions are the baskets, "
+    "types the items). Plan: sessionize's one user_id shuffle, distinct "
+    "(session, type) map-side, pair-gen per session bounded by |types|, "
+    "then a types²-sized rollup with the session count broadcast.",
+)
+def q_session_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.sessions import sessionize_numbered
+
+    numbered = sessionize_numbered(load_table(spark, sf_dir, "events"), gap_minutes=30)
+    stypes = numbered.select("user_id", "session_no", "event_type").distinct()
+    ns = stypes.select("user_id", "session_no").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("ns")
+    )
+    singles = stypes.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = stypes.alias("a")
+    b = stypes.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.session_no") == F.col("b.session_no"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"), F.col("b.event_type").alias("type_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = singles.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    sb = singles.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .join(F.broadcast(ns))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_both").cast("long").alias("n_both"),
+            (F.col("n_both").cast("double") / F.col("ns")).alias("support"),
+            (
+                (F.col("n_both").cast("double") / F.col("ns"))
+                / ((F.col("na") / F.col("ns")) * (F.col("nb") / F.col("ns")))
+            ).alias("lift"),
+        )
+    )

@@ -681,3 +681,48 @@ def q_seasonal_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.where(F.abs(F.col("z")) > 1.4).select(
         "event_type", "hour", "n", "slot_mean", "z"
     )
+
+
+@register(
+    "weekly_active_users_growth",
+    oracle="""
+WITH wk AS (
+  SELECT cast(date_trunc('week', ts) AS TIMESTAMP) AS week,
+    count(DISTINCT user_id) AS wau,
+    count(*) AS events
+  FROM events GROUP BY 1
+)
+SELECT week, cast(wau AS BIGINT) AS wau, cast(events AS BIGINT) AS events,
+  cast(lag(wau) OVER (ORDER BY week) AS BIGINT) AS prev_wau,
+  CASE WHEN lag(wau) OVER (ORDER BY week) > 0
+       THEN (wau - lag(wau) OVER (ORDER BY week))
+              / cast(lag(wau) OVER (ORDER BY week) AS DOUBLE) * 100.0 END
+    AS wau_growth_pct
+FROM wk
+""",
+    doc="Weekly active users with week-over-week growth: the top-line "
+    "engagement KPI next to rolling_7d_active_users' daily trailing "
+    "window — calendar-week exact distincts plus a lag growth rate over "
+    "the weeks-sized frame. Plan: one (week, user) exact-distinct agg "
+    "(Expand x1 on the fact), then the lag window over ~tens of rows; "
+    "approx_count_distinct is the 100 TB swap with the same shape.",
+)
+def q_weekly_active_users_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.groupBy(F.date_trunc("week", F.col("ts")).alias("week")).agg(
+        F.count_distinct("user_id").alias("wau"),
+        F.count(F.lit(1)).alias("events"),
+    )
+    w = Window.orderBy("week")
+    prev = F.lag("wau").over(w)
+    return wk.select(
+        "week",
+        F.col("wau").cast("long").alias("wau"),
+        F.col("events").cast("long").alias("events"),
+        prev.cast("long").alias("prev_wau"),
+        F.when(prev > 0, (F.col("wau") - prev) / prev.cast("double") * 100.0).alias(
+            "wau_growth_pct"
+        ),
+    )

@@ -99,6 +99,8 @@ UDF_FREE = [
     "seasonal_anomaly_zscore",
     "embedding_norm_outliers",
     "dup_rate_by_source",
+    "session_type_cooccurrence",
+    "weekly_active_users_growth",
 ]
 
 # Dense-math operators where an Arrow-vectorized UDF is the DESIGN (numpy
