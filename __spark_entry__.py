@@ -89,6 +89,9 @@ _NEW_R4 = [
     "dup_rate_by_source",
     "session_type_cooccurrence",
     "weekly_active_users_growth",
+    "last_touch_attribution",
+    "customer_rfm_scores",
+    "load_duration_curve",
     "approx_percentile_audit",
     "ops_events_rate",
     "ops_latency_p95",

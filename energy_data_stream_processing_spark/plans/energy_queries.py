@@ -1986,3 +1986,190 @@ def q_consumption_payment_regression(spark: SparkSession, sf_dir: str) -> DataFr
             )
         ).alias("r2"),
     )
+
+
+@register(
+    "last_touch_attribution",
+    oracle=_oracle_ev(
+        """
+, touches AS (
+  SELECT customer_id, event_time, arg_max(channel, event_id) AS channel
+  FROM energy_events
+  WHERE event_type = 'view_tariffs' AND channel IS NOT NULL
+  GROUP BY customer_id, event_time
+),
+conversions AS (
+  SELECT event_id, customer_id, event_time, tariff_type
+  FROM energy_events WHERE event_type = 'tariff_switch'
+),
+attributed AS (
+  SELECT c.event_id, coalesce(t.channel, 'direct') AS channel
+  FROM conversions c ASOF LEFT JOIN touches t
+    ON c.customer_id = t.customer_id AND c.event_time >= t.event_time
+),
+tot AS (SELECT cast(count(*) AS DOUBLE) AS n FROM attributed)
+SELECT channel, count(*) AS conversions,
+  cast(count(*) AS DOUBLE) / t.n AS share
+FROM attributed, tot t GROUP BY channel, t.n
+"""
+    ),
+    doc="Last-touch marketing attribution: each tariff switch is credited "
+    "to the channel of the customer's most recent preceding tariff VIEW "
+    "(no prior view = 'direct') — the attribution model behind every "
+    "'which channel converts' dashboard, and another consumer of the "
+    "ONE-shuffle as-of composition (operators/asof.py) with DuckDB's "
+    "native ASOF JOIN as the independent oracle. Rollup is "
+    "channel-cardinality sized with the total broadcast.",
+)
+def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = energy_events(spark, sf_dir)
+    touches = (
+        ev.where((F.col("event_type") == "view_tariffs") & F.col("channel").isNotNull())
+        .groupBy("customer_id", "event_time")
+        .agg(F.max_by("channel", "event_id").alias("channel"))
+    )
+    conversions = ev.where(F.col("event_type") == "tariff_switch").select(
+        "event_id", "customer_id", "event_time"
+    )
+    attributed = asof_join(
+        conversions, touches, key="customer_id", ts="event_time", value_cols=["channel"]
+    ).select(F.coalesce("channel", F.lit("direct")).alias("channel"))
+    tot = attributed.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return (
+        attributed.groupBy("channel")
+        .agg(F.count(F.lit(1)).alias("conversions"))
+        .join(F.broadcast(tot))
+        .select(
+            "channel",
+            "conversions",
+            (F.col("conversions").cast("double") / F.col("n")).alias("share"),
+        )
+    )
+
+
+@register(
+    "customer_rfm_scores",
+    oracle=_oracle_ev(
+        """
+, base AS (
+  SELECT customer_id,
+    max(event_time) AS last_seen,
+    count(*) AS frequency,
+    cast(coalesce(sum(cast(payment_amount AS DECIMAL(28,2)))
+                  FILTER (WHERE event_type = 'bill_payment'), 0) AS DOUBLE) AS monetary
+  FROM energy_events GROUP BY customer_id
+),
+scored AS (
+  SELECT customer_id, last_seen, frequency, monetary,
+    ntile(5) OVER (ORDER BY last_seen, customer_id) AS r_score,
+    ntile(5) OVER (ORDER BY frequency, customer_id) AS f_score,
+    ntile(5) OVER (ORDER BY monetary, customer_id) AS m_score
+  FROM base
+)
+SELECT cast(r_score AS INT) AS r_score, cast(f_score AS INT) AS f_score,
+  cast(m_score AS INT) AS m_score,
+  count(*) AS n_customers,
+  cast(sum(frequency) AS BIGINT) AS total_events,
+  cast(floor(sum(cast(monetary AS DECIMAL(28,2))) * 100 + 0.5) / 100 AS DOUBLE)
+    AS total_monetary
+FROM scored GROUP BY 1, 2, 3
+"""
+    ),
+    doc="RFM segmentation (recency / frequency / monetary quintiles): "
+    "customers scored 1-5 on each axis (higher = more recent / frequent / "
+    "valuable; ties broken by customer_id for cross-engine determinism), "
+    "rolled up to the segment grid with its volume — the classic CRM "
+    "cube that prioritizes win-back and upsell lists. Plan: one "
+    "customer agg; the three ntile windows run over the customers-sized "
+    "frame (global but bounded — the aggregate-first invariant); segment "
+    "rollup is at most 125 rows. Monetary re-sums in DECIMAL for "
+    "order-independence.",
+)
+def q_customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = energy_events(spark, sf_dir)
+    base = ev.groupBy("customer_id").agg(
+        F.max("event_time").alias("last_seen"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "bill_payment",
+                    F.col("payment_amount").cast("decimal(28,2)"),
+                )
+            ),
+            F.lit(0),
+        ).cast("double").alias("monetary"),
+    )
+    scored = base.select(
+        "frequency",
+        "monetary",
+        F.ntile(5).over(Window.orderBy("last_seen", "customer_id")).alias("r_score"),
+        F.ntile(5).over(Window.orderBy("frequency", "customer_id")).alias("f_score"),
+        F.ntile(5).over(Window.orderBy("monetary", "customer_id")).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("frequency").cast("long").alias("total_events"),
+        F.expr(
+            "cast(floor(sum(cast(monetary AS DECIMAL(28,2))) * 100 + 0.5) / 100 AS DOUBLE)"
+        ).alias("total_monetary"),
+    )
+
+
+@register(
+    "load_duration_curve",
+    oracle=_oracle_hm(
+        """
+, ranked AS (
+  SELECT total_energy_consumed,
+    row_number() OVER (ORDER BY total_energy_consumed DESC, hour) AS rk,
+    count(*) OVER () AS n_hours,
+    sum(cast(total_energy_consumed AS DECIMAL(28,3))) OVER () AS total
+  FROM hourly_business_metrics
+)
+SELECT cast(rk AS BIGINT) AS duration_rank,
+  cast(rk AS DOUBLE) / n_hours AS exceedance_frac,
+  total_energy_consumed AS load_mwh,
+  cast(sum(cast(total_energy_consumed AS DECIMAL(28,3)))
+         OVER (ORDER BY rk ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+    / cast(total AS DOUBLE) AS cum_energy_share
+FROM ranked
+"""
+    ),
+    doc="Load-duration curve — THE power-systems planning chart: hourly "
+    "system load sorted descending, giving for each exceedance fraction "
+    "the load level sustained at least that often, plus the cumulative "
+    "energy share of the top-k hours (how much of total energy the peak "
+    "hours carry = what peak-shaving is worth). Derived from the "
+    "hourly_business_metrics rollup (hours-sized, the aggregate-first "
+    "invariant: the global sort is over ~720 rows/month at ANY raw "
+    "scale); cumulative sums ride DECIMAL. Ties rank by hour for "
+    "determinism.",
+)
+def q_load_duration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hm = hourly_business_metrics(energy_events(spark, sf_dir))
+    w = Window.orderBy(F.col("total_energy_consumed").desc(), "hour")
+    ranked = hm.select(
+        "total_energy_consumed",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_hours"),
+        F.sum(F.col("total_energy_consumed").cast("decimal(28,3)"))
+        .over(Window.partitionBy())
+        .alias("total"),
+    )
+    cum = (
+        Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ranked.select(
+        F.col("rk").cast("long").alias("duration_rank"),
+        (F.col("rk").cast("double") / F.col("n_hours")).alias("exceedance_frac"),
+        F.col("total_energy_consumed").alias("load_mwh"),
+        (
+            F.sum(F.col("total_energy_consumed").cast("decimal(28,3)"))
+            .over(cum)
+            .cast("double")
+            / F.col("total").cast("double")
+        ).alias("cum_energy_share"),
+    )

@@ -101,6 +101,9 @@ UDF_FREE = [
     "dup_rate_by_source",
     "session_type_cooccurrence",
     "weekly_active_users_growth",
+    "last_touch_attribution",
+    "customer_rfm_scores",
+    "load_duration_curve",
 ]
 
 # Dense-math operators where an Arrow-vectorized UDF is the DESIGN (numpy
