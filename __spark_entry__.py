@@ -92,6 +92,9 @@ _NEW_R4 = [
     "last_touch_attribution",
     "customer_rfm_scores",
     "load_duration_curve",
+    "tariff_migration_matrix",
+    "data_outage_report",
+    "revenue_pareto_concentration",
     "approx_percentile_audit",
     "ops_events_rate",
     "ops_latency_p95",

@@ -2173,3 +2173,182 @@ def q_load_duration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("total").cast("double")
         ).alias("cum_energy_share"),
     )
+
+
+@register(
+    "tariff_migration_matrix",
+    oracle=_oracle_ev(
+        """
+, sw AS (
+  SELECT customer_id, event_time, event_id, tariff_type,
+    lag(tariff_type) OVER (PARTITION BY customer_id ORDER BY event_time, event_id)
+      AS from_tariff
+  FROM energy_events WHERE event_type = 'tariff_switch'
+),
+moves AS (
+  SELECT from_tariff, tariff_type AS to_tariff, count(*) AS n
+  FROM sw WHERE from_tariff IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_tariff, to_tariff, cast(n AS BIGINT) AS n,
+  cast(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_tariff) AS p,
+  from_tariff = to_tariff AS is_retention
+FROM moves
+"""
+    ),
+    doc="Tariff migration matrix: consecutive switch pairs per customer "
+    "(lag over the switch history, event_id tie-breaks) rolled to the "
+    "from→to transition grid with row-normalized probabilities — which "
+    "plans feed which, and the diagonal's plan-retention share. The "
+    "product-migration twin of event_transitions, over the dimension the "
+    "business actually prices. Plan: one customer shuffle on the "
+    "switch-sized frame; the matrix is |tariffs|².",
+)
+def q_tariff_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = energy_events(spark, sf_dir)
+    w = Window.partitionBy("customer_id").orderBy("event_time", "event_id")
+    sw = ev.where(F.col("event_type") == "tariff_switch").select(
+        "tariff_type", F.lag("tariff_type").over(w).alias("from_tariff")
+    )
+    moves = (
+        sw.where(F.col("from_tariff").isNotNull())
+        .groupBy("from_tariff", F.col("tariff_type").alias("to_tariff"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pw = Window.partitionBy("from_tariff")
+    return moves.select(
+        "from_tariff",
+        "to_tariff",
+        F.col("n").cast("long").alias("n"),
+        (F.col("n").cast("double") / F.sum("n").over(pw)).alias("p"),
+        (F.col("from_tariff") == F.col("to_tariff")).alias("is_retention"),
+    )
+
+
+@register(
+    "data_outage_report",
+    oracle=_oracle_ev(
+        """
+, bounds AS (
+  SELECT date_trunc('hour', min(event_time)) AS lo, date_trunc('hour', max(event_time)) AS hi
+  FROM energy_events
+),
+grid AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+),
+observed AS (
+  SELECT DISTINCT date_trunc('hour', event_time) AS hour FROM energy_events
+),
+missing AS (
+  SELECT g.hour,
+    cast(epoch_us(g.hour) / 3600000000 AS BIGINT)
+      - row_number() OVER (ORDER BY g.hour) AS grp
+  FROM grid g LEFT JOIN observed o USING (hour)
+  WHERE o.hour IS NULL
+)
+SELECT min(hour) AS outage_start, max(hour) AS outage_end,
+  count(*) AS missing_hours
+FROM missing GROUP BY grp
+"""
+    ),
+    doc="Data-outage report: contiguous runs of hours with ZERO events "
+    "between the table's first and last hour — the gaps-and-islands "
+    "rewrite (hour-index minus row_number is constant within a "
+    "contiguous missing run) applied to the DENSE hour grid, emitting "
+    "(start, end, duration) per outage. This is the ingestion-health "
+    "report behind hourly_gap_fill: the fill query patches the holes, "
+    "this one ATTRIBUTES them. Plan: the grid is sequence() over "
+    "broadcast bounds (hours-sized); the anti-join against observed "
+    "hours and the islands window both run on that tiny frame — the only "
+    "fact-sized work is the distinct-hours projection.",
+)
+def q_data_outage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = energy_events(spark, sf_dir)
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("event_time")).alias("lo"),
+        F.date_trunc("hour", F.max("event_time")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, INTERVAL 1 HOUR)")).alias("hour")
+    )
+    observed = ev.select(F.date_trunc("hour", "event_time").alias("hour")).distinct()
+    missing = grid.join(observed, "hour", "left_anti")
+    w = Window.orderBy("hour")
+    grouped = missing.select(
+        "hour",
+        (
+            (F.unix_micros(F.col("hour")) / 3_600_000_000).cast("long")
+            - F.row_number().over(w)
+        ).alias("grp"),
+    )
+    return grouped.groupBy("grp").agg(
+        F.min("hour").alias("outage_start"),
+        F.max("hour").alias("outage_end"),
+        F.count(F.lit(1)).alias("missing_hours"),
+    ).drop("grp")
+
+
+@register(
+    "revenue_pareto_concentration",
+    oracle=_oracle_ev(
+        """
+, per_customer AS (
+  SELECT customer_id,
+    sum(cast(payment_amount AS DECIMAL(28,2)))
+      FILTER (WHERE event_type = 'bill_payment') AS rev
+  FROM energy_events GROUP BY customer_id
+),
+payers AS (SELECT customer_id, rev FROM per_customer WHERE rev IS NOT NULL),
+deciled AS (
+  SELECT rev, ntile(10) OVER (ORDER BY rev DESC, customer_id) AS decile
+  FROM payers
+),
+tot AS (SELECT cast(sum(rev) AS DOUBLE) AS t, count(*) AS n FROM payers)
+SELECT cast(decile AS INT) AS decile,
+  count(*) AS n_customers,
+  cast(sum(cast(rev AS DECIMAL(28,2))) AS DOUBLE) AS revenue,
+  cast(sum(cast(rev AS DECIMAL(28,2))) AS DOUBLE) / t.t AS revenue_share
+FROM deciled, tot t GROUP BY decile, t.t
+"""
+    ),
+    doc="Revenue Pareto concentration: paying customers ranked into "
+    "revenue deciles (ties by customer_id), each decile's revenue share — "
+    "the 'do 10% of customers carry 80% of revenue' curve that sizes "
+    "churn exposure and account-management tiers. Plan: one customer "
+    "agg; the decile window runs over the paying-customers frame "
+    "(aggregate-first); the rollup is 10 rows with the total broadcast. "
+    "DECIMAL sums, double division at the edge.",
+)
+def q_revenue_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = energy_events(spark, sf_dir)
+    per_customer = ev.groupBy("customer_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "bill_payment",
+                F.col("payment_amount").cast("decimal(28,2)"),
+            )
+        ).alias("rev")
+    )
+    payers = per_customer.where(F.col("rev").isNotNull())
+    deciled = payers.select(
+        "rev",
+        F.ntile(10).over(Window.orderBy(F.col("rev").desc(), "customer_id")).alias(
+            "decile"
+        ),
+    )
+    tot = payers.agg(
+        F.sum("rev").cast("double").alias("t"), F.count(F.lit(1)).alias("n_payers")
+    )
+    return (
+        deciled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("rev").cast("decimal(28,2)")).cast("double").alias("revenue"),
+        )
+        .join(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            "revenue",
+            (F.col("revenue") / F.col("t")).alias("revenue_share"),
+        )
+    )

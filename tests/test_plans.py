@@ -104,6 +104,9 @@ UDF_FREE = [
     "last_touch_attribution",
     "customer_rfm_scores",
     "load_duration_curve",
+    "tariff_migration_matrix",
+    "data_outage_report",
+    "revenue_pareto_concentration",
 ]
 
 # Dense-math operators where an Arrow-vectorized UDF is the DESIGN (numpy
