@@ -95,6 +95,7 @@ _NEW_R4 = [
     "tariff_migration_matrix",
     "data_outage_report",
     "revenue_pareto_concentration",
+    "streaming_wau_growth",
     "approx_percentile_audit",
     "ops_events_rate",
     "ops_latency_p95",

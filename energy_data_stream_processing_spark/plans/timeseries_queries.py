@@ -683,9 +683,7 @@ def q_seasonal_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "weekly_active_users_growth",
-    oracle="""
+WAU_GROWTH_ORACLE = """
 WITH wk AS (
   SELECT cast(date_trunc('week', ts) AS TIMESTAMP) AS week,
     count(DISTINCT user_id) AS wau,
@@ -699,7 +697,12 @@ SELECT week, cast(wau AS BIGINT) AS wau, cast(events AS BIGINT) AS events,
               / cast(lag(wau) OVER (ORDER BY week) AS DOUBLE) * 100.0 END
     AS wau_growth_pct
 FROM wk
-""",
+"""
+
+
+@register(
+    "weekly_active_users_growth",
+    oracle=WAU_GROWTH_ORACLE,
     doc="Weekly active users with week-over-week growth: the top-line "
     "engagement KPI next to rolling_7d_active_users' daily trailing "
     "window — calendar-week exact distincts plus a lag growth rate over "

@@ -1223,3 +1223,87 @@ def q_streaming_asof_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "customer_id", "event_time", "energy_consumed", "active_tariff")
         .orderBy("event_id")
     )
+
+
+from ..plans.timeseries_queries import WAU_GROWTH_ORACLE  # noqa: E402
+
+
+@register(
+    "streaming_wau_growth",
+    oracle=WAU_GROWTH_ORACLE,  # batch entry's oracle — true batch≡streaming gate
+    doc="Continuous weekly-active-users: events replay as 3 time-ascending "
+    "micro-batches; each foreachBatch increment lands its DISTINCT "
+    "(week, user) pairs keyed by batch id (dynamic overwrite — replay-"
+    "idempotent), a pairs-not-counts store, so cross-batch duplicates "
+    "collapse in the final distinct count and the result equals the "
+    "batch weekly_active_users_growth EXACTLY (SHARED oracle; events "
+    "totals ride exact per-batch counts summed by week). The "
+    "distinct-pair store is the mergeable sufficient statistic for "
+    "exact distinct aggregation — the same reason "
+    "hourly_business_metrics_twophase pre-aggregates pairs; at 100 TB "
+    "the store is (weeks × active users) sized, not event sized.",
+)
+def q_streaming_wau_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    src = ascending_time_chunks(spark, sf_dir, 3)
+    store = tempfile.mkdtemp(prefix="wau-") + "/pairs"
+    schema = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet")).schema
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        pairs = batch_df.select(
+            F.date_trunc("week", F.col("ts")).alias("week"), "user_id"
+        ).distinct()
+        counts = batch_df.groupBy(
+            F.date_trunc("week", F.col("ts")).alias("week")
+        ).agg(F.count(F.lit(1)).alias("events"))
+        inc = pairs.join(counts, "week").select(
+            "week", "user_id", "events"
+        )
+        with _conf_override(s, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
+            (
+                inc.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("_batch_id")
+                .parquet(store)
+            )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="wau-ckpt-"))
+        .start()
+    )
+    q.awaitTermination()
+
+    raw = spark.read.parquet(store)
+    # events per (batch, week) were replicated onto every pair row of that
+    # batch — recover them via per-(batch, week) first, then sum batches
+    ev_per_week = (
+        raw.groupBy("_batch_id", "week")
+        .agg(F.first("events").alias("events"))
+        .groupBy("week")
+        .agg(F.sum("events").alias("events"))
+    )
+    wau = (
+        raw.select("week", "user_id")
+        .distinct()
+        .groupBy("week")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
+    wk = wau.join(ev_per_week, "week")
+    w = Window.orderBy("week")
+    prev = F.lag("wau").over(w)
+    return wk.select(
+        "week",
+        F.col("wau").cast("long").alias("wau"),
+        F.col("events").cast("long").alias("events"),
+        prev.cast("long").alias("prev_wau"),
+        F.when(prev > 0, (F.col("wau") - prev) / prev.cast("double") * 100.0).alias(
+            "wau_growth_pct"
+        ),
+    )

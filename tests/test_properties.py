@@ -431,3 +431,82 @@ def test_ngram_jaccard_df_cap_is_conservative(spark, docs_words):
     assert set(capped) <= set(exact)
     for pair, jac in capped.items():
         assert jac <= exact[pair] + 1e-12
+
+
+def test_containment_dominates_jaccard_and_bounds(spark):
+    """Randomized corpora: for every pair, 0 < jaccard <= containment <= 1,
+    and containment hits 1.0 iff one shingle set contains the other."""
+    import random
+
+    from energy_data_stream_processing_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+        with_shingles,
+    )
+
+    rng = random.Random(421)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 40))))
+        for i in range(25)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, threshold=1e-9).collect()
+    }
+    cont = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in ngram_containment_pairs(df, threshold=1e-9).collect()
+    }
+    assert set(jac) == set(cont) and len(jac) > 0
+    sh = {r.doc_id: set(r.sh) for r in with_shingles(df).collect()}
+    for k, c in cont.items():
+        assert 0.0 < jac[k] <= c <= 1.0
+        a, b = sh[k[0]], sh[k[1]]
+        assert (c == 1.0) == (a <= b or b <= a)
+
+
+def test_incremental_dedup_law_on_random_corpus(spark, tmp_path):
+    """Randomized batch≡incremental law: on a random near-dup-rich corpus
+    with a random split, folding the increment into the persisted index
+    yields exactly the batch LSH pairs touching the increment."""
+    import random
+
+    from energy_data_stream_processing_spark.operators.dedup import (
+        build_dedup_index,
+        dedup_increment,
+        minhash_lsh_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(99)
+    base_texts = [
+        " ".join(f"t{rng.randint(0, 40)}" for _ in range(rng.randint(8, 30)))
+        for _ in range(12)
+    ]
+    docs = []
+    i = 0
+    for t in base_texts:
+        for _ in range(rng.randint(1, 3)):  # near-dup variants
+            words = t.split()
+            if len(words) > 4 and rng.random() < 0.7:
+                words[rng.randrange(len(words))] = "variant"
+            docs.append((i, " ".join(words)))
+            i += 1
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    pivot = rng.randint(1, i - 1)
+    base = df.where(F.col("doc_id") < pivot)
+    inc = df.where(F.col("doc_id") >= pivot)
+    idx = str(tmp_path / "idx")
+    build_dedup_index(spark, idx, base, increment_id="base")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_increment(spark, idx, inc, increment_id="i1", threshold=0.3).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_lsh_pairs(df, threshold=0.3).collect()
+        if r.doc_a >= pivot or r.doc_b >= pivot
+    }
+    assert got == want
