@@ -271,11 +271,73 @@ def _band_frame(sigs: DataFrame, num_perm: int, bands: int) -> DataFrame:
     )
 
 
+# Candidate-pair frames above this row count are verified with a shuffle
+# join instead of a broadcast: LSH candidate volume is collision-bounded in
+# the typical case, but one pathological duplicate mega-cluster (k docs ->
+# k^2/2 pairs) can make the frame arbitrarily large, and an unconditional
+# broadcast of it risks driver/executor OOM at the 100 TB scale this module
+# advertises.
+BROADCAST_PAIR_LIMIT = 250_000
+
+
+def _verify_pairs_exact(
+    sh: DataFrame,
+    candidates: DataFrame,
+    threshold: float,
+    broadcast_limit: int = BROADCAST_PAIR_LIMIT,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs with ONE shingle scan:
+    explode each pair to its two member ids, join the single shingle
+    projection (``sh`` = (doc_id, sh) hashed-shingle arrays), regroup by
+    pair picking each side's array. The two-join formulation scanned the
+    shingle projection twice.
+
+    The candidate frame is checkpointed (it is the output of an expensive
+    pair-generation pipeline and is consumed twice: size probe + join) and
+    the id join is broadcast ONLY while the measured pair count is under
+    ``broadcast_limit`` — beyond that a plain shuffle join on doc_id is the
+    safe plan (collision volume is pathological, not typical, there)."""
+    candidates = candidates.localCheckpoint(eager=True)
+    n_pairs = candidates.count()
+    cand_ids = candidates.select(
+        "doc_a", "doc_b", F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    )
+    if n_pairs <= broadcast_limit:
+        cand_ids = F.broadcast(cand_ids)
+    per_pair = (
+        sh.join(cand_ids, "doc_id")
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.first(
+                F.when(F.col("doc_id") == F.col("doc_a"), F.col("sh")),
+                ignorenulls=True,
+            ).alias("sh_a"),
+            F.first(
+                F.when(F.col("doc_id") == F.col("doc_b"), F.col("sh")),
+                ignorenulls=True,
+            ).alias("sh_b"),
+        )
+    )
+    return (
+        per_pair.withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("common").cast("double")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("common")).cast("double")
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.015,
     num_perm: int = 32,
     bands: int = 16,
+    broadcast_limit: int = BROADCAST_PAIR_LIMIT,
 ) -> DataFrame:
     """MinHash-LSH candidate generation + candidate-local exact verification.
 
@@ -313,41 +375,8 @@ def minhash_lsh_pairs(
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-
-    # Verification with ONE shingle scan: explode each candidate pair to
-    # its two member ids, broadcast that (candidates are few), join the
-    # single shingle projection, regroup by pair picking each side's array.
-    # The old two-join form scanned with_shingles twice.
     sh = with_shingles(docs, hashed=True)
-    cand_ids = candidates.select(
-        "doc_a", "doc_b", F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
-    )
-    per_pair = (
-        sh.join(F.broadcast(cand_ids), "doc_id")
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.first(
-                F.when(F.col("doc_id") == F.col("doc_a"), F.col("sh")),
-                ignorenulls=True,
-            ).alias("sh_a"),
-            F.first(
-                F.when(F.col("doc_id") == F.col("doc_b"), F.col("sh")),
-                ignorenulls=True,
-            ).alias("sh_b"),
-        )
-    )
-    return (
-        per_pair.withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("common").cast("double")
-                / (F.size("sh_a") + F.size("sh_b") - F.col("common")).cast("double")
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
+    return _verify_pairs_exact(sh, candidates, threshold, broadcast_limit)
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
@@ -523,6 +552,7 @@ def dedup_increment(
     threshold: float = 0.015,
     num_perm: int = 32,
     bands: int = 16,
+    broadcast_limit: int = BROADCAST_PAIR_LIMIT,
 ) -> DataFrame:
     """Fold a document increment into the persisted dedup index and return
     every near-dup pair (exact Jaccard >= threshold) INVOLVING an increment
@@ -556,32 +586,4 @@ def dedup_increment(
         .distinct()
     )
     sh = spark.read.parquet(f"{index_path}/shingles").select("doc_id", "sh")
-    cand_ids = cand.select(
-        "doc_a", "doc_b", F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
-    )
-    per_pair = (
-        sh.join(F.broadcast(cand_ids), "doc_id")
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.first(
-                F.when(F.col("doc_id") == F.col("doc_a"), F.col("sh")),
-                ignorenulls=True,
-            ).alias("sh_a"),
-            F.first(
-                F.when(F.col("doc_id") == F.col("doc_b"), F.col("sh")),
-                ignorenulls=True,
-            ).alias("sh_b"),
-        )
-    )
-    return (
-        per_pair.withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("common").cast("double")
-                / (F.size("sh_a") + F.size("sh_b") - F.col("common")).cast("double")
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
+    return _verify_pairs_exact(sh, cand, threshold, broadcast_limit)

@@ -18,7 +18,11 @@ lands in its customer's rebuilt history at the right position, renumbering
 versions and reopening/closing validity ranges as the full rebuild would.
 The equivalence law (tests/test_round4_ops.py + the shared catalog oracle):
 any sequence of increments ends with the store EQUAL to the one-shot batch
-build over all switches.
+build over all switches. At-least-once delivery is safe: the reconstructed
+switches and the increment are deduplicated on the full switch identity
+(customer_id, tariff_type, event_time, event_id) before the rebuild, so
+replaying an already-applied increment is a no-op (replay-idempotence law,
+tests/test_round4_ops.py::test_scd2_increment_replay_idempotent).
 """
 
 from __future__ import annotations
@@ -78,6 +82,14 @@ def scd2_apply_increment(spark, store_path: str, increment: DataFrame) -> None:
         F.col("_src_event_id").alias("event_id"),
     )
     new_sw = increment.select("customer_id", "tariff_type", "event_time", "event_id")
-    rebuilt = scd2_build(old_sw.unionByName(new_sw))
+    # At-least-once safety: a redelivered increment re-unions switches the
+    # store already encodes; dedup on the full switch identity makes replay
+    # a no-op instead of minting duplicate versions.
+    all_sw = old_sw.unionByName(new_sw).dropDuplicates(
+        ["customer_id", "tariff_type", "event_time", "event_id"]
+    )
+    # Truncate lineage before overwriting the path the plan reads from —
+    # same staged-commit hazard compact_small_files guards against.
+    rebuilt = scd2_build(all_sw).localCheckpoint(eager=True)
     with _conf_override(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
         rebuilt.write.mode("overwrite").partitionBy("_cbucket").parquet(store_path)

@@ -192,19 +192,26 @@ def _train_ivf_centroids(
     """Driver-side spherical k-means on a deterministic bounded sample.
 
     IVF training is the one legitimately driver-side step: the model is
-    nlist x dim floats learned from a FIXED-size sample (lowest vec_ids
-    here; a hash-mod sample at 100 TB), so its cost is independent of corpus
-    size. Init = first nlist sample vectors; empty cells keep their old
-    centroid — fully deterministic, no RNG.
+    nlist x dim floats learned from a FIXED-size sample, so its cost is
+    independent of corpus size. The sample is a deterministic hash-mod
+    filter — ``pmod(xxhash64(vec_id), m) == 0`` with ``m`` sized from one
+    corpus count so the filter passes ~2x the cap — NOT an
+    ``orderBy(vec_id).limit`` (a global sort over the corpus at 100 TB).
+    The selected id set is a pure function of the corpus, and the
+    driver-side sort of the (bounded) selection keeps init order stable, so
+    centroids stay fully deterministic: init = first nlist sample vectors,
+    empty cells keep their old centroid, no RNG anywhere.
     """
     import numpy as np
 
+    n = embeddings.count()
+    m = max(1, n // max(1, 2 * sample_cap))
     rows = (
         embeddings.select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .limit(sample_cap)
+        .where(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(m)) == 0)
         .collect()
     )
+    rows = sorted(rows, key=lambda r: r["vec_id"])[:sample_cap]
     X = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
     Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     C = Xn[:nlist].copy()

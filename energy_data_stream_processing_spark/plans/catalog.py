@@ -43,6 +43,23 @@ def register(
     return deco
 
 
+def stage_result(spark: SparkSession, df: DataFrame, name: str) -> DataFrame:
+    """Materialize a builder's output to a per-name parquet staging path and
+    return a scan of it. For builders whose result plan reads from a
+    TEMPORARY store directory (incremental-index entries), the result must
+    be made durable before the store is cleaned up — staging through parquet
+    keeps that materialization distributed (executor writes), where a
+    ``collect()``/``createDataFrame`` round-trip would funnel every row
+    through the driver. The stage path is per-entry and overwritten each
+    run, so repeated invocations don't accumulate files."""
+    import os
+    import tempfile
+
+    stage = os.path.join(tempfile.gettempdir(), "edsp_stage", name)
+    df.write.mode("overwrite").parquet(stage)
+    return spark.read.parquet(stage)
+
+
 def all_queries() -> dict[str, CatalogQuery]:
     # Import side-effect modules lazily so a broken optional module can't
     # take down the whole catalog at import time.

@@ -28,7 +28,7 @@ from ..operators.hourly import (
     hourly_business_metrics_two_phase,
 )
 from ..sources.adapter import ENERGY_EVENTS_SQL, energy_events
-from .catalog import register
+from .catalog import register, stage_result
 
 
 def _hourly(
@@ -1632,8 +1632,9 @@ def q_scd2_incremental_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "customer_id", "tariff_type", "valid_from", "valid_to",
             "version", "is_current",
         )
-        rows = out.orderBy("customer_id", "version").collect()
-    return spark.createDataFrame(rows, out.schema)
+        # distributed materialization before the store directory disappears
+        staged = stage_result(spark, out, "scd2_incremental_apply")
+    return staged
 
 
 @register(

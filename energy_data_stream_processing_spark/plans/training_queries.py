@@ -42,7 +42,7 @@ from ..operators.text import (
     token_stats_by_lang,
 )
 from ..sources.adapter import load_table
-from .catalog import register
+from .catalog import register, stage_result
 
 _STOP = "['the','and','is','of','to','a','in','it','that','for']"
 
@@ -1391,9 +1391,9 @@ def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     with tempfile.TemporaryDirectory(prefix="dedup_idx_") as d:
         build_dedup_index(spark, d, base, increment_id="base")
         out = dedup_increment(spark, d, inc, increment_id="inc1", threshold=0.015)
-        # materialize before the index directory disappears
-        rows = out.orderBy("doc_a", "doc_b").collect()
-    return spark.createDataFrame(rows, out.schema)
+        # distributed materialization before the index directory disappears
+        staged = stage_result(spark, out, "dedup_incremental_minhash")
+    return staged
 
 
 @register(

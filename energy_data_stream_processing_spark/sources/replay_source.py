@@ -129,14 +129,28 @@ class _ReplayStreamReader(DataSourceStreamReader):
         return {"line": 0}
 
     def latestOffset(self) -> dict:
-        # monotone pacing: each trigger exposes at most lines_per_batch more
-        cur = getattr(self, "_last", 0)
+        # Monotone pacing: each trigger exposes at most lines_per_batch more.
+        # The cursor is in-memory only, so after a checkpoint restart it
+        # restarts at 0 and this can briefly return an offset BEHIND the
+        # committed one; partitions() below carries a high watermark fed by
+        # the offset-log start, so those stale ranges emit NOTHING instead of
+        # re-emitting committed lines, and emission resumes exactly at the
+        # committed offset once the paced cursor catches back up.
+        cur = max(getattr(self, "_last", 0), getattr(self, "_hw", 0))
         nxt = min(self.total, cur + self.per_batch)
         self._last = nxt
         return {"line": nxt}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        return [_Range(int(start["line"]), int(end["line"]))]
+        s, e = int(start["line"]), int(end["line"])
+        # `start` comes from the offset log, so everything below it was
+        # already committed: fold it into the emitted-lines high watermark
+        # and clip the range so a restarted query never re-emits a line.
+        hw = max(getattr(self, "_hw", 0), s)
+        eff_start, eff_end = hw, max(e, hw)
+        self._hw = eff_end
+        self._last = max(getattr(self, "_last", 0), e, eff_end)
+        return [_Range(eff_start, eff_end)]
 
     def read(self, part: _Range) -> Iterator[tuple]:
         order = _order(self.path, self.seed)
