@@ -22,7 +22,7 @@ build over all switches. At-least-once delivery is safe: the reconstructed
 switches and the increment are deduplicated on the full switch identity
 (customer_id, tariff_type, event_time, event_id) before the rebuild, so
 replaying an already-applied increment is a no-op (replay-idempotence law,
-tests/test_round4_ops.py::test_scd2_increment_replay_idempotent).
+tests/test_round5_ops.py::test_scd2_increment_replay_idempotent).
 """
 
 from __future__ import annotations

@@ -502,11 +502,58 @@ def q_heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GREEDY_PACKING_ORACLE = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+    least(cast(len(regexp_extract_all(lower(trim(text)), '{BPE_TOKEN_RE}')) AS BIGINT), 256) AS n_tokens,
+    doc_id % 8 AS shard
+  FROM documents
+),
+ranked AS (
+  SELECT shard, n_tokens,
+    row_number() OVER (PARTITION BY shard ORDER BY n_tokens DESC, doc_id) AS rn
+  FROM toks
+),
+steps AS (
+  SELECT shard, 0::BIGINT AS rn, []::BIGINT[] AS fills, []::BIGINT[] AS counts
+  FROM (SELECT DISTINCT shard FROM ranked)
+  UNION ALL
+  SELECT s.shard, s.rn + 1,
+    CASE WHEN coalesce(list_position(list_transform(s.fills, f -> f + r.n_tokens <= 256), true), 0) = 0
+         THEN list_append(s.fills, r.n_tokens)
+         ELSE s.fills[1:list_position(list_transform(s.fills, f -> f + r.n_tokens <= 256), true)-1]
+              || [s.fills[list_position(list_transform(s.fills, f -> f + r.n_tokens <= 256), true)] + r.n_tokens]
+              || s.fills[list_position(list_transform(s.fills, f -> f + r.n_tokens <= 256), true)+1:]
+    END,
+    CASE WHEN coalesce(list_position(list_transform(s.fills, f -> f + r.n_tokens <= 256), true), 0) = 0
+         THEN list_append(s.counts, 1::BIGINT)
+         ELSE s.counts[1:list_position(list_transform(s.fills, f -> f + r.n_tokens <= 256), true)-1]
+              || [s.counts[list_position(list_transform(s.fills, f -> f + r.n_tokens <= 256), true)] + 1]
+              || s.counts[list_position(list_transform(s.fills, f -> f + r.n_tokens <= 256), true)+1:]
+    END
+  FROM steps s JOIN ranked r ON r.shard = s.shard AND r.rn = s.rn + 1
+),
+final AS (
+  SELECT shard, arg_max(fills, rn) AS fills, arg_max(counts, rn) AS counts
+  FROM steps GROUP BY shard
+)
+SELECT shard, (gs - 1)::BIGINT AS bin_id, counts[gs] AS n_docs, fills[gs] AS bin_tokens,
+  fills[gs] / 256.0 AS utilization
+FROM final, unnest(generate_series(1, len(fills))) AS t(gs)
+"""
+
+
 @register(
     "greedy_sequence_packing",
-    # No oracle: first-fit-decreasing is an inherently sequential greedy
-    # algorithm, not SQL-expressible; invariants (capacity, conservation,
-    # the FFD half-full guarantee) are property-tested instead.
+    # First-fit-decreasing IS SQL-expressible after all: the oracle drives
+    # the same greedy sequentially with a recursive CTE whose accumulator
+    # is the per-shard bin-fill list (list_position finds the first fitting
+    # bin, list slicing rebuilds the state). Step count = docs per shard,
+    # state size = bins per shard — fine at oracle scale, and an exact
+    # independent reimplementation of the algorithm, not an echo of the
+    # Spark code. Capacity/conservation/half-full invariants remain
+    # property-tested.
+    oracle=GREEDY_PACKING_ORACLE,
     doc="Constructive sequence packing (the counterpart of "
     "sequence_packing_audit's padding-waste measurement): documents are "
     "sharded deterministically (doc_id % n_shards), each shard packs its "

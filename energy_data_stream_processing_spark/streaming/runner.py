@@ -1080,9 +1080,21 @@ def q_streaming_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 
+from ..plans.training_queries import _NGRAM_PAIRS_CTES  # noqa: E402
+
+
 @register(
     "streaming_incremental_dedup",
-    oracle=None,  # xxhash64-based; gated by the stream≡batch law test
+    # At the 0.5 operating threshold the deterministic 16-band LSH finds
+    # every exact-Jaccard pair (verified at sf0.01/sf0.1 — all pairs
+    # >= 0.2 collide), so the union-of-batches output must equal the
+    # exact inverted-index Jaccard pairs over the whole corpus: a
+    # value-exact cross-engine gate that also asserts full recall at gate
+    # scale. The stream≡batch law test covers other thresholds.
+    oracle=f"""
+WITH {_NGRAM_PAIRS_CTES}
+SELECT doc_a, doc_b, jaccard FROM jpairs WHERE jaccard >= 0.5
+""",
     doc="Continuous near-dup detection: documents arrive as ordered micro-"
     "batches and each foreachBatch increment folds into the PERSISTED "
     "MinHash-LSH index (operators/dedup.py::dedup_increment — lands its "
@@ -1112,7 +1124,9 @@ def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
-        found = dedup_increment(s, idx, batch_df, increment_id=f"b{batch_id}")
+        found = dedup_increment(
+            s, idx, batch_df, increment_id=f"b{batch_id}", threshold=0.5
+        )
         with _conf_override(s, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
             (
                 found.withColumn("_batch_id", F.lit(batch_id))

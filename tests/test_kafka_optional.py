@@ -82,3 +82,163 @@ def test_kafka_roundtrip(spark, sf_dir, tmp_path):
     b = sorted(map(tuple, expected.select("event_type", "event_time").collect()))
     assert a == b
     assert out.where(F.col("_corrupt").isNotNull()).count() == 0
+
+
+# --------------------------------------------------------------------------
+# File-backed fake-broker contract tests: these ALWAYS run. The fake
+# (sources/kafka_fake.py, short name "kafkafake" — Spark reserves "kafka"
+# in its builtin registry) plugs into write_kafka_batch / to_kafka_sink /
+# kafka_stream_source via their fmt override, so serialization, option
+# surface, offset pacing, and the dead-letter parse all run for real
+# instead of skipping.
+# --------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def fake_broker(spark):
+    from energy_data_stream_processing_spark.sources.kafka_fake import (
+        FileKafkaDataSource,
+    )
+
+    try:
+        spark.dataSource.register(FileKafkaDataSource)
+    except Exception:  # noqa: BLE001 — already registered in this session
+        pass
+    return spark
+
+
+def _drain(stream_df, ckpt):
+    """Drain a paced Python-DataSource stream (availableNow unsupported
+    there) via foreachBatch + processAllAvailable; returns per-batch rows."""
+    batches = []
+
+    def fold(df, batch_id):
+        rows = df.collect()
+        if rows:
+            batches.append(rows)
+
+    q = (
+        stream_df.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return batches
+
+
+def _envelopes(spark, sf_dir, n=120):
+    return (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .limit(n)
+        .selectExpr(
+            "event_type",
+            "cast(ts AS STRING) AS event_time",
+            "named_struct('customer_id', cast(user_id AS STRING), "
+            "'session_id', cast(event_id AS STRING), 'channel', 'web_portal') AS payload",
+        )
+    )
+
+
+def test_fake_kafka_batch_write_stream_read_roundtrip(fake_broker, sf_dir, tmp_path):
+    """events -> write_kafka_batch -> kafka_stream_source (paced micro-
+    batches) must reproduce the batch parse of the same rows, corrupt-free."""
+    from energy_data_stream_processing_spark.sources.kafka import (
+        kafka_stream_source,
+        parse_kafka_values,
+        write_kafka_batch,
+    )
+
+    spark = fake_broker
+    broker = str(tmp_path / "broker")
+    topic = "events-contract"
+    envelopes = _envelopes(spark, sf_dir)
+    write_kafka_batch(envelopes, broker, topic, fmt="kafkafake")
+
+    stream = kafka_stream_source(
+        spark, broker, topic, max_offsets_per_trigger=50, fmt="kafkafake"
+    )
+    batches = _drain(stream, str(tmp_path / "ckpt"))
+    expected = parse_kafka_values(
+        envelopes.selectExpr("cast(to_json(struct(*)) AS BINARY) AS value")
+    )
+    a = sorted((r["event_type"], r["event_time"]) for b in batches for r in b)
+    b = sorted(map(tuple, expected.select("event_type", "event_time").collect()))
+    assert a == b and len(a) == 120
+    # maxOffsetsPerTrigger pacing: 120 records at 50/trigger => >= 3 batches
+    assert len([x for x in batches if x]) >= 3
+    assert all(len(x) <= 50 for x in batches)
+    assert all(r["_corrupt"] is None for x in batches for r in x)
+
+
+def test_fake_kafka_corrupt_record_diverts(fake_broker, sf_dir, tmp_path):
+    """A rogue non-JSON record on the topic must surface through the
+    _corrupt dead-letter column, not crash the parse."""
+    import base64
+    import json as _json
+
+    from energy_data_stream_processing_spark.sources.kafka import (
+        kafka_stream_source,
+        write_kafka_batch,
+    )
+
+    spark = fake_broker
+    broker = str(tmp_path / "broker")
+    topic = "events-corrupt"
+    write_kafka_batch(_envelopes(spark, sf_dir, n=10), broker, topic, fmt="kafkafake")
+    rogue = base64.b64encode(b"this is not json").decode("ascii")
+    with open(f"{broker}/{topic}/zzz-rogue.jsonl", "w") as f:
+        f.write(_json.dumps({"key": None, "value": rogue}) + "\n")
+
+    batches = _drain(
+        kafka_stream_source(spark, broker, topic, fmt="kafkafake"),
+        str(tmp_path / "ckpt"),
+    )
+    rows = [r for b in batches for r in b]
+    assert len(rows) == 11
+    assert sum(1 for r in rows if r["_corrupt"] is not None) == 1
+    assert sum(1 for r in rows if r["event_type"] is not None) == 10
+
+
+def test_fake_kafka_streaming_sink_roundtrip(fake_broker, sf_dir, tmp_path):
+    """to_kafka_sink (writeStream format kafka) -> batch read back: every
+    micro-batch row must land exactly once as a JSON value."""
+    import json as _json
+
+    from energy_data_stream_processing_spark.sources.kafka import to_kafka_sink
+
+    spark = fake_broker
+    broker = str(tmp_path / "broker")
+    topic = "events-sink"
+    src_dir = str(tmp_path / "src")
+    envelopes = _envelopes(spark, sf_dir, n=60)
+    envelopes.write.mode("overwrite").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(envelopes.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        to_kafka_sink(stream, broker, topic, str(tmp_path / "ckpt"), fmt="kafkafake")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    back = (
+        spark.read.format("kafkafake")
+        .option("kafka.bootstrap.servers", broker)
+        .option("subscribe", topic)
+        .load()
+        .selectExpr("cast(value AS STRING) AS v")
+        .collect()
+    )
+    got = sorted(
+        (d["event_type"], d["event_time"])
+        for d in (_json.loads(r["v"]) for r in back)
+    )
+    want = sorted(
+        map(tuple, envelopes.select("event_type", "event_time").collect())
+    )
+    assert got == want and len(got) == 60
