@@ -469,9 +469,38 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_decode_stub",
-    oracle=None,  # Pandas-UDF pipeline; deterministic fake decode
+    # The deterministic fake codec is pure byte arithmetic (media content =
+    # UTF-8 text bytes), so the oracle reimplements it in SQL: quarter-
+    # strided byte sums -> float features, first-byte/length-derived
+    # dimensions. When a real codec plugs into real_decode this twin is
+    # replaced by golden-file fixtures — the plumbing gate stays.
+    oracle="""
+WITH b AS (
+  SELECT doc_id, (i - 1) % 4 AS q, ord(substr(text, i, 1)) AS byte
+  FROM documents, unnest(generate_series(1, length(text))) AS t(i)
+),
+qsum AS (
+  SELECT doc_id,
+    sum(CASE WHEN q = 0 THEN byte ELSE 0 END)::BIGINT AS s0,
+    sum(CASE WHEN q = 1 THEN byte ELSE 0 END)::BIGINT AS s1,
+    sum(CASE WHEN q = 2 THEN byte ELSE 0 END)::BIGINT AS s2,
+    sum(CASE WHEN q = 3 THEN byte ELSE 0 END)::BIGINT AS s3
+  FROM b GROUP BY doc_id
+)
+SELECT d.doc_id,
+  length(d.text)::BIGINT AS byte_len,
+  'fake/' || (ord(substr(d.text, 1, 1)) % 4) AS format,
+  ((ord(substr(d.text, 1, 1)) % 64) + 16)::INT AS width,
+  (CASE WHEN length(d.text) > 0 THEN (length(d.text) % 64) + 16 ELSE 16 END)::INT AS height,
+  [((coalesce(s0, 0) % 1000) / 1000.0)::FLOAT, ((coalesce(s1, 0) % 1000) / 1000.0)::FLOAT,
+   ((coalesce(s2, 0) % 1000) / 1000.0)::FLOAT, ((coalesce(s3, 0) % 1000) / 1000.0)::FLOAT] AS features
+FROM documents d LEFT JOIN qsum USING (doc_id)
+""",
     doc="Arrow-batched mapInPandas decode/feature-extract over binary media "
-    "(deterministic fake codec — see operators/multimodal.py).",
+    "(deterministic fake codec — see operators/multimodal.py). The fake "
+    "decode is byte arithmetic, so the WHOLE pipeline — batch shape, "
+    "schema, float32 feature vector — is value-exact checked against a "
+    "SQL reimplementation.",
 )
 def q_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media_table(_docs(spark, sf_dir)))
@@ -479,9 +508,27 @@ def q_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_frame_sample",
-    oracle=None,  # mapInPandas fan-out; deterministic fake sampler
+    # The deterministic frame sampler (evenly-spaced byte offsets, 16-byte
+    # window sums) is SQL-expressible — the oracle checks the 1->4 fan-out
+    # row set, offsets, and float32 features exactly.
+    oracle="""
+WITH f AS (SELECT doc_id, length(text) AS n, text FROM documents),
+frames AS (
+  SELECT doc_id, fr AS frame_no,
+    CASE WHEN n > 0 THEN (n * fr) // 4 ELSE 0 END AS off,
+    substr(text, (CASE WHEN n > 0 THEN (n * fr) // 4 ELSE 0 END) + 1, 16) AS win
+  FROM f, unnest(generate_series(0, 3)) AS t(fr)
+)
+SELECT doc_id, frame_no::INT AS frame_no, off::BIGINT AS offset_bytes,
+  (CASE WHEN length(win) > 0
+        THEN (list_reduce(list_prepend(0, list_transform(generate_series(1, length(win)), i -> ord(substr(win, i, 1)))), (a, b) -> a + b) % 1000) / 1000.0
+        ELSE 0.0 END)::FLOAT AS frame_feature
+FROM frames
+""",
     doc="Frame sampling over binary media: 1 row -> n_frames rows via "
-    "mapInPandas (engine-controlled fan-out, the video-at-scale shape).",
+    "mapInPandas (engine-controlled fan-out, the video-at-scale shape). "
+    "The deterministic sampler is byte arithmetic, so the fan-out is "
+    "value-exact checked against a SQL twin.",
 )
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(media_table(_docs(spark, sf_dir)), n_frames=4)
@@ -536,22 +583,56 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_profile",
-    oracle=None,
+    # Sketch VALUES are engine-internal, but their accuracy CONTRACTS are
+    # checkable (same pattern as approx_percentile_audit): the exact
+    # family is value-exact cross-engine and each sketch collapses to an
+    # in-band boolean the oracle pins TRUE — HLL++ within 5% relative
+    # (2.5 sigma at rsd=0.02), the percentile sketch inside the exact
+    # [p±0.005] value band (50x its 1/accuracy rank-error bound).
+    oracle="""
+SELECT event_type,
+  count(DISTINCT user_id) AS exact_users,
+  true AS users_in_band,
+  quantile_cont(value, 0.5) AS exact_p50,
+  quantile_cont(value, 0.99) AS exact_p99,
+  true AS p50_in_band,
+  true AS p99_in_band
+FROM events GROUP BY event_type
+""",
     doc="Sketch-based approximate aggregates — the 100 TB substitutes for "
-    "exact distincts/percentiles: approx_count_distinct (HyperLogLog++) and "
-    "approx_percentile (t-digest-style) per event type. No oracle twin by "
-    "design (sketch estimates are engine-specific); accuracy is "
-    "property-gated in tests/test_training_ops.py against the exact values "
-    "(<=5% relative error at rsd=0.02).",
+    "exact distincts/percentiles: approx_count_distinct (HyperLogLog++) "
+    "and approx_percentile (t-digest-style) per event type, profiled ON "
+    "THE SAME SCAN as their exact counterparts. The exact family is "
+    "value-checked cross-engine; each sketch is audited as a boolean "
+    "accuracy-contract assertion the oracle pins TRUE (numeric error "
+    "magnitudes stay in tests/test_training_ops.py). At 100 TB the exact "
+    "columns drop and the sketches stand alone — this entry is the "
+    "calibration run that justifies the swap.",
 )
 def q_approx_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.adapter import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.expr("approx_percentile(value, 0.5, 10000)").alias("approx_p50"),
-        F.expr("approx_percentile(value, 0.99, 10000)").alias("approx_p99"),
+    g = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("au"),
+        F.expr(
+            "percentile(value, array(0.495, 0.5, 0.505, 0.985, 0.99, 0.995))"
+        ).alias("p"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("ap50"),
+        F.expr("approx_percentile(value, 0.99, 10000)").alias("ap99"),
+    )
+    return g.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("au") - F.col("exact_users"))
+            <= F.greatest(0.05 * F.col("exact_users"), F.lit(2.0))
+        ).alias("users_in_band"),
+        F.col("p")[1].alias("exact_p50"),
+        F.col("p")[4].alias("exact_p99"),
+        F.col("ap50").between(F.col("p")[0], F.col("p")[2]).alias("p50_in_band"),
+        F.col("ap99").between(F.col("p")[3], F.col("p")[5]).alias("p99_in_band"),
     )
 
 

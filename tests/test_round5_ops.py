@@ -152,6 +152,25 @@ def test_lsh_broadcast_guard_fallback_engages(spark):
         assert guarded.count() > 0
 
 
+def test_streaming_stateful_under_rocksdb_state_store(spark, sf_dir):
+    """The stateful streaming gate must produce identical results under the
+    RocksDB state-store provider (the 100 TB default: state spills to disk
+    instead of growing the JVM heap) as under the default HDFS-backed
+    in-memory provider. Exercises provider load, per-batch commit, and
+    state round-trip through RocksDB."""
+    from energy_data_stream_processing_spark.plans.catalog import all_queries
+
+    q = all_queries()["streaming_hourly_metrics"]
+    base = sorted(map(tuple, q.builder(spark, sf_dir).collect()))
+    with _conf_override(
+        spark,
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    ):
+        rocks = sorted(map(tuple, q.builder(spark, sf_dir).collect()))
+    assert rocks == base and len(rocks) > 0
+
+
 def test_ivf_training_sample_deterministic_and_sortfree(spark, sf_dir):
     """The hash-mod training sample must yield identical centroids across
     calls (no RNG, no partition-order dependence) and must not plan a

