@@ -284,7 +284,7 @@ def _verify_pairs_exact(
     sh: DataFrame,
     candidates: DataFrame,
     threshold: float,
-    broadcast_limit: int = BROADCAST_PAIR_LIMIT,
+    broadcast_limit: int | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs with ONE shingle scan:
     explode each pair to its two member ids, join the single shingle
@@ -292,18 +292,27 @@ def _verify_pairs_exact(
     pair picking each side's array. The two-join formulation scanned the
     shingle projection twice.
 
-    The candidate frame is checkpointed (it is the output of an expensive
-    pair-generation pipeline and is consumed twice: size probe + join) and
-    the id join is broadcast ONLY while the measured pair count is under
-    ``broadcast_limit`` — beyond that a plain shuffle join on doc_id is the
-    safe plan (collision volume is pathological, not typical, there)."""
-    candidates = candidates.localCheckpoint(eager=True)
-    n_pairs = candidates.count()
-    cand_ids = candidates.select(
-        "doc_a", "doc_b", F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
-    )
-    if n_pairs <= broadcast_limit:
-        cand_ids = F.broadcast(cand_ids)
+    Broadcast-size guard, two modes. Default (``broadcast_limit=None``):
+    NO broadcast hint — AQE sizes the candidate exchange at runtime and
+    converts to a broadcast join only when it is actually small, so the
+    typical collision-bounded case broadcasts and a pathological duplicate
+    mega-cluster falls back to a shuffle join with zero extra jobs spent
+    probing. Explicit ``broadcast_limit=N``: the candidate frame is
+    checkpointed, counted, and hinted ONLY under the measured limit — the
+    deterministic form for plan tests and for callers who must pin the
+    strategy regardless of AQE."""
+    if broadcast_limit is None:
+        cand_ids = candidates.select(
+            "doc_a", "doc_b", F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+        )
+    else:
+        candidates = candidates.localCheckpoint(eager=True)
+        n_pairs = candidates.count()
+        cand_ids = candidates.select(
+            "doc_a", "doc_b", F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+        )
+        if n_pairs <= broadcast_limit:
+            cand_ids = F.broadcast(cand_ids)
     per_pair = (
         sh.join(cand_ids, "doc_id")
         .groupBy("doc_a", "doc_b")
@@ -337,7 +346,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.015,
     num_perm: int = 32,
     bands: int = 16,
-    broadcast_limit: int = BROADCAST_PAIR_LIMIT,
+    broadcast_limit: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate generation + candidate-local exact verification.
 
@@ -552,7 +561,7 @@ def dedup_increment(
     threshold: float = 0.015,
     num_perm: int = 32,
     bands: int = 16,
-    broadcast_limit: int = BROADCAST_PAIR_LIMIT,
+    broadcast_limit: int | None = None,
 ) -> DataFrame:
     """Fold a document increment into the persisted dedup index and return
     every near-dup pair (exact Jaccard >= threshold) INVOLVING an increment

@@ -133,22 +133,7 @@ def test_no_python_udf_in_hot_path(spark, sf_dir, name):
 def test_vectorized_never_row_at_a_time(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     assert "BatchEvalPython" not in plan, f"{name} fell back to row-at-a-time Python"
-    if name == "dedup_minhash_lsh":
-        # the candidate stage (where the Arrow signature kernel lives) is
-        # eagerly checkpointed behind the broadcast-size probe, so assert
-        # on the signature operator's own plan instead of the final join's
-        from energy_data_stream_processing_spark.operators.dedup import (
-            minhash_signatures,
-        )
-        from energy_data_stream_processing_spark.sources.adapter import load_table
-
-        sig_plan = (
-            minhash_signatures(load_table(spark, sf_dir, "documents"))
-            ._jdf.queryExecution().executedPlan().toString()
-        )
-        assert "ArrowEvalPython" in sig_plan and "BatchEvalPython" not in sig_plan
-    else:
-        assert "ArrowEvalPython" in plan, f"{name} lost its vectorized kernel"
+    assert "ArrowEvalPython" in plan, f"{name} lost its vectorized kernel"
 
 
 def test_pruning_and_pushdown_reach_scan(spark, sf_dir):

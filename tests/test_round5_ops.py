@@ -131,10 +131,12 @@ def test_replay_stream_fresh_run_unaffected(fixture_len, make_reader):
 
 def test_lsh_broadcast_guard_fallback_engages(spark):
     """A planted duplicate mega-cluster (k near-identical docs -> ~k^2/2
-    candidate pairs) must trip the broadcast-size guard: with the pair count
-    above the limit the verification join is planned WITHOUT a broadcast
-    (shuffle join — no driver/executor OOM risk from broadcasting an
-    unbounded candidate frame), and the result is identical either way."""
+    candidate pairs) must trip the measured broadcast-size guard: with the
+    pair count above the limit the verification join is planned WITHOUT a
+    broadcast (shuffle join — no driver/executor OOM risk from
+    broadcasting an unbounded candidate frame); under the limit the hint
+    engages; and the default AQE mode plans no unconditional hint. Results
+    are identical in all three modes."""
     from energy_data_stream_processing_spark.operators.dedup import minhash_lsh_pairs
 
     k = 12  # 66 pairs
@@ -142,14 +144,19 @@ def test_lsh_broadcast_guard_fallback_engages(spark):
             for i in range(k)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     with _conf_override(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"):
-        hinted = minhash_lsh_pairs(docs, threshold=0.015)
+        hinted = minhash_lsh_pairs(docs, threshold=0.015, broadcast_limit=10**9)
         plan_hinted = hinted._jdf.queryExecution().executedPlan().toString()
         guarded = minhash_lsh_pairs(docs, threshold=0.015, broadcast_limit=10)
         plan_guarded = guarded._jdf.queryExecution().executedPlan().toString()
+        aqe = minhash_lsh_pairs(docs, threshold=0.015)  # default: AQE sizes it
+        plan_aqe = aqe._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan_hinted
         assert "BroadcastHashJoin" not in plan_guarded
-        assert sorted(map(tuple, hinted.collect())) == sorted(map(tuple, guarded.collect()))
-        assert guarded.count() > 0
+        assert "BroadcastHashJoin" not in plan_aqe  # no unconditional hint
+        r_h = sorted(map(tuple, hinted.collect()))
+        assert r_h == sorted(map(tuple, guarded.collect()))
+        assert r_h == sorted(map(tuple, aqe.collect()))
+        assert len(r_h) > 0
 
 
 def test_streaming_stateful_under_rocksdb_state_store(spark, sf_dir):
