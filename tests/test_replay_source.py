@@ -103,3 +103,40 @@ def test_shuffle_is_deterministic_and_complete(registered, fixture_path):
     assert [r.raw for r in a] != [r.raw for r in plain] or [r.raw for r in c] != [
         r.raw for r in plain
     ]  # some seed actually permutes
+
+
+def test_stream_checkpoint_restart_no_duplicates(registered, fixture_path, tmp_path):
+    """END-TO-END restart through Spark's own offset log: drain the stream
+    once against a checkpoint, stop, then start a SECOND query on the SAME
+    checkpoint (fresh reader instance — the in-memory pacing cursor resets
+    to 0). The restarted query must emit ZERO rows: everything was
+    committed, and the high-watermark clip must prevent the stale cursor
+    from re-emitting committed lines as duplicates."""
+    ckpt = str(tmp_path / "ckpt")
+    seen: list[tuple] = []
+
+    def fold(df, batch_id):
+        seen.extend(map(tuple, df.collect()))
+
+    def run_once():
+        q = (
+            registered.readStream.format("jsonl_replay")
+            .option("path", fixture_path)
+            .option("lines_per_batch", "2")
+            .load()
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    n_first = len(seen)
+    assert n_first == 7  # full file drained
+    run_once()  # restart from the same checkpoint with a fresh reader
+    assert len(seen) == n_first, (
+        f"restart re-emitted {len(seen) - n_first} committed lines"
+    )
