@@ -207,6 +207,70 @@ def ngram_containment_pairs(
     )
 
 
+def substring_window_pairs(
+    docs: DataFrame, window: int = 40, max_df: int | None = None
+) -> DataFrame:
+    """Verbatim-substring near-dup pairs: documents sharing at least one
+    exact ``window``-char substring (all positions, stride 1), with the
+    count of DISTINCT shared windows per pair — the character-level exact
+    companion to token-shingle Jaccard (the pretraining-dedup practice of
+    removing long verbatim spans copied across documents, cf. the
+    "deduplicating training data" line of work: overlapping char windows
+    approximate a suffix-array substring match, and any shared span of
+    length >= window yields >= 1 shared window, so recall for long copies
+    is exact).
+
+    Plan: the same single-scan inverted-index skeleton as
+    ``_ngram_pair_counts`` — per-doc DISTINCT window set (array-side),
+    one explode, window-bucket groupBy with array pair-gen, pair-count
+    shuffle; both shuffles map-side combinable. Volume is O(total chars)
+    index rows — the same asymptotic cost a suffix-array build pays.
+    ``max_df`` caps boilerplate windows (shared headers/footers) exactly
+    like hot shingles; at 100 TB run with a stride >1 on the first pass
+    and re-verify candidates at stride 1.
+    """
+    wins = docs.select(
+        "doc_id",
+        F.expr(
+            f"""
+            CASE WHEN length(text) >= {window}
+                 THEN array_distinct(transform(
+                        sequence(1, length(text) - {window - 1}),
+                        i -> substring(text, i, {window})))
+                 ELSE array()
+            END
+            """
+        ).alias("w"),
+    )
+    exploded = (
+        wins.select("doc_id", F.explode_outer("w").alias("win"))
+        .where(F.col("win").isNotNull())
+    )
+    if max_df is not None:
+        hot = (
+            exploded.groupBy("win")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("win")
+        )
+        exploded = exploded.join(hot, "win", "left_anti")
+    buckets = exploded.groupBy("win").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ds")
+    )
+    pair_expr = (
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, greatest(0, size(ds) - i - 1)), "
+        "y -> struct(x AS doc_a, y AS doc_b))))"
+    )
+    return (
+        buckets.where(F.size("ds") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_windows"))
+    )
+
+
 def minhash_signatures(docs: DataFrame, num_perm: int = 32) -> DataFrame:
     """MinHash signature per doc: min over the doc's int64 shingle hashes of
     ``num_perm`` affine permutations ``(a_p * h + b_p) >> 1`` in uint64

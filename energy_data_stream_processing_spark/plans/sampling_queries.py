@@ -620,6 +620,61 @@ def q_greedy_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "epoch_shuffle_assignment",
+    oracle="""
+WITH keyed AS (
+  SELECT e.epoch, d.doc_id,
+    md5(e.epoch || ':' || d.doc_id) AS k
+  FROM documents d, (SELECT unnest(generate_series(0, 2)) AS epoch) e
+),
+sharded AS (
+  SELECT epoch, doc_id, k,
+    ((strpos('0123456789abcdef', substr(k, 1, 1)) - 1) * 16
+     + strpos('0123456789abcdef', substr(k, 2, 1)) - 1) % 8 AS shard
+  FROM keyed
+)
+SELECT epoch::INT AS epoch, doc_id, shard::INT AS shard,
+  (row_number() OVER (PARTITION BY epoch, shard ORDER BY k, doc_id) - 1)::BIGINT AS position
+FROM sharded
+""",
+    doc="Deterministic per-epoch global shuffle for training-data loading: "
+    "every (epoch, document) gets a shard and a within-shard position "
+    "from md5(epoch:doc_id) — a different but REPRODUCIBLE permutation "
+    "per epoch, computable independently by any worker with no stored "
+    "permutation table and no driver-side RNG state (the property that "
+    "matters for resumable multi-epoch training jobs: epoch 7's order is "
+    "recomputable after a restart). Shard = first hash byte mod 8 (hash-"
+    "derived, NOT rank-derived), so the only window is PARTITIONED by "
+    "(epoch, shard) — no global sort, no single-partition window; at "
+    "100 TB shards map to reader workers and each orders only its own "
+    "slice. Oracle: md5 hex is engine-identical, so assignments are "
+    "value-exact cross-engine.",
+)
+def q_epoch_shuffle_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(3).select(F.col("id").cast("int").alias("epoch"))
+    keyed = docs.crossJoin(F.broadcast(epochs)).withColumn(
+        "k", F.md5(F.concat_ws(":", "epoch", "doc_id"))
+    )
+    sharded = keyed.withColumn(
+        "shard",
+        F.expr(
+            "cast(((instr('0123456789abcdef', substring(k, 1, 1)) - 1) * 16"
+            " + instr('0123456789abcdef', substring(k, 2, 1)) - 1) % 8 AS INT)"
+        ),
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("k", "doc_id")
+    return sharded.select(
+        "epoch",
+        "doc_id",
+        "shard",
+        (F.row_number().over(w) - 1).cast("long").alias("position"),
+    )
+
+
 WEIGHTED_RESERVOIR_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, lang,

@@ -303,6 +303,184 @@ def q_dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_containment_pairs(_docs(spark, sf_dir), threshold=0.08)
 
 
+def _bpe_oracle(n_merges: int) -> str:
+    """Unrolled-CTE DuckDB twin of BPE merge induction: sN/pN/mN chains —
+    state, weighted adjacent-pair counts, argmax merge — mirroring the
+    engine's per-iteration plan exactly. Implementation notes hard-won
+    against DuckDB 1.0: (a) state CTEs are MATERIALIZED — each is consumed
+    twice (pair counts + next state), and inlining both doubles the
+    expression tree per round AND triggers a vectorized-lambda
+    row-misalignment bug that corrupts one row's fold; (b) the merge
+    application is therefore pure string surgery, no lambdas: symbols
+    serialize with a two-space separator and the pair pattern replaces
+    three times (pass 1 takes alternating occurrences of an adjacent
+    chain — the consumed trailing separator blinds the immediate next
+    occurrence — pass 2 the rest; pass 3 is margin), which equals BPE's
+    greedy left-to-right semantics for every a<>b merge and for
+    identical-symbol runs up to length 3 (longer same-symbol runs could
+    pair in a different ORDER than strict greedy — same multiset — a
+    documented non-issue on word-character vocabularies)."""
+    parts = [
+        """w AS (
+  SELECT word, count(*) AS cnt
+  FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+)""",
+        """s0 AS MATERIALIZED (
+  SELECT word, cnt,
+    '  ' || array_to_string(list_append(list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)), '</w>'), '  ') || '  ' AS ser
+  FROM w
+)""",
+    ]
+    for k in range(n_merges):
+        parts.append(
+            f"""t{k} AS (
+  SELECT cnt, string_split(trim(ser), '  ') AS syms FROM s{k}
+)""")
+        parts.append(
+            f"""p{k} AS (
+  SELECT syms[i] AS a, syms[i + 1] AS b, sum(cnt)::BIGINT AS n
+  FROM t{k}, unnest(generate_series(1, len(syms) - 1)) AS tt(i)
+  GROUP BY 1, 2
+)"""
+        )
+        parts.append(
+            f"m{k} AS (SELECT a, b, n FROM p{k} ORDER BY n DESC, a, b LIMIT 1)"
+        )
+        if k < n_merges - 1:
+            pat = "'  ' || m.a || '  ' || m.b || '  '"
+            rep = "'  ' || m.a || m.b || '  '"
+            parts.append(
+                f"""s{k + 1} AS MATERIALIZED (
+  SELECT s.word, s.cnt,
+    replace(replace(replace(s.ser, {pat}, {rep}), {pat}, {rep}), {pat}, {rep}) AS ser
+  FROM s{k} s, m{k} m
+)"""
+            )
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {k + 1} AS rank, a AS left_sym, b AS right_sym, a || b AS merged, n AS pair_count FROM m{k}"
+        for k in range(n_merges)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + finals
+
+
+_BPE_MERGES = 6
+
+
+@register(
+    "bpe_merge_induction",
+    oracle=_bpe_oracle(_BPE_MERGES),
+    doc="BPE tokenizer TRAINING, the first 6 merge rules: lowercase "
+    "whitespace words aggregate to a (word, count) vocabulary, each word "
+    "splits to character symbols + '</w>'; per round the corpus-weighted "
+    "most frequent ADJACENT symbol pair (count desc, pair asc tiebreak) "
+    "becomes a merge rule and is applied everywhere with BPE's greedy "
+    "left-to-right non-overlapping semantics (an explicit left fold with "
+    "a consumed-index accumulator — 'aaa' under merge (a,a) yields "
+    "[aa, a], never overlapping). Fully lazy and distributed: each round "
+    "is a map-combinable pair-count aggregate + a TakeOrdered(1) "
+    "broadcast back into the fold — NO driver-side collect; the chained "
+    "plan materializes once. Scale: state is the WORD VOCABULARY "
+    "(Heaps-law-bounded), not the corpus — the word-count pre-aggregation "
+    "is the one corpus-sized pass, exactly how industrial BPE trainers "
+    "shard. Oracle: the same rounds unrolled as chained CTEs with a "
+    "list-fold merge application — value-exact cross-engine including "
+    "tie-breaks.",
+)
+def q_bpe_merge_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    w = (
+        docs.select(F.explode(F.split(F.lower(F.trim("text")), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    state = w.select(
+        "word", "cnt", F.expr("array_append(split(word, ''), '</w>')").alias("syms")
+    )
+    merge_fold = """
+aggregate(
+  sequence(1, size(syms)),
+  struct(0 AS c, cast(array() AS array<string>) AS o),
+  (acc, i) -> CASE
+     WHEN i <= acc.c THEN acc
+     WHEN i < size(syms) AND element_at(syms, i) = _ma AND element_at(syms, i + 1) = _mb
+       THEN struct(i + 1 AS c, array_append(acc.o, concat(_ma, _mb)) AS o)
+     ELSE struct(i AS c, array_append(acc.o, element_at(syms, i)) AS o)
+  END,
+  acc -> acc.o)
+"""
+    pair_gen = """
+explode(CASE WHEN size(syms) >= 2
+  THEN transform(sequence(1, size(syms) - 1),
+       i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))
+  ELSE cast(array() AS array<struct<a: string, b: string>>) END)
+"""
+    merge_rows = []
+    for k in range(_BPE_MERGES):
+        pairs = state.select("cnt", F.expr(pair_gen).alias("p")).select(
+            "p.a", "p.b", "cnt"
+        )
+        best = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.col("n").desc(), "a", "b")
+            .limit(1)
+        )
+        merge_rows.append(
+            best.select(
+                F.lit(k + 1).alias("rank"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                F.concat("a", "b").alias("merged"),
+                F.col("n").alias("pair_count"),
+            )
+        )
+        if k < _BPE_MERGES - 1:
+            state = state.crossJoin(
+                F.broadcast(
+                    best.select(F.col("a").alias("_ma"), F.col("b").alias("_mb"))
+                )
+            ).select("word", "cnt", F.expr(merge_fold).alias("syms"))
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+@register(
+    "dedup_substring_windows",
+    oracle="""
+WITH wins AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN length(text) >= 40
+         THEN list_transform(generate_series(1, length(text) - 39), i -> substr(text, i, 40))
+         ELSE []::VARCHAR[] END)) AS win
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_windows
+FROM wins a JOIN wins b ON a.win = b.win AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+""",
+    doc="Verbatim-substring near-dup pairs (operators/dedup.py::"
+    "substring_window_pairs): documents sharing any exact 40-character "
+    "window (all positions, per-doc distinct window sets), with the count "
+    "of distinct shared windows per pair — the character-level exact "
+    "companion to token-shingle Jaccard, i.e. the long-verbatim-span "
+    "removal practiced in pretraining dedup (overlapping char windows "
+    "approximate a suffix-array substring match: any copied span "
+    ">= 40 chars is caught exactly). Same single-scan inverted-index "
+    "plan as the n-gram operators — two map-side-combinable shuffles, "
+    "O(total chars) index rows (what a suffix-array build costs too); "
+    "boilerplate windows cap via max_df, and at 100 TB a stride>1 first "
+    "pass feeds a stride-1 verify. Oracle: independent window self-join.",
+)
+def q_dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import substring_window_pairs
+
+    return substring_window_pairs(_docs(spark, sf_dir), window=40)
+
+
 @register(
     "dedup_minhash_lsh",
     oracle=None,  # xxhash64-based; verified by recall test vs exact Jaccard

@@ -206,3 +206,102 @@ def test_ivf_training_sample_deterministic_and_sortfree(spark, sf_dir):
     with redirect_stdout(buf):
         sample.explain("formatted")
     assert "Sort" not in buf.getvalue()
+
+
+def test_bpe_merges_match_reference_implementation(spark, sf_dir):
+    """The distributed BPE induction must equal a pure-Python reference BPE
+    (word counts -> char symbols + </w> -> greedy most-frequent-pair
+    merges with (count desc, pair asc) tie-break) — ground truth
+    independent of BOTH engines."""
+    import collections
+
+    from energy_data_stream_processing_spark.plans.catalog import all_queries
+    from energy_data_stream_processing_spark.sources.adapter import load_table
+
+    got = sorted(
+        map(tuple, all_queries()["bpe_merge_induction"].builder(spark, sf_dir).collect())
+    )
+    vocab = collections.Counter()
+    for (t,) in load_table(spark, sf_dir, "documents").select(F.lower(F.trim("text"))).collect():
+        for w in t.split(" "):
+            if w:
+                vocab[w] += 1
+    state = {w: tuple(list(w) + ["</w>"]) for w in vocab}
+    want = []
+    for rank in range(1, 7):
+        pc = collections.Counter()
+        for w, syms in state.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += vocab[w]
+        (a, b), n = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        want.append((rank, a, b, a + b, n))
+        nxt = {}
+        for w, syms in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt[w] = tuple(out)
+        state = nxt
+    assert got == sorted(want)
+
+
+def test_substring_windows_catch_planted_copy(spark):
+    """A 60-char verbatim span copied between two documents must surface as
+    a pair with exactly 60-40+1 = 21 shared windows; an unrelated document
+    must not pair with either."""
+    from energy_data_stream_processing_spark.operators.dedup import (
+        substring_window_pairs,
+    )
+
+    span = "The quick brown fox jumps over the lazy dog #00042 and naps."
+    assert len(span) == 60 and len(set(span)) > 1
+    # boundary characters deliberately DIFFER between the two docs so only
+    # windows fully inside the span match (a shared boundary char would add
+    # windows straddling the copy)
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix one here:" + span + "Xsuffix alpha."),
+            (2, "totally different lead-in " + span + " and another tail."),
+            (3, "no overlap with anyone else at all in this entirely distinct text body."),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["shared_windows"]
+        for r in substring_window_pairs(docs, window=40).collect()
+    }
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] == 21
+
+
+def test_epoch_shuffle_partitions_and_reshuffles(spark, sf_dir):
+    """Every epoch assigns every document exactly once; positions are dense
+    per (epoch, shard); different epochs produce genuinely different
+    orders; and the assignment is deterministic across invocations."""
+    from energy_data_stream_processing_spark.plans.catalog import all_queries
+    from energy_data_stream_processing_spark.sources.adapter import load_table
+
+    q = all_queries()["epoch_shuffle_assignment"]
+    rows = q.builder(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, []).append(r)
+    assert set(by_epoch) == {0, 1, 2}
+    for e, rs in by_epoch.items():
+        assert len(rs) == n_docs and len({r.doc_id for r in rs}) == n_docs
+        per_shard = {}
+        for r in rs:
+            per_shard.setdefault(r.shard, []).append(r.position)
+        for shard, pos in per_shard.items():
+            assert sorted(pos) == list(range(len(pos))), (e, shard)
+    order0 = [r.doc_id for r in sorted(by_epoch[0], key=lambda r: (r.shard, r.position))]
+    order1 = [r.doc_id for r in sorted(by_epoch[1], key=lambda r: (r.shard, r.position))]
+    assert order0 != order1  # epochs genuinely reshuffle
+    again = sorted(map(tuple, q.builder(spark, sf_dir).collect()))
+    assert again == sorted(map(tuple, rows))
