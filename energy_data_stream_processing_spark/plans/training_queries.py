@@ -546,6 +546,93 @@ def q_embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semantic_dedup_keep",
+    oracle=f"""
+WITH RECURSIVE base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300
+),
+jp AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM base a, base b
+  WHERE a.vec_id < b.vec_id
+    AND {_DDOT.format(a="a.v", b="b.v")} / ({_DNORM.format(a="a.v")} * {_DNORM.format(a="b.v")}) >= 0.35
+),
+edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM jp
+  UNION ALL SELECT vec_b, vec_a FROM jp
+),
+reach AS (
+  SELECT vec_id AS src, vec_id AS node FROM base
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src
+),
+comp AS (SELECT src AS vec_id, min(node) AS component_id FROM reach GROUP BY src),
+scored AS (
+  SELECT c.component_id, b.vec_id, {_DNORM.format(a="b.v")} AS nrm
+  FROM comp c JOIN base b USING (vec_id)
+),
+ranked AS (
+  SELECT component_id, vec_id, nrm,
+    row_number() OVER (PARTITION BY component_id ORDER BY nrm DESC, vec_id) AS rk,
+    count(*) OVER (PARTITION BY component_id) AS csize
+  FROM scored
+)
+SELECT component_id, csize::BIGINT AS cluster_size,
+  vec_id AS keep_vec_id, nrm AS keep_norm,
+  (csize - 1)::BIGINT AS dropped
+FROM ranked WHERE rk = 1 AND csize > 1
+""",
+    doc="Semantic (embedding-space) dedup with canonical-copy selection — "
+    "the SemDeDup-style curation step: connected components over the "
+    "cosine>=0.35 near-dup pair graph (operators/dedup.py::"
+    "connected_components reused verbatim on embedding ids), then within "
+    "each multi-member cluster KEEP the highest-L2-norm vector (deter-"
+    "ministic proxy for the most-informative copy; vec_id tiebreak) and "
+    "account the drops. Composes three proven pieces — bit-exact cosine "
+    "fold pairs, iterative min-label components, per-cluster argmax — so "
+    "the oracle (recursive-CTE closure + windowed argmax over the same "
+    "IEEE folds) is value-exact including the norm ordering. Scale: pair "
+    "generation swaps to the LSH/IVF candidate path at 100 TB (documented "
+    "in the ANN entries); components/selection cost is cluster-bounded.",
+)
+def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.dedup import connected_components
+
+    emb = _emb(spark, sf_dir)
+    base = emb.where(F.col("vec_id") < 300)
+    pairs = similar_pairs(emb, threshold=0.35, max_id=300)
+    edges = pairs.select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"))
+    )
+    comp = connected_components(
+        base.select(F.col("vec_id").alias("doc_id")), edges, max_iter=25
+    ).select(F.col("doc_id").alias("vec_id"), "component_id")
+    nrm = F.expr(
+        "sqrt(aggregate(transform(embedding, x -> cast(x AS DOUBLE) * cast(x AS DOUBLE)), "
+        "cast(0 AS DOUBLE), (acc, x) -> acc + x))"
+    )
+    scored = base.select("vec_id", nrm.alias("nrm")).join(comp, "vec_id")
+    w = Window.partitionBy("component_id").orderBy(F.col("nrm").desc(), "vec_id")
+    wc = Window.partitionBy("component_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .withColumn("csize", F.count(F.lit(1)).over(wc))
+        .where((F.col("rk") == 1) & (F.col("csize") > 1))
+        .select(
+            "component_id",
+            F.col("csize").cast("long").alias("cluster_size"),
+            F.col("vec_id").alias("keep_vec_id"),
+            F.col("nrm").alias("keep_norm"),
+            (F.col("csize") - 1).cast("long").alias("dropped"),
+        )
+    )
+
+
+@register(
     "ann_lsh_topk",
     oracle=None,  # approximate by design; recall measured vs exact in tests
     headline=True,

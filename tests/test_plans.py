@@ -624,3 +624,36 @@ def test_multimodal_meta_never_reads_payload(spark, sf_dir):
     plan = meta_only._jdf.queryExecution().executedPlan().toString()
     schemas = re.findall(r"ReadSchema: struct<([^\n]*)", plan)
     assert schemas and all("content" not in s for s in schemas), schemas
+
+
+def test_substring_windows_single_scan_two_shuffles(spark, sf_dir):
+    """The char-window inverted index must read documents ONCE with only
+    (doc_id, text) in the scan, and shuffle exactly twice (window bucket,
+    pair count) — both map-side combinable aggregates."""
+    plan = _plan(spark, sf_dir, "dedup_substring_windows")
+    assert len(re.findall(r"Scan parquet", plan)) == 1
+    schemas = re.findall(r"ReadSchema: struct<([^\n]*)", plan)
+    cols = {c.split(":")[0] for s in schemas for c in s.split(",")[:-1] if c}
+    assert cols <= {"doc_id", "text"}, cols
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_epoch_shuffle_no_global_window(spark, sf_dir):
+    """Epoch shuffle must never serialize: shards are hash-derived, so the
+    only window partitions by (epoch, shard) — no SinglePartition exchange
+    anywhere in the plan."""
+    plan = _plan(spark, sf_dir, "epoch_shuffle_assignment")
+    assert "SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bpe_induction_stays_jvm_side(spark, sf_dir):
+    """BPE merge induction is fully declarative: per-round argmax compiles
+    to TakeOrderedAndProject (never a global sort of the pair table), the
+    merge application is a JVM higher-order fold, and no Python evaluator
+    of any kind appears."""
+    plan = _plan(spark, sf_dir, "bpe_merge_induction")
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan

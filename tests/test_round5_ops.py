@@ -305,3 +305,45 @@ def test_epoch_shuffle_partitions_and_reshuffles(spark, sf_dir):
     assert order0 != order1  # epochs genuinely reshuffle
     again = sorted(map(tuple, q.builder(spark, sf_dir).collect()))
     assert again == sorted(map(tuple, rows))
+
+
+def test_semantic_dedup_keeps_max_norm_member(spark, sf_dir):
+    """Each reported cluster's keep must be a member of its own component
+    with the maximum L2 norm (vec_id tiebreak), and cluster sizes must
+    account every component member."""
+    import math
+
+    from energy_data_stream_processing_spark.plans.catalog import all_queries
+    from energy_data_stream_processing_spark.sources.adapter import load_table
+
+    rows = all_queries()["semantic_dedup_keep"].builder(spark, sf_dir).collect()
+    assert rows
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300).collect()
+    }
+    # independent reconstruction of components from the pairs entry
+    pairs = all_queries()["embedding_similar_pairs"].builder(spark, sf_dir).collect()
+    parent = {v: v for v in emb}
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for p in pairs:
+        a, b = find(p["vec_a"]), find(p["vec_b"])
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    comps = {}
+    for v in emb:
+        comps.setdefault(find(v), []).append(v)
+    multi = {min(ms): ms for ms in (sorted(m) for m in comps.values()) if len(ms) > 1}
+    got = {r["component_id"]: r for r in rows}
+    assert set(got) == set(multi)
+    for cid, members in multi.items():
+        r = got[cid]
+        assert r["cluster_size"] == len(members)
+        norms = {v: math.sqrt(sum(float(x) * float(x) for x in emb[v])) for v in members}
+        best = sorted(members, key=lambda v: (-norms[v], v))[0]
+        assert r["keep_vec_id"] == best
+        assert r["dropped"] == len(members) - 1
