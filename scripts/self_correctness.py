@@ -1,7 +1,8 @@
 """Emit CORRECTNESS_SELF.json: the repo's own driver-style differential.
 
-The per-round driver gate checks only ~50 of the 124 catalog entries; this
-script runs ALL of them (116 oracle twins + rows-only for the rest) with a
+The per-round driver gate checks only ~50 of the catalog entries (184 as
+of round 5); this script runs ALL of them (179 oracle twins + rows-only
+for the 5 approximate-by-design sketches) with a
 dtype-SENSITIVE compare (the repo's pytest differential normalizes via
 ``repr`` and so masks e.g. DuckDB HUGEINT vs Spark bigint — exactly the
 artifact class that burned rounds 1-2), so regressions outside the driver's
