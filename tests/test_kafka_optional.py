@@ -242,3 +242,44 @@ def test_fake_kafka_streaming_sink_roundtrip(fake_broker, sf_dir, tmp_path):
         map(tuple, envelopes.select("event_type", "event_time").collect())
     )
     assert got == want and len(got) == 60
+
+
+def test_fake_kafka_stream_checkpoint_restart_no_duplicates(fake_broker, sf_dir, tmp_path):
+    """END-TO-END restart through Spark's offset log against the fake
+    broker: drain once with maxOffsetsPerTrigger pacing, stop, restart a
+    second query on the SAME checkpoint (fresh reader — pacing cursor
+    resets). Zero rows may re-emit: the high-watermark clip must hold for
+    the kafka-contract reader exactly as it does for jsonl_replay."""
+    from energy_data_stream_processing_spark.sources.kafka import (
+        kafka_stream_source,
+        write_kafka_batch,
+    )
+
+    spark = fake_broker
+    broker = str(tmp_path / "broker")
+    topic = "events-restart"
+    write_kafka_batch(_envelopes(spark, sf_dir, n=40), broker, topic, fmt="kafkafake")
+    ckpt = str(tmp_path / "ckpt")
+    seen = []
+
+    def run_once():
+        stream = kafka_stream_source(
+            spark, broker, topic, max_offsets_per_trigger=15, fmt="kafkafake"
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: seen.extend(map(tuple, df.collect()))
+            )
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    n_first = len(seen)
+    assert n_first == 40
+    run_once()
+    assert len(seen) == n_first, f"restart re-emitted {len(seen) - n_first} records"
