@@ -482,6 +482,67 @@ def q_dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "boilerplate_windows",
+    oracle="""
+WITH wins AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN length(text) >= 40
+         THEN list_transform(generate_series(1, length(text) - 39), i -> substr(text, i, 40))
+         ELSE []::VARCHAR[] END)) AS win
+  FROM documents
+),
+df AS (SELECT win, count(*) AS doc_freq FROM wins GROUP BY win),
+tot AS (SELECT count(*) AS n_docs FROM documents)
+SELECT win AS window_text, doc_freq,
+  doc_freq / cast(n_docs AS DOUBLE) AS doc_share
+FROM df, tot WHERE doc_freq >= 3
+ORDER BY doc_freq DESC, window_text LIMIT 50
+""",
+    doc="Boilerplate mining: the 40-char windows appearing in the MOST "
+    "documents (df >= 3, top-50) with their document share — the curation "
+    "step that finds site-wide headers/footers/navigation chrome BEFORE "
+    "near-dup detection, so boilerplate can be stripped (or max_df-capped "
+    "in the pair index) instead of welding unrelated pages into one giant "
+    "duplicate cluster. Reuses the substring window projection "
+    "(operators/dedup.py::substring_window_pairs' index side): one scan, "
+    "one map-combinable window-count shuffle, TakeOrdered top-50 — never "
+    "pair generation. At 100 TB this is the cheap pre-pass whose output "
+    "feeds the dedup operators' max_df/stoplist.",
+)
+def q_boilerplate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    wins = docs.select(
+        "doc_id",
+        F.explode_outer(
+            F.expr(
+                """
+                CASE WHEN length(text) >= 40
+                     THEN array_distinct(transform(
+                            sequence(1, length(text) - 39),
+                            i -> substring(text, i, 40)))
+                     ELSE array()
+                END
+                """
+            )
+        ).alias("win"),
+    ).where(F.col("win").isNotNull())
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        wins.groupBy("win")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .where(F.col("doc_freq") >= 3)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("win").alias("window_text"),
+            "doc_freq",
+            (F.col("doc_freq") / F.col("n_docs").cast("double")).alias("doc_share"),
+        )
+        .orderBy(F.col("doc_freq").desc(), "window_text")
+        .limit(50)
+    )
+
+
+@register(
     "dedup_minhash_lsh",
     oracle=None,  # xxhash64-based; verified by recall test vs exact Jaccard
     headline=True,

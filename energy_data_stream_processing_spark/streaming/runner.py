@@ -1153,6 +1153,80 @@ def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+from ..plans.energy_queries import SCD2_ORACLE  # noqa: E402
+
+
+@register(
+    "streaming_scd2_maintenance",
+    oracle=SCD2_ORACLE,  # the batch build's oracle — stream≡batch SCD2 gate
+    doc="Continuous SCD2 dimension maintenance: tariff-switch events arrive "
+    "as 3 HASH-chunked micro-batches (interleaved in event time — every "
+    "batch after the first is late data for some customer), and each "
+    "foreachBatch increment folds into the persisted bucket-partitioned "
+    "dimension via operators/scd2.py::scd2_apply_increment — reconstruct "
+    "ONLY the affected buckets' switches from stored rows, union the "
+    "increment (deduped on full switch identity, so at-least-once batch "
+    "retries are no-ops), window-rebuild that slice, dynamic-overwrite "
+    "its partitions. The final store must equal the one-shot batch SCD2 "
+    "build (SHARED oracle) — versions renumbered and validity ranges "
+    "reopened across batch boundaries exactly as a full rebuild would. "
+    "This is the streaming leg of the incremental-dimension triple "
+    "(batch build / incremental apply / continuous fold), the warehouse "
+    "counterpart of streaming_incremental_dedup. Work per batch is "
+    "bucket-slice-sized; the dimension is never rebuilt whole.",
+)
+def q_streaming_scd2_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..operators.scd2 import scd2_apply_increment, scd2_init_store
+    from ..sources.adapter import energy_events
+
+    sw = (
+        energy_events(spark, sf_dir)
+        .where(F.col("event_type") == "tariff_switch")
+        .select("customer_id", "tariff_type", "event_time", "event_id")
+    )
+    # 3 hash-chunk files -> time-interleaved ordered micro-batches
+    src = tempfile.mkdtemp(prefix="scd2-chunks-")
+    stage = tempfile.mkdtemp(prefix="scd2-chunks-stage-")
+    for i in range(3):
+        d = f"{stage}/c{i}"
+        (
+            sw.where(F.pmod(F.xxhash64(F.col("event_id")), F.lit(3)) == i)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        os.rename(f"{d}/{part}", f"{src}/chunk_{i}.parquet")
+    shutil.rmtree(stage, ignore_errors=True)
+
+    store = tempfile.mkdtemp(prefix="scd2-stream-") + "/dim"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        if not os.path.isdir(store):
+            scd2_init_store(s, store, batch_df)
+        else:
+            scd2_apply_increment(s, store, batch_df)
+
+    q = (
+        spark.readStream.schema(sw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="scd2-stream-ckpt-"))
+        .start()
+    )
+    q.awaitTermination()
+
+    return spark.read.parquet(store).select(
+        "customer_id", "tariff_type", "valid_from", "valid_to",
+        "version", "is_current",
+    )
+
+
 from ..plans.energy_queries import ASOF_ACTIVE_TARIFF_ORACLE  # noqa: E402
 
 

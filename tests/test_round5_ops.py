@@ -347,3 +347,45 @@ def test_semantic_dedup_keeps_max_norm_member(spark, sf_dir):
         best = sorted(members, key=lambda v: (-norms[v], v))[0]
         assert r["keep_vec_id"] == best
         assert r["dropped"] == len(members) - 1
+
+
+def test_streaming_scd2_equals_batch_build(spark, sf_dir):
+    """The streaming SCD2 fold over hash-interleaved micro-batches must
+    leave the store equal to the one-shot batch build — the stream≡batch
+    law for dimension maintenance."""
+    from energy_data_stream_processing_spark.operators.scd2 import scd2_build
+    from energy_data_stream_processing_spark.plans.catalog import all_queries
+    from energy_data_stream_processing_spark.sources.adapter import energy_events
+
+    got = sorted(
+        map(
+            tuple,
+            all_queries()["streaming_scd2_maintenance"].builder(spark, sf_dir).collect(),
+        )
+    )
+    sw = energy_events(spark, sf_dir).where(
+        F.col("event_type") == "tariff_switch"
+    ).select("customer_id", "tariff_type", "event_time", "event_id")
+    cols = ["customer_id", "tariff_type", "valid_from", "valid_to", "version", "is_current"]
+    want = sorted(map(tuple, scd2_build(sw).select(*cols).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_substring_windows_max_df_caps_boilerplate(spark):
+    """With max_df set, windows shared by more than max_df documents must
+    drop out of the pair index: planted boilerplate across 5 docs pairs
+    everyone without the cap and no one with max_df=3."""
+    from energy_data_stream_processing_spark.operators.dedup import (
+        substring_window_pairs,
+    )
+
+    chrome = "SITE NAVIGATION HEADER chrome v1.2 - about | contact | legal."
+    docs = spark.createDataFrame(
+        [(i, chrome + f" unique body text number {i} with no other overlap at all.")
+         for i in range(5)],
+        "doc_id long, text string",
+    )
+    uncapped = substring_window_pairs(docs, window=40).collect()
+    assert len(uncapped) == 10  # all C(5,2) pairs welded by the boilerplate
+    capped = substring_window_pairs(docs, window=40, max_df=3).collect()
+    assert capped == []
