@@ -34,8 +34,10 @@ from ..operators.similarity import (
 from ..operators.text import (
     BPE_TOKEN_RE,
     PII_PATTERNS,
+    bpe_tokens,
     chunk_documents,
     doc_fingerprints,
+    fingerprint,
     lang_id,
     redact_pii,
     text_quality,
@@ -479,6 +481,84 @@ def q_dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import substring_window_pairs
 
     return substring_window_pairs(_docs(spark, sf_dir), window=40)
+
+
+@register(
+    "dedup_impact_report",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, md5(lower(trim(text))) AS fp,
+    cast(len(regexp_extract_all(lower(trim(text)), '{{tok}}')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+keeps AS (SELECT fp, min(doc_id) AS keep_doc_id, count(*) AS copies FROM t GROUP BY fp)
+SELECT
+  (SELECT count(*) FROM t)::BIGINT AS n_docs_before,
+  (SELECT count(*) FROM keeps)::BIGINT AS n_docs_after,
+  (SELECT count(*) FROM keeps WHERE copies > 1)::BIGINT AS n_dup_clusters,
+  ((SELECT count(*) FROM t) - (SELECT count(*) FROM keeps))
+    / (SELECT cast(count(*) AS DOUBLE) FROM t) AS docs_removed_share,
+  (SELECT sum(n_tokens) FROM t)::BIGINT AS n_tokens_before,
+  (SELECT sum(t.n_tokens) FROM t JOIN keeps k ON t.doc_id = k.keep_doc_id)::BIGINT AS n_tokens_after,
+  ((SELECT sum(n_tokens) FROM t)
+   - (SELECT sum(t.n_tokens) FROM t JOIN keeps k ON t.doc_id = k.keep_doc_id))
+    / (SELECT cast(sum(n_tokens) AS DOUBLE) FROM t) AS tokens_removed_share
+""".replace("{tok}", BPE_TOKEN_RE),
+    doc="The curation run's headline number: ONE row quantifying what exact "
+    "dedup removes — documents and BPE tokens before/after keeping the "
+    "min-doc_id copy per content fingerprint, duplicate-cluster count, "
+    "and removed shares. Every curation pipeline reports exactly this "
+    "before/after table; here it is a query, not a log line. Plan: one "
+    "scan computes fingerprints and token counts together, one "
+    "map-combinable fingerprint groupBy, a keep-side semi-join for the "
+    "surviving token mass, and a single-row final aggregate — no second "
+    "corpus scan. Shares divide exact integer counts, so the doubles are "
+    "bit-identical cross-engine.",
+)
+def q_dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    t = docs.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fp"),
+        F.size(bpe_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    keeps = t.groupBy("fp").agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("copies")
+    )
+    totals = t.agg(
+        F.count(F.lit(1)).alias("n_docs_before"),
+        F.sum("n_tokens").alias("n_tokens_before"),
+    )
+    keep_stats = (
+        t.join(
+            keeps.select(F.col("keep_doc_id").alias("doc_id")), "doc_id", "left_semi"
+        ).agg(
+            F.count(F.lit(1)).alias("n_docs_after"),
+            F.sum("n_tokens").alias("n_tokens_after"),
+        )
+    )
+    clusters = keeps.where(F.col("copies") > 1).agg(
+        F.count(F.lit(1)).alias("n_dup_clusters")
+    )
+    return (
+        totals.crossJoin(keep_stats)
+        .crossJoin(clusters)
+        .select(
+            "n_docs_before",
+            "n_docs_after",
+            "n_dup_clusters",
+            (
+                (F.col("n_docs_before") - F.col("n_docs_after"))
+                / F.col("n_docs_before").cast("double")
+            ).alias("docs_removed_share"),
+            "n_tokens_before",
+            "n_tokens_after",
+            (
+                (F.col("n_tokens_before") - F.col("n_tokens_after"))
+                / F.col("n_tokens_before").cast("double")
+            ).alias("tokens_removed_share"),
+        )
+    )
 
 
 @register(

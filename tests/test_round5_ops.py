@@ -389,3 +389,21 @@ def test_substring_windows_max_df_caps_boilerplate(spark):
     assert len(uncapped) == 10  # all C(5,2) pairs welded by the boilerplate
     capped = substring_window_pairs(docs, window=40, max_df=3).collect()
     assert capped == []
+
+
+def test_dedup_impact_report_consistency(spark, sf_dir):
+    """The impact report's counts must be internally consistent and agree
+    with the exact_dedup operator's keep set."""
+    from energy_data_stream_processing_spark.operators.dedup import exact_dedup
+    from energy_data_stream_processing_spark.plans.catalog import all_queries
+    from energy_data_stream_processing_spark.sources.adapter import load_table
+
+    r = all_queries()["dedup_impact_report"].builder(spark, sf_dir).collect()[0]
+    docs = load_table(spark, sf_dir, "documents")
+    ded = exact_dedup(docs)
+    assert r.n_docs_before == docs.count()
+    assert r.n_docs_after == ded.count()
+    assert r.n_dup_clusters == ded.where(F.col("has_duplicates")).count()
+    assert 0.0 <= r.docs_removed_share < 1.0
+    assert 0.0 <= r.tokens_removed_share < 1.0
+    assert r.n_tokens_after <= r.n_tokens_before
