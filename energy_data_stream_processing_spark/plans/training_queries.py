@@ -687,6 +687,68 @@ def q_embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_label_consistency",
+    oracle=f"""
+WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM base WHERE vec_id < 100),
+scored AS (
+  SELECT query_id, qlabel, vec_id, label AS nlabel,
+    {_DDOT.format(a="qv", b="v")} / ({_DNORM.format(a="qv")} * {_DNORM.format(a="v")}) AS cosine
+  FROM base, q WHERE vec_id <> query_id
+),
+topk AS (
+  SELECT query_id, qlabel, nlabel FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+    FROM scored
+  ) WHERE rank <= 5
+)
+SELECT query_id AS vec_id, qlabel AS label,
+  cast(count(CASE WHEN nlabel = qlabel THEN 1 END) AS BIGINT) AS n_agree,
+  count(CASE WHEN nlabel = qlabel THEN 1 END) / 5.0 AS agreement,
+  count(CASE WHEN nlabel = qlabel THEN 1 END) / 5.0 < 0.4 AS flagged
+FROM topk GROUP BY 1, 2
+""",
+    doc="kNN label-consistency audit — the classic mislabeled-example "
+    "detector for labeled training sets: for each vector in the audited "
+    "panel (first 100 ids), the fraction of its 5 exact-cosine nearest "
+    "neighbors sharing its label; low agreement (< 0.4) flags a likely "
+    "label error for human review. Same physical shape as cosine_topk "
+    "(broadcast panel, one narrow corpus pass, partitioned top-k window) "
+    "with the label comparison folded into the final panel-sized "
+    "aggregate; at 100 TB the neighbor search swaps to the LSH/IVF "
+    "candidate path and this scoring stage is unchanged. Value-exact "
+    "oracle via the proven IEEE cosine folds.",
+)
+def q_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    labels = emb.select("vec_id", "label")
+    topk = cosine_topk(emb, num_queries=100, k=5)
+    joined = (
+        topk.join(
+            F.broadcast(labels.selectExpr("vec_id AS query_id", "label AS qlabel")),
+            "query_id",
+        )
+        .join(
+            F.broadcast(labels.selectExpr("vec_id AS neighbor_id", "label AS nlabel")),
+            "neighbor_id",
+        )
+    )
+    agree = F.count(F.when(F.col("nlabel") == F.col("qlabel"), 1))
+    return (
+        joined.groupBy(
+            F.col("query_id").alias("vec_id"), F.col("qlabel").alias("label")
+        )
+        .agg(
+            agree.cast("long").alias("n_agree"),
+            (agree / F.lit(5.0)).alias("agreement"),
+            ((agree / F.lit(5.0)) < 0.4).alias("flagged"),
+        )
+    )
+
+
+@register(
     "semantic_dedup_keep",
     oracle=f"""
 WITH RECURSIVE base AS (

@@ -407,3 +407,38 @@ def test_dedup_impact_report_consistency(spark, sf_dir):
     assert 0.0 <= r.docs_removed_share < 1.0
     assert 0.0 <= r.tokens_removed_share < 1.0
     assert r.n_tokens_after <= r.n_tokens_before
+
+
+def test_knn_label_consistency_flags_planted_mislabel(spark):
+    """A vector placed inside a tight same-direction cluster but carrying a
+    DIFFERENT label must be flagged (agreement 0); cluster members with
+    consistent labels must not be."""
+    from energy_data_stream_processing_spark.operators.similarity import cosine_topk
+
+    # two tight clusters along orthogonal axes, 6 members each
+    rows = []
+    for i in range(6):
+        rows.append((i, "A" if i != 5 else "B",
+                     [1.0, 0.001 * i] + [0.0] * 62))       # cluster on axis 0
+    for i in range(6, 12):
+        rows.append((i, "B", [0.001 * i, 1.0] + [0.0] * 62))  # cluster on axis 1
+    emb = spark.createDataFrame(rows, "vec_id long, label string, embedding array<float>")
+
+    topk = cosine_topk(emb, num_queries=12, k=5)
+    from pyspark.sql import functions as SF
+    labels = emb.select("vec_id", "label")
+    joined = (
+        topk.join(labels.selectExpr("vec_id AS query_id", "label AS qlabel"), "query_id")
+        .join(labels.selectExpr("vec_id AS neighbor_id", "label AS nlabel"), "neighbor_id")
+    )
+    agree = SF.count(SF.when(SF.col("nlabel") == SF.col("qlabel"), 1))
+    out = {
+        r["vec_id"]: (r["n_agree"], r["flagged"])
+        for r in joined.groupBy(SF.col("query_id").alias("vec_id"))
+        .agg(agree.cast("long").alias("n_agree"),
+             ((agree / SF.lit(5.0)) < 0.4).alias("flagged"))
+        .collect()
+    }
+    assert out[5] == (0, True)          # the mislabeled cluster member
+    assert all(not out[i][1] for i in range(5))   # consistent A members
+    assert all(not out[i][1] for i in range(6, 12))
