@@ -686,6 +686,111 @@ def q_embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similar_pairs(_emb(spark, sf_dir), threshold=0.35, max_id=300)
 
 
+# Normalized truncated rank-biased-overlap weights, p=0.9, depth 5: a pair
+# matched at ranks (ra, rb) contributes W[max(ra, rb)] (the tail weight of
+# its worse rank), normalized by the identity total sum(W) so identical
+# top-5 rankings score 1.0 (to within one float rounding). Precomputed in
+# Python and embedded as the SAME decimal literals in Spark and DuckDB so
+# the doubles are bit-equal.
+_RBO_W = [
+    "0.4965617445239432",
+    "0.2523674635540035",
+    "0.1424800371175307",
+    "0.07654758125564701",
+    "0.03204317354887549",
+]
+_RBO_CASE_SQL = (
+    # per-branch DOUBLE casts: bare decimal literals parse as DECIMAL in
+    # BOTH engines, and a decimal fold would diverge from the double one
+    "CASE greatest(ra, rb) "
+    + " ".join(
+        f"WHEN {m + 1} THEN CAST({w} AS DOUBLE)" for m, w in enumerate(_RBO_W)
+    )
+    + " END"
+)
+
+
+@register(
+    "retrieval_rbo_eval",
+    oracle=f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+tbase AS (SELECT vec_id, (embedding[1:16])::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 20),
+tq AS (SELECT vec_id AS query_id, v AS qv FROM tbase WHERE vec_id < 20),
+exact AS (
+  SELECT query_id, vec_id AS nid, rank AS ra FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY
+        {_DDOT.format(a="qv", b="v")} / ({_DNORM.format(a="qv")} * {_DNORM.format(a="v")}) DESC,
+        vec_id) AS rank
+    FROM base, q WHERE vec_id <> query_id
+  ) WHERE rank <= 5
+),
+approx AS (
+  SELECT query_id, vec_id AS nid, rank AS rb FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY
+        {_TDOT.format(a="qv", b="v")} / ({_TNORM.format(a="qv")} * {_TNORM.format(a="v")}) DESC,
+        vec_id) AS rank
+    FROM tbase, tq WHERE vec_id <> query_id
+  ) WHERE rank <= 5
+),
+matched AS (
+  SELECT e.query_id, e.nid, {_RBO_CASE_SQL} AS w
+  FROM exact e JOIN approx a ON a.query_id = e.query_id AND a.nid = e.nid
+)
+SELECT q.query_id,
+  cast(count(m.nid) AS BIGINT) AS n_matched,
+  coalesce(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(m.w ORDER BY m.nid)), (x, y) -> x + y), CAST(0.0 AS DOUBLE)) AS rbo_at_5
+FROM q LEFT JOIN matched m USING (query_id)
+GROUP BY q.query_id
+""",
+    doc="Rank-biased overlap (RBO, p=0.9, truncated depth 5, normalized so "
+    "identical rankings score 1.0) between the deterministic "
+    "dimension-truncated retriever and exact brute-force cosine — the "
+    "top-weighted ranking-similarity metric that complements "
+    "ann_recall_eval's set overlap: recall ignores ORDER, RBO rewards "
+    "agreeing at the top, which is what retrieval quality means in "
+    "practice. A matched neighbor contributes the tail weight of its "
+    "worse rank; per-query summation is an ORDERED fold (nid order) so "
+    "the float totals are bit-identical cross-engine, with the weights "
+    "precomputed once and embedded as identical decimal literals in both "
+    "engines. Same query-panel cost shape as the other eval operators.",
+)
+def q_retrieval_rbo_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    truncated = emb.withColumn("embedding", F.slice("embedding", 1, 16))
+    exact = cosine_topk(emb, num_queries=20, k=5).select(
+        "query_id", F.col("neighbor_id").alias("nid"), F.col("rank").alias("ra")
+    )
+    approx = cosine_topk(truncated, num_queries=20, k=5).select(
+        "query_id", F.col("neighbor_id").alias("nid"), F.col("rank").alias("rb")
+    )
+    w_expr = F.expr(_RBO_CASE_SQL)
+    matched = exact.join(approx, ["query_id", "nid"]).select(
+        "query_id", "nid", w_expr.alias("w")
+    )
+    panel = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id")
+    )
+    return (
+        panel.join(matched, "query_id", "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("nid").cast("long").alias("n_matched"),
+            F.coalesce(
+                F.expr(
+                    "aggregate(array_sort(collect_list(struct(nid, w))), "
+                    "cast(0.0 AS DOUBLE), (acc, x) -> acc + x.w)"
+                ),
+                F.lit(0.0),
+            ).alias("rbo_at_5"),
+        )
+    )
+
+
 @register(
     "knn_label_consistency",
     oracle=f"""

@@ -442,3 +442,34 @@ def test_knn_label_consistency_flags_planted_mislabel(spark):
     assert out[5] == (0, True)          # the mislabeled cluster member
     assert all(not out[i][1] for i in range(5))   # consistent A members
     assert all(not out[i][1] for i in range(6, 12))
+
+
+def test_rbo_eval_identity_and_bounds(spark, sf_dir):
+    """RBO of a ranking against ITSELF must be exactly 1.0 for every query;
+    the truncated-retriever RBO must lie in [0, 1] and never exceed what a
+    full overlap would give."""
+    from energy_data_stream_processing_spark.operators.similarity import cosine_topk
+    from energy_data_stream_processing_spark.plans.catalog import all_queries
+    from energy_data_stream_processing_spark.plans.training_queries import (
+        _RBO_CASE_SQL,
+    )
+    from energy_data_stream_processing_spark.sources.adapter import load_table
+
+    rows = all_queries()["retrieval_rbo_eval"].builder(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 0.0 <= r.rbo_at_5 <= 1.0 + 1e-12
+        assert (r.n_matched == 0) == (r.rbo_at_5 == 0.0)
+    # identity: exact vs exact scores exactly 1.0
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = cosine_topk(emb, num_queries=20, k=5)
+    a = exact.selectExpr("query_id", "neighbor_id AS nid", "rank AS ra")
+    b = exact.selectExpr("query_id", "neighbor_id AS nid", "rank AS rb")
+    ident = (
+        a.join(b, ["query_id", "nid"])
+        .selectExpr("query_id", f"{_RBO_CASE_SQL} AS w")
+        .groupBy("query_id")
+        .agg(F.sum("w").alias("rbo"))
+        .collect()
+    )
+    assert all(abs(r.rbo - 1.0) < 1e-12 for r in ident)
