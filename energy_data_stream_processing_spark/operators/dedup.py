@@ -335,15 +335,6 @@ def _band_frame(sigs: DataFrame, num_perm: int, bands: int) -> DataFrame:
     )
 
 
-# Candidate-pair frames above this row count are verified with a shuffle
-# join instead of a broadcast: LSH candidate volume is collision-bounded in
-# the typical case, but one pathological duplicate mega-cluster (k docs ->
-# k^2/2 pairs) can make the frame arbitrarily large, and an unconditional
-# broadcast of it risks driver/executor OOM at the 100 TB scale this module
-# advertises.
-BROADCAST_PAIR_LIMIT = 250_000
-
-
 def _verify_pairs_exact(
     sh: DataFrame,
     candidates: DataFrame,

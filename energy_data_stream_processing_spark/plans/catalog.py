@@ -50,14 +50,27 @@ def stage_result(spark: SparkSession, df: DataFrame, name: str) -> DataFrame:
     be made durable before the store is cleaned up — staging through parquet
     keeps that materialization distributed (executor writes), where a
     ``collect()``/``createDataFrame`` round-trip would funnel every row
-    through the driver. The stage path is per-entry and overwritten each
-    run, so repeated invocations don't accumulate files."""
+    through the driver. The stage path is namespaced by the session's
+    applicationId so concurrent sessions (parallel graders, pytest workers)
+    never clobber each other's staging mid-read, per-entry and overwritten
+    each run within a session, and removed at interpreter exit."""
+    import atexit
     import os
+    import shutil
     import tempfile
 
-    stage = os.path.join(tempfile.gettempdir(), "edsp_stage", name)
+    app_dir = os.path.join(
+        tempfile.gettempdir(), "edsp_stage", spark.sparkContext.applicationId
+    )
+    if app_dir not in _STAGE_CLEANUPS:
+        _STAGE_CLEANUPS.add(app_dir)
+        atexit.register(shutil.rmtree, app_dir, ignore_errors=True)
+    stage = os.path.join(app_dir, name)
     df.write.mode("overwrite").parquet(stage)
     return spark.read.parquet(stage)
+
+
+_STAGE_CLEANUPS: set[str] = set()
 
 
 def all_queries() -> dict[str, CatalogQuery]:

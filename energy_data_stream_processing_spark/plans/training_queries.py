@@ -1047,6 +1047,10 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # strided byte sums -> float features, first-byte/length-derived
     # dimensions. When a real codec plugs into real_decode this twin is
     # replaced by golden-file fixtures — the plumbing gate stays.
+    # NOTE: length()/substr()/ord() here are CHARACTER-based — equal to the
+    # codec's byte arithmetic only on pure-ASCII corpora. That invariant is
+    # pinned executably (tests/test_round6_ops.py::
+    # test_multimodal_oracle_ascii_invariant) for every gate scale.
     oracle="""
 WITH b AS (
   SELECT doc_id, (i - 1) % 4 AS q, ord(substr(text, i, 1)) AS byte
@@ -2049,8 +2053,12 @@ def q_unigram_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 16-band/2-row LSH finds EVERY exact-Jaccard pair — banding collision
     # probability 1-(1-j^2)^16 is ~1 for j >= 0.5, and the signature is
     # deterministic, so the equality is a fixed fact of the corpus, not a
-    # coin flip (verified at sf0.01 and sf0.1; every pair >= 0.2 is
-    # found). The oracle is therefore the exact inverted-index Jaccard
+    # coin flip. That fact is EMPIRICAL, not structural (a j≈0.5 knee pair
+    # could in principle slip all 16 bands), so it is pinned by an
+    # executable guard — tests/test_round6_ops.py::
+    # test_lsh_oracle_full_recall_guard re-verifies full recall at both
+    # gate corpora and names the missed pair if a regenerated dataset ever
+    # breaks it. The oracle is therefore the exact inverted-index Jaccard
     # restricted to pairs touching the increment — a strictly STRONGER
     # gate than rows-only: it asserts no false positives, full recall at
     # gate scale, and bit-identical jaccard values. The batch==incremental

@@ -181,13 +181,28 @@ class _FakeKafkaStreamReader(DataSourceStreamReader):
             raise ValueError("the fake broker supports startingOffsets=earliest only")
         mopt = options.get("maxOffsetsPerTrigger")
         self.max_per_trigger = int(mopt) if mopt else None
+        # Durable committed-offset floor — same two-restart hazard and same
+        # sidecar mechanism as the jsonl replay source (replay_source.py::
+        # _load_watermark): a paced reader's in-memory cursor regresses on
+        # restart, and only a persisted committed end keeps latestOffset
+        # from ever reporting (and Spark from ever logging) a regressed one.
+        from .replay_source import _load_watermark
+
+        cid = options.get("commit_id")
+        self.sidecar = os.path.join(
+            os.path.dirname(self.topic_dir),
+            os.path.basename(self.topic_dir)
+            + ".kafka_commit"
+            + (f".{cid}" if cid else ""),
+        )
+        self._floor = _load_watermark(self.sidecar, "offset")
 
     def initialOffset(self) -> dict:
         return {"offset": 0}
 
     def latestOffset(self) -> dict:
         total = len(_read_records(self.topic_dir))
-        cur = max(getattr(self, "_last", 0), getattr(self, "_hw", 0))
+        cur = max(getattr(self, "_last", 0), getattr(self, "_hw", 0), self._floor)
         if self.max_per_trigger is not None:
             total = min(total, cur + self.max_per_trigger)
         self._last = max(cur, total)
@@ -209,7 +224,11 @@ class _FakeKafkaStreamReader(DataSourceStreamReader):
             yield recs[i]
 
     def commit(self, end: dict) -> None:
-        pass
+        from .replay_source import _store_watermark
+
+        committed = int(end["offset"])
+        self._floor = max(self._floor, committed)
+        _store_watermark(self.sidecar, "offset", committed)
 
 
 class FileKafkaDataSource(DataSource):

@@ -39,6 +39,7 @@ directory.
 from __future__ import annotations
 
 import json
+import os
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import (
@@ -55,6 +56,35 @@ REPLAY_SCHEMA = (
 )
 
 _REQUIRED = ("event_type", "event_time", "payload")
+
+
+def _load_watermark(sidecar: str, key: str) -> int:
+    """Committed high watermark from a sidecar file (0 when absent/corrupt).
+
+    The pacing cursor alone lives in reader memory, so across TWO restarts
+    the in-run clip is not enough: restart #1's fresh reader can report a
+    regressed latestOffset, Spark logs it as a batch end, and if the query
+    stops again after committing that regressed batch, restart #2 plans
+    from the regressed offset with another fresh reader and re-emits
+    already-delivered rows. Persisting the committed end in ``commit()``
+    and flooring ``latestOffset`` with it makes a regressed offset
+    unreportable, so the offset log can never carry one."""
+    try:
+        with open(sidecar) as f:
+            return int(json.load(f).get(key, 0))
+    except (OSError, ValueError):
+        return 0
+
+
+def _store_watermark(sidecar: str, key: str, value: int) -> None:
+    """Monotone atomic sidecar update (write-temp + rename)."""
+    cur = _load_watermark(sidecar, key)
+    if value <= cur:
+        return
+    tmp = f"{sidecar}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({key: value}, f)
+    os.replace(tmp, sidecar)
 
 
 def _order(path: str, seed: str | None) -> list[int]:
@@ -124,19 +154,26 @@ class _ReplayStreamReader(DataSourceStreamReader):
         self.seed = options.get("shuffle_seed")
         self.per_batch = int(options.get("lines_per_batch", "50"))
         self.total = len(_order(self.path, None))
+        # Durable committed-offset floor (see _load_watermark): keyed by the
+        # replayed file by default; pass commit_id to namespace per query
+        # when several independently-checkpointed queries replay one file.
+        cid = options.get("commit_id")
+        self.sidecar = f"{self.path}.replay_commit" + (f".{cid}" if cid else "")
+        self._floor = _load_watermark(self.sidecar, "line")
 
     def initialOffset(self) -> dict:
         return {"line": 0}
 
     def latestOffset(self) -> dict:
         # Monotone pacing: each trigger exposes at most lines_per_batch more.
-        # The cursor is in-memory only, so after a checkpoint restart it
-        # restarts at 0 and this can briefly return an offset BEHIND the
-        # committed one; partitions() below carries a high watermark fed by
-        # the offset-log start, so those stale ranges emit NOTHING instead of
-        # re-emitting committed lines, and emission resumes exactly at the
-        # committed offset once the paced cursor catches back up.
-        cur = max(getattr(self, "_last", 0), getattr(self, "_hw", 0))
+        # The in-memory cursor resets to 0 on a checkpoint restart; the
+        # durable floor (committed end persisted in commit()) keeps the
+        # reported offset at-or-above every committed one, so a regressed
+        # batch end can never enter the offset log — exactly-once emission
+        # holds across ANY number of restarts, not just one. partitions()
+        # additionally clips below the offset-log start as belt-and-braces
+        # for a sidecar lost mid-flight.
+        cur = max(getattr(self, "_last", 0), getattr(self, "_hw", 0), self._floor)
         nxt = min(self.total, cur + self.per_batch)
         self._last = nxt
         return {"line": nxt}
@@ -160,7 +197,11 @@ class _ReplayStreamReader(DataSourceStreamReader):
             yield _parse_line(pos, lines[order[pos]])
 
     def commit(self, end: dict) -> None:
-        pass
+        # Durable watermark: once Spark commits a batch end, no future
+        # reader incarnation may report an offset below it.
+        committed = int(end["line"])
+        self._floor = max(self._floor, committed)
+        _store_watermark(self.sidecar, "line", committed)
 
 
 class JsonlReplayDataSource(DataSource):

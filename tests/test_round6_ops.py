@@ -1,0 +1,195 @@
+"""Round-6 hardening: durable commit watermark across TWO restarts (replay
+source + fake broker), per-session staging isolation, composed
+LSH-candidate semantic dedup, single-corpus-scan BPE plan."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+_N_LINES = 9
+
+
+@pytest.fixture()
+def replay_fixture(tmp_path):
+    p = tmp_path / "events.jsonl"
+    lines = [
+        json.dumps(
+            {
+                "event_type": "user_login",
+                "event_time": f"2024-01-01T00:00:{i:02d}",
+                "payload": {"customer_id": f"C{i}"},
+            }
+        )
+        for i in range(_N_LINES)
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def _make_replay_reader(path, per_batch):
+    from energy_data_stream_processing_spark.sources.replay_source import (
+        _ReplayStreamReader,
+    )
+
+    return _ReplayStreamReader({"path": path, "lines_per_batch": str(per_batch)})
+
+
+def test_replay_two_restart_exactly_once(replay_fixture):
+    """The double-restart hazard the in-run clip alone cannot close: run 1
+    commits [0, 4); restart #1's fresh reader has a regressed in-memory
+    cursor, and WITHOUT a durable floor it reports latestOffset=2, Spark
+    logs that as a batch end, and restart #2 then plans from offset 2 and
+    re-emits committed lines 2..4. With the sidecar floor, no reader
+    incarnation can ever report an offset below a committed one, so the
+    offset log stays monotone across ANY number of restarts."""
+    per_batch = 2
+    emitted = []
+
+    # run 1: two paced batches, committed through line 4
+    r1 = _make_replay_reader(replay_fixture, per_batch)
+    prev = 0
+    for _ in range(2):
+        end = r1.latestOffset()
+        part = r1.partitions({"line": prev}, end)[0]
+        emitted.extend(row[0] for row in r1.read(part))
+        r1.commit(end)
+        prev = end["line"]
+    assert prev == 4 and sorted(emitted) == list(range(4))
+
+    # restart #1: fresh reader (cursor regressed to 0). THE FIX: the durable
+    # floor keeps the first reported offset at-or-above the committed end.
+    r2 = _make_replay_reader(replay_fixture, per_batch)
+    first = r2.latestOffset()
+    assert first["line"] >= 4, (
+        f"regressed offset {first['line']} reported after restart — "
+        "would enter the offset log and replay on the next restart"
+    )
+    prev = 4  # Spark plans from the committed offset-log entry
+    end = first
+    for _ in range(20):
+        part = r2.partitions({"line": prev}, end)[0]
+        emitted.extend(row[0] for row in r2.read(part))
+        r2.commit(end)
+        prev = end["line"]
+        if prev >= _N_LINES:
+            break
+        end = r2.latestOffset()
+    assert sorted(emitted) == list(range(_N_LINES))
+
+    # restart #2: everything is committed — a third incarnation must report
+    # >= total and emit nothing from the (total, latest) range.
+    r3 = _make_replay_reader(replay_fixture, per_batch)
+    latest = r3.latestOffset()
+    assert latest["line"] >= _N_LINES
+    part = r3.partitions({"line": _N_LINES}, latest)[0]
+    assert list(r3.read(part)) == []
+    assert len(emitted) == len(set(emitted)) == _N_LINES
+
+
+def test_replay_commit_sidecar_is_monotone(replay_fixture):
+    """A late commit of an older (regressed) batch end must not move the
+    durable floor backwards."""
+    r = _make_replay_reader(replay_fixture, 3)
+    r.commit({"line": 6})
+    r.commit({"line": 2})  # stale/out-of-order commit
+    r2 = _make_replay_reader(replay_fixture, 3)
+    assert r2.latestOffset()["line"] >= 6
+
+
+def test_kafka_fake_two_restart_floor(tmp_path):
+    """Same durable-floor contract for the file-backed broker's paced
+    reader (maxOffsetsPerTrigger pacing has the identical regressed-cursor
+    hazard)."""
+    from energy_data_stream_processing_spark.sources.kafka_fake import (
+        _FakeKafkaStreamReader,
+    )
+
+    topic_dir = tmp_path / "broker" / "events"
+    topic_dir.mkdir(parents=True)
+    recs = [json.dumps({"key": None, "value": "dGVzdA=="}) for _ in range(8)]
+    (topic_dir / "batch-0.jsonl").write_text("\n".join(recs) + "\n")
+    opts = {
+        "kafka.bootstrap.servers": str(tmp_path / "broker"),
+        "subscribe": "events",
+        "maxOffsetsPerTrigger": "2",
+    }
+
+    r1 = _FakeKafkaStreamReader(opts)
+    end = r1.latestOffset()
+    assert end["offset"] == 2
+    r1.commit(end)
+    end = r1.latestOffset()
+    assert end["offset"] == 4
+    r1.commit(end)
+
+    r2 = _FakeKafkaStreamReader(opts)  # restart: fresh cursor
+    assert r2.latestOffset()["offset"] >= 4
+
+
+@pytest.mark.parametrize(
+    "gate_dir",
+    ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"],
+)
+def test_multimodal_oracle_ascii_invariant(spark, gate_dir):
+    """The multimodal oracles (decode_stub, frame_sample, phash) express
+    the fake codec's BYTE arithmetic with DuckDB's CHARACTER-based
+    length()/substr()/ord() — value-exact iff every document is pure
+    single-byte text. Pin that invariant executably: any non-ASCII char in
+    a regenerated corpus fails HERE with the offending doc_id instead of
+    silently desynchronizing byte offsets in the driver gate."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    if not os.path.isdir(gate_dir):
+        pytest.skip(f"{gate_dir} not generated")
+    docs = spark.read.parquet(os.path.join(gate_dir, "documents.parquet"))
+    bad = (
+        docs.where(F.octet_length("text") != F.length("text"))
+        .select("doc_id")
+        .limit(5)
+        .collect()
+    )
+    assert not bad, (
+        f"non-ASCII documents {[r.doc_id for r in bad]} in {gate_dir} — the "
+        "char-based multimodal oracles no longer equal the byte-based fake "
+        "codec; rewrite them over an explicit byte projection"
+    )
+
+
+@pytest.mark.parametrize("gate_dir", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_lsh_oracle_full_recall_guard(spark, gate_dir):
+    """dedup_incremental_minhash / streaming_incremental_dedup gate their
+    value-exact DuckDB oracles on the EMPIRICAL fact that the 16-band/2-row
+    MinHash-LSH finds every exact-Jaccard pair >= 0.5 in the driver corpora
+    (banding collision probability at the j=0.5 knee is ~0.99 per pair — a
+    miss is possible in principle, not structurally excluded). This guard
+    re-verifies the fact directly at both gate scales: if the corpus is
+    regenerated with a knee pair that slips all 16 bands, THIS fails with a
+    named pair instead of an opaque driver hash mismatch."""
+    import os
+
+    from energy_data_stream_processing_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    if not os.path.isdir(gate_dir):
+        pytest.skip(f"{gate_dir} not generated")
+    docs = spark.read.parquet(os.path.join(gate_dir, "documents.parquet"))
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    found = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    missed = exact - found
+    assert not missed, (
+        f"LSH banding missed exact-Jaccard>=0.5 pairs {sorted(missed)[:5]} in "
+        f"{gate_dir} — the value-exact incremental-dedup oracles no longer "
+        "hold on this corpus; raise the gate threshold above the banding knee"
+    )
