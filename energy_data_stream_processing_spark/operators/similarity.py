@@ -193,25 +193,27 @@ def _train_ivf_centroids(
 
     IVF training is the one legitimately driver-side step: the model is
     nlist x dim floats learned from a FIXED-size sample, so its cost is
-    independent of corpus size. The sample is a deterministic hash-mod
-    filter — ``pmod(xxhash64(vec_id), m) == 0`` with ``m`` sized from one
-    corpus count so the filter passes ~2x the cap — NOT an
-    ``orderBy(vec_id).limit`` (a global sort over the corpus at 100 TB).
-    The selected id set is a pure function of the corpus, and the
-    driver-side sort of the (bounded) selection keeps init order stable, so
-    centroids stay fully deterministic: init = first nlist sample vectors,
-    empty cells keep their old centroid, no RNG anywhere.
+    independent of corpus size. The sample is the ``sample_cap`` rows with
+    the smallest ``xxhash64(vec_id)`` — a uniform deterministic draw that
+    adapts to any corpus size with NO separate sizing ``count()`` (the
+    previous hash-mod scheme spent one extra corpus scan computing ``m``).
+    ``orderBy(hash).limit(cap)`` compiles to TakeOrderedAndProject: a
+    per-partition top-``cap`` heap merged on the driver — ONE narrow corpus
+    scan, no shuffle, no range-partitioned global sort (plan-gated in
+    tests/test_round5_ops.py). The selected id set is a pure function of
+    the corpus, and the driver-side re-sort by vec_id keeps init order
+    stable, so centroids stay fully deterministic: init = first nlist
+    sample vectors, empty cells keep their old centroid, no RNG anywhere.
     """
     import numpy as np
 
-    n = embeddings.count()
-    m = max(1, n // max(1, 2 * sample_cap))
     rows = (
         embeddings.select("vec_id", "embedding")
-        .where(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(m)) == 0)
+        .orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
+        .limit(sample_cap)
         .collect()
     )
-    rows = sorted(rows, key=lambda r: r["vec_id"])[:sample_cap]
+    rows = sorted(rows, key=lambda r: r["vec_id"])
     X = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
     Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     C = Xn[:nlist].copy()

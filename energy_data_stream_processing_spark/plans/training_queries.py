@@ -391,11 +391,20 @@ _BPE_MERGES = 6
 )
 def q_bpe_merge_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
+    # The word vocabulary is the ONLY corpus-sized computation; every one of
+    # the _BPE_MERGES union branches re-derives its merge-state chain from
+    # it, so without a persist the tokenize+groupBy scan executes once per
+    # branch (~6x the corpus reads). Persisting caps the corpus at ONE scan;
+    # the cache is vocab-sized (Heaps-law-bounded), same pattern as
+    # q_unigram_surprisal_filter. No unpersist: the builder returns a lazy
+    # plan, so the cache must outlive this function (driver-side action
+    # happens later); blocks are evicted LRU / on session stop.
     w = (
         docs.select(F.explode(F.split(F.lower(F.trim("text")), " ")).alias("word"))
         .where(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
     )
     state = w.select(
         "word", "cnt", F.expr("array_append(split(word, ''), '</w>')").alias("syms")

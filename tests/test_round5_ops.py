@@ -179,9 +179,12 @@ def test_streaming_stateful_under_rocksdb_state_store(spark, sf_dir):
 
 
 def test_ivf_training_sample_deterministic_and_sortfree(spark, sf_dir):
-    """The hash-mod training sample must yield identical centroids across
-    calls (no RNG, no partition-order dependence) and must not plan a
-    global sort over the corpus."""
+    """The smallest-hash training sample must yield identical centroids
+    across calls (no RNG, no partition-order dependence), must not plan a
+    range-partitioned global sort or ANY shuffle over the corpus (the
+    orderBy(hash).limit(cap) compiles to TakeOrderedAndProject — a
+    per-partition top-cap heap merged on the driver), and must need no
+    separate sizing count() scan."""
     import io
     from contextlib import redirect_stdout
 
@@ -196,16 +199,18 @@ def test_ivf_training_sample_deterministic_and_sortfree(spark, sf_dir):
     c1 = _train_ivf_centroids(emb, nlist=8)
     c2 = _train_ivf_centroids(emb, nlist=8)
     assert np.array_equal(c1, c2) and c1.shape[0] == 8
-    # the sampling filter itself must be sort-free
-    n = emb.count()
-    m = max(1, n // (2 * 2048))
-    sample = emb.select("vec_id", "embedding").where(
-        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(m)) == 0
+    # the sampling plan: one narrow scan, heap-based top-k, shuffle-free
+    sample = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
+        .limit(2048)
     )
     buf = io.StringIO()
     with redirect_stdout(buf):
         sample.explain("formatted")
-    assert "Sort" not in buf.getvalue()
+    plan = buf.getvalue()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan, "corpus shuffle in the sampling plan"
 
 
 def test_bpe_merges_match_reference_implementation(spark, sf_dir):

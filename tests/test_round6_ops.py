@@ -128,6 +128,27 @@ def test_kafka_fake_two_restart_floor(tmp_path):
     assert r2.latestOffset()["offset"] >= 4
 
 
+def test_bpe_single_corpus_scan_plan(spark, sf_dir):
+    """The BPE trainer's word-vocab aggregate is persisted, so all
+    _BPE_MERGES merge-rank branches read the vocab CACHE instead of
+    re-running the corpus tokenize+groupBy: the executed plan must contain
+    exactly ONE distinct parquet scan node (the documents read inside the
+    single InMemoryRelation) — before the persist there was one per branch."""
+    import re
+
+    from energy_data_stream_processing_spark.plans.catalog import all_queries
+
+    df = all_queries()["bpe_merge_induction"].builder(spark, sf_dir)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    scan_ids = set(re.findall(r"Scan parquet\s*\((\d+)\)", plan))
+    assert len(scan_ids) == 1, (
+        f"expected one distinct corpus scan, saw node ids {sorted(scan_ids)}"
+    )
+    assert "InMemoryTableScan" in plan
+
+
 @pytest.mark.parametrize(
     "gate_dir",
     ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"],
