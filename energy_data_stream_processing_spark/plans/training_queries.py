@@ -2366,6 +2366,84 @@ def q_dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semantic_dedup_lsh",
+    # The end-to-end SCALE-TRUE dedup pipeline, oracle-gated: candidates
+    # come from the banded MinHash-LSH path (never all-pairs), verify with
+    # exact Jaccard, cluster with connected components, keep the longest
+    # copy. At the 0.5 operating threshold the banding finds every exact
+    # pair (empirical fact of the gate corpora, pinned by
+    # tests/test_round6_ops.py::test_lsh_oracle_full_recall_guard), so the
+    # bucketed pipeline's output equals the declarative closure over the
+    # EXACT pair set — the oracle below — making the 100 TB plan itself the
+    # thing the driver hash-checks, not a capped stand-in.
+    oracle=f"""
+WITH RECURSIVE {_NGRAM_PAIRS_CTES},
+hp AS (SELECT doc_a, doc_b FROM jpairs WHERE jaccard >= 0.5),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM hp
+  UNION ALL SELECT doc_b, doc_a FROM hp
+),
+reach AS (
+  SELECT doc_id AS src, doc_id AS node FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src
+),
+comp AS (SELECT src AS doc_id, min(node) AS component_id FROM reach GROUP BY src),
+scored AS (
+  SELECT c.component_id, d.doc_id, len(string_split(lower(trim(d.text)), ' ')) AS n_words
+  FROM comp c JOIN documents d USING (doc_id)
+)
+SELECT component_id,
+  count(*) AS cluster_size,
+  arg_max(doc_id, cast(n_words AS BIGINT) * 100000000 - doc_id) AS keep_doc_id,
+  cast(max(n_words) AS BIGINT) AS keep_n_words,
+  (count(*) - 1)::BIGINT AS dropped_docs
+FROM scored GROUP BY component_id
+HAVING count(*) > 1
+""",
+    doc="The composed semantic-dedup pipeline AT SCALE SEMANTICS, one "
+    "entry end-to-end: banded MinHash-LSH candidate generation "
+    "(operators/dedup.py::minhash_lsh_pairs — bucket-local pair-gen, "
+    "near-linear, never all-pairs) -> exact-Jaccard verification on "
+    "candidates only -> connected components (iterative min-label "
+    "propagation) -> canonical keep of the longest copy per cluster with "
+    "drop accounting. Unlike semantic_dedup_keep (all-pairs capped at "
+    "max_id=300 as the oracle-checkable stand-in), every stage here IS "
+    "the 100 TB plan; the oracle is the independent DuckDB recursive-CTE "
+    "transitive closure + arg_max over the EXACT >=0.5 Jaccard pair set, "
+    "value-exact because banding recall at 0.5 is complete on the gate "
+    "corpora (executable guard: tests/test_round6_ops.py). Planted "
+    "mega-cluster recall is separately gated in the same test module.",
+)
+def q_semantic_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components, words
+    from ..operators.dedup import minhash_lsh_pairs as _mlp
+
+    docs = _docs(spark, sf_dir)
+    pairs = _mlp(docs, threshold=0.5)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    comp = connected_components(docs.select("doc_id"), edges)
+    scored = comp.join(
+        docs.select("doc_id", F.size(words()).alias("n_words")), "doc_id"
+    )
+    return (
+        scored.groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.max_by(
+                "doc_id",
+                F.col("n_words").cast("long") * 100000000 - F.col("doc_id"),
+            ).alias("keep_doc_id"),
+            F.max("n_words").cast("long").alias("keep_n_words"),
+            (F.count(F.lit(1)) - 1).cast("long").alias("dropped_docs"),
+        )
+        .where(F.col("cluster_size") > 1)
+    )
+
+
+@register(
     "cross_source_dup_matrix",
     oracle="""
 WITH fp AS (

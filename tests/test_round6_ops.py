@@ -128,6 +128,54 @@ def test_kafka_fake_two_restart_floor(tmp_path):
     assert r2.latestOffset()["offset"] >= 4
 
 
+def test_semantic_dedup_lsh_planted_cluster(spark):
+    """End-to-end recall gate for the composed LSH dedup pipeline on a
+    PLANTED duplicate mega-cluster: k near-identical copies (one word
+    varied, jaccard >> 0.5 pairwise) mixed with unrelated distractors must
+    come back as ONE component keeping the longest copy and dropping the
+    other k-1; distractors must not join the cluster."""
+    from pyspark.sql import functions as F
+
+    from energy_data_stream_processing_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+        words,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    k = 10
+    rows = [(i, base.replace("today", f"variant{i % 3}")) for i in range(k)]
+    # one strictly longer copy the keep rule must select
+    rows.append((k, base + " with one extra trailing clause appended"))
+    distractors = [
+        (100 + i, f"completely unrelated document number {i} about solar tariffs and billing cycles {i}")
+        for i in range(5)
+    ]
+    docs = spark.createDataFrame(rows + distractors, "doc_id long, text string")
+
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    comp = connected_components(docs.select("doc_id"), edges)
+    clusters = (
+        comp.join(docs.select("doc_id", F.size(words()).alias("n_words")), "doc_id")
+        .groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.max_by(
+                "doc_id", F.col("n_words").cast("long") * 100000000 - F.col("doc_id")
+            ).alias("keep_doc_id"),
+        )
+        .where(F.col("cluster_size") > 1)
+        .collect()
+    )
+    assert len(clusters) == 1, f"expected one planted cluster, got {clusters}"
+    c = clusters[0]
+    assert c.component_id == 0 and c.cluster_size == k + 1
+    assert c.keep_doc_id == k  # the longest copy wins
+
+
 def test_bpe_single_corpus_scan_plan(spark, sf_dir):
     """The BPE trainer's word-vocab aggregate is persisted, so all
     _BPE_MERGES merge-rank branches read the vocab CACHE instead of
