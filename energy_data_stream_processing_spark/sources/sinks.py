@@ -136,12 +136,75 @@ def jdbc_upsert_statement(
     MERGE folds it in), and the only source form Derby accepts (42XAL) —
     executed against embedded Derby in tests/test_jdbc_optional.py to prove
     twice-applied idempotence.
+
+    ``dialect="postgres_additive"`` is the reference's EXACT 16-column
+    merge shape (consumer/consumer.py:321-367): counters add
+    (``t.col + EXCLUDED.col``), the three ratio columns re-derive from the
+    summed numerator/denominator with a zero-denominator guard,
+    ``peak_hour_usage`` is last-write-wins, ``updated_at`` stamps the
+    statement time. Correct ONLY when each flush carries a strictly
+    PARTIAL delta for the hour (the reference resets its in-memory stats
+    per flush); feeding it the engine's complete aggregates double-counts
+    — and its ``active_customers``/``new_sessions`` addition double-counts
+    customers spanning flushes even in the reference (documented
+    divergence; the engine's own flush uses full-row replacement above).
+    Exposed so the reference-compat path is executable and value-testable
+    (tests/test_upsert_postgres_dialect.py re-derives D1-D3 after two
+    partial flushes), not just described.
     """
     cols = ["hour", *METRIC_COLUMNS]
     collist = ", ".join(cols)
     if dialect == "postgres":
         placeholders = ", ".join(["%s"] * len(cols))
         updates = ",\n    ".join(f"{c} = EXCLUDED.{c}" for c in METRIC_COLUMNS)
+        return (
+            f"INSERT INTO {table} ({collist})\nVALUES ({placeholders})\n"
+            f"ON CONFLICT (hour) DO UPDATE SET\n    {updates}"
+        )
+    if dialect == "postgres_additive":
+        placeholders = ", ".join(["%s"] * len(cols))
+        ratio = (
+            "{r} = CASE\n"
+            "        WHEN ({t}.{d} + EXCLUDED.{d}) > 0 THEN\n"
+            "            ({t}.{n} + EXCLUDED.{n}) /\n"
+            "            ({t}.{d} + EXCLUDED.{d})\n"
+            "        ELSE 0\n"
+            "    END"
+        )
+        add = "{c} = {t}.{c} + EXCLUDED.{c}"
+        updates = ",\n    ".join(
+            [
+                add.format(c="tariff_switches", t=table),
+                add.format(c="total_switch_revenue", t=table),
+                ratio.format(
+                    r="avg_switch_value", n="total_switch_revenue",
+                    d="tariff_switches", t=table,
+                ),
+                add.format(c="incentive_claims", t=table),
+                add.format(c="total_incentive_payouts", t=table),
+                add.format(c="green_tariff_switches", t=table),
+                add.format(c="active_customers", t=table),
+                add.format(c="new_sessions", t=table),
+                add.format(c="total_logins", t=table),
+                add.format(c="total_energy_consumed", t=table),
+                ratio.format(
+                    r="avg_consumption_per_customer", n="total_energy_consumed",
+                    d="active_customers", t=table,
+                ),
+                "peak_hour_usage = EXCLUDED.peak_hour_usage",
+                add.format(c="total_payments", t=table),
+                add.format(c="payment_events", t=table),
+                ratio.format(
+                    r="avg_payment_amount", n="total_payments",
+                    d="payment_events", t=table,
+                ),
+                # the reference writes CURRENT_TIMESTAMP; now() is the same function
+                # in Postgres and ALSO parses in DuckDB's DO UPDATE SET
+                # (where bare CURRENT_TIMESTAMP mis-binds as a column ref),
+                # keeping the emitted statement executable on both engines
+                "updated_at = now()",
+            ]
+        )
         return (
             f"INSERT INTO {table} ({collist})\nVALUES ({placeholders})\n"
             f"ON CONFLICT (hour) DO UPDATE SET\n    {updates}"

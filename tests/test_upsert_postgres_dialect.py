@@ -85,3 +85,122 @@ def test_on_conflict_idempotent_replay(con):
     assert con.execute("SELECT count(*) FROM hourly_business_metrics").fetchone()[0] == 1
     got = con.execute("SELECT * FROM hourly_business_metrics").fetchone()
     assert list(got) == _row(h, 7)
+
+
+# --- reference-exact additive merge (consumer/consumer.py:321-367) --------
+
+_ADD = {  # a partial flush: per-hour DELTA state, reference field order
+    "tariff_switches": 3, "total_switch_revenue": 90.0,
+    "incentive_claims": 2, "total_incentive_payouts": 25.0,
+    "green_tariff_switches": 1, "active_customers": 4, "new_sessions": 2,
+    "total_logins": 7, "total_energy_consumed": 120.0,
+    "peak_hour_usage": 55.0, "total_payments": 200.0, "payment_events": 5,
+}
+
+
+def _partial_flush_params(hour, s):
+    """The reference's cursor.execute parameter tuple for one partial-state
+    flush: raw sums/counts plus the flush-local ratios it computes in
+    Python (consumer.py:310-318)."""
+    avg_switch = s["total_switch_revenue"] / s["tariff_switches"] if s["tariff_switches"] else 0
+    avg_cons = s["total_energy_consumed"] / s["active_customers"] if s["active_customers"] else 0
+    avg_pay = s["total_payments"] / s["payment_events"] if s["payment_events"] else 0
+    return (
+        hour, s["tariff_switches"], s["total_switch_revenue"], avg_switch,
+        s["incentive_claims"], s["total_incentive_payouts"], s["green_tariff_switches"],
+        s["active_customers"], s["new_sessions"], s["total_logins"],
+        s["total_energy_consumed"], avg_cons, s["peak_hour_usage"],
+        s["total_payments"], s["payment_events"], avg_pay,
+    )
+
+
+@pytest.fixture
+def add_con():
+    c = duckdb.connect()
+    cols = ", ".join(
+        f"{m} {'BIGINT' if m in COUNTERS else 'DOUBLE'}" for m in METRIC_COLUMNS
+    )
+    c.execute(
+        "CREATE TABLE hourly_business_metrics ("
+        f"hour TIMESTAMP PRIMARY KEY, {cols}, updated_at TIMESTAMP)"
+    )
+    yield c
+    c.close()
+
+
+def test_additive_merge_two_partial_flushes_value_exact(add_con):
+    """Execute the reference's FULL 16-column additive ON CONFLICT statement
+    (consumer/consumer.py:321-367) on a real engine across TWO partial
+    flushes of the same hour and assert every merged column value-exactly:
+    counters are the sum of the two deltas; the three ratio columns D1-D3
+    (avg_switch_value, avg_consumption_per_customer, avg_payment_amount)
+    re-derive from the SUMMED numerator/denominator — NOT an average of the
+    per-flush averages; peak_hour_usage is last-write-wins (the reference's
+    documented merge bug, reproduced faithfully); updated_at is stamped."""
+    from energy_data_stream_processing_spark.sources.sinks import jdbc_upsert_statement
+
+    sql = jdbc_upsert_statement(
+        "hourly_business_metrics", dialect="postgres_additive"
+    ).replace("%s", "?")
+    h = datetime.datetime(2025, 6, 3, 9)
+    s1 = dict(_ADD)
+    s2 = {  # second partial flush, different deltas (incl. a zero denom)
+        "tariff_switches": 2, "total_switch_revenue": 50.0,
+        "incentive_claims": 0, "total_incentive_payouts": 0.0,
+        "green_tariff_switches": 2, "active_customers": 6, "new_sessions": 1,
+        "total_logins": 4, "total_energy_consumed": 60.0,
+        "peak_hour_usage": 48.0, "total_payments": 0.0, "payment_events": 0,
+    }
+    add_con.execute(sql, _partial_flush_params(h, s1))
+    add_con.execute(sql, _partial_flush_params(h, s2))
+
+    row = add_con.execute(
+        "SELECT " + ", ".join(["hour", *METRIC_COLUMNS, "updated_at"])
+        + " FROM hourly_business_metrics WHERE hour = ?", [h],
+    ).fetchone()
+    got = dict(zip(["hour", *METRIC_COLUMNS, "updated_at"], row))
+
+    # additive counters/sums
+    for c in [
+        "tariff_switches", "total_switch_revenue", "incentive_claims",
+        "total_incentive_payouts", "green_tariff_switches", "active_customers",
+        "new_sessions", "total_logins", "total_energy_consumed",
+        "total_payments", "payment_events",
+    ]:
+        assert got[c] == s1[c] + s2[c], c
+    # D1-D3: ratios of the MERGED sums, bit-exact re-derivation
+    assert got["avg_switch_value"] == (
+        (s1["total_switch_revenue"] + s2["total_switch_revenue"])
+        / (s1["tariff_switches"] + s2["tariff_switches"])
+    )
+    assert got["avg_consumption_per_customer"] == (
+        (s1["total_energy_consumed"] + s2["total_energy_consumed"])
+        / (s1["active_customers"] + s2["active_customers"])
+    )
+    assert got["avg_payment_amount"] == (
+        (s1["total_payments"] + s2["total_payments"])
+        / (s1["payment_events"] + s2["payment_events"])
+    )
+    # reference semantics reproduced exactly: peak is last-write-wins,
+    # NOT max — flush 2's lower peak overwrites flush 1's higher one
+    assert got["peak_hour_usage"] == s2["peak_hour_usage"] == 48.0
+    assert got["updated_at"] is not None
+
+
+def test_additive_merge_zero_denominator_guard(add_con):
+    """A merged hour whose summed denominator is zero must take the CASE
+    guard's 0, not divide by zero."""
+    from energy_data_stream_processing_spark.sources.sinks import jdbc_upsert_statement
+
+    sql = jdbc_upsert_statement(
+        "hourly_business_metrics", dialect="postgres_additive"
+    ).replace("%s", "?")
+    h = datetime.datetime(2025, 6, 3, 10)
+    s0 = {k: 0 if isinstance(v, int) else 0.0 for k, v in _ADD.items()}
+    add_con.execute(sql, _partial_flush_params(h, s0))
+    add_con.execute(sql, _partial_flush_params(h, s0))
+    row = add_con.execute(
+        "SELECT avg_switch_value, avg_consumption_per_customer, "
+        "avg_payment_amount FROM hourly_business_metrics WHERE hour = ?", [h],
+    ).fetchone()
+    assert list(row) == [0.0, 0.0, 0.0]
