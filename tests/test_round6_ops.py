@@ -128,6 +128,115 @@ def test_kafka_fake_two_restart_floor(tmp_path):
     assert r2.latestOffset()["offset"] >= 4
 
 
+@pytest.mark.parametrize(
+    "provider",
+    [
+        None,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    ],
+    ids=["hdfs-state", "rocksdb-state"],
+)
+def test_stateful_hourly_checkpoint_restart(spark, sf_dir, tmp_path, provider):
+    """Mid-stream kill-and-resume for the STATEFUL hourly-metrics stream
+    (the one streaming family that previously had no explicit restart
+    test): run the applyInPandasWithState aggregation over the first half
+    of the time-ordered chunks through the parquet upsert sink, stop, add
+    the second half, restart from the SAME checkpoint. The resumed query
+    must read ONLY the new chunks (offsets recovered) and the final store
+    must equal the one-pass batch aggregation (hour state recovered and
+    merged — hours spanning the kill point prove it). Runs under both the
+    default HDFS-backed provider and RocksDB."""
+    import os
+    from contextlib import nullcontext
+
+    from pyspark.sql import functions as F
+
+    from energy_data_stream_processing_spark.operators.hourly import (
+        hourly_business_metrics,
+    )
+    from energy_data_stream_processing_spark.sources.adapter import (
+        energy_events,
+        normalize_event_ts,
+    )
+    from energy_data_stream_processing_spark.sources.sinks import (
+        _conf_override,
+        foreach_batch_upsert,
+        read_hourly_metrics_parquet,
+    )
+    from energy_data_stream_processing_spark.streaming.runner import (
+        energy_events_stream,
+        hourly_metrics_stateful_stream,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # normalized-ts chunks, same recipe as the late-arrivals test — the
+    # stream source's conversion tolerates both the raw and normalized shape
+    raw = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    ts_us = F.unix_micros(F.col("ts"))
+    mid = raw.withColumn("_us", ts_us).approxQuantile("_us", [0.5], 0.0)[0]
+    first = raw.where(ts_us < mid)
+    second = raw.where(ts_us >= mid)
+    # the kill point must fall INSIDE at least one hour, else restart
+    # never has to merge recovered state with new rows
+    hour_of = F.date_trunc("hour", F.col("ts")).alias("h")
+    boundary_hours = (
+        first.select(hour_of).intersect(second.select(hour_of)).count()
+    )
+    assert boundary_hours > 0, "split landed on an hour boundary"
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def add_chunk(df, name):
+        stage = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        os.rename(f"{stage}/{part}", str(src / f"{name}.parquet"))
+
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "metrics_store")
+
+    def run_once():
+        ev = energy_events_stream(
+            spark, sf_dir, source_dir=str(src), max_files_per_trigger=1
+        )
+        q = (
+            hourly_metrics_stateful_stream(ev)
+            .drop("update_seq")
+            .writeStream.foreachBatch(foreach_batch_upsert(store))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+    ctx = (
+        _conf_override(
+            spark, "spark.sql.streaming.stateStore.providerClass", provider
+        )
+        if provider
+        else nullcontext()
+    )
+    with ctx:
+        add_chunk(first, "chunk_a")
+        run_once()
+        add_chunk(second, "chunk_b")
+        q2 = run_once()
+
+    # restart read ONLY the new chunk
+    resumed = sum(p["numInputRows"] for p in q2.recentProgress)
+    assert resumed == second.count(), (
+        f"restart reprocessed data: read {resumed}, expected {second.count()}"
+    )
+    got = sorted(map(tuple, read_hourly_metrics_parquet(spark, store).collect()))
+    want = sorted(
+        map(tuple, hourly_business_metrics(energy_events(spark, sf_dir)).collect())
+    )
+    assert got == want
+
+
 def test_semantic_dedup_lsh_planted_cluster(spark):
     """End-to-end recall gate for the composed LSH dedup pipeline on a
     PLANTED duplicate mega-cluster: k near-identical copies (one word
