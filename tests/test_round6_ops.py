@@ -98,6 +98,64 @@ def test_replay_commit_sidecar_is_monotone(replay_fixture):
     assert r2.latestOffset()["line"] >= 6
 
 
+def test_replay_restart_with_file_growth_e2e(spark, replay_fixture, tmp_path):
+    """END-TO-END through Spark's own offset log: drain the replay stream,
+    stop, APPEND new lines to the file, restart from the same checkpoint.
+    The fresh reader's pacing cursor is reset to 0, so without the durable
+    committed floor its latestOffset would regress below the committed
+    offset and the appended lines would be invisible (or, across two
+    restarts, old lines re-emitted). With the floor the restarted query
+    must emit EXACTLY the appended lines, once, immediately."""
+    from energy_data_stream_processing_spark.sources.replay_source import (
+        JsonlReplayDataSource,
+    )
+
+    spark.dataSource.register(JsonlReplayDataSource)
+    ckpt = str(tmp_path / "ckpt")
+    seen: list = []
+
+    def fold(df, batch_id):
+        seen.extend(r.line_no for r in df.collect())
+
+    def run_once():
+        q = (
+            spark.readStream.format("jsonl_replay")
+            .option("path", replay_fixture)
+            .option("lines_per_batch", "2")
+            .load()
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    assert sorted(seen) == list(range(_N_LINES))
+
+    extra = [
+        json.dumps(
+            {
+                "event_type": "user_login",
+                "event_time": f"2024-01-01T01:00:{i:02d}",
+                "payload": {"customer_id": f"X{i}"},
+            }
+        )
+        for i in range(3)
+    ]
+    with open(replay_fixture, "a") as f:
+        f.write("\n".join(extra) + "\n")
+
+    run_once()  # restart #1: must emit exactly the 3 appended lines
+    assert sorted(seen) == list(range(_N_LINES + 3)), (
+        f"after restart with growth: {sorted(seen)}"
+    )
+    run_once()  # restart #2: nothing new — must emit nothing
+    assert len(seen) == _N_LINES + 3
+
+
 def test_kafka_fake_two_restart_floor(tmp_path):
     """Same durable-floor contract for the file-backed broker's paced
     reader (maxOffsetsPerTrigger pacing has the identical regressed-cursor
