@@ -1,0 +1,176 @@
+"""Minimal transactional lake table: atomic MERGE upsert over parquet.
+
+The reference's production sink is a transactional database upsert
+(consumer/consumer.py:321-367 ``ON CONFLICT`` inside one connection
+commit). The engine's parquet stand-in (`sinks.py::
+upsert_hourly_metrics_parquet`, dynamic partition overwrite) is
+correct-per-partition but NOT atomic across partitions: a reader
+overlapping a multi-hour flush can observe some hours new and some old,
+and a crash mid-overwrite leaves a mixed store. A 100 TB deployment runs
+this on a lake format (Delta/Iceberg ``MERGE INTO``); no such jar is
+installable in this environment, so this module implements the minimal
+transactional core those formats provide, with the same interface shape:
+
+- **Commit log**: ``_log/v{N}.json`` files; each commit holds the COMPLETE
+  active-file list (full snapshots, not deltas — right at metrics-table
+  cardinality; Delta's delta-log + checkpoints is the same idea amortized)
+  plus the set of applied writer transaction ids.
+- **Atomic visibility**: data files are written first, then the next
+  version file lands via write-temp + ``os.replace`` (atomic on POSIX).
+  Readers resolve the latest version ONCE and read exactly its file list —
+  a reader never sees a partial commit, and a crash before the log write
+  leaves only orphan data files (invisible; vacuumable).
+- **Optimistic concurrency**: ``O_CREAT|O_EXCL`` on the version file —
+  exactly one of two racing committers wins a version; the loser re-reads
+  the head and retries its reconciliation (Delta's conflict protocol).
+- **MERGE upsert**: ``merge_upsert(df, key)`` groups the incoming rows by
+  the partition key, writes one file per touched key, and commits a
+  snapshot = (carried-forward files of untouched keys) + (new files) — an
+  all-or-nothing multi-partition replacement.
+- **Idempotent transactions**: pass ``txn_id`` (e.g. the foreachBatch
+  batchId); a txn id already in the head snapshot's ``applied`` set makes
+  the merge a no-op — the Delta ``txn`` pattern that turns at-least-once
+  micro-batch delivery into exactly-once table state.
+- **Time travel**: ``read(version=N)`` scans any retained snapshot.
+
+Scale notes: the log is tiny JSON (file lists for a metrics-cardinality
+table); data I/O is executor-side parquet exactly like the plain sink; the
+driver only renames and lists. For a billions-of-files table swap the full
+snapshot for Delta-style incremental log entries — interface unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class CommitConflict(RuntimeError):
+    pass
+
+
+class LakeTable:
+    def __init__(self, path: str):
+        self.path = path
+        self.log_dir = os.path.join(path, "_log")
+        self.data_dir = os.path.join(path, "data")
+        os.makedirs(self.log_dir, exist_ok=True)
+        os.makedirs(self.data_dir, exist_ok=True)
+
+    # ---- log primitives ---------------------------------------------------
+    def _version_file(self, v: int) -> str:
+        return os.path.join(self.log_dir, f"v{v:012d}.json")
+
+    def latest_version(self) -> int:
+        vs = [
+            int(f[1:13])
+            for f in os.listdir(self.log_dir)
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        return max(vs) if vs else -1
+
+    def snapshot(self, version: int | None = None) -> dict:
+        v = self.latest_version() if version is None else version
+        if v < 0:
+            return {"version": -1, "files": {}, "applied": []}
+        with open(self._version_file(v)) as f:
+            return json.load(f)
+
+    def _commit(self, snap: dict, expected_head: int) -> int:
+        """Atomically publish ``snap`` as version expected_head+1. The
+        fully-written temp file is hard-linked to the version name:
+        ``os.link`` atomically creates the name WITH its content and fails
+        with EEXIST if a concurrent committer won the version first — no
+        window where a reader can observe an empty or partial log entry."""
+        v = expected_head + 1
+        snap = dict(snap, version=v)
+        tmp = self._version_file(v) + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+        try:
+            os.link(tmp, self._version_file(v))
+        except FileExistsError:
+            raise CommitConflict(f"version {v} already committed") from None
+        finally:
+            os.unlink(tmp)
+        return v
+
+    # ---- read -------------------------------------------------------------
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        snap = self.snapshot(version)
+        files = [p for ps in snap["files"].values() for p in ps]
+        if not files:
+            raise ValueError(f"lake table {self.path} is empty")
+        return spark.read.parquet(*[os.path.join(self.data_dir, p) for p in files])
+
+    # ---- merge ------------------------------------------------------------
+    def merge_upsert(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        key_col: str,
+        txn_id: str | None = None,
+        max_retries: int = 5,
+    ) -> int:
+        """Transactional multi-key upsert: every distinct value of
+        ``key_col`` present in ``df`` is replaced wholesale (full-row
+        replacement per key — the engine ships complete per-key
+        aggregates); all other keys carry forward untouched. Visibility is
+        all-or-nothing across every touched key. Returns the committed
+        version (or the current head for an already-applied txn_id)."""
+        head = self.snapshot()
+        if txn_id is not None and txn_id in head["applied"]:
+            return head["version"]
+
+        # ONE executor-side job writes every touched key into a unique
+        # batch directory (partitionBy gives the per-key file layout); the
+        # driver then just lists the produced key dirs — no per-key job
+        # loop, so a wide flush costs one write however many keys it touches
+        batch = f"batch-{uuid.uuid4().hex}"
+        out_root = os.path.join(self.data_dir, batch)
+        kdf = df.withColumn("_k", F.col(key_col).cast("string"))
+        kdf.write.partitionBy("_k").mode("errorifexists").parquet(out_root)
+        new_files: dict[str, list[str]] = {
+            d[len("_k="):]: [f"{batch}/{d}"]
+            for d in os.listdir(out_root)
+            if d.startswith("_k=")
+        }
+
+        for _ in range(max_retries):
+            head = self.snapshot()
+            if txn_id is not None and txn_id in head["applied"]:
+                return head["version"]  # raced with our own redelivery
+            files = dict(head["files"])
+            files.update(new_files)  # replaced keys drop their old files
+            applied = list(head["applied"]) + ([txn_id] if txn_id else [])
+            try:
+                return self._commit(
+                    {"files": files, "applied": applied}, head["version"]
+                )
+            except CommitConflict:
+                continue  # re-read the new head and reconcile again
+        raise CommitConflict(
+            f"could not commit after {max_retries} retries on {self.path}"
+        )
+
+
+def foreach_batch_lake_merge(path: str, key_col: str = "hour_key"):
+    """Exactly-once streaming metrics flush into a LakeTable: the batchId
+    is the transaction id, so a redelivered micro-batch (at-least-once
+    trigger semantics) re-commits nothing — the lake-format twin of
+    ``sinks.foreach_batch_upsert`` with atomic multi-hour visibility."""
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        table = LakeTable(path)
+        df = batch_df
+        if key_col == "hour_key" and "hour_key" not in df.columns:
+            df = df.withColumn("hour_key", F.date_format("hour", "yyyy-MM-dd-HH"))
+        table.merge_upsert(
+            batch_df.sparkSession, df, key_col, txn_id=f"batch-{batch_id}"
+        )
+
+    return fn

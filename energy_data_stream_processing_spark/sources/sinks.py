@@ -16,6 +16,10 @@ merge bugs. Two upsert backends:
   equivalent of the reference's ``ON CONFLICT (hour) DO UPDATE`` — but with
   ``=EXCLUDED`` full-row replacement, not ``+`` addition (no database here,
   so it is exercised only up to statement generation).
+
+For ATOMIC multi-hour visibility (dynamic partition overwrite is atomic
+only per partition), ``laketable.py`` adds a commit-log MERGE upsert with
+idempotent transaction ids — the Delta/Iceberg-semantics backend.
 """
 
 from __future__ import annotations
