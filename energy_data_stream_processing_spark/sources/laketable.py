@@ -158,6 +158,48 @@ class LakeTable:
         )
 
 
+    # ---- maintenance ------------------------------------------------------
+    def vacuum(self, retain_versions: int = 1) -> dict:
+        """Delete data no snapshot within the retention window references,
+        and the aged-out log entries: crash-orphaned batch directories
+        (written but never committed) and files only reachable from
+        versions older than ``latest - retain_versions + 1``. Time-travel
+        reads of retained versions keep working; returns counts for
+        observability. Safe with concurrent readers OF RETAINED VERSIONS —
+        like Delta's VACUUM, a reader pinned to an aged-out snapshot loses
+        (that is the retention contract)."""
+        import shutil
+
+        head_v = self.latest_version()
+        if head_v < 0:
+            return {"data_dirs_removed": 0, "log_files_removed": 0}
+        keep_floor = max(0, head_v - retain_versions + 1)
+        live: set[str] = set()
+        for v in range(keep_floor, head_v + 1):
+            for ps in self.snapshot(v)["files"].values():
+                # file path shape: <batch>/<key-dir>; keep the whole batch
+                # dir's referenced key-dirs individually
+                live.update(ps)
+        live_roots = {p.split("/", 1)[0] for p in live}
+        removed = 0
+        for d in os.listdir(self.data_dir):
+            full = os.path.join(self.data_dir, d)
+            if d not in live_roots:
+                shutil.rmtree(full, ignore_errors=True)
+                removed += 1
+                continue
+            # batch partially live: drop its unreferenced key-dirs
+            for sub in os.listdir(full):
+                if sub.startswith("_k=") and f"{d}/{sub}" not in live:
+                    shutil.rmtree(os.path.join(full, sub), ignore_errors=True)
+        log_removed = 0
+        for f in os.listdir(self.log_dir):
+            if f.startswith("v") and f.endswith(".json") and int(f[1:13]) < keep_floor:
+                os.unlink(os.path.join(self.log_dir, f))
+                log_removed += 1
+        return {"data_dirs_removed": removed, "log_files_removed": log_removed}
+
+
 def foreach_batch_lake_merge(path: str, key_col: str = "hour_key"):
     """Exactly-once streaming metrics flush into a LakeTable: the batchId
     is the transaction id, so a redelivered micro-batch (at-least-once

@@ -106,6 +106,41 @@ def test_time_travel_read(spark, tmp_path):
     assert [r.n for r in t.read(spark).collect()] == [2]
 
 
+def test_vacuum_drops_orphans_and_aged_versions(spark, tmp_path):
+    """Vacuum must delete crash-orphaned batch dirs and data only aged-out
+    snapshots reference, while every retained version stays readable."""
+    import os
+
+    t = LakeTable(str(tmp_path / "t"))
+    t.merge_upsert(spark, _metrics(spark, [("h1", 1, 1.0)]), "hour_key")  # v0
+    t.merge_upsert(spark, _metrics(spark, [("h1", 2, 2.0)]), "hour_key")  # v1
+    t.merge_upsert(spark, _metrics(spark, [("h2", 3, 3.0)]), "hour_key")  # v2
+
+    # crash orphan: a batch dir that never reached the log
+    class Crashing(LakeTable):
+        def _commit(self, snap, expected_head):
+            raise RuntimeError("crash")
+
+    with pytest.raises(RuntimeError):
+        Crashing(str(tmp_path / "t")).merge_upsert(
+            spark, _metrics(spark, [("h3", 9, 9.0)]), "hour_key"
+        )
+    n_dirs_before = len(os.listdir(t.data_dir))
+
+    stats = t.vacuum(retain_versions=2)  # keep v1, v2
+    assert stats["data_dirs_removed"] >= 1  # at least the orphan
+    assert stats["log_files_removed"] == 1  # v0 aged out
+    assert len(os.listdir(t.data_dir)) < n_dirs_before
+    # retained versions still read exactly
+    assert sorted(map(tuple, t.read(spark, version=1).collect())) == [("h1", 2, 2.0)]
+    assert sorted(map(tuple, t.read(spark).collect())) == [
+        ("h1", 2, 2.0),
+        ("h2", 3, 3.0),
+    ]
+    with pytest.raises(FileNotFoundError):
+        t.read(spark, version=0)  # aged out per retention contract
+
+
 @pytest.mark.parametrize("backend", ["parquet_overwrite", "lake_merge"])
 def test_late_data_and_idempotence_matrix(spark, sf_dir, tmp_path, backend):
     """The round-5 acceptance matrix: flush hourly metrics for the on-time
