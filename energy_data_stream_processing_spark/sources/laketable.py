@@ -37,6 +37,10 @@ Scale notes: the log is tiny JSON (file lists for a metrics-cardinality
 table); data I/O is executor-side parquet exactly like the plain sink; the
 driver only renames and lists. For a billions-of-files table swap the full
 snapshot for Delta-style incremental log entries — interface unchanged.
+The commit protocol relies on POSIX atomic link/rename, i.e. a shared
+POSIX filesystem (local, NFS, HDFS-via-mount); object stores without
+atomic create-if-absent need an external coordinator for the version
+write — the same LogStore abstraction point Delta has for S3.
 """
 
 from __future__ import annotations

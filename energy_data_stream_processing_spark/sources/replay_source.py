@@ -77,14 +77,23 @@ def _load_watermark(sidecar: str, key: str) -> int:
 
 
 def _store_watermark(sidecar: str, key: str, value: int) -> None:
-    """Monotone atomic sidecar update (write-temp + rename)."""
+    """Monotone atomic sidecar update (write-temp + rename). Best-effort:
+    a read-only source directory must not fail the query — without the
+    sidecar the reader degrades to the in-run offset-log clip (single-
+    restart guarantee) instead of the durable multi-restart floor."""
     cur = _load_watermark(sidecar, key)
     if value <= cur:
         return
     tmp = f"{sidecar}.tmp.{os.getpid()}"
-    with open(tmp, "w") as f:
-        json.dump({key: value}, f)
-    os.replace(tmp, sidecar)
+    try:
+        with open(tmp, "w") as f:
+            json.dump({key: value}, f)
+        os.replace(tmp, sidecar)
+    except OSError:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
 
 
 def _order(path: str, seed: str | None) -> list[int]:

@@ -88,6 +88,18 @@ def test_replay_two_restart_exactly_once(replay_fixture):
     assert len(emitted) == len(set(emitted)) == _N_LINES
 
 
+def test_replay_commit_unwritable_sidecar_degrades_gracefully(replay_fixture):
+    """An unwritable sidecar location must not fail commit(): the write is
+    best-effort — the reader degrades to the in-run clip instead of
+    erroring the query. (chmod can't model this under root, so point the
+    sidecar at a path that cannot exist: a directory under /dev/null.)"""
+    r = _make_replay_reader(replay_fixture, 2)
+    r.sidecar = "/dev/null/cannot/exist.json"
+    end = r.latestOffset()
+    r.commit(end)  # must not raise despite the OSError inside
+    assert r._floor == end["line"]  # in-memory floor still advances
+
+
 def test_replay_commit_sidecar_is_monotone(replay_fixture):
     """A late commit of an older (regressed) batch end must not move the
     durable floor backwards."""
