@@ -283,3 +283,53 @@ def test_fake_kafka_stream_checkpoint_restart_no_duplicates(fake_broker, sf_dir,
     assert n_first == 40
     run_once()
     assert len(seen) == n_first, f"restart re-emitted {len(seen) - n_first} records"
+
+
+def test_fake_kafka_restart_consumes_only_new_records(fake_broker, sf_dir, tmp_path):
+    """Consumer-group resume semantics e2e: drain the topic, stop, a
+    producer appends a second batch, restart from the same checkpoint —
+    exactly the new records arrive (the durable committed floor keeps the
+    fresh paced reader from regressing below the offset log even across a
+    further restart); a third run on the drained topic emits nothing."""
+    from energy_data_stream_processing_spark.sources.kafka import (
+        kafka_stream_source,
+        write_kafka_batch,
+    )
+
+    spark = fake_broker
+    broker = str(tmp_path / "broker")
+    topic = "events-growth"
+    env = _envelopes(spark, sf_dir, n=30)
+    write_kafka_batch(env.limit(20), broker, topic, fmt="kafkafake")
+    ckpt = str(tmp_path / "ckpt")
+    seen = []
+
+    def run_once():
+        stream = kafka_stream_source(
+            spark, broker, topic, max_offsets_per_trigger=7, fmt="kafkafake"
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: seen.extend(
+                    (r.event_type, r.event_time) for r in df.collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    first20 = sorted(
+        map(tuple, env.limit(20).select("event_type", "event_time").collect())
+    )
+    all30 = sorted(map(tuple, env.select("event_type", "event_time").collect()))
+    run_once()
+    assert sorted(seen) == first20
+    write_kafka_batch(env, broker, topic, fmt="kafkafake")  # 30 more records
+    run_once()
+    assert sorted(seen) == sorted(first20 + all30), "growth restart missed/duplicated"
+    run_once()
+    assert len(seen) == 50
