@@ -106,6 +106,56 @@ def test_time_travel_read(spark, tmp_path):
     assert [r.n for r in t.read(spark).collect()] == [2]
 
 
+def test_merge_sequence_matches_dict_model(spark, tmp_path):
+    """Model-based check: any sequence of merges (with redeliveries mixed
+    in) must leave the table equal to a plain dict applying the same
+    upserts — txn ids absorb redeliveries, fresh txns apply once, every
+    intermediate state is a committed version."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    op = st.tuples(
+        st.lists(  # rows of one merge: (key, value)
+            st.tuples(st.sampled_from(["a", "b", "c", "d"]), st.integers(0, 99)),
+            min_size=1,
+            max_size=3,
+            unique_by=lambda kv: kv[0],
+        ),
+        st.one_of(st.none(), st.sampled_from(["t1", "t2"])),  # txn id
+    )
+
+    counter = [0]
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(ops=st.lists(op, min_size=1, max_size=4))
+    def run(ops):
+        counter[0] += 1
+        t = LakeTable(str(tmp_path / f"model{counter[0]}"))
+        model: dict = {}
+        applied: set = set()
+        versions = 0
+        for rows, txn in ops:
+            df = spark.createDataFrame(
+                [(k, v, float(v)) for k, v in rows], "hour_key string, n long, v double"
+            )
+            t.merge_upsert(spark, df, "hour_key", txn_id=txn)
+            if txn is None or txn not in applied:
+                for k, v in rows:
+                    model[k] = (v, float(v))
+                if txn is not None:
+                    applied.add(txn)
+                versions += 1
+        got = {k: (n, v) for k, n, v in map(tuple, t.read(spark).collect())}
+        assert got == model
+        assert t.latest_version() == versions - 1
+
+    run()
+
+
 def test_vacuum_drops_orphans_and_aged_versions(spark, tmp_path):
     """Vacuum must delete crash-orphaned batch dirs and data only aged-out
     snapshots reference, while every retained version stays readable."""
