@@ -565,6 +565,28 @@ def connected_components(
     )
 
 
+def component_scores(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(component_id, doc_id, n_words) for every document: connected
+    components over the (doc_a, doc_b) near-dup pair graph joined with
+    per-doc word counts — the shared frame behind every canonical-keep
+    aggregation (dedup_cluster_keep_best, semantic_dedup_lsh, the curation
+    pipeline), so cluster semantics can't drift between call sites."""
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    comp = connected_components(docs.select("doc_id"), edges)
+    return comp.join(docs.select("doc_id", F.size(words()).alias("n_words")), "doc_id")
+
+
+def keep_longest_ord() -> F.Column:
+    """``max_by`` ordering for canonical keep: longest copy wins, smallest
+    doc_id breaks ties. Struct comparison (lexicographic), NOT the
+    ``n_words * 1e8 - doc_id`` arithmetic it replaces — that composite
+    silently inverted the ordering once doc_id reached 1e8, i.e. exactly at
+    the corpus sizes the scale story advertises."""
+    return F.struct(F.col("n_words"), (-F.col("doc_id")).alias("_tb"))
+
+
 # --------------------------------------------------------------------------
 # Incremental dedup index: near-dup detection at ingest WITHOUT corpus rescan
 # --------------------------------------------------------------------------

@@ -162,6 +162,29 @@ def token_stats_by_lang(docs: DataFrame) -> DataFrame:
     )
 
 
+def ngram_shingle_index(docs: DataFrame, n: int = 5) -> DataFrame:
+    """(doc_id, shingle) exploded DISTINCT word-n-gram index — the shared
+    primitive behind decontamination and the curation pipeline (single
+    definition so the shingle width/normalization can't drift between the
+    oracle-gated entry and its composition sites). Same explode_outer +
+    null-filter shape as dedup._shingle_index (see the plan note there)."""
+    elem = "concat(" + ", ' ', ".join(f"_w[i+{j}]" for j in range(n)) + ")"
+    return (
+        docs.select("doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("_w"))
+        .select(
+            "doc_id",
+            F.explode_outer(
+                F.expr(
+                    f"CASE WHEN size(_w) >= {n} "
+                    f"THEN array_distinct(transform(sequence(0, size(_w) - {n}), i -> {elem})) "
+                    "ELSE array() END"
+                )
+            ).alias("shingle"),
+        )
+        .where(F.col("shingle").isNotNull())
+    )
+
+
 def chunk_documents(docs: DataFrame, chunk_size: int = 16, stride: int = 8) -> DataFrame:
     """Overlapping fixed-size token chunks per document — the pretraining
     chunking primitive (context-window packing input).

@@ -791,49 +791,33 @@ def curated_document_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality -> near-dedup keep -> decontamination: the curated (doc_id,
     text) set the packing stage of ``curation_pipeline_full`` consumes.
     Factored out so tests can assert packing conservation against it."""
-    from ..operators.dedup import connected_components, minhash_lsh_pairs
+    from ..operators.dedup import (
+        component_scores,
+        keep_longest_ord,
+        minhash_lsh_pairs,
+    )
     from ..operators.dedup import words as _dwords
+    from ..operators.text import ngram_shingle_index
 
     docs = load_table(spark, sf_dir, "documents")
     quality = docs.select(
         "doc_id", "text", F.size(_dwords()).alias("n_words")
     ).where(F.col("n_words") >= 10)
 
-    # near-dedup: keep the longest copy of each multi-member cluster
-    pairs = minhash_lsh_pairs(quality, threshold=0.5)
-    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    )
-    comp = connected_components(quality.select("doc_id"), edges)
+    # near-dedup: keep the longest copy of each multi-member cluster —
+    # SAME component/keep helpers as the oracle-gated semantic_dedup_lsh
+    # entry, so the composition can't drift from the gated plan
+    scored = component_scores(quality, minhash_lsh_pairs(quality, threshold=0.5))
     keep = (
-        comp.join(quality.select("doc_id", "n_words"), "doc_id")
-        .groupBy("component_id")
-        .agg(
-            F.max_by(
-                "doc_id", F.col("n_words").cast("long") * 100000000 - F.col("doc_id")
-            ).alias("keep_doc_id")
-        )
+        scored.groupBy("component_id")
+        .agg(F.max_by("doc_id", keep_longest_ord()).alias("keep_doc_id"))
         .select(F.col("keep_doc_id").alias("doc_id"))
     )
     deduped = quality.join(keep, "doc_id", "left_semi")
 
     # decontamination: drop train-bucket docs overlapping the eval bucket
-    n = 5
-    elem = "concat(" + ", ' ', ".join(f"_w[i+{j}]" for j in range(n)) + ")"
-    sh = (
-        deduped.select("doc_id", F.split(F.lower(F.trim("text")), " ").alias("_w"))
-        .select(
-            "doc_id",
-            F.explode_outer(
-                F.expr(
-                    f"CASE WHEN size(_w) >= {n} "
-                    f"THEN array_distinct(transform(sequence(0, size(_w) - {n}), i -> {elem})) "
-                    "ELSE array() END"
-                )
-            ).alias("shingle"),
-        )
-        .where(F.col("shingle").isNotNull())
-    )
+    # (same shared shingle index as ngram_decontamination)
+    sh = ngram_shingle_index(deduped, n=5)
     b = hash_bucket(F.col("doc_id")) % 10
     train_sh = sh.where(b <= 7).withColumnRenamed("doc_id", "train_doc")
     eval_sh = sh.where(b == 9).withColumnRenamed("doc_id", "eval_doc")

@@ -1367,25 +1367,11 @@ FROM flagged GROUP BY 1
     "map-side flag pass over the corpus scan.",
 )
 def q_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import ngram_shingle_index
     from .sampling_queries import hash_bucket
 
     docs = _docs(spark, sf_dir)
-    n = 5
-    elem = "concat(" + ", ' ', ".join(f"_w[i+{j}]" for j in range(n)) + ")"
-    sh = (
-        docs.select("doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("_w"))
-        .select(
-            "doc_id",
-            F.explode_outer(
-                F.expr(
-                    f"CASE WHEN size(_w) >= {n} "
-                    f"THEN array_distinct(transform(sequence(0, size(_w) - {n}), i -> {elem})) "
-                    "ELSE array() END"
-                )
-            ).alias("shingle"),
-        )
-        .where(F.col("shingle").isNotNull())
-    )
+    sh = ngram_shingle_index(docs, n=5)
     b = hash_bucket(F.col("doc_id")) % 10
     train = sh.where(b <= 7).withColumnRenamed("doc_id", "train_doc")
     evals = sh.where(b == 9).withColumnRenamed("doc_id", "eval_doc")
@@ -2316,52 +2302,56 @@ comp AS (SELECT src AS doc_id, min(node) AS component_id FROM reach GROUP BY src
 scored AS (
   SELECT c.component_id, d.doc_id, len(string_split(lower(trim(d.text)), ' ')) AS n_words
   FROM comp c JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT component_id, doc_id,
+    row_number() OVER (PARTITION BY component_id ORDER BY n_words DESC, doc_id) AS rk
+  FROM scored
+),
+agg AS (
+  SELECT component_id,
+    count(*) AS cluster_size,
+    cast(max(n_words) AS BIGINT) AS keep_n_words,
+    cast(sum(n_words) - max(n_words) AS BIGINT) AS dropped_words
+  FROM scored GROUP BY component_id
 )
-SELECT component_id,
-  count(*) AS cluster_size,
-  arg_max(doc_id, cast(n_words AS BIGINT) * 100000000 - doc_id) AS keep_doc_id,
-  cast(max(n_words) AS BIGINT) AS keep_n_words,
-  cast(sum(n_words) - max(n_words) AS BIGINT) AS dropped_words
-FROM scored GROUP BY component_id
-HAVING count(*) > 1
+SELECT a.component_id, a.cluster_size, r.doc_id AS keep_doc_id,
+  a.keep_n_words, a.dropped_words
+FROM agg a JOIN ranked r ON a.component_id = r.component_id AND r.rk = 1
+WHERE a.cluster_size > 1
 """,
     doc="Canonical-copy selection for near-dup clusters — the curation "
     "decision pairwise dedup exists to feed: within each connected "
     "component of the exact-Jaccard pair graph, KEEP the longest copy "
     "(word count, doc_id tiebreak; exact dups tie on length so the rule "
     "degrades to min-id there) and account the words dropped. Spark side "
-    "reuses the iterative min-label components "
-    "(operators/dedup.py::connected_components) + one max_by per cluster; "
-    "the oracle is the independent recursive-CTE closure + arg_max. "
-    "Scale: components are bounded by duplicate-cluster size; the scoring "
-    "join and per-cluster agg shuffle on component_id — cluster-count "
-    "sized, not corpus sized.",
+    "reuses the iterative min-label components (operators/dedup.py::"
+    "component_scores) + one struct-ordered max_by per cluster "
+    "(keep_longest_ord — overflow-free for any doc_id domain, unlike the "
+    "arithmetic composite it replaced); the oracle is the independent "
+    "recursive-CTE closure + row_number window. Scale: components are "
+    "bounded by duplicate-cluster size; the scoring join and per-cluster "
+    "agg shuffle on component_id — cluster-count sized, not corpus sized.",
 )
 def q_dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import connected_components, words
+    from ..operators.dedup import component_scores, keep_longest_ord
     from ..operators.dedup import ngram_jaccard_pairs as _njp
 
     docs = _docs(spark, sf_dir)
-    pairs = _njp(docs, threshold=0.015)
-    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    )
-    comp = connected_components(docs.select("doc_id"), edges)
-    scored = comp.join(
-        docs.select("doc_id", F.size(words()).alias("n_words")), "doc_id"
-    )
+    scored = component_scores(docs, _njp(docs, threshold=0.015))
     return (
         scored.groupBy("component_id")
         .agg(
             F.count(F.lit(1)).alias("cluster_size"),
-            F.max_by(
-                "doc_id",
-                F.col("n_words").cast("long") * 100000000 - F.col("doc_id"),
-            ).alias("keep_doc_id"),
+            F.max_by("doc_id", keep_longest_ord()).alias("keep_doc_id"),
             F.max("n_words").cast("long").alias("keep_n_words"),
             (F.sum("n_words") - F.max("n_words")).cast("long").alias("dropped_words"),
         )
         .where(F.col("cluster_size") > 1)
+        .select(
+            "component_id", "cluster_size", "keep_doc_id",
+            "keep_n_words", "dropped_words",
+        )
     )
 
 
@@ -2392,14 +2382,23 @@ comp AS (SELECT src AS doc_id, min(node) AS component_id FROM reach GROUP BY src
 scored AS (
   SELECT c.component_id, d.doc_id, len(string_split(lower(trim(d.text)), ' ')) AS n_words
   FROM comp c JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT component_id, doc_id,
+    row_number() OVER (PARTITION BY component_id ORDER BY n_words DESC, doc_id) AS rk
+  FROM scored
+),
+agg AS (
+  SELECT component_id,
+    count(*) AS cluster_size,
+    cast(max(n_words) AS BIGINT) AS keep_n_words,
+    (count(*) - 1)::BIGINT AS dropped_docs
+  FROM scored GROUP BY component_id
 )
-SELECT component_id,
-  count(*) AS cluster_size,
-  arg_max(doc_id, cast(n_words AS BIGINT) * 100000000 - doc_id) AS keep_doc_id,
-  cast(max(n_words) AS BIGINT) AS keep_n_words,
-  (count(*) - 1)::BIGINT AS dropped_docs
-FROM scored GROUP BY component_id
-HAVING count(*) > 1
+SELECT a.component_id, a.cluster_size, r.doc_id AS keep_doc_id,
+  a.keep_n_words, a.dropped_docs
+FROM agg a JOIN ranked r ON a.component_id = r.component_id AND r.rk = 1
+WHERE a.cluster_size > 1
 """,
     doc="The composed semantic-dedup pipeline AT SCALE SEMANTICS, one "
     "entry end-to-end: banded MinHash-LSH candidate generation "
@@ -2416,30 +2415,24 @@ HAVING count(*) > 1
     "mega-cluster recall is separately gated in the same test module.",
 )
 def q_semantic_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import connected_components, words
+    from ..operators.dedup import component_scores, keep_longest_ord
     from ..operators.dedup import minhash_lsh_pairs as _mlp
 
     docs = _docs(spark, sf_dir)
-    pairs = _mlp(docs, threshold=0.5)
-    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    )
-    comp = connected_components(docs.select("doc_id"), edges)
-    scored = comp.join(
-        docs.select("doc_id", F.size(words()).alias("n_words")), "doc_id"
-    )
+    scored = component_scores(docs, _mlp(docs, threshold=0.5))
     return (
         scored.groupBy("component_id")
         .agg(
             F.count(F.lit(1)).alias("cluster_size"),
-            F.max_by(
-                "doc_id",
-                F.col("n_words").cast("long") * 100000000 - F.col("doc_id"),
-            ).alias("keep_doc_id"),
+            F.max_by("doc_id", keep_longest_ord()).alias("keep_doc_id"),
             F.max("n_words").cast("long").alias("keep_n_words"),
             (F.count(F.lit(1)) - 1).cast("long").alias("dropped_docs"),
         )
         .where(F.col("cluster_size") > 1)
+        .select(
+            "component_id", "cluster_size", "keep_doc_id",
+            "keep_n_words", "dropped_docs",
+        )
     )
 
 

@@ -198,6 +198,12 @@ class _FakeKafkaStreamReader(DataSourceStreamReader):
         self._floor = _load_watermark(self.sidecar, "offset")
 
     def initialOffset(self) -> dict:
+        # fresh query (no offset log) = new delivery lineage: drop any
+        # inherited floor — see replay_source initialOffset for rationale
+        from .replay_source import _clear_watermark
+
+        self._floor = 0
+        _clear_watermark(self.sidecar)
         return {"offset": 0}
 
     def latestOffset(self) -> dict:

@@ -163,7 +163,7 @@ class LakeTable:
 
 
     # ---- maintenance ------------------------------------------------------
-    def vacuum(self, retain_versions: int = 1) -> dict:
+    def vacuum(self, retain_versions: int = 1, orphan_ttl_seconds: float = 3600) -> dict:
         """Delete data no snapshot within the retention window references,
         and the aged-out log entries: crash-orphaned batch directories
         (written but never committed) and files only reachable from
@@ -171,8 +171,16 @@ class LakeTable:
         reads of retained versions keep working; returns counts for
         observability. Safe with concurrent readers OF RETAINED VERSIONS —
         like Delta's VACUUM, a reader pinned to an aged-out snapshot loses
-        (that is the retention contract)."""
+        (that is the retention contract).
+
+        ``orphan_ttl_seconds`` is the concurrent-WRITER guard (Delta's
+        retention-hours check): an unreferenced batch directory younger
+        than the TTL may be an in-flight merge that has written its data
+        but not yet committed — deleting it would let that commit land
+        pointing at vanished files. Only dirs older than the TTL are
+        treated as crash orphans; set 0 only when no writer can be active."""
         import shutil
+        import time
 
         head_v = self.latest_version()
         if head_v < 0:
@@ -185,10 +193,17 @@ class LakeTable:
                 # dir's referenced key-dirs individually
                 live.update(ps)
         live_roots = {p.split("/", 1)[0] for p in live}
+        now = time.time()
         removed = 0
         for d in os.listdir(self.data_dir):
             full = os.path.join(self.data_dir, d)
             if d not in live_roots:
+                try:
+                    age = now - os.path.getmtime(full)
+                except OSError:
+                    continue
+                if age < orphan_ttl_seconds:
+                    continue  # possibly an in-flight writer's batch
                 shutil.rmtree(full, ignore_errors=True)
                 removed += 1
                 continue
@@ -204,19 +219,29 @@ class LakeTable:
         return {"data_dirs_removed": removed, "log_files_removed": log_removed}
 
 
-def foreach_batch_lake_merge(path: str, key_col: str = "hour_key"):
-    """Exactly-once streaming metrics flush into a LakeTable: the batchId
-    is the transaction id, so a redelivered micro-batch (at-least-once
-    trigger semantics) re-commits nothing — the lake-format twin of
-    ``sinks.foreach_batch_upsert`` with atomic multi-hour visibility."""
+def foreach_batch_lake_merge(
+    path: str, key_col: str = "hour_key", txn_app_id: str | None = None
+):
+    """Streaming metrics flush into a LakeTable — the lake-format twin of
+    ``sinks.foreach_batch_upsert`` with atomic multi-hour visibility.
+
+    ``txn_app_id`` namespaces the per-batch transaction ids, mirroring
+    Delta's ``txnAppId``/``txnVersion`` pattern: pass a stable id unique to
+    this (query, checkpoint) pairing and redelivered micro-batches commit
+    nothing (exactly-once table state). It must NOT be reused across
+    different checkpoints — Spark restarts batch ids at 0 for a fresh
+    checkpoint, and a recycled app id would make the table silently skip
+    the new query's batches as replays. Default None records no txn ids:
+    replays then re-apply, which is still CONTENT-idempotent here because
+    every flush carries complete per-key aggregates (full-row
+    replacement), just not commit-count-idempotent."""
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         table = LakeTable(path)
         df = batch_df
         if key_col == "hour_key" and "hour_key" not in df.columns:
             df = df.withColumn("hour_key", F.date_format("hour", "yyyy-MM-dd-HH"))
-        table.merge_upsert(
-            batch_df.sparkSession, df, key_col, txn_id=f"batch-{batch_id}"
-        )
+        txn = f"{txn_app_id}-{batch_id}" if txn_app_id is not None else None
+        table.merge_upsert(batch_df.sparkSession, df, key_col, txn_id=txn)
 
     return fn

@@ -76,22 +76,44 @@ def _load_watermark(sidecar: str, key: str) -> int:
         return 0
 
 
+_WATERMARK_LOCK = __import__("threading").Lock()
+
+
 def _store_watermark(sidecar: str, key: str, value: int) -> None:
-    """Monotone atomic sidecar update (write-temp + rename). Best-effort:
-    a read-only source directory must not fail the query — without the
+    """Monotone atomic sidecar update (read-max-replace under a process
+    lock, unique temp name): two driver-side readers in one process can
+    never interleave a lower value over a higher one. Best-effort: a
+    read-only source directory must not fail the query — without the
     sidecar the reader degrades to the in-run offset-log clip (single-
-    restart guarantee) instead of the durable multi-restart floor."""
-    cur = _load_watermark(sidecar, key)
-    if value <= cur:
-        return
-    tmp = f"{sidecar}.tmp.{os.getpid()}"
-    try:
-        with open(tmp, "w") as f:
-            json.dump({key: value}, f)
-        os.replace(tmp, sidecar)
-    except OSError:
+    restart guarantee) instead of the durable multi-restart floor. Readers
+    in DIFFERENT processes sharing one file should isolate their floors
+    with the ``commit_id`` option instead of relying on this lock."""
+    import uuid
+
+    with _WATERMARK_LOCK:
+        cur = _load_watermark(sidecar, key)
+        if value <= cur:
+            return
+        tmp = f"{sidecar}.tmp.{uuid.uuid4().hex}"
         try:
-            os.unlink(tmp)
+            with open(tmp, "w") as f:
+                json.dump({key: value}, f)
+            os.replace(tmp, sidecar)
+        except OSError:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+
+
+def _clear_watermark(sidecar: str) -> None:
+    """Best-effort sidecar removal — a FRESH query (empty offset log)
+    starts a new delivery lineage, and an inherited floor from a previous
+    lineage would defeat paced first batches (and, for a path-keyed
+    sidecar, leak another query's progress into this one)."""
+    with _WATERMARK_LOCK:
+        try:
+            os.unlink(sidecar)
         except OSError:
             pass
 
@@ -171,17 +193,24 @@ class _ReplayStreamReader(DataSourceStreamReader):
         self._floor = _load_watermark(self.sidecar, "line")
 
     def initialOffset(self) -> dict:
+        # Called ONLY for a fresh query (no offset log) — never on a
+        # checkpoint restart. A fresh query is a new delivery lineage, so
+        # an inherited sidecar floor must not apply: it would collapse the
+        # whole previously-replayed range into one unpaced first batch.
+        self._floor = 0
+        _clear_watermark(self.sidecar)
         return {"line": 0}
 
     def latestOffset(self) -> dict:
         # Monotone pacing: each trigger exposes at most lines_per_batch more.
         # The in-memory cursor resets to 0 on a checkpoint restart; the
-        # durable floor (committed end persisted in commit()) keeps the
-        # reported offset at-or-above every committed one, so a regressed
-        # batch end can never enter the offset log — exactly-once emission
-        # holds across ANY number of restarts, not just one. partitions()
-        # additionally clips below the offset-log start as belt-and-braces
-        # for a sidecar lost mid-flight.
+        # durable floor (committed end persisted in commit(), reset only by
+        # a fresh query's initialOffset) keeps the reported offset
+        # at-or-above every committed one, so a regressed batch end can
+        # never enter the offset log — exactly-once emission holds across
+        # ANY number of restarts, not just one. partitions() additionally
+        # clips below the offset-log start as belt-and-braces for a sidecar
+        # lost mid-flight.
         cur = max(getattr(self, "_last", 0), getattr(self, "_hw", 0), self._floor)
         nxt = min(self.total, cur + self.per_batch)
         self._last = nxt

@@ -177,9 +177,15 @@ def test_vacuum_drops_orphans_and_aged_versions(spark, tmp_path):
         )
     n_dirs_before = len(os.listdir(t.data_dir))
 
-    stats = t.vacuum(retain_versions=2)  # keep v1, v2
-    assert stats["data_dirs_removed"] >= 1  # at least the orphan
-    assert stats["log_files_removed"] == 1  # v0 aged out
+    # concurrent-writer guard: under the default TTL a FRESH unreferenced
+    # batch dir may be an in-flight merge and must survive vacuum
+    safe = t.vacuum(retain_versions=2)
+    assert safe["data_dirs_removed"] == 0
+    assert safe["log_files_removed"] == 1  # v0's log entry ages out
+    assert len(os.listdir(t.data_dir)) == n_dirs_before
+
+    stats = t.vacuum(retain_versions=2, orphan_ttl_seconds=0)  # keep v1, v2
+    assert stats["data_dirs_removed"] >= 1  # the orphan + v0's data
     assert len(os.listdir(t.data_dir)) < n_dirs_before
     # retained versions still read exactly
     assert sorted(map(tuple, t.read(spark, version=1).collect())) == [("h1", 2, 2.0)]
@@ -252,7 +258,9 @@ def test_streaming_foreach_batch_lake_merge(spark, sf_dir, tmp_path):
     q = (
         hourly_metrics_stateful_stream(energy_events_stream(spark, sf_dir))
         .drop("update_seq")
-        .writeStream.foreachBatch(foreach_batch_lake_merge(store))
+        .writeStream.foreachBatch(
+            foreach_batch_lake_merge(store, txn_app_id="hourly-metrics-q1")
+        )
         .outputMode("update")
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .trigger(availableNow=True)

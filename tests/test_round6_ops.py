@@ -100,6 +100,24 @@ def test_replay_commit_unwritable_sidecar_degrades_gracefully(replay_fixture):
     assert r._floor == end["line"]  # in-memory floor still advances
 
 
+def test_replay_fresh_query_resets_floor_and_paces(replay_fixture):
+    """A FRESH query (Spark calls initialOffset only when the offset log is
+    empty) is a new delivery lineage: the inherited sidecar floor must be
+    dropped so the replay is paced from line 0 again, not collapsed into
+    one giant first batch."""
+    import os
+
+    r1 = _make_replay_reader(replay_fixture, 2)
+    r1.commit({"line": _N_LINES})  # prior query fully drained the file
+
+    r2 = _make_replay_reader(replay_fixture, 2)
+    assert r2._floor == _N_LINES  # restart incarnation would keep the floor
+    first = r2.initialOffset()  # ...but a FRESH query resets the lineage
+    assert first == {"line": 0}
+    assert r2.latestOffset()["line"] == 2  # paced again
+    assert not os.path.exists(r2.sidecar)
+
+
 def test_replay_commit_sidecar_is_monotone(replay_fixture):
     """A late commit of an older (regressed) batch end must not move the
     durable floor backwards."""
@@ -316,35 +334,31 @@ def test_semantic_dedup_lsh_planted_cluster(spark):
     from pyspark.sql import functions as F
 
     from energy_data_stream_processing_spark.operators.dedup import (
-        connected_components,
+        component_scores,
+        keep_longest_ord,
         minhash_lsh_pairs,
-        words,
     )
 
     base = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
     k = 10
     rows = [(i, base.replace("today", f"variant{i % 3}")) for i in range(k)]
-    # one strictly longer copy the keep rule must select
-    rows.append((k, base + " with one extra trailing clause appended"))
+    # one strictly longer copy the keep rule must select — with a doc_id
+    # ABOVE 1e8 (the old n_words*1e8-doc_id composite key inverted the
+    # ordering exactly there and would keep a shorter copy instead)
+    big_id = 300_000_000
+    rows.append((big_id, base + " with one extra trailing clause appended"))
     distractors = [
         (100 + i, f"completely unrelated document number {i} about solar tariffs and billing cycles {i}")
         for i in range(5)
     ]
     docs = spark.createDataFrame(rows + distractors, "doc_id long, text string")
 
-    pairs = minhash_lsh_pairs(docs, threshold=0.5)
-    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    )
-    comp = connected_components(docs.select("doc_id"), edges)
+    scored = component_scores(docs, minhash_lsh_pairs(docs, threshold=0.5))
     clusters = (
-        comp.join(docs.select("doc_id", F.size(words()).alias("n_words")), "doc_id")
-        .groupBy("component_id")
+        scored.groupBy("component_id")
         .agg(
             F.count(F.lit(1)).alias("cluster_size"),
-            F.max_by(
-                "doc_id", F.col("n_words").cast("long") * 100000000 - F.col("doc_id")
-            ).alias("keep_doc_id"),
+            F.max_by("doc_id", keep_longest_ord()).alias("keep_doc_id"),
         )
         .where(F.col("cluster_size") > 1)
         .collect()
@@ -352,7 +366,7 @@ def test_semantic_dedup_lsh_planted_cluster(spark):
     assert len(clusters) == 1, f"expected one planted cluster, got {clusters}"
     c = clusters[0]
     assert c.component_id == 0 and c.cluster_size == k + 1
-    assert c.keep_doc_id == k  # the longest copy wins
+    assert c.keep_doc_id == big_id  # the longest copy wins, even at id >= 1e8
 
 
 def test_bpe_single_corpus_scan_plan(spark, sf_dir):
