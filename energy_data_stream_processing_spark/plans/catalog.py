@@ -51,16 +51,20 @@ def stage_result(spark: SparkSession, df: DataFrame, name: str) -> DataFrame:
     keeps that materialization distributed (executor writes), where a
     ``collect()``/``createDataFrame`` round-trip would funnel every row
     through the driver. The stage path is namespaced by the session's
-    applicationId so concurrent sessions (parallel graders, pytest workers)
-    never clobber each other's staging mid-read, per-entry and overwritten
-    each run within a session, and removed at interpreter exit."""
+    applicationId AND the driver pid — local-mode applicationId is just
+    'local-<currentTimeMillis>', so two processes starting in the same
+    millisecond would otherwise share a namespace and the first to exit
+    would atexit-rmtree the other's live staging mid-read. Per-entry and
+    overwritten each run within a session; removed at interpreter exit."""
     import atexit
     import os
     import shutil
     import tempfile
 
     app_dir = os.path.join(
-        tempfile.gettempdir(), "edsp_stage", spark.sparkContext.applicationId
+        tempfile.gettempdir(),
+        "edsp_stage",
+        f"{spark.sparkContext.applicationId}-{os.getpid()}",
     )
     if app_dir not in _STAGE_CLEANUPS:
         _STAGE_CLEANUPS.add(app_dir)

@@ -1078,18 +1078,32 @@ SELECT d.doc_id,
   'fake/' || (ord(substr(d.text, 1, 1)) % 4) AS format,
   ((ord(substr(d.text, 1, 1)) % 64) + 16)::INT AS width,
   (CASE WHEN length(d.text) > 0 THEN (length(d.text) % 64) + 16 ELSE 16 END)::INT AS height,
-  [((coalesce(s0, 0) % 1000) / 1000.0)::FLOAT, ((coalesce(s1, 0) % 1000) / 1000.0)::FLOAT,
-   ((coalesce(s2, 0) % 1000) / 1000.0)::FLOAT, ((coalesce(s3, 0) % 1000) / 1000.0)::FLOAT] AS features
+  ((coalesce(s0, 0) % 1000) / 1000.0)::FLOAT AS f0,
+  ((coalesce(s1, 0) % 1000) / 1000.0)::FLOAT AS f1,
+  ((coalesce(s2, 0) % 1000) / 1000.0)::FLOAT AS f2,
+  ((coalesce(s3, 0) % 1000) / 1000.0)::FLOAT AS f3
 FROM documents d LEFT JOIN qsum USING (doc_id)
 """,
     doc="Arrow-batched mapInPandas decode/feature-extract over binary media "
     "(deterministic fake codec — see operators/multimodal.py). The fake "
     "decode is byte arithmetic, so the WHOLE pipeline — batch shape, "
     "schema, float32 feature vector — is value-exact checked against a "
-    "SQL reimplementation.",
+    "SQL reimplementation. The library API (decode_media) returns an "
+    "array<float> feature column; the CATALOG entry flattens it to scalar "
+    "f0..f3 FLOAT columns following the repo's flatten-for-comparison "
+    "convention (see customer_view's array_join) so the driver's pandas "
+    "sort_values canonicalizer can hash it.",
 )
 def q_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return decode_media(media_table(_docs(spark, sf_dir)))
+    decoded = decode_media(media_table(_docs(spark, sf_dir)))
+    return decoded.select(
+        "doc_id",
+        "byte_len",
+        "format",
+        "width",
+        "height",
+        *[F.col("features").getItem(i).alias(f"f{i}") for i in range(4)],
+    )
 
 
 @register(

@@ -189,6 +189,7 @@ class _FakeKafkaStreamReader(DataSourceStreamReader):
         from .replay_source import _load_watermark
 
         cid = options.get("commit_id")
+        self._namespaced = cid is not None
         self.sidecar = os.path.join(
             os.path.dirname(self.topic_dir),
             os.path.basename(self.topic_dir)
@@ -200,8 +201,10 @@ class _FakeKafkaStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         # fresh query (no offset log) = new delivery lineage: drop any
         # inherited floor — see replay_source initialOffset for rationale
-        from .replay_source import _clear_watermark
+        # (including the un-namespaced shared-sidecar reset warning)
+        from .replay_source import _clear_watermark, _warn_unnamespaced_reset
 
+        _warn_unnamespaced_reset(self.sidecar, "offset", self._namespaced)
         self._floor = 0
         _clear_watermark(self.sidecar)
         return {"offset": 0}

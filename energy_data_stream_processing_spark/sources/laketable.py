@@ -14,7 +14,9 @@ transactional core those formats provide, with the same interface shape:
 - **Commit log**: ``_log/v{N}.json`` files; each commit holds the COMPLETE
   active-file list (full snapshots, not deltas — right at metrics-table
   cardinality; Delta's delta-log + checkpoints is the same idea amortized)
-  plus the set of applied writer transaction ids.
+  plus a bounded map of applied writer transactions (latest version per
+  app id — Delta's ``txnAppId``/``txnVersion``, O(#writers) not
+  O(#batches)).
 - **Atomic visibility**: data files are written first, then the next
   version file lands via write-temp + ``os.replace`` (atomic on POSIX).
   Readers resolve the latest version ONCE and read exactly its file list —
@@ -37,10 +39,16 @@ Scale notes: the log is tiny JSON (file lists for a metrics-cardinality
 table); data I/O is executor-side parquet exactly like the plain sink; the
 driver only renames and lists. For a billions-of-files table swap the full
 snapshot for Delta-style incremental log entries — interface unchanged.
-The commit protocol relies on POSIX atomic link/rename, i.e. a shared
-POSIX filesystem (local, NFS, HDFS-via-mount); object stores without
-atomic create-if-absent need an external coordinator for the version
-write — the same LogStore abstraction point Delta has for S3.
+The commit protocol is behind an injectable **LogStore** seam (the same
+abstraction point Delta has for S3): ``PosixLogStore`` (default) relies on
+POSIX atomic link, i.e. a shared POSIX filesystem (local, NFS,
+HDFS-via-mount); ``CoordinatedLogStore`` is the object-store shape — the
+backing store has NO atomic create-if-absent, so mutual exclusion on the
+version name comes from an external coordinator (DynamoDB/ZooKeeper in
+production; an in-process one here) that serializes put-if-absent while
+payload bytes live in the plain store. Data files are executor-written
+parquet in both cases; only the tiny commit-log record goes through the
+seam.
 """
 
 from __future__ import annotations
@@ -57,11 +65,120 @@ class CommitConflict(RuntimeError):
     pass
 
 
+def _txn_parts(txn_id) -> tuple[str | None, int]:
+    """Normalize a transaction id to (app_id, version).
+
+    Delta's ``txnAppId``/``txnVersion`` pattern: pass ``(app_id, version)``
+    and the snapshot stores only the LATEST applied version per app id —
+    O(#writers), not O(#batches) — with monotone skip semantics (a version
+    at-or-below the stored one is a replay). A plain string is an opaque
+    exact-match id (version 0): presence in the map means applied."""
+    if txn_id is None:
+        return None, 0
+    if isinstance(txn_id, (tuple, list)):
+        app, ver = txn_id
+        return str(app), int(ver)
+    return str(txn_id), 0
+
+
+def _txn_already_applied(applied: dict, app: str | None, ver: int) -> bool:
+    return app is not None and app in applied and applied[app] >= ver
+
+
+class PosixLogStore:
+    """Commit-log store for filesystems with atomic create-if-absent.
+
+    ``put_if_absent`` hard-links a fully-written temp file to the version
+    name: ``os.link`` atomically creates the name WITH its content and
+    fails EEXIST when a concurrent committer won the version first — no
+    window where a reader can observe an empty or partial log entry."""
+
+    def list(self, log_dir: str) -> list[str]:
+        try:
+            return os.listdir(log_dir)
+        except FileNotFoundError:
+            return []
+
+    def read(self, path: str) -> str:
+        with open(path) as f:
+            return f.read()
+
+    def put_if_absent(self, path: str, content: str) -> None:
+        tmp = path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(content)
+        try:
+            os.link(tmp, path)
+        finally:
+            os.unlink(tmp)
+
+    def delete(self, path: str) -> None:
+        os.unlink(path)
+
+
+class CoordinatedLogStore:
+    """Commit-log store for object stores WITHOUT atomic create-if-absent
+    (S3-style): every log write goes through an external coordinator that
+    serializes put-if-absent on the object name — Delta's S3SingleDriver/
+    DynamoDB LogStore shape. This in-process implementation IS the
+    coordinator (one lock + one committed-names registry shared by every
+    handle onto the same store object); swap the registry for DynamoDB
+    conditional puts or a ZooKeeper znode in production — LakeTable code
+    is unchanged, which is the point of the seam.
+
+    The payload is still written to the backing store (plain files, no
+    atomicity assumed — written under a temp name then copied, as an
+    object-store PUT would be); only the name-reservation needs the
+    coordinator, so coordinator state is O(#commits) names, not data."""
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self._committed: set[str] = set()
+
+    def list(self, log_dir: str) -> list[str]:
+        with self._lock:
+            names = [
+                os.path.basename(p)
+                for p in self._committed
+                if os.path.dirname(p) == log_dir.rstrip("/")
+            ]
+        return names
+
+    def read(self, path: str) -> str:
+        with self._lock:
+            if path not in self._committed:
+                raise FileNotFoundError(path)
+        with open(path) as f:
+            return f.read()
+
+    def put_if_absent(self, path: str, content: str) -> None:
+        with self._lock:
+            if path in self._committed:
+                raise FileExistsError(path)
+            # object-store PUT: no rename atomicity assumed — visibility
+            # comes from the coordinator registering the name only after
+            # the payload write returned
+            with open(path, "w") as f:
+                f.write(content)
+            self._committed.add(path)
+
+    def delete(self, path: str) -> None:
+        with self._lock:
+            self._committed.discard(path)
+            try:
+                os.unlink(path)
+            except FileNotFoundError:
+                pass
+
+
 class LakeTable:
-    def __init__(self, path: str):
+    def __init__(self, path: str, log_store=None):
         self.path = path
         self.log_dir = os.path.join(path, "_log")
         self.data_dir = os.path.join(path, "data")
+        self.log_store = log_store if log_store is not None else PosixLogStore()
         os.makedirs(self.log_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
 
@@ -72,7 +189,7 @@ class LakeTable:
     def latest_version(self) -> int:
         vs = [
             int(f[1:13])
-            for f in os.listdir(self.log_dir)
+            for f in self.log_store.list(self.log_dir)
             if f.startswith("v") and f.endswith(".json")
         ]
         return max(vs) if vs else -1
@@ -80,27 +197,25 @@ class LakeTable:
     def snapshot(self, version: int | None = None) -> dict:
         v = self.latest_version() if version is None else version
         if v < 0:
-            return {"version": -1, "files": {}, "applied": []}
-        with open(self._version_file(v)) as f:
-            return json.load(f)
+            return {"version": -1, "files": {}, "applied": {}}
+        snap = json.loads(self.log_store.read(self._version_file(v)))
+        if isinstance(snap.get("applied"), list):
+            # pre-round-7 snapshots stored a flat id list; normalize to the
+            # bounded per-app-id map (each legacy id is exact-match/v0)
+            snap["applied"] = {t: 0 for t in snap["applied"]}
+        return snap
 
     def _commit(self, snap: dict, expected_head: int) -> int:
-        """Atomically publish ``snap`` as version expected_head+1. The
-        fully-written temp file is hard-linked to the version name:
-        ``os.link`` atomically creates the name WITH its content and fails
-        with EEXIST if a concurrent committer won the version first — no
-        window where a reader can observe an empty or partial log entry."""
+        """Atomically publish ``snap`` as version expected_head+1 through
+        the LogStore seam: put_if_absent makes exactly one of two racing
+        committers win the version name (POSIX hard-link EEXIST, or the
+        object-store coordinator's conditional put)."""
         v = expected_head + 1
         snap = dict(snap, version=v)
-        tmp = self._version_file(v) + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(snap, f)
         try:
-            os.link(tmp, self._version_file(v))
+            self.log_store.put_if_absent(self._version_file(v), json.dumps(snap))
         except FileExistsError:
             raise CommitConflict(f"version {v} already committed") from None
-        finally:
-            os.unlink(tmp)
         return v
 
     # ---- read -------------------------------------------------------------
@@ -125,9 +240,17 @@ class LakeTable:
         replacement per key — the engine ships complete per-key
         aggregates); all other keys carry forward untouched. Visibility is
         all-or-nothing across every touched key. Returns the committed
-        version (or the current head for an already-applied txn_id)."""
+        version (or the current head for an already-applied txn_id).
+
+        ``txn_id`` may be an opaque string (exact-match idempotence) or an
+        ``(app_id, version)`` pair — the Delta txnAppId/txnVersion pattern:
+        the snapshot stores only the latest version per app id, so a
+        long-running streaming writer keeps the log entry O(#writers)
+        instead of O(#batches), and versions at-or-below the stored one are
+        skipped as replays."""
+        txn_app, txn_ver = _txn_parts(txn_id)
         head = self.snapshot()
-        if txn_id is not None and txn_id in head["applied"]:
+        if _txn_already_applied(head["applied"], txn_app, txn_ver):
             return head["version"]
 
         # ONE executor-side job writes every touched key into a unique
@@ -146,11 +269,13 @@ class LakeTable:
 
         for _ in range(max_retries):
             head = self.snapshot()
-            if txn_id is not None and txn_id in head["applied"]:
+            if _txn_already_applied(head["applied"], txn_app, txn_ver):
                 return head["version"]  # raced with our own redelivery
             files = dict(head["files"])
             files.update(new_files)  # replaced keys drop their old files
-            applied = list(head["applied"]) + ([txn_id] if txn_id else [])
+            applied = dict(head["applied"])
+            if txn_app is not None:
+                applied[txn_app] = max(applied.get(txn_app, txn_ver), txn_ver)
             try:
                 return self._commit(
                     {"files": files, "applied": applied}, head["version"]
@@ -212,9 +337,9 @@ class LakeTable:
                 if sub.startswith("_k=") and f"{d}/{sub}" not in live:
                     shutil.rmtree(os.path.join(full, sub), ignore_errors=True)
         log_removed = 0
-        for f in os.listdir(self.log_dir):
+        for f in self.log_store.list(self.log_dir):
             if f.startswith("v") and f.endswith(".json") and int(f[1:13]) < keep_floor:
-                os.unlink(os.path.join(self.log_dir, f))
+                self.log_store.delete(os.path.join(self.log_dir, f))
                 log_removed += 1
         return {"data_dirs_removed": removed, "log_files_removed": log_removed}
 
@@ -241,7 +366,9 @@ def foreach_batch_lake_merge(
         df = batch_df
         if key_col == "hour_key" and "hour_key" not in df.columns:
             df = df.withColumn("hour_key", F.date_format("hour", "yyyy-MM-dd-HH"))
-        txn = f"{txn_app_id}-{batch_id}" if txn_app_id is not None else None
+        # (app_id, batchId) pair -> the snapshot records one latest-version
+        # entry per app id, so a long stream never grows the commit log
+        txn = (txn_app_id, batch_id) if txn_app_id is not None else None
         table.merge_upsert(batch_df.sparkSession, df, key_col, txn_id=txn)
 
     return fn

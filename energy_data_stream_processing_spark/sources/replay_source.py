@@ -72,7 +72,11 @@ def _load_watermark(sidecar: str, key: str) -> int:
     try:
         with open(sidecar) as f:
             return int(json.load(f).get(key, 0))
-    except (OSError, ValueError):
+    except (OSError, ValueError, TypeError, AttributeError):
+        # OSError: absent/unreadable; ValueError: bad JSON / non-int value;
+        # TypeError: valid JSON, wrong shape ({"line": null} -> int(None));
+        # AttributeError: top-level non-dict (a list has no .get). All mean
+        # "no usable floor" — degrade to 0, never fail the query.
         return 0
 
 
@@ -104,6 +108,27 @@ def _store_watermark(sidecar: str, key: str, value: int) -> None:
                 os.unlink(tmp)
             except OSError:
                 pass
+
+
+def _warn_unnamespaced_reset(sidecar: str, key: str, namespaced: bool) -> None:
+    """Warn when a fresh query is about to clear a shared (un-namespaced)
+    sidecar that holds another lineage's durable floor — the reset silently
+    downgrades that other query to the single-restart offset-log-clip
+    guarantee. Namespaced (commit_id) sidecars are per-lineage by
+    construction, so no warning there."""
+    if namespaced or _load_watermark(sidecar, key) <= 0:
+        return
+    import warnings
+
+    warnings.warn(
+        "fresh streaming query is resetting an existing un-namespaced "
+        f"commit sidecar ({sidecar}); if another query is replaying this "
+        "source concurrently its durable multi-restart floor was just "
+        "cleared — set a distinct commit_id option per query to isolate "
+        "lineages",
+        RuntimeWarning,
+        stacklevel=3,
+    )
 
 
 def _clear_watermark(sidecar: str) -> None:
@@ -189,6 +214,7 @@ class _ReplayStreamReader(DataSourceStreamReader):
         # replayed file by default; pass commit_id to namespace per query
         # when several independently-checkpointed queries replay one file.
         cid = options.get("commit_id")
+        self._namespaced = cid is not None
         self.sidecar = f"{self.path}.replay_commit" + (f".{cid}" if cid else "")
         self._floor = _load_watermark(self.sidecar, "line")
 
@@ -197,6 +223,13 @@ class _ReplayStreamReader(DataSourceStreamReader):
         # checkpoint restart. A fresh query is a new delivery lineage, so
         # an inherited sidecar floor must not apply: it would collapse the
         # whole previously-replayed range into one unpaced first batch.
+        #
+        # Hazard (warned, not silent): with no commit_id, the sidecar is
+        # keyed by file path alone, so a SECOND fresh query replaying the
+        # same file resets the FIRST query's durable floor here, silently
+        # downgrading that query to the single-restart (offset-log clip)
+        # guarantee. Queries sharing a file must namespace with commit_id.
+        _warn_unnamespaced_reset(self.sidecar, "line", self._namespaced)
         self._floor = 0
         _clear_watermark(self.sidecar)
         return {"line": 0}

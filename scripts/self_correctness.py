@@ -62,6 +62,40 @@ def _canon(rows, cols) -> tuple[list[tuple[str, ...]], str]:
     return canon, h.hexdigest()
 
 
+def assert_driver_canonicalizable(schema, rows, cols) -> None:
+    """Fail loudly on any output the per-round driver cannot canonicalize.
+
+    The driver loads results into pandas and ``sort_values`` over ALL
+    columns; array/struct/map cells become Python lists/dicts there and
+    raise ``TypeError: unhashable type`` (exactly how round 6's
+    ``multimodal_decode_stub`` went red while this script's repr-based
+    ``_cell`` stayed green). Two gates, both driver-semantics:
+
+    1. schema gate — no ArrayType/MapType/StructType in the top-level
+       output schema (the repo convention is to flatten: ``array_join`` a
+       string list, ``getItem`` scalar floats);
+    2. behavior gate — a literal pandas ``sort_values`` over the collected
+       rows, so anything else pandas chokes on fails here first.
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    complex_cols = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    if complex_cols:
+        raise TypeError(
+            "driver-uncanonicalizable complex-type output columns: "
+            f"{complex_cols} (flatten per the customer_view convention)"
+        )
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=list(cols))
+    if len(pdf):
+        pdf.sort_values(list(pdf.columns))  # raises on unhashable cells
+
+
 def main() -> int:
     argv = sys.argv[1:]
     sf_dir = argv[0] if argv and os.path.isdir(argv[0]) else "/root/testdata/sf0.01"
@@ -83,7 +117,9 @@ def main() -> int:
         try:
             sdf = q.builder(spark, sf_dir)
             s_cols = [c.lower() for c in sdf.columns]
-            s_rows, s_hash = _canon([tuple(r) for r in sdf.collect()], s_cols)
+            raw_rows = [tuple(r) for r in sdf.collect()]
+            assert_driver_canonicalizable(sdf.schema, raw_rows, s_cols)
+            s_rows, s_hash = _canon(raw_rows, s_cols)
             rec["spark_rows"] = len(s_rows)
             if q.oracle is None:
                 # rows-only check, mirroring the driver's weaker gate

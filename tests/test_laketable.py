@@ -12,7 +12,9 @@ from pyspark.sql import functions as F
 
 from energy_data_stream_processing_spark.sources.laketable import (
     CommitConflict,
+    CoordinatedLogStore,
     LakeTable,
+    PosixLogStore,
     foreach_batch_lake_merge,
 )
 
@@ -106,11 +108,15 @@ def test_time_travel_read(spark, tmp_path):
     assert [r.n for r in t.read(spark).collect()] == [2]
 
 
-def test_merge_sequence_matches_dict_model(spark, tmp_path):
+@pytest.mark.parametrize("log_store_cls", [PosixLogStore, CoordinatedLogStore])
+def test_merge_sequence_matches_dict_model(spark, tmp_path, log_store_cls):
     """Model-based check: any sequence of merges (with redeliveries mixed
     in) must leave the table equal to a plain dict applying the same
     upserts — txn ids absorb redeliveries, fresh txns apply once, every
-    intermediate state is a committed version."""
+    intermediate state is a committed version. Parameterized over BOTH
+    LogStore implementations (POSIX atomic link and the object-store
+    external-coordinator shape) so the commit protocol's correctness is
+    proven independent of the backing store's atomicity primitives."""
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st
 
@@ -134,7 +140,10 @@ def test_merge_sequence_matches_dict_model(spark, tmp_path):
     @given(ops=st.lists(op, min_size=1, max_size=4))
     def run(ops):
         counter[0] += 1
-        t = LakeTable(str(tmp_path / f"model{counter[0]}"))
+        t = LakeTable(
+            str(tmp_path / f"model-{log_store_cls.__name__}-{counter[0]}"),
+            log_store=log_store_cls(),
+        )
         model: dict = {}
         applied: set = set()
         versions = 0

@@ -56,10 +56,28 @@ def _rows(rows, cols):
 ORACLE_QUERIES = sorted(n for n, q in all_queries().items() if q.oracle is not None)
 
 
+def _assert_no_complex_output(name, schema):
+    """Driver-canonicalization gate: the per-round driver pandas-sorts over
+    all columns, so top-level array/struct/map output columns crash it
+    (round 6's only red row). Flatten per the customer_view convention."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    complex_cols = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not complex_cols, (
+        f"{name}: driver-uncanonicalizable complex-type output columns "
+        f"{complex_cols} — flatten (array_join / getItem) in the entry"
+    )
+
+
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_query_matches_oracle(spark, sf_dir, name):
     q = all_queries()[name]
     sdf = q.builder(spark, sf_dir)
+    _assert_no_complex_output(name, sdf.schema)
     spark_cols = [c.lower() for c in sdf.columns]
     spark_rows = _rows(sdf.collect(), spark_cols)
 

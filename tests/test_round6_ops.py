@@ -459,7 +459,16 @@ def test_multimodal_oracle_ascii_invariant(spark, gate_dir):
     )
 
 
-@pytest.mark.parametrize("gate_dir", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+@pytest.mark.parametrize(
+    "gate_dir",
+    [
+        # sf0.001 pins the recall fact for the pytest-differential corpus
+        # too (COVERAGE.md claims semantic_dedup_lsh green there as well)
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ],
+)
 def test_lsh_oracle_full_recall_guard(spark, gate_dir):
     """dedup_incremental_minhash / streaming_incremental_dedup gate their
     value-exact DuckDB oracles on the EMPIRICAL fact that the 16-band/2-row
