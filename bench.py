@@ -195,6 +195,50 @@ def main() -> None:
         ).save()
         result["curation_pipeline_sec"] = round(time.perf_counter() - t0, 3)
 
+        # Curation scale probe: the same composed pipeline on a 10x
+        # documents corpus, so the LLM-pipeline story has a scaling
+        # datapoint, not just one scale. Replicas 1-9 word-suffix every
+        # token (deterministic), so cross-replica docs are NOT near-dups —
+        # the corpus behaves like 10x independent documents while the
+        # original intra-corpus duplicate structure repeats per replica.
+        # Generation time is excluded.
+        if os.environ.get("SPARK_GRAFT_LADDER", "1") != "0":
+            import tempfile as _tf
+
+            cur_dir = _tf.mkdtemp(prefix="bench-curladder-")
+            for t in ["region", "nation", "customer", "supplier", "part",
+                      "orders", "lineitem", "events", "embeddings"]:
+                os.symlink(f"{sf_dir}/{t}.parquet", f"{cur_dir}/{t}.parquet")
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            (
+                docs.crossJoin(spark.range(10).withColumnRenamed("id", "_rep"))
+                .withColumn("doc_id", F.col("doc_id") * 10 + F.col("_rep"))
+                .withColumn(
+                    "text",
+                    F.when(F.col("_rep") == 0, F.col("text")).otherwise(
+                        F.array_join(
+                            F.transform(
+                                F.split("text", " "),
+                                lambda x: F.concat(
+                                    x, F.lit("_"), F.col("_rep").cast("string")
+                                ),
+                            ),
+                            " ",
+                        )
+                    ),
+                )
+                .withColumn("n_chars", F.length("text"))
+                .drop("_rep")
+                .write.mode("overwrite")
+                .parquet(f"{cur_dir}/documents.parquet")
+            )
+            t0 = time.perf_counter()
+            curation_pipeline_full(spark, cur_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            result["curation_ladder_sec"] = round(time.perf_counter() - t0, 3)
+            result["curation_ladder_scale_x"] = 10
+
     print(json.dumps(result))
     spark.stop()
 

@@ -20,8 +20,17 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app_name: str = "energy-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    import tempfile
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     parts = str(shuffle_partitions or cpus)
+    # Keep session byproducts (spark-warehouse/ from saveAsTable, Derby's
+    # derby.log/metastore_db) out of the caller's cwd: root them under a
+    # per-process scratch dir instead of littering the repo.
+    run_dir = os.path.join(
+        os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir()),
+        f"edsp-spark-{os.getpid()}",
+    )
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -32,5 +41,9 @@ def get_spark(app_name: str = "energy-spark", shuffle_partitions: int | None = N
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", os.path.join(run_dir, "warehouse"))
+        .config(
+            "spark.driver.extraJavaOptions", f"-Dderby.system.home={run_dir}"
+        )
         .getOrCreate()
     )

@@ -36,24 +36,39 @@ from .jsonl import ENVELOPE_SCHEMA
 def kafka_stream_source(
     spark: SparkSession,
     bootstrap_servers: str,
-    topic: str,
+    topic: str | None = None,
     starting_offsets: str = "earliest",
     max_offsets_per_trigger: int | None = None,
     fmt: str = "kafka",
+    subscribe_pattern: str | None = None,
+    fail_on_data_loss: bool | None = None,
 ) -> DataFrame:
     """Streaming Kafka source -> parsed envelope rows (+ _corrupt capture).
 
     ``maxOffsetsPerTrigger`` is the engine-native backpressure bound the
     reference approximates with ``max_poll_records`` (consumer.py:491).
+    ``subscribe_pattern`` (regex topic subscription, mutually exclusive
+    with ``topic``) and ``fail_on_data_loss`` (fail vs reset-and-continue
+    when committed records vanished from the broker) map to the
+    connector's ``subscribePattern`` / ``failOnDataLoss`` options; both
+    are exercised against the file-backed contract double
+    (tests/test_kafka_optional.py).
     """
+    if (topic is None) == (subscribe_pattern is None):
+        raise ValueError("exactly one of topic / subscribe_pattern is required")
     reader = (
         spark.readStream.format(fmt)
         .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
         .option("startingOffsets", starting_offsets)
     )
+    if topic is not None:
+        reader = reader.option("subscribe", topic)
+    else:
+        reader = reader.option("subscribePattern", subscribe_pattern)
     if max_offsets_per_trigger is not None:
         reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+    if fail_on_data_loss is not None:
+        reader = reader.option("failOnDataLoss", "true" if fail_on_data_loss else "false")
     raw = reader.load()
     return parse_kafka_values(raw)
 

@@ -16,8 +16,11 @@ with their full option surface:
 - batch write appends one JSONL file per task (Kafka's per-partition append);
 - the stream reader exposes the Kafka source schema (key/value BINARY,
   topic, partition, offset, timestamp, timestampType) with offsets =
-  record index, honoring ``startingOffsets=earliest`` and
-  ``maxOffsetsPerTrigger`` batch pacing;
+  per-topic record index, honoring ``startingOffsets`` (earliest|latest),
+  ``maxOffsetsPerTrigger`` batch pacing, ``subscribePattern`` (regex topic
+  subscription with dynamic discovery of topics created mid-query), and
+  ``failOnDataLoss`` (fail vs warn-and-reset when committed records have
+  been truncated away);
 - record order is the sorted-file order: stable for the write-then-read
   phases a contract test runs (a real broker only guarantees per-partition
   arrival order anyway). This is a TEST DOUBLE, not a broker — no
@@ -60,6 +63,37 @@ def _topic_dir(options) -> str:
     if not topic:
         raise ValueError("topic/subscribe option is required")
     return os.path.join(root, topic)
+
+
+def _subscribed_topic_dirs(options) -> list[str]:
+    """Resolve the subscription to topic directories, sorted by name.
+
+    ``subscribePattern`` (regex, like the connector's) matches topic
+    subdirectories of the broker root; re-resolved on every call so a topic
+    created after the query starts is picked up at the next trigger —
+    the connector's dynamic pattern-subscription behavior. ``subscribe`` /
+    ``topic`` name exactly one topic (which need not exist yet)."""
+    root = options.get("kafka.bootstrap.servers")
+    if not root:
+        raise ValueError("kafka.bootstrap.servers option is required")
+    pattern = options.get("subscribePattern")
+    single = options.get("topic") or options.get("subscribe")
+    if pattern and single:
+        raise ValueError("subscribe and subscribePattern are mutually exclusive")
+    if pattern:
+        import re
+
+        rx = re.compile(pattern)
+        if not os.path.isdir(root):
+            return []
+        return sorted(
+            os.path.join(root, d)
+            for d in os.listdir(root)
+            if rx.fullmatch(d) and os.path.isdir(os.path.join(root, d))
+        )
+    if not single:
+        raise ValueError("topic/subscribe/subscribePattern option is required")
+    return [os.path.join(root, single)]
 
 
 def _encode_cell(v) -> str | None:
@@ -152,51 +186,85 @@ class _FakeKafkaStreamWriter(DataSourceStreamWriter):
 
 
 class _Range(InputPartition):
-    def __init__(self, start: int, end: int):
+    def __init__(self, start: int, end: int, topic_dir: str | None = None):
         self.start = start
         self.end = end
+        self.topic_dir = topic_dir
 
 
 class _FakeKafkaBatchReader(DataSourceReader):
     def __init__(self, options):
-        self.topic_dir = _topic_dir(options)
+        self.topic_dirs = _subscribed_topic_dirs(options)
 
     def partitions(self) -> Sequence[InputPartition]:
-        return [_Range(0, len(_read_records(self.topic_dir)))]
+        # one partition per subscribed topic (the connector's one-per-
+        # topic-partition, collapsed to the double's single partition 0)
+        return [
+            _Range(0, len(_read_records(d)), topic_dir=d) for d in self.topic_dirs
+        ]
 
     def read(self, part: _Range) -> Iterator[tuple]:
-        recs = _read_records(self.topic_dir)
+        recs = _read_records(part.topic_dir)
         for i in range(part.start, min(part.end, len(recs))):
             yield recs[i]
 
 
 class _FakeKafkaStreamReader(DataSourceStreamReader):
-    """Offsets are record indexes; startingOffsets=earliest -> 0;
-    maxOffsetsPerTrigger caps each micro-batch like the connector's
-    backpressure bound."""
+    """Offsets are per-topic record indexes (the connector's per-topic-
+    partition offset map, collapsed to the double's single partition 0);
+    ``startingOffsets`` earliest->0 / latest->current end;
+    ``maxOffsetsPerTrigger`` caps each micro-batch's TOTAL new records like
+    the connector's backpressure bound (budget spent across topics in
+    sorted-name order — the connector distributes proportionally; contract
+    double divergence, documented); ``failOnDataLoss`` (default true) fails
+    the query when committed records have vanished (topic truncated or
+    deleted), or resets to the available end with a warning when false.
+
+    Offset JSON shape: ``{"topics": {name: next_index}}``."""
 
     def __init__(self, options):
-        self.topic_dir = _topic_dir(options)
-        if options.get("startingOffsets", "earliest") != "earliest":
-            raise ValueError("the fake broker supports startingOffsets=earliest only")
+        self.options = options
+        self.starting = options.get("startingOffsets", "earliest")
+        if self.starting not in ("earliest", "latest"):
+            raise ValueError(
+                "the fake broker supports startingOffsets earliest|latest only"
+            )
         mopt = options.get("maxOffsetsPerTrigger")
         self.max_per_trigger = int(mopt) if mopt else None
+        self.fail_on_data_loss = (
+            str(options.get("failOnDataLoss", "true")).lower() != "false"
+        )
         # Durable committed-offset floor — same two-restart hazard and same
         # sidecar mechanism as the jsonl replay source (replay_source.py::
         # _load_watermark): a paced reader's in-memory cursor regresses on
         # restart, and only a persisted committed end keeps latestOffset
         # from ever reporting (and Spark from ever logging) a regressed one.
-        from .replay_source import _load_watermark
-
+        # One sidecar PER TOPIC (pattern subscription discovers topics
+        # dynamically; each keeps its own floor).
         cid = options.get("commit_id")
         self._namespaced = cid is not None
-        self.sidecar = os.path.join(
-            os.path.dirname(self.topic_dir),
-            os.path.basename(self.topic_dir)
+        self._cid = cid
+        # per-topic in-memory state: pacing cursor, high watermark, floor
+        self._last: dict[str, int] = {}
+        self._hw: dict[str, int] = {}
+        self._floor: dict[str, int] = {}
+        for d in _subscribed_topic_dirs(options):
+            self._floor[_t(d)] = self._load_floor(d)
+
+    def _sidecar(self, topic_dir: str) -> str:
+        return (
+            topic_dir.rstrip("/")
             + ".kafka_commit"
-            + (f".{cid}" if cid else ""),
+            + (f".{self._cid}" if self._cid else "")
         )
-        self._floor = _load_watermark(self.sidecar, "offset")
+
+    def _load_floor(self, topic_dir: str) -> int:
+        from .replay_source import _load_watermark
+
+        return _load_watermark(self._sidecar(topic_dir), "offset")
+
+    def _topic_dirs(self) -> list[str]:
+        return _subscribed_topic_dirs(self.options)
 
     def initialOffset(self) -> dict:
         # fresh query (no offset log) = new delivery lineage: drop any
@@ -204,40 +272,90 @@ class _FakeKafkaStreamReader(DataSourceStreamReader):
         # (including the un-namespaced shared-sidecar reset warning)
         from .replay_source import _clear_watermark, _warn_unnamespaced_reset
 
-        _warn_unnamespaced_reset(self.sidecar, "offset", self._namespaced)
-        self._floor = 0
-        _clear_watermark(self.sidecar)
-        return {"offset": 0}
+        offsets: dict[str, int] = {}
+        for d in self._topic_dirs():
+            _warn_unnamespaced_reset(self._sidecar(d), "offset", self._namespaced)
+            self._floor[_t(d)] = 0
+            _clear_watermark(self._sidecar(d))
+            offsets[_t(d)] = len(_read_records(d)) if self.starting == "latest" else 0
+            self._last[_t(d)] = offsets[_t(d)]
+            self._hw[_t(d)] = offsets[_t(d)]
+        return {"topics": offsets}
+
+    def _check_data_loss(self, topic: str, cur: int, total: int) -> int:
+        """Committed/emitted records beyond the currently-available end
+        means the broker lost data (truncation/deletion)."""
+        if total >= cur:
+            return cur
+        if self.fail_on_data_loss:
+            raise RuntimeError(
+                f"data loss detected on topic {topic}: committed offset {cur} "
+                f"> available {total}; set failOnDataLoss=false to recover by "
+                "resetting to the available end"
+            )
+        import warnings
+
+        warnings.warn(
+            f"kafkafake: data loss on topic {topic} (committed {cur} > "
+            f"available {total}); failOnDataLoss=false -> resetting",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return total
 
     def latestOffset(self) -> dict:
-        total = len(_read_records(self.topic_dir))
-        cur = max(getattr(self, "_last", 0), getattr(self, "_hw", 0), self._floor)
-        if self.max_per_trigger is not None:
-            total = min(total, cur + self.max_per_trigger)
-        self._last = max(cur, total)
-        return {"offset": self._last}
+        budget = self.max_per_trigger
+        offsets: dict[str, int] = {}
+        for d in self._topic_dirs():
+            t = _t(d)
+            total = len(_read_records(d))
+            cur = max(
+                self._last.get(t, 0), self._hw.get(t, 0), self._floor.get(t, 0)
+            )
+            cur = self._check_data_loss(t, cur, total)
+            nxt = total
+            if budget is not None:
+                nxt = min(total, cur + budget)
+                budget -= nxt - cur
+            self._last[t] = max(cur, nxt)
+            offsets[t] = self._last[t]
+        return {"topics": offsets}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        s, e = int(start["offset"]), int(end["offset"])
-        # same restart-safe high-watermark clip as the jsonl replay source:
-        # `start` is committed, never re-emit below it
-        hw = max(getattr(self, "_hw", 0), s)
-        eff_start, eff_end = hw, max(e, hw)
-        self._hw = eff_end
-        self._last = max(getattr(self, "_last", 0), e, eff_end)
-        return [_Range(eff_start, eff_end)]
+        starts = start.get("topics", {})
+        ends = end.get("topics", {})
+        parts: list[_Range] = []
+        root = self.options.get("kafka.bootstrap.servers")
+        for t, e in ends.items():
+            s = int(starts.get(t, 0))
+            # same restart-safe high-watermark clip as the jsonl replay
+            # source: `start` is committed, never re-emit below it
+            hw = max(self._hw.get(t, 0), s)
+            eff_start, eff_end = hw, max(int(e), hw)
+            self._hw[t] = eff_end
+            self._last[t] = max(self._last.get(t, 0), int(e), eff_end)
+            parts.append(_Range(eff_start, eff_end, topic_dir=os.path.join(root, t)))
+        return parts
 
     def read(self, part: _Range) -> Iterator[tuple]:
-        recs = _read_records(self.topic_dir)
+        recs = _read_records(part.topic_dir)
         for i in range(part.start, min(part.end, len(recs))):
             yield recs[i]
 
     def commit(self, end: dict) -> None:
         from .replay_source import _store_watermark
 
-        committed = int(end["offset"])
-        self._floor = max(self._floor, committed)
-        _store_watermark(self.sidecar, "offset", committed)
+        root = self.options.get("kafka.bootstrap.servers")
+        for t, committed in end.get("topics", {}).items():
+            committed = int(committed)
+            self._floor[t] = max(self._floor.get(t, 0), committed)
+            _store_watermark(
+                self._sidecar(os.path.join(root, t)), "offset", committed
+            )
+
+
+def _t(topic_dir: str) -> str:
+    return os.path.basename(topic_dir.rstrip("/"))
 
 
 class FileKafkaDataSource(DataSource):

@@ -167,40 +167,52 @@ def jdbc_upsert_statement(
         )
     if dialect == "postgres_additive":
         placeholders = ", ".join(["%s"] * len(cols))
+        # In DO UPDATE SET the target row must be referenced by the table's
+        # BASE name: with a schema-qualified insert target
+        # ("analytics.hourly_business_metrics"), "analytics.hourly...col"
+        # is not a valid column reference in Postgres — only the base name
+        # (or an alias) is.
+        tref = table.rsplit(".", 1)[-1]
+        # COALESCE on the STORED side: the reference's schema declares every
+        # metric NOT NULL DEFAULT 0 (database/schema.sql:30-59), so NULLs
+        # cannot occur there — but a target table created WITHOUT those
+        # constraints would silently NULL-poison counters forever
+        # (NULL + x = NULL). Coalescing heals stored NULLs to 0 and is
+        # value-identical wherever the reference's constraints hold.
         ratio = (
             "{r} = CASE\n"
-            "        WHEN ({t}.{d} + EXCLUDED.{d}) > 0 THEN\n"
-            "            ({t}.{n} + EXCLUDED.{n}) /\n"
-            "            ({t}.{d} + EXCLUDED.{d})\n"
+            "        WHEN (COALESCE({t}.{d}, 0) + EXCLUDED.{d}) > 0 THEN\n"
+            "            (COALESCE({t}.{n}, 0) + EXCLUDED.{n}) /\n"
+            "            (COALESCE({t}.{d}, 0) + EXCLUDED.{d})\n"
             "        ELSE 0\n"
             "    END"
         )
-        add = "{c} = {t}.{c} + EXCLUDED.{c}"
+        add = "{c} = COALESCE({t}.{c}, 0) + EXCLUDED.{c}"
         updates = ",\n    ".join(
             [
-                add.format(c="tariff_switches", t=table),
-                add.format(c="total_switch_revenue", t=table),
+                add.format(c="tariff_switches", t=tref),
+                add.format(c="total_switch_revenue", t=tref),
                 ratio.format(
                     r="avg_switch_value", n="total_switch_revenue",
-                    d="tariff_switches", t=table,
+                    d="tariff_switches", t=tref,
                 ),
-                add.format(c="incentive_claims", t=table),
-                add.format(c="total_incentive_payouts", t=table),
-                add.format(c="green_tariff_switches", t=table),
-                add.format(c="active_customers", t=table),
-                add.format(c="new_sessions", t=table),
-                add.format(c="total_logins", t=table),
-                add.format(c="total_energy_consumed", t=table),
+                add.format(c="incentive_claims", t=tref),
+                add.format(c="total_incentive_payouts", t=tref),
+                add.format(c="green_tariff_switches", t=tref),
+                add.format(c="active_customers", t=tref),
+                add.format(c="new_sessions", t=tref),
+                add.format(c="total_logins", t=tref),
+                add.format(c="total_energy_consumed", t=tref),
                 ratio.format(
                     r="avg_consumption_per_customer", n="total_energy_consumed",
-                    d="active_customers", t=table,
+                    d="active_customers", t=tref,
                 ),
                 "peak_hour_usage = EXCLUDED.peak_hour_usage",
-                add.format(c="total_payments", t=table),
-                add.format(c="payment_events", t=table),
+                add.format(c="total_payments", t=tref),
+                add.format(c="payment_events", t=tref),
                 ratio.format(
                     r="avg_payment_amount", n="total_payments",
-                    d="payment_events", t=table,
+                    d="payment_events", t=tref,
                 ),
                 # the reference writes CURRENT_TIMESTAMP; now() is the same function
                 # in Postgres and ALSO parses in DuckDB's DO UPDATE SET

@@ -333,3 +333,177 @@ def test_fake_kafka_restart_consumes_only_new_records(fake_broker, sf_dir, tmp_p
     assert sorted(seen) == sorted(first20 + all30), "growth restart missed/duplicated"
     run_once()
     assert len(seen) == 50
+
+
+# --------------------------------------------------------------------------
+# Per-option contract tests (round-7: the fake-broker surface now covers
+# every option sources/kafka.py claims — subscribePattern, failOnDataLoss,
+# startingOffsets=latest — one named test per option).
+# --------------------------------------------------------------------------
+def test_fake_kafka_subscribe_pattern_merges_matching_topics(
+    fake_broker, sf_dir, tmp_path
+):
+    """subscribePattern: a regex subscription must read every matching
+    topic (and only those), each record carrying its own topic name —
+    the connector's multi-topic pattern subscribe."""
+    from energy_data_stream_processing_spark.sources.kafka import (
+        kafka_stream_source,
+        write_kafka_batch,
+    )
+
+    spark = fake_broker
+    broker = str(tmp_path / "broker")
+    env = _envelopes(spark, sf_dir, n=30)
+    write_kafka_batch(env.limit(10), broker, "events-a", fmt="kafkafake")
+    write_kafka_batch(env.limit(20), broker, "events-b", fmt="kafkafake")
+    write_kafka_batch(env, broker, "other", fmt="kafkafake")  # must NOT match
+
+    stream = kafka_stream_source(
+        spark, broker, subscribe_pattern="events-.*", fmt="kafkafake"
+    )
+    batches = _drain(stream, str(tmp_path / "ckpt"))
+    rows = [r for b in batches for r in b]
+    assert len(rows) == 30  # 10 + 20, "other" excluded
+
+    # topic attribution check at the raw layer (parse drops the column)
+    raw = (
+        spark.read.format("kafkafake")
+        .option("kafka.bootstrap.servers", broker)
+        .option("subscribePattern", "events-.*")
+        .load()
+    )
+    per_topic = {r["topic"]: r["cnt"] for r in raw.groupBy("topic").count()
+                 .withColumnRenamed("count", "cnt").collect()}
+    assert per_topic == {"events-a": 10, "events-b": 20}
+
+
+def test_fake_kafka_subscribe_pattern_discovers_new_topic(
+    fake_broker, sf_dir, tmp_path
+):
+    """A topic created AFTER the query started must be picked up at the
+    next trigger (dynamic pattern subscription)."""
+    from energy_data_stream_processing_spark.sources.kafka import (
+        kafka_stream_source,
+        write_kafka_batch,
+    )
+
+    spark = fake_broker
+    broker = str(tmp_path / "broker")
+    env = _envelopes(spark, sf_dir, n=25)
+    write_kafka_batch(env.limit(10), broker, "ev-one", fmt="kafkafake")
+
+    seen = []
+    stream = kafka_stream_source(
+        spark, broker, subscribe_pattern="ev-.*", fmt="kafkafake"
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: seen.extend(map(tuple, df.collect()))
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert len(seen) == 10
+        write_kafka_batch(env.limit(15), broker, "ev-two", fmt="kafkafake")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(seen) == 25, "mid-query topic not discovered by the pattern"
+
+
+def test_fake_kafka_starting_offsets_latest_skips_history(
+    fake_broker, sf_dir, tmp_path
+):
+    """startingOffsets=latest: records already on the topic when the query
+    starts are skipped; only post-start appends arrive."""
+    from energy_data_stream_processing_spark.sources.kafka import (
+        kafka_stream_source,
+        write_kafka_batch,
+    )
+
+    spark = fake_broker
+    broker = str(tmp_path / "broker")
+    topic = "events-latest"
+    env = _envelopes(spark, sf_dir, n=30)
+    write_kafka_batch(env.limit(12), broker, topic, fmt="kafkafake")  # history
+
+    seen = []
+    stream = kafka_stream_source(
+        spark, broker, topic, starting_offsets="latest", fmt="kafkafake"
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: seen.extend(map(tuple, df.collect()))
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert seen == []  # history skipped
+        write_kafka_batch(env.limit(30), broker, topic, fmt="kafkafake")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(seen) == 30  # exactly the post-start batch
+
+
+def test_fake_kafka_fail_on_data_loss_true_fails_query(fake_broker, tmp_path):
+    """failOnDataLoss default (true): committed records vanishing from the
+    broker (truncation) must fail the reader loudly."""
+    import json as _json
+    import shutil
+
+    from energy_data_stream_processing_spark.sources.kafka_fake import (
+        _FakeKafkaStreamReader,
+    )
+
+    topic_dir = tmp_path / "broker" / "ev"
+    topic_dir.mkdir(parents=True)
+    recs = [_json.dumps({"key": None, "value": "dGVzdA=="}) for _ in range(6)]
+    (topic_dir / "batch-0.jsonl").write_text("\n".join(recs) + "\n")
+    opts = {"kafka.bootstrap.servers": str(tmp_path / "broker"), "subscribe": "ev"}
+
+    r = _FakeKafkaStreamReader(opts)
+    end = r.latestOffset()
+    assert end["topics"]["ev"] == 6
+    r.commit(end)
+
+    (topic_dir / "batch-0.jsonl").unlink()  # broker truncates the topic
+    r2 = _FakeKafkaStreamReader(opts)  # restart picks up the durable floor
+    with pytest.raises(RuntimeError, match="data loss detected on topic ev"):
+        r2.latestOffset()
+    shutil.rmtree(topic_dir)
+
+
+def test_fake_kafka_fail_on_data_loss_false_warns_and_continues(
+    fake_broker, tmp_path
+):
+    """failOnDataLoss=false: the same truncation warns and resets instead
+    of failing; the reader keeps serving what is available."""
+    import json as _json
+
+    from energy_data_stream_processing_spark.sources.kafka_fake import (
+        _FakeKafkaStreamReader,
+    )
+
+    topic_dir = tmp_path / "broker" / "ev"
+    topic_dir.mkdir(parents=True)
+    recs = [_json.dumps({"key": None, "value": "dGVzdA=="}) for _ in range(6)]
+    (topic_dir / "batch-0.jsonl").write_text("\n".join(recs) + "\n")
+    opts = {
+        "kafka.bootstrap.servers": str(tmp_path / "broker"),
+        "subscribe": "ev",
+        "failOnDataLoss": "false",
+    }
+
+    r = _FakeKafkaStreamReader(opts)
+    end = r.latestOffset()
+    r.commit(end)
+    (topic_dir / "batch-0.jsonl").unlink()
+    r2 = _FakeKafkaStreamReader(opts)
+    with pytest.warns(RuntimeWarning, match="data loss on topic ev"):
+        out = r2.latestOffset()
+    assert out["topics"]["ev"] == 0  # reset to the available end, no raise

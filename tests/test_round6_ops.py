@@ -206,14 +206,14 @@ def test_kafka_fake_two_restart_floor(tmp_path):
 
     r1 = _FakeKafkaStreamReader(opts)
     end = r1.latestOffset()
-    assert end["offset"] == 2
+    assert end["topics"]["events"] == 2
     r1.commit(end)
     end = r1.latestOffset()
-    assert end["offset"] == 4
+    assert end["topics"]["events"] == 4
     r1.commit(end)
 
     r2 = _FakeKafkaStreamReader(opts)  # restart: fresh cursor
-    assert r2.latestOffset()["offset"] >= 4
+    assert r2.latestOffset()["topics"]["events"] >= 4
 
 
 @pytest.mark.parametrize(

@@ -173,7 +173,7 @@ def test_kafka_fake_unnamespaced_reset_warns(tmp_path):
         {"kafka.bootstrap.servers": str(tmp_path / "broker"), "subscribe": "topic"}
     )
     with pytest.warns(RuntimeWarning, match="un-namespaced commit sidecar"):
-        assert reader.initialOffset() == {"offset": 0}
+        assert reader.initialOffset() == {"topics": {"topic": 0}}
 
 
 # ---------------------------------------------------------------------------

@@ -204,3 +204,101 @@ def test_additive_merge_zero_denominator_guard(add_con):
         "avg_payment_amount FROM hourly_business_metrics WHERE hour = ?", [h],
     ).fetchone()
     assert list(row) == [0.0, 0.0, 0.0]
+
+
+# --- round-7 edge cases: identifier quoting/case, NULL-vs-0 ---------------
+
+def test_additive_merge_schema_qualified_table(add_con):
+    """A schema-qualified insert target must still execute: in DO UPDATE
+    SET the stored row has to be referenced by the table's BASE name
+    (schema-qualified column refs are invalid there in Postgres), so the
+    generator derives the update-side reference from the last path
+    segment."""
+    from energy_data_stream_processing_spark.sources.sinks import jdbc_upsert_statement
+
+    add_con.execute("CREATE SCHEMA analytics")
+    cols = ", ".join(
+        f"{m} {'BIGINT' if m in COUNTERS else 'DOUBLE'}" for m in METRIC_COLUMNS
+    )
+    add_con.execute(
+        "CREATE TABLE analytics.hourly_business_metrics ("
+        f"hour TIMESTAMP PRIMARY KEY, {cols}, updated_at TIMESTAMP)"
+    )
+    sql = jdbc_upsert_statement(
+        "analytics.hourly_business_metrics", dialect="postgres_additive"
+    ).replace("%s", "?")
+    assert "analytics.hourly_business_metrics.tariff_switches" not in sql
+    h = datetime.datetime(2025, 6, 4, 8)
+    add_con.execute(sql, _partial_flush_params(h, _ADD))
+    add_con.execute(sql, _partial_flush_params(h, _ADD))
+    got = add_con.execute(
+        "SELECT tariff_switches, total_switch_revenue, avg_switch_value "
+        "FROM analytics.hourly_business_metrics WHERE hour = ?", [h],
+    ).fetchone()
+    assert got[0] == 2 * _ADD["tariff_switches"]
+    assert got[1] == 2 * _ADD["total_switch_revenue"]
+    assert got[2] == (2 * _ADD["total_switch_revenue"]) / (2 * _ADD["tariff_switches"])
+
+
+def test_additive_merge_heals_stored_nulls(add_con):
+    """NULL-vs-0: the reference schema declares every metric NOT NULL
+    DEFAULT 0 (database/schema.sql:30-59) so stored NULLs cannot occur
+    there — but a target table WITHOUT those constraints would make
+    t.col + EXCLUDED.col NULL-poison counters forever. The generated SQL
+    coalesces the STORED side, so a pre-existing NULL row heals to the
+    delta instead of staying NULL."""
+    from energy_data_stream_processing_spark.sources.sinks import jdbc_upsert_statement
+
+    sql = jdbc_upsert_statement(
+        "hourly_business_metrics", dialect="postgres_additive"
+    ).replace("%s", "?")
+    h = datetime.datetime(2025, 6, 4, 9)
+    # seed a conflicting row whose metric columns are ALL NULL
+    add_con.execute("INSERT INTO hourly_business_metrics (hour) VALUES (?)", [h])
+    add_con.execute(sql, _partial_flush_params(h, _ADD))
+    row = add_con.execute(
+        "SELECT " + ", ".join(METRIC_COLUMNS)
+        + " FROM hourly_business_metrics WHERE hour = ?", [h],
+    ).fetchone()
+    got = dict(zip(METRIC_COLUMNS, row))
+    for c, v in _ADD.items():
+        assert got[c] == v, f"{c}: stored NULL must heal to the delta, got {got[c]}"
+    assert got["avg_switch_value"] == _ADD["total_switch_revenue"] / _ADD["tariff_switches"]
+    assert got["avg_consumption_per_customer"] == (
+        _ADD["total_energy_consumed"] / _ADD["active_customers"]
+    )
+    assert got["avg_payment_amount"] == _ADD["total_payments"] / _ADD["payment_events"]
+
+
+def test_replacement_dialect_schema_qualified_and_case(con):
+    """The full-row-replacement dialect (the engine's own flush) with a
+    schema-qualified, case-folded table name: unquoted identifiers fold the
+    same way on both engines, so the statement executes and replaces."""
+    from energy_data_stream_processing_spark.sources.sinks import jdbc_upsert_statement
+
+    sql = jdbc_upsert_statement(
+        "MAIN.Hourly_Business_Metrics", dialect="postgres"
+    ).replace("%s", "?")
+    # unquoted -> folds to the existing lowercase table in the default schema
+    h = datetime.datetime(2025, 6, 4, 10)
+    con.execute(sql, _row(h, 3))
+    con.execute(sql, _row(h, 9))
+    got = con.execute(
+        "SELECT * FROM hourly_business_metrics WHERE hour = ?", [h]
+    ).fetchone()
+    assert list(got) == _row(h, 9)
+
+
+def test_merge_dialect_quotes_reserved_hour():
+    """The MERGE dialect must double-quote "hour" everywhere it is used as
+    an identifier — it is reserved in ANSI engines (Derby) — and never emit
+    an unquoted standalone hour column reference."""
+    import re
+
+    from energy_data_stream_processing_spark.sources.sinks import jdbc_upsert_statement
+
+    sql = jdbc_upsert_statement("m", dialect="merge")
+    assert 't."hour" = s."hour"' in sql
+    # no unquoted `hour` identifier anywhere (word-boundary, not inside a
+    # quoted name)
+    assert not re.search(r'(?<!")\bhour\b(?!")', sql), sql
