@@ -165,6 +165,11 @@ def main() -> None:
         ladder_queries = [
             "hourly_business_metrics", "rolling_24h_metrics",
             "customer_view", "business_kpis_growth", "user_sessions",
+            # the documented 100 TB swap for customer_view (oracle-identical,
+            # two-phase partial aggregation): tracked on the ladder so the
+            # swap's scaling claim has a measured number next to the
+            # single-shuffle variant it replaces
+            "customer_view_twophase",
         ]
         ladder: dict[str, float] = {}
         for name in ladder_queries:

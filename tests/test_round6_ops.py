@@ -112,7 +112,10 @@ def test_replay_fresh_query_resets_floor_and_paces(replay_fixture):
 
     r2 = _make_replay_reader(replay_fixture, 2)
     assert r2._floor == _N_LINES  # restart incarnation would keep the floor
-    first = r2.initialOffset()  # ...but a FRESH query resets the lineage
+    # ...but a FRESH query resets the lineage — and (round 7) warns, since
+    # an un-namespaced sidecar might belong to a concurrent query
+    with pytest.warns(RuntimeWarning, match="un-namespaced commit sidecar"):
+        first = r2.initialOffset()
     assert first == {"line": 0}
     assert r2.latestOffset()["line"] == 2  # paced again
     assert not os.path.exists(r2.sidecar)

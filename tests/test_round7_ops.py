@@ -304,3 +304,61 @@ def test_coordinated_store_visibility_is_registry_gated(tmp_path):
     assert t.latest_version() == -1
     with pytest.raises(FileNotFoundError):
         store.read(rogue)
+
+
+def test_coordinated_store_concurrent_writers_both_land(spark, tmp_path):
+    """Two writers racing through ONE coordinator (the object-store
+    scenario the seam exists for): exactly one wins each version, the
+    loser's optimistic retry reconciles on top, and no upsert is lost."""
+    import threading
+
+    store = CoordinatedLogStore()
+    path = str(tmp_path / "t")
+    LakeTable(path, log_store=store).merge_upsert(
+        spark, _metrics(spark, [("h0", 0, 0.0)]), "hour_key"
+    )
+    errs = []
+
+    def writer(key, n):
+        try:
+            LakeTable(path, log_store=store).merge_upsert(
+                spark, _metrics(spark, [(key, n, float(n))]), "hour_key"
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=writer, args=(f"h{i}", i)) for i in (1, 2, 3)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    t = LakeTable(path, log_store=store)
+    got = sorted(map(tuple, t.read(spark).collect()))
+    assert got == [("h0", 0, 0.0), ("h1", 1, 1.0), ("h2", 2, 2.0), ("h3", 3, 3.0)]
+    assert t.latest_version() == 3  # one version per successful merge
+
+
+def test_gate_prefix_names_all_resolve():
+    """Every name in the driver gate prefix must exist in the catalog — a
+    typo would silently drop the entry from the checked prefix (the
+    _ordered_names filter hides unknown names instead of failing)."""
+    import importlib.util
+
+    from energy_data_stream_processing_spark.plans.catalog import all_queries
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "__spark_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    names = set(all_queries())
+    missing = [n for n in mod._FRESH_R7 if n not in names]
+    assert not missing, f"gate prefix names not in catalog: {missing}"
+    assert len(set(mod._FRESH_R7)) == len(mod._FRESH_R7), "duplicate prefix names"
+    # the whole prefix must be oracle-backed (hash-checkable by the driver)
+    unbacked = [n for n in mod._FRESH_R7 if all_queries()[n].oracle is None]
+    assert not unbacked, f"gate prefix entries without oracle: {unbacked}"
