@@ -34,9 +34,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # frame-sample sibling, and the incremental-index entries that stage
 # through the pid-renamespaced staging path — then (b) a rotation of the
 # entries with the OLDEST driver evidence (last sampled r2/r3), so stale
-# evidence refreshes round-over-round. Entries without an oracle
-# (engine-internal sketches, by design) sort LAST so the sampled prefix
-# is 100% hash-checkable.
+# evidence refreshes round-over-round. EXACTLY 50 names — the driver
+# samples a ~50-entry prefix, so anything past 50 would silently get no
+# evidence; 7 r3-era twins/family-duplicates (customer_view_twophase,
+# hourly_business_metrics_twophase, distinct_channels,
+# streaming_user_sessions, events_profile, corpus_curation_pipeline,
+# mixture_temperature_sample) wait for the round-8 rotation. Entries
+# without an oracle (engine-internal sketches, by design) sort LAST so
+# the sampled prefix is 100% hash-checkable.
 _FRESH_R7 = [
     # round-7-changed: flattened output (verdict item 1) — re-prove first
     "multimodal_decode_stub",
@@ -56,30 +61,24 @@ _FRESH_R7 = [
     "channel_performance",
     "channel_tariff_contingency",
     "churned_customers",
-    "corpus_curation_pipeline",
     "customer_activity_funnel",
     "customer_view",
-    "customer_view_twophase",
     "daily_energy_summary",
     "demand_elasticity",
-    "distinct_channels",
     "distinct_tariff_types",
     "energy_rollup_cascade",
     "engagement_funnel",
     "event_transitions",
     "event_type_hour_cube",
-    "events_profile",
     "fk_integrity_audit",
     "green_adoption",
     "heavy_hitters_tokens",
     "hourly_anomaly_zscore",
     "hourly_business_metrics",
-    "hourly_business_metrics_twophase",
     "hourly_gap_fill",
     "ingest_validation_summary",
     "label_cap_sample",
     "length_band_filter",
-    "mixture_temperature_sample",
     "ordered_event_funnel",
     "peak_concurrency",
     "peak_load_management",
@@ -93,7 +92,6 @@ _FRESH_R7 = [
     "session_pattern_match",
     "session_summary",
     "stratified_sample_summary",
-    "streaming_user_sessions",
     "total_energy_trend",
     "train_val_test_split",
     "user_sessions",

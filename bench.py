@@ -26,6 +26,35 @@ from pyspark.sql import functions as F
 from energy_data_stream_processing_spark.plans.catalog import all_queries
 from energy_data_stream_processing_spark.session import get_spark
 
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+_TMP_DIRS: list[str] = []
+
+
+def _scaled_dir(sf_dir: str, scaled_table: str) -> str:
+    """Temp table dir for a scale probe: every base table symlinked except
+    ``scaled_table``, which the caller writes scaled-up. Registered for
+    removal at the end of the run (the probes leak multi-hundred-MB dirs
+    otherwise)."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=f"bench-ladder-{scaled_table}-")
+    _TMP_DIRS.append(d)
+    for t in TABLES:
+        if t != scaled_table:
+            os.symlink(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
+    return d
+
+
+def _cleanup_tmp_dirs() -> None:
+    import shutil
+
+    for d in _TMP_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -147,12 +176,7 @@ def main() -> None:
     # windows) that look fine at sf0.1. Generation time is excluded; scan
     # timings are comparable to the main run (same parquet, 10x rows).
     if os.environ.get("SPARK_GRAFT_LADDER", "1") != "0":
-        import tempfile
-
-        ladder_dir = tempfile.mkdtemp(prefix="bench-ladder-")
-        for t in ["region", "nation", "customer", "supplier", "part",
-                  "orders", "lineitem", "documents", "embeddings"]:
-            os.symlink(f"{sf_dir}/{t}.parquet", f"{ladder_dir}/{t}.parquet")
+        ladder_dir = _scaled_dir(sf_dir, "events")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         (
@@ -208,12 +232,7 @@ def main() -> None:
         # original intra-corpus duplicate structure repeats per replica.
         # Generation time is excluded.
         if os.environ.get("SPARK_GRAFT_LADDER", "1") != "0":
-            import tempfile as _tf
-
-            cur_dir = _tf.mkdtemp(prefix="bench-curladder-")
-            for t in ["region", "nation", "customer", "supplier", "part",
-                      "orders", "lineitem", "events", "embeddings"]:
-                os.symlink(f"{sf_dir}/{t}.parquet", f"{cur_dir}/{t}.parquet")
+            cur_dir = _scaled_dir(sf_dir, "documents")
             docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
             (
                 docs.crossJoin(spark.range(10).withColumnRenamed("id", "_rep"))
@@ -246,6 +265,7 @@ def main() -> None:
 
     print(json.dumps(result))
     spark.stop()
+    _cleanup_tmp_dirs()
 
 
 if __name__ == "__main__":

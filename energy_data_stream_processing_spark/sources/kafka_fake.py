@@ -244,10 +244,12 @@ class _FakeKafkaStreamReader(DataSourceStreamReader):
         cid = options.get("commit_id")
         self._namespaced = cid is not None
         self._cid = cid
-        # per-topic in-memory state: pacing cursor, high watermark, floor
+        # per-topic in-memory state: pacing cursor, high watermark, floor,
+        # and the renumbered base after a failOnDataLoss=false reset
         self._last: dict[str, int] = {}
         self._hw: dict[str, int] = {}
         self._floor: dict[str, int] = {}
+        self._loss_reset: dict[str, int] = {}
         for d in _subscribed_topic_dirs(options):
             self._floor[_t(d)] = self._load_floor(d)
 
@@ -284,7 +286,16 @@ class _FakeKafkaStreamReader(DataSourceStreamReader):
 
     def _check_data_loss(self, topic: str, cur: int, total: int) -> int:
         """Committed/emitted records beyond the currently-available end
-        means the broker lost data (truncation/deletion)."""
+        means the broker lost data (truncation/deletion).
+
+        failOnDataLoss=false recovery: the double's offsets are record
+        INDEXES, so truncation renumbers the log — committed positions are
+        meaningless afterwards. The reset rebases EVERY cursor (in-memory
+        floor/watermarks AND the durable sidecar) to the available end at
+        detection time, so records appended after the reset are delivered
+        and the warning does not re-fire every trigger; survivors below
+        the reset point are treated as already-delivered (lost-range-skip
+        semantics, same "may miss data" contract as the connector)."""
         if total >= cur:
             return cur
         if self.fail_on_data_loss:
@@ -301,13 +312,30 @@ class _FakeKafkaStreamReader(DataSourceStreamReader):
             RuntimeWarning,
             stacklevel=2,
         )
+        from .replay_source import _clear_watermark, _store_watermark
+
+        self._floor[topic] = total
+        self._hw[topic] = min(self._hw.get(topic, total), total)
+        self._last[topic] = min(self._last.get(topic, total), total)
+        # partitions() must be allowed below the (now-stale) offset-log
+        # start for this topic — remember the rebased origin
+        self._loss_reset[topic] = total
+        # rebase the durable floor too (the monotone store would otherwise
+        # keep the stale high value and re-trigger detection every restart)
+        root = self.options.get("kafka.bootstrap.servers")
+        sidecar = self._sidecar(os.path.join(root, topic))
+        _clear_watermark(sidecar)
+        if total > 0:
+            _store_watermark(sidecar, "offset", total)
         return total
 
     def latestOffset(self) -> dict:
         budget = self.max_per_trigger
         offsets: dict[str, int] = {}
+        seen: set[str] = set()
         for d in self._topic_dirs():
             t = _t(d)
+            seen.add(t)
             total = len(_read_records(d))
             cur = max(
                 self._last.get(t, 0), self._hw.get(t, 0), self._floor.get(t, 0)
@@ -319,15 +347,42 @@ class _FakeKafkaStreamReader(DataSourceStreamReader):
                 budget -= nxt - cur
             self._last[t] = max(cur, nxt)
             offsets[t] = self._last[t]
+        # A previously-known topic whose directory vanished is data loss
+        # too (whole-topic deletion): without this, a pattern subscription
+        # would silently drop it because the isdir filter never yields it.
+        for t in sorted(
+            (set(self._floor) | set(self._hw) | set(self._last)) - seen
+        ):
+            cur = max(
+                self._last.get(t, 0), self._hw.get(t, 0), self._floor.get(t, 0)
+            )
+            if cur > 0:
+                offsets[t] = self._check_data_loss(t, cur, 0)
         return {"topics": offsets}
 
+    def _offmap(self, offset: dict) -> dict:
+        """Offset-log dict -> {topic: index}. Accepts the pre-round-7
+        single-topic shape ({"offset": N}) so a query checkpointed by the
+        old reader restarts without re-emitting its committed range."""
+        if "topics" in offset:
+            return offset["topics"]
+        if "offset" in offset:
+            single = self.options.get("topic") or self.options.get("subscribe")
+            if single:
+                return {single: offset["offset"]}
+        return {}
+
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        starts = start.get("topics", {})
-        ends = end.get("topics", {})
+        starts = self._offmap(start)
+        ends = self._offmap(end)
         parts: list[_Range] = []
         root = self.options.get("kafka.bootstrap.servers")
         for t, e in ends.items():
             s = int(starts.get(t, 0))
+            if t in self._loss_reset:
+                # offset-log start predates a data-loss rebase: the clip
+                # below must not resurrect the stale (renumbered-away) start
+                s = min(s, self._loss_reset[t])
             # same restart-safe high-watermark clip as the jsonl replay
             # source: `start` is committed, never re-emit below it
             hw = max(self._hw.get(t, 0), s)
@@ -346,7 +401,7 @@ class _FakeKafkaStreamReader(DataSourceStreamReader):
         from .replay_source import _store_watermark
 
         root = self.options.get("kafka.bootstrap.servers")
-        for t, committed in end.get("topics", {}).items():
+        for t, committed in self._offmap(end).items():
             committed = int(committed)
             self._floor[t] = max(self._floor.get(t, 0), committed)
             _store_watermark(

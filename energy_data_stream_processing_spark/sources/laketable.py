@@ -82,7 +82,31 @@ def _txn_parts(txn_id) -> tuple[str | None, int]:
 
 
 def _txn_already_applied(applied: dict, app: str | None, ver: int) -> bool:
-    return app is not None and app in applied and applied[app] >= ver
+    if app is None:
+        return False
+    if app in applied and applied[app] >= ver:
+        return True
+    # pre-round-7 streaming commits recorded the composite string
+    # f"{app}-{batch}" per batch; recognize those so a redelivery that
+    # straddles the upgrade is still a no-op
+    return f"{app}-{ver}" in applied
+
+
+def _prune_legacy_txns(applied: dict, app: str, ver: int) -> dict:
+    """Drop legacy composite entries ('{app}-N', N <= ver) subsumed by the
+    bounded applied[app] = ver record, so migrated tables converge to the
+    O(#writers) map instead of carrying the old O(#batches) tail forever.
+    Plain-string ids that merely LOOK composite but belong to other apps
+    are untouched (exact prefix + integer-suffix match only)."""
+    prefix = f"{app}-"
+    out = {}
+    for k, v in applied.items():
+        if k.startswith(prefix):
+            suffix = k[len(prefix):]
+            if suffix.isdigit() and int(suffix) <= ver:
+                continue
+        out[k] = v
+    return out
 
 
 class PosixLogStore:
@@ -275,6 +299,11 @@ class LakeTable:
             files.update(new_files)  # replaced keys drop their old files
             applied = dict(head["applied"])
             if txn_app is not None:
+                if isinstance(txn_id, (tuple, list)):
+                    # tuple-form commit: retire legacy composite ids this
+                    # record subsumes (plain-string ids never prune — their
+                    # exact-match namespace must stay intact)
+                    applied = _prune_legacy_txns(applied, txn_app, txn_ver)
                 applied[txn_app] = max(applied.get(txn_app, txn_ver), txn_ver)
             try:
                 return self._commit(
@@ -345,7 +374,10 @@ class LakeTable:
 
 
 def foreach_batch_lake_merge(
-    path: str, key_col: str = "hour_key", txn_app_id: str | None = None
+    path: str,
+    key_col: str = "hour_key",
+    txn_app_id: str | None = None,
+    log_store=None,
 ):
     """Streaming metrics flush into a LakeTable — the lake-format twin of
     ``sinks.foreach_batch_upsert`` with atomic multi-hour visibility.
@@ -362,7 +394,10 @@ def foreach_batch_lake_merge(
     replacement), just not commit-count-idempotent."""
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
-        table = LakeTable(path)
+        # foreachBatch runs driver-side, so the closure can carry a live
+        # coordinator handle (log_store) across batches — required for
+        # CoordinatedLogStore, whose registry lives on the object
+        table = LakeTable(path, log_store=log_store)
         df = batch_df
         if key_col == "hour_key" and "hour_key" not in df.columns:
             df = df.withColumn("hour_key", F.date_format("hour", "yyyy-MM-dd-HH"))

@@ -507,3 +507,106 @@ def test_fake_kafka_fail_on_data_loss_false_warns_and_continues(
     with pytest.warns(RuntimeWarning, match="data loss on topic ev"):
         out = r2.latestOffset()
     assert out["topics"]["ev"] == 0  # reset to the available end, no raise
+
+
+def test_fake_kafka_data_loss_false_recovers_new_appends(fake_broker, tmp_path):
+    """Round-7 review fix: after a failOnDataLoss=false reset the reader
+    must actually RECOVER — records appended after the loss are delivered,
+    the warning does not re-fire on loss-free triggers, and the stale
+    offset-log start cannot clip the rebased range."""
+    import json as _json
+    import warnings as _w
+
+    from energy_data_stream_processing_spark.sources.kafka_fake import (
+        _FakeKafkaStreamReader,
+    )
+
+    topic_dir = tmp_path / "broker" / "ev"
+    topic_dir.mkdir(parents=True)
+    recs = [_json.dumps({"key": None, "value": "dGVzdA=="}) for _ in range(6)]
+    (topic_dir / "batch-0.jsonl").write_text("\n".join(recs) + "\n")
+    opts = {
+        "kafka.bootstrap.servers": str(tmp_path / "broker"),
+        "subscribe": "ev",
+        "failOnDataLoss": "false",
+    }
+    r = _FakeKafkaStreamReader(opts)
+    end = r.latestOffset()
+    r.commit(end)  # floor 6, sidecar 6
+    (topic_dir / "batch-0.jsonl").unlink()  # topic truncated to 0
+
+    r2 = _FakeKafkaStreamReader(opts)  # restart
+    with pytest.warns(RuntimeWarning, match="data loss on topic ev"):
+        r2.latestOffset()  # detects, rebases cursors + sidecar
+    # producer appends 3 new records after the loss
+    (topic_dir / "batch-1.jsonl").write_text("\n".join(recs[:3]) + "\n")
+    with _w.catch_warnings():
+        _w.simplefilter("error")  # loss-free trigger must not warn again
+        end2 = r2.latestOffset()
+    assert end2["topics"]["ev"] == 3
+    # the stale offset-log start (6, pre-truncation) must not clip delivery
+    parts = r2.partitions({"topics": {"ev": 6}}, end2)
+    assert [(p.start, p.end) for p in parts] == [(0, 3)]
+    assert len(list(r2.read(parts[0]))) == 3
+    # restart AFTER recovery: rebased sidecar -> no re-detection
+    r3 = _FakeKafkaStreamReader(opts)
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        assert r3.latestOffset()["topics"]["ev"] == 3
+
+
+def test_fake_kafka_pattern_deleted_topic_is_data_loss(fake_broker, tmp_path):
+    """Round-7 review fix: under subscribePattern a DELETED topic must
+    still trigger failOnDataLoss (the isdir filter silently dropped it
+    before) — whole-topic deletion is data loss like truncation."""
+    import json as _json
+    import shutil
+
+    from energy_data_stream_processing_spark.sources.kafka_fake import (
+        _FakeKafkaStreamReader,
+    )
+
+    root = tmp_path / "broker"
+    for t in ("ev-one", "ev-two"):
+        (root / t).mkdir(parents=True)
+        (root / t / "b.jsonl").write_text(
+            "\n".join(_json.dumps({"key": None, "value": "dGVzdA=="}) for _ in range(4))
+            + "\n"
+        )
+    opts = {
+        "kafka.bootstrap.servers": str(root),
+        "subscribePattern": "ev-.*",
+    }
+    r = _FakeKafkaStreamReader(opts)
+    end = r.latestOffset()
+    assert end["topics"] == {"ev-one": 4, "ev-two": 4}
+    r.commit(end)
+    shutil.rmtree(root / "ev-two")  # broker deletes a subscribed topic
+    with pytest.raises(RuntimeError, match="data loss detected on topic ev-two"):
+        r.latestOffset()
+
+
+def test_fake_kafka_old_offset_shape_restart_compat(fake_broker, tmp_path):
+    """Round-7 review fix: a checkpoint written by the pre-round-7 reader
+    (offset JSON {'offset': N}) must restart WITHOUT re-emitting the
+    committed range, and commits of the old shape must advance the floor."""
+    import json as _json
+
+    from energy_data_stream_processing_spark.sources.kafka_fake import (
+        _FakeKafkaStreamReader,
+    )
+
+    topic_dir = tmp_path / "broker" / "events"
+    topic_dir.mkdir(parents=True)
+    recs = [_json.dumps({"key": None, "value": "dGVzdA=="}) for _ in range(8)]
+    (topic_dir / "b.jsonl").write_text("\n".join(recs) + "\n")
+    opts = {"kafka.bootstrap.servers": str(tmp_path / "broker"), "subscribe": "events"}
+
+    r = _FakeKafkaStreamReader(opts)
+    # old-shape START from a round-6 offset log: only records >= 5 re-emit
+    parts = r.partitions({"offset": 5}, {"topics": {"events": 8}})
+    assert [(p.start, p.end) for p in parts] == [(5, 8)]
+    # old-shape COMMIT advances the durable floor
+    r.commit({"offset": 8})
+    r2 = _FakeKafkaStreamReader(opts)
+    assert r2._floor == {"events": 8}

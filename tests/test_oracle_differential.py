@@ -56,30 +56,35 @@ def _rows(rows, cols):
 ORACLE_QUERIES = sorted(n for n, q in all_queries().items() if q.oracle is not None)
 
 
-def _assert_no_complex_output(name, schema):
+def _canonicalization_gate(name, schema, rows, cols):
     """Driver-canonicalization gate: the per-round driver pandas-sorts over
-    all columns, so top-level array/struct/map output columns crash it
-    (round 6's only red row). Flatten per the customer_view convention."""
-    from pyspark.sql.types import ArrayType, MapType, StructType
+    all columns, so top-level array/struct/map output columns (or any
+    unhashable cell) crash it — round 6's only red row. ONE definition,
+    shared with the full self-check (scripts/self_correctness.py), so the
+    two gates cannot drift."""
+    import os
+    import sys
 
-    complex_cols = [
-        f.name
-        for f in schema.fields
-        if isinstance(f.dataType, (ArrayType, MapType, StructType))
-    ]
-    assert not complex_cols, (
-        f"{name}: driver-uncanonicalizable complex-type output columns "
-        f"{complex_cols} — flatten (array_join / getItem) in the entry"
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"),
     )
+    from self_correctness import assert_driver_canonicalizable
+
+    try:
+        assert_driver_canonicalizable(schema, rows, cols)
+    except TypeError as e:
+        pytest.fail(f"{name}: {e}")
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_query_matches_oracle(spark, sf_dir, name):
     q = all_queries()[name]
     sdf = q.builder(spark, sf_dir)
-    _assert_no_complex_output(name, sdf.schema)
     spark_cols = [c.lower() for c in sdf.columns]
-    spark_rows = _rows(sdf.collect(), spark_cols)
+    raw = sdf.collect()
+    _canonicalization_gate(name, sdf.schema, [tuple(r) for r in raw], spark_cols)
+    spark_rows = _rows(raw, spark_cols)
 
     con = _duck(sf_dir)
     res = con.execute(q.oracle)

@@ -362,3 +362,104 @@ def test_gate_prefix_names_all_resolve():
     # the whole prefix must be oracle-backed (hash-checkable by the driver)
     unbacked = [n for n in mod._FRESH_R7 if all_queries()[n].oracle is None]
     assert not unbacked, f"gate prefix entries without oracle: {unbacked}"
+    # the driver samples a ~50-entry prefix: names past 50 silently get no
+    # evidence, so the curated list must fit the sampled window
+    assert len(mod._FRESH_R7) <= 50, (
+        f"{len(mod._FRESH_R7)} prefix names overflow the driver's ~50 sample"
+    )
+
+
+def test_streaming_lake_merge_through_coordinator(spark, sf_dir, tmp_path):
+    """foreach_batch_lake_merge with an injected CoordinatedLogStore: the
+    stateful hourly stream's flush commits through the object-store
+    coordinator and lands the batch-equal final state (the
+    test_laketable.py streaming test's twin on the other LogStore)."""
+    from energy_data_stream_processing_spark.operators.hourly import (
+        hourly_business_metrics,
+    )
+    from energy_data_stream_processing_spark.sources.adapter import energy_events
+    from energy_data_stream_processing_spark.sources.laketable import (
+        foreach_batch_lake_merge,
+    )
+    from energy_data_stream_processing_spark.streaming.runner import (
+        energy_events_stream,
+        hourly_metrics_stateful_stream,
+    )
+
+    store = CoordinatedLogStore()
+    path = str(tmp_path / "lake")
+    q = (
+        hourly_metrics_stateful_stream(energy_events_stream(spark, sf_dir))
+        .drop("update_seq")
+        .writeStream.foreachBatch(
+            foreach_batch_lake_merge(path, txn_app_id="q-coord", log_store=store)
+        )
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    t = LakeTable(path, log_store=store)
+    want = hourly_business_metrics(energy_events(spark, sf_dir))
+    got = sorted(
+        map(tuple, t.read(spark).drop("hour_key").select(*want.columns).collect())
+    )
+    assert got == sorted(map(tuple, want.collect()))
+    # bounded txn map through the streaming path as well
+    assert list(t.snapshot()["applied"]) == ["q-coord"]
+
+
+def test_legacy_composite_txn_bridges_to_tuple_form(spark, tmp_path):
+    """Round-7 review fix: a table whose applied set was written by the
+    pre-round-7 streaming sink (composite strings 'app-N') must recognize
+    tuple-form redeliveries of those same batches as no-ops, and tuple
+    commits must retire the subsumed legacy entries so the applied map
+    converges to O(#writers)."""
+    t = LakeTable(str(tmp_path / "t"))
+    # legacy rounds: composite string ids, one per batch
+    v = t.merge_upsert(
+        spark, _metrics(spark, [("h1", 1, 1.0)]), "hour_key", txn_id="q-0"
+    )
+    v = t.merge_upsert(
+        spark, _metrics(spark, [("h1", 2, 2.0)]), "hour_key", txn_id="q-1"
+    )
+    assert t.snapshot()["applied"] == {"q-0": 0, "q-1": 0}
+
+    # post-upgrade: the SAME batch 1 redelivered in tuple form -> no-op
+    assert (
+        t.merge_upsert(
+            spark, _metrics(spark, [("h1", 99, 99.0)]), "hour_key", txn_id=("q", 1)
+        )
+        == v
+    )
+    assert [r.n for r in t.read(spark).collect()] == [2]
+
+    # a NEW batch in tuple form applies and retires the legacy tail
+    t.merge_upsert(spark, _metrics(spark, [("h1", 3, 3.0)]), "hour_key", txn_id=("q", 2))
+    assert t.snapshot()["applied"] == {"q": 2}
+    # ...and batches the pruned entries covered stay no-ops (monotone skip)
+    head = t.latest_version()
+    assert (
+        t.merge_upsert(
+            spark, _metrics(spark, [("h1", 77, 77.0)]), "hour_key", txn_id=("q", 0)
+        )
+        == head
+    )
+
+
+def test_plain_string_namespace_never_pruned(spark, tmp_path):
+    """Plain-string exact-match ids that merely look composite must survive
+    tuple commits of an UNRELATED app id."""
+    t = LakeTable(str(tmp_path / "t"))
+    t.merge_upsert(spark, _metrics(spark, [("h1", 1, 1.0)]), "hour_key", txn_id="other-5")
+    t.merge_upsert(spark, _metrics(spark, [("h2", 2, 2.0)]), "hour_key", txn_id=("q", 9))
+    assert t.snapshot()["applied"] == {"other-5": 0, "q": 9}
+    v = t.latest_version()
+    # the plain id still absorbs its own redelivery
+    assert (
+        t.merge_upsert(
+            spark, _metrics(spark, [("h1", 9, 9.0)]), "hour_key", txn_id="other-5"
+        )
+        == v
+    )
