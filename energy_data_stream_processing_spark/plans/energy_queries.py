@@ -643,9 +643,12 @@ def q_customer_activity_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = energy_events(spark, sf_dir)
     t = F.col("event_type")
     cohort = ev.where(t == "user_login").select("customer_id").distinct()
-    # Semi-join replaces INNER JOIN on a DISTINCT CTE: same rows, one pass,
-    # broadcastable at any scale where the cohort fits (else AQE falls back).
-    cohort_events = ev.join(F.broadcast(cohort), "customer_id", "left_semi")
+    # Semi-join replaces INNER JOIN on a DISTINCT CTE: same rows, one pass.
+    # No broadcast hint: the cohort is user-cardinality (scales with the
+    # corpus), so the size estimate/AQE broadcasts it while it fits and
+    # genuinely falls back to a shuffled semi-join when it does not — a
+    # forced hint would OOM the driver at the SF where it stops fitting.
+    cohort_events = ev.join(cohort, "customer_id", "left_semi")
     funnel = cohort_events.agg(
         F.count_distinct(F.when(t == "user_login", F.col("customer_id"))).alias("active_users"),
         F.count_distinct(F.when(t == "view_tariffs", F.col("customer_id"))).alias("viewed_tariff"),

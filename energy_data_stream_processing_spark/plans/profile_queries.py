@@ -262,10 +262,12 @@ FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
     "missing keys — the load-validation report a warehouse runs after "
     "every ingest. The three lineitem checks share ONE fact scan (three "
     "left joins stacked on one pass, then conditional aggregates); "
-    "dimension parents broadcast, the lineitem->orders fact-fact check is "
-    "the one shuffled join. Scale: orphan detection against big parents "
-    "is a shuffled join by key (AQE-planned); against dimensions it rides "
-    "broadcasts; output is one row per relationship.",
+    "parent keysets join by size estimate (part/supplier/orders all scale "
+    "with SF — no forced broadcast hints; AQE broadcasts them while they "
+    "fit), the lineitem->orders fact-fact check is the one join that "
+    "shuffles first at scale. Scale: orphan detection against big parents "
+    "degrades to a shuffled join by key (AQE-planned); output is one row "
+    "per relationship.",
 )
 def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -276,9 +278,11 @@ def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
 
     def audit(child, key, parent, pk, name):
+        # parent keysets scale with SF (part/supplier/orders) — joins are
+        # left to the size estimate + AQE rather than forced broadcasts
         hit = parent.select(F.col(pk)).withColumn("_hit", F.lit(1))
         joined = child.select(F.col(key)).join(
-            F.broadcast(hit), child[key] == hit[pk], "left"
+            hit, child[key] == hit[pk], "left"
         )
         return joined.agg(
             F.lit(name).alias("relationship"),
@@ -298,12 +302,12 @@ def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left",
         )
         .join(
-            F.broadcast(part.select("p_partkey").withColumn("_hp", F.lit(1))),
+            part.select("p_partkey").withColumn("_hp", F.lit(1)),
             F.col("l_partkey") == F.col("p_partkey"),
             "left",
         )
         .join(
-            F.broadcast(supplier.select("s_suppkey").withColumn("_hs", F.lit(1))),
+            supplier.select("s_suppkey").withColumn("_hs", F.lit(1)),
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left",
         )

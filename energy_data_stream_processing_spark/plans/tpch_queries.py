@@ -2,7 +2,12 @@
 
 The reference's only join shape is a semi-join cohort filter (SURVEY.md Q19);
 these queries demonstrate the engine's general join/agg capability — and the
-physical strategies that matter at 100 TB: broadcast of small dimensions,
+physical strategies that matter at 100 TB: size-gated broadcast of
+dimensions (explicit hints ONLY on cardinality-BOUNDED frames — nation,
+region, 1-row scalars; customer/supplier/part and their subsets scale
+with SF, so their joins are left to the planner's size estimate + AQE,
+which broadcasts them while they fit and degrades to shuffle joins at
+the SF where a broadcast would OOM),
 co-partitioned sort-merge for fact-fact joins, partial aggregation.
 """
 
@@ -63,7 +68,7 @@ FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
 """,
     headline=True,
-    doc="Fact-to-dimension join: customer is broadcast (tiny dim), so the "
+    doc="Fact-to-dimension join: customer auto-broadcasts via size stats (no hint — customer scales with SF; AQE shuffles it at extreme scale), so the "
     "orders fact never shuffles for the join — the only shuffle is the final "
     "small groupBy on segment.",
 )
@@ -71,7 +76,7 @@ def q_top_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count_distinct(F.col("o_custkey")).alias("buying_customers"),
@@ -97,7 +102,7 @@ ORDER BY revenue DESC, l_orderkey
 LIMIT 10
 """,
     headline=True,
-    doc="TPC-H Q3-shaped: selective dim filter broadcast into a fact-fact "
+    doc="TPC-H Q3-shaped: selective dim filter size-gated-broadcast into a fact-fact "
     "join, then top-k (orderBy+limit → TakeOrderedAndProject, no full sort).",
 )
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -110,7 +115,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a shuffled join on orderkey (AQE may still broadcast it when the
     # filtered orders side turns out small at runtime).
     filtered_orders = o.where(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")).join(
-        F.broadcast(c.where(F.col("c_mktsegment") == "BUILDING")),
+        c.where(F.col("c_mktsegment") == "BUILDING"),
         o.o_custkey == c.c_custkey,
     )
     return (
@@ -215,7 +220,7 @@ GROUP BY ROLLUP (n.n_name, c.c_mktsegment)
 """,
     headline=True,
     doc="GROUP BY ROLLUP over nation x segment (beyond-reference grouping "
-    "sets). Both dims broadcast; the rollup Expand feeds one partial-agg "
+    "sets). Nation broadcasts by hint, customer by size estimate; the rollup Expand feeds one partial-agg "
     "shuffle keyed by the grouping-set id.",
 )
 def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -223,7 +228,7 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .select(F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment"),
                 F.col("o_totalprice"))
@@ -332,7 +337,9 @@ GROUP BY n.n_name
     headline=True,
     doc="TPC-H Q5-shaped six-table join: region->nation restricts suppliers, "
     "the customer-nation == supplier-nation predicate rides the lineitem join. "
-    "Scale: region/nation/supplier broadcast (dims), orders<->lineitem is the "
+    "Scale: region/nation broadcast by hint (bounded); supplier/customer "
+    "by size estimate (they scale with SF — AQE shuffles them past the "
+    "broadcast threshold); orders<->lineitem is the "
     "one shuffled fact-fact join on orderkey; date filter pushes to the "
     "orders scan so the shuffle carries one year only.",
 )
@@ -354,8 +361,8 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o_year, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(asia_nations), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
@@ -399,8 +406,8 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         )
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), s.s_nationkey == F.col("n1.n_nationkey"))
         .join(
             F.broadcast(n2),
@@ -466,8 +473,8 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keeps only STANDARD parts and picks up its supplier-region label;
     # orders keeps only Europe customers.
     li_std = (
-        li.join(F.broadcast(p.where(F.col("p_type") == "STANDARD")), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p.where(F.col("p_type") == "STANDARD"), li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), s.s_nationkey == F.col("mn2.n_nationkey"))
         .join(F.broadcast(r2), F.col("mn2.n_regionkey") == F.col("mr2.r_regionkey"))
         .select("l_orderkey", asia_vol.alias("asia_vol"), vol.alias("vol"))
@@ -480,7 +487,7 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("c_custkey")
     )
-    o_eur = o.join(F.broadcast(europe_custs), o.o_custkey == F.col("c_custkey"), "left_semi")
+    o_eur = o.join(europe_custs, o.o_custkey == F.col("c_custkey"), "left_semi")
     return (
         li_std.join(o_eur, li_std.l_orderkey == o_eur.o_orderkey)
         .groupBy(F.year("o_orderdate").alias("o_year"))
@@ -527,7 +534,7 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             li.l_orderkey == o.o_orderkey,
         )
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"), "c_acctbal")
         .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
@@ -552,7 +559,8 @@ FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1997-03-01' AND l.l_shipdate < TIMESTAMP '1997-04-01'
 """,
     doc="TPC-H Q14-shaped promotion effect: single-row global CASE-sum ratio "
-    "over a month of shipments. Scale: part broadcasts; the month filter "
+    "over a month of shipments. Scale: part auto-broadcasts while it fits "
+    "(no hint — part scales with SF); the month filter "
     "pushes to the lineitem scan; global agg is a two-stage partial/final "
     "with a 1-row exchange.",
 )
@@ -569,7 +577,7 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
         )
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(p, li.l_partkey == p.p_partkey)
         .agg(
             (F.lit(100.0) * F.sum(promo_vol).cast("double") / F.sum(vol).cast("double")).alias(
                 "promo_pct"
@@ -615,7 +623,7 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (
         revenue.join(F.broadcast(max_rev), revenue.total_revenue == max_rev.max_revenue)
-        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .join(s, F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -648,8 +656,8 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_qty")
     )
     return (
-        li.join(F.broadcast(p.where(F.col("p_brand") == "Brand#1")), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(per_part), li.l_partkey == F.col("avg_partkey"))
+        li.join(p.where(F.col("p_brand") == "Brand#1"), li.l_partkey == p.p_partkey)
+        .join(per_part, li.l_partkey == F.col("avg_partkey"))
         .where(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
         .agg(
             (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / F.lit(7.0))
@@ -693,10 +701,10 @@ def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey")
     )
     return (
-        li.join(F.broadcast(big_orders.withColumnRenamed("l_orderkey", "big_okey")),
+        li.join(big_orders.withColumnRenamed("l_orderkey", "big_okey"),
                 li.l_orderkey == F.col("big_okey"), "left_semi")
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum(qty).cast("double").alias("total_qty"))
         .select(
@@ -912,7 +920,7 @@ def q_brand_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#4") & sz.between(1, 35) & q.between(20, 30))
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .where(cond)
         .agg(
             F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"),
@@ -1011,10 +1019,10 @@ def q_sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     finished = o.where(F.col("o_orderstatus") == "F").select("o_orderkey")
     return (
-        per_order.join(F.broadcast(finished), per_order.l_orderkey == finished.o_orderkey, "left_semi")
+        per_order.join(finished, per_order.l_orderkey == finished.o_orderkey, "left_semi")
         .groupBy("blame_suppkey")
         .agg(F.sum("blame_lines").alias("numwait"))
-        .join(F.broadcast(s), F.col("blame_suppkey") == s.s_suppkey)
+        .join(s, F.col("blame_suppkey") == s.s_suppkey)
         .select("s_name", "numwait")
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(20)
@@ -1159,7 +1167,8 @@ GROUP BY 1, 2
     "this dataset ships no partsupp, so profit is discounted revenue "
     "without the supplycost term): five-table join, part filtered by a "
     "LIKE predicate, supplier->nation labels the row, orders supplies the "
-    "year axis. Scale: part/supplier/nation broadcast (the p_name filter "
+    "year axis. Scale: nation broadcasts by hint; part/supplier by size "
+    "estimate — they scale with SF (the p_name filter "
     "shrinks part before the join decides), lineitem<->orders is the one "
     "shuffled fact-fact join on orderkey; the grouped result is "
     "|nations x years| rows. The selective part broadcast prunes fact rows "
@@ -1175,9 +1184,9 @@ def q_nation_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.col("l_discount").cast("decimal(18,2)")
     return (
-        li.join(F.broadcast(part.select("p_partkey")), li["l_partkey"] == F.col("p_partkey"))
+        li.join(part.select("p_partkey"), li["l_partkey"] == F.col("p_partkey"))
         .join(
-            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            supplier.select("s_suppkey", "s_nationkey"),
             li["l_suppkey"] == F.col("s_suppkey"),
         )
         .join(
@@ -1310,13 +1319,13 @@ def q_regional_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rk = F.row_number().over(
         Window.partitionBy("l_partkey").orderBy("unit_price", "l_suppkey")
     )
-    ranked = unit.join(F.broadcast(eu), unit["l_suppkey"] == eu["s_suppkey"]).select(
+    ranked = unit.join(eu, unit["l_suppkey"] == eu["s_suppkey"]).select(
         "l_partkey", "l_suppkey", "unit_price", "s_name", "s_acctbal", "n_name", rk.alias("rk")
     )
     return (
         ranked.where(F.col("rk") == 1)
         .join(
-            F.broadcast(part.where(F.col("p_size") <= 10).select("p_partkey", "p_type")),
+            part.where(F.col("p_size") <= 10).select("p_partkey", "p_type"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .select(
@@ -1355,9 +1364,11 @@ GROUP BY 1, 2, 3
     "for the complaints comment — this supplier table has no comment "
     "column): distinct suppliers per (brand, type, size) over a size "
     "IN-list, excluding a NOT IN supplier blacklist. The NOT IN plans "
-    "as a null-aware anti join (broadcast — the blacklist is tiny); "
+    "as a null-aware anti join (broadcast — the only strategy Spark has "
+    "for single-column NOT IN with nulls, hence the one retained hint on "
+    "a supplier-derived frame; the complaint filter keeps it small); "
     "the DISTINCT collapses the many-lines-per-relationship fact "
-    "before the count. Scale: part broadcasts with the size filter "
+    "before the count. Scale: part joins by size estimate with the size filter "
     "pushed to its scan; the distinct is the one fact shuffle, keyed "
     "by the full (brand, type, size, suppkey) tuple; the final count "
     "re-aggregates the distinct frame in place (no new shuffle needed "
@@ -1373,7 +1384,7 @@ def q_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rel = (
         li.select("l_partkey", "l_suppkey")
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .join(
             F.broadcast(blacklist),
             F.col("l_suppkey") == F.col("s_suppkey"),
@@ -1437,7 +1448,7 @@ def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .join(red, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sq"))
     )
@@ -1453,7 +1464,7 @@ def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         supplier.join(
-            F.broadcast(dominant),
+            dominant,
             supplier["s_suppkey"] == dominant["l_suppkey"],
             "left_semi",
         )
@@ -1499,7 +1510,7 @@ def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region")
     nat = (
         orders.join(
-            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            customer.select("c_custkey", "c_nationkey"),
             orders["o_custkey"] == F.col("c_custkey"),
         )
         .groupBy("c_nationkey")

@@ -841,11 +841,11 @@ def q_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = cosine_topk(emb, num_queries=100, k=5)
     joined = (
         topk.join(
-            F.broadcast(labels.selectExpr("vec_id AS query_id", "label AS qlabel")),
+            labels.selectExpr("vec_id AS query_id", "label AS qlabel"),
             "query_id",
         )
         .join(
-            F.broadcast(labels.selectExpr("vec_id AS neighbor_id", "label AS nlabel")),
+            labels.selectExpr("vec_id AS neighbor_id", "label AS nlabel"),
             "neighbor_id",
         )
     )
@@ -1734,7 +1734,7 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
     )
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .join(lens, "doc_id")
         .crossJoin(F.broadcast(corpus))
         .select("doc_id", "term", s.alias("s"))
@@ -1823,8 +1823,8 @@ def q_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         bcnt.join(F.broadcast(btot))
         .join(F.broadcast(utot))
-        .join(F.broadcast(c1), F.col("w1") == F.col("_w1"))
-        .join(F.broadcast(c2), F.col("w2") == F.col("_w2"))
+        .join(c1, F.col("w1") == F.col("_w1"))
+        .join(c2, F.col("w2") == F.col("_w2"))
         .select(
             "w1",
             "w2",

@@ -502,8 +502,18 @@ def test_variety_anti_join_broadcast(spark, sf_dir):
 
 
 def test_dominant_suppliers_semi_broadcast(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "dominant_part_suppliers")
-    assert re.search(r"BroadcastHashJoin .*LeftSemi", plan)
+    # The dominant set is a derived aggregate whose size the STATIC planner
+    # cannot estimate (since round 7 it carries no forced broadcast hint —
+    # it is part-cardinality, i.e. SF-scaling, and a forced hint would OOM
+    # at the SF where it stops fitting). The gate therefore checks the
+    # AQE-FINAL plan: at test scale the runtime statistics must convert the
+    # semi join to a broadcast; at 100 TB the same mechanism legitimately
+    # keeps the shuffle.
+    df = all_queries()["dominant_part_suppliers"].builder(spark, sf_dir)
+    df.collect()  # materialize THIS df's execution -> AQE final plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", plan), plan
 
 
 def test_pattern_match_single_shuffle_no_udf(spark, sf_dir):
