@@ -37,10 +37,13 @@ _TMP_DIRS: list[str] = []
 def _scaled_dir(sf_dir: str, scaled_table: str) -> str:
     """Temp table dir for a scale probe: every base table symlinked except
     ``scaled_table``, which the caller writes scaled-up. Registered for
-    removal at the end of the run (the probes leak multi-hundred-MB dirs
-    otherwise)."""
+    removal at interpreter exit (atexit, so an exception mid-run still
+    cleans up — the probes leak multi-hundred-MB dirs otherwise)."""
+    import atexit
     import tempfile
 
+    if not _TMP_DIRS:
+        atexit.register(_cleanup_tmp_dirs)
     d = tempfile.mkdtemp(prefix=f"bench-ladder-{scaled_table}-")
     _TMP_DIRS.append(d)
     for t in TABLES:
@@ -265,7 +268,6 @@ def main() -> None:
 
     print(json.dumps(result))
     spark.stop()
-    _cleanup_tmp_dirs()
 
 
 if __name__ == "__main__":

@@ -252,6 +252,36 @@ class _FakeKafkaStreamReader(DataSourceStreamReader):
         self._loss_reset: dict[str, int] = {}
         for d in _subscribed_topic_dirs(options):
             self._floor[_t(d)] = self._load_floor(d)
+        # Pattern subscriptions: ALSO load floors recorded for topics whose
+        # directory no longer exists — a topic deleted while the query was
+        # stopped must restart into data-loss detection (the isdir filter
+        # above would otherwise silently drop it along with its committed
+        # floor, which is exactly the loss being detected).
+        root = options.get("kafka.bootstrap.servers")
+        for t in self._sidecar_topics():
+            self._floor.setdefault(
+                t, self._load_floor(os.path.join(root, t))
+            )
+
+    def _sidecar_topics(self) -> list[str]:
+        """Topics with a committed-floor sidecar in the broker root that
+        match a pattern subscription — discoverable even after the topic
+        directory itself was deleted."""
+        pattern = self.options.get("subscribePattern")
+        root = self.options.get("kafka.bootstrap.servers")
+        if not pattern or not root or not os.path.isdir(root):
+            return []
+        import re
+
+        rx = re.compile(pattern)
+        suffix = ".kafka_commit" + (f".{self._cid}" if self._cid else "")
+        out = []
+        for f in os.listdir(root):
+            if f.endswith(suffix):
+                topic = f[: -len(suffix)]
+                if topic and rx.fullmatch(topic):
+                    out.append(topic)
+        return sorted(out)
 
     def _sidecar(self, topic_dir: str) -> str:
         return (
@@ -275,6 +305,7 @@ class _FakeKafkaStreamReader(DataSourceStreamReader):
         from .replay_source import _clear_watermark, _warn_unnamespaced_reset
 
         offsets: dict[str, int] = {}
+        root = self.options.get("kafka.bootstrap.servers")
         for d in self._topic_dirs():
             _warn_unnamespaced_reset(self._sidecar(d), "offset", self._namespaced)
             self._floor[_t(d)] = 0
@@ -282,6 +313,17 @@ class _FakeKafkaStreamReader(DataSourceStreamReader):
             offsets[_t(d)] = len(_read_records(d)) if self.starting == "latest" else 0
             self._last[_t(d)] = offsets[_t(d)]
             self._hw[_t(d)] = offsets[_t(d)]
+        # fresh lineage also drops floors of VANISHED pattern topics — a
+        # brand-new query must not data-loss-fail on a long-gone topic's
+        # leftover sidecar from a previous lineage
+        for t in list(self._floor):
+            if t not in offsets:
+                side = self._sidecar(os.path.join(root, t))
+                _warn_unnamespaced_reset(side, "offset", self._namespaced)
+                _clear_watermark(side)
+                self._floor.pop(t, None)
+                self._hw.pop(t, None)
+                self._last.pop(t, None)
         return {"topics": offsets}
 
     def _check_data_loss(self, topic: str, cur: int, total: int) -> int:
@@ -312,7 +354,7 @@ class _FakeKafkaStreamReader(DataSourceStreamReader):
             RuntimeWarning,
             stacklevel=2,
         )
-        from .replay_source import _clear_watermark, _store_watermark
+        from .replay_source import _force_watermark
 
         self._floor[topic] = total
         self._hw[topic] = min(self._hw.get(topic, total), total)
@@ -320,13 +362,15 @@ class _FakeKafkaStreamReader(DataSourceStreamReader):
         # partitions() must be allowed below the (now-stale) offset-log
         # start for this topic — remember the rebased origin
         self._loss_reset[topic] = total
-        # rebase the durable floor too (the monotone store would otherwise
-        # keep the stale high value and re-trigger detection every restart)
+        # rebase the durable floor too — NON-monotone force write that
+        # leaves a present file even at 0, so (a) a restarted reader loads
+        # the rebased floor instead of re-detecting forever, and (b) a
+        # WAL-replayed pre-rebase batch can recognize the rebase (see
+        # partitions) by the present-and-low sidecar
         root = self.options.get("kafka.bootstrap.servers")
-        sidecar = self._sidecar(os.path.join(root, topic))
-        _clear_watermark(sidecar)
-        if total > 0:
-            _store_watermark(sidecar, "offset", total)
+        _force_watermark(
+            self._sidecar(os.path.join(root, topic)), "offset", total
+        )
         return total
 
     def latestOffset(self) -> dict:
@@ -383,6 +427,23 @@ class _FakeKafkaStreamReader(DataSourceStreamReader):
                 # offset-log start predates a data-loss rebase: the clip
                 # below must not resurrect the stale (renumbered-away) start
                 s = min(s, self._loss_reset[t])
+            elif int(e) < s and not self.fail_on_data_loss:
+                # A WAL-replayed batch whose END is below its START can
+                # only be the in-flight batch planned right after a
+                # failOnDataLoss=false rebase (latestOffset is otherwise
+                # monotone at-or-above every committed start). Confirm via
+                # the rebased durable floor — PRESENT and at-or-below e —
+                # and adopt it, instead of letting max(hw, s) resurrect the
+                # stale pre-loss cursor (which would re-trigger detection
+                # and permanently swallow post-loss appends). An ABSENT
+                # sidecar means lost-floor restart, where the clip is the
+                # exactly-once guard and must win.
+                from .replay_source import _load_watermark
+
+                side = self._sidecar(os.path.join(root, t))
+                if os.path.exists(side) and _load_watermark(side, "offset") <= int(e):
+                    self._loss_reset[t] = int(e)
+                    s = int(e)
             # same restart-safe high-watermark clip as the jsonl replay
             # source: `start` is committed, never re-emit below it
             hw = max(self._hw.get(t, 0), s)

@@ -82,14 +82,15 @@ def _txn_parts(txn_id) -> tuple[str | None, int]:
 
 
 def _txn_already_applied(applied: dict, app: str | None, ver: int) -> bool:
-    if app is None:
-        return False
-    if app in applied and applied[app] >= ver:
-        return True
-    # pre-round-7 streaming commits recorded the composite string
-    # f"{app}-{batch}" per batch; recognize those so a redelivery that
-    # straddles the upgrade is still a no-op
-    return f"{app}-{ver}" in applied
+    # NOTE: no read-side bridge to the pre-round-7 composite string form
+    # ('{app}-{batch}'): recognizing it here would permanently collide with
+    # UNRELATED plain-string ids that merely look composite (an opaque
+    # 'other-5' from another writer would silently swallow tuple commit
+    # ('other', 5) forever — a lost batch). A redelivery that straddles the
+    # string->tuple upgrade therefore re-applies ONCE, which is
+    # content-idempotent (merges are full-row replacement per key), and
+    # the commit-side prune below then converges the map.
+    return app is not None and app in applied and applied[app] >= ver
 
 
 def _prune_legacy_txns(applied: dict, app: str, ver: int) -> dict:
@@ -97,7 +98,10 @@ def _prune_legacy_txns(applied: dict, app: str, ver: int) -> dict:
     bounded applied[app] = ver record, so migrated tables converge to the
     O(#writers) map instead of carrying the old O(#batches) tail forever.
     Plain-string ids that merely LOOK composite but belong to other apps
-    are untouched (exact prefix + integer-suffix match only)."""
+    are untouched by the exact prefix + integer-suffix match UNLESS they
+    collide with this app's own composite namespace — a pruned collider's
+    later redelivery re-applies, which is content-idempotent (full-row
+    replacement), never silently dropped."""
     prefix = f"{app}-"
     out = {}
     for k, v in applied.items():

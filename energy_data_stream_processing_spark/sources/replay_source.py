@@ -110,6 +110,26 @@ def _store_watermark(sidecar: str, key: str, value: int) -> None:
                 pass
 
 
+def _force_watermark(sidecar: str, key: str, value: int) -> None:
+    """NON-monotone sidecar write for explicit rebases (data-loss recovery):
+    unlike ``_store_watermark`` this may move the floor DOWN, and it always
+    leaves a present file — even for value 0 — so a later reader can
+    distinguish 'rebased to 0' from 'sidecar never written/lost'."""
+    import uuid
+
+    with _WATERMARK_LOCK:
+        tmp = f"{sidecar}.tmp.{uuid.uuid4().hex}"
+        try:
+            with open(tmp, "w") as f:
+                json.dump({key: value}, f)
+            os.replace(tmp, sidecar)
+        except OSError:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+
+
 def _warn_unnamespaced_reset(sidecar: str, key: str, namespaced: bool) -> None:
     """Warn when a fresh query is about to clear a shared (un-namespaced)
     sidecar that holds another lineage's durable floor — the reset silently

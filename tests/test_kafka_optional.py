@@ -610,3 +610,108 @@ def test_fake_kafka_old_offset_shape_restart_compat(fake_broker, tmp_path):
     r.commit({"offset": 8})
     r2 = _FakeKafkaStreamReader(opts)
     assert r2._floor == {"events": 8}
+
+
+def test_fake_kafka_data_loss_recovery_survives_restart(fake_broker, tmp_path):
+    """Round-7 second review fix: the failOnDataLoss=false rebase is
+    DURABLE — after detection, a crash-and-restart reader that replays the
+    pre-crash in-flight batch (stale start 6, WAL'd end 0) must not
+    re-poison its cursor, must not re-warn on loss-free triggers, and must
+    deliver records appended after the loss."""
+    import json as _json
+    import warnings as _w
+
+    from energy_data_stream_processing_spark.sources.kafka_fake import (
+        _FakeKafkaStreamReader,
+    )
+
+    topic_dir = tmp_path / "broker" / "ev"
+    topic_dir.mkdir(parents=True)
+    recs = [_json.dumps({"key": None, "value": "dGVzdA=="}) for _ in range(6)]
+    (topic_dir / "batch-0.jsonl").write_text("\n".join(recs) + "\n")
+    opts = {
+        "kafka.bootstrap.servers": str(tmp_path / "broker"),
+        "subscribe": "ev",
+        "failOnDataLoss": "false",
+    }
+    r = _FakeKafkaStreamReader(opts)
+    r.commit(r.latestOffset())  # committed 6
+    (topic_dir / "batch-0.jsonl").unlink()  # truncation
+    with pytest.warns(RuntimeWarning, match="data loss on topic ev"):
+        end = _FakeKafkaStreamReader(opts).latestOffset()  # reader A: detect+rebase
+    assert end["topics"]["ev"] == 0
+    # reader A crashes before committing; restart reader B replays the
+    # WAL'd in-flight batch (start = stale pre-loss 6, end = rebased 0)
+    b = _FakeKafkaStreamReader(opts)
+    with _w.catch_warnings():
+        _w.simplefilter("error")  # B must NOT re-detect (durable rebase)
+        parts = b.partitions({"topics": {"ev": 6}}, {"topics": {"ev": 0}})
+        assert [(p.start, p.end) for p in parts] == [(0, 0)]  # nothing re-emitted
+        # producer appends 3 fresh records after the loss
+        (topic_dir / "batch-1.jsonl").write_text("\n".join(recs[:3]) + "\n")
+        end2 = b.latestOffset()
+        assert end2["topics"]["ev"] == 3  # new records visible, no warning
+        parts = b.partitions({"topics": {"ev": 0}}, end2)
+    assert len(list(b.read(parts[0]))) == 3  # ...and delivered
+
+
+def test_fake_kafka_lost_sidecar_restart_keeps_exactly_once(fake_broker, tmp_path):
+    """The rebase recognition in partitions() must NOT weaken the
+    lost-sidecar guard: with the sidecar gone (best-effort write failed), a
+    regressed WAL end below the offset-log start still emits nothing and
+    keeps the high-watermark clip."""
+    import json as _json
+
+    from energy_data_stream_processing_spark.sources.kafka_fake import (
+        _FakeKafkaStreamReader,
+    )
+
+    topic_dir = tmp_path / "broker" / "ev"
+    topic_dir.mkdir(parents=True)
+    recs = [_json.dumps({"key": None, "value": "dGVzdA=="}) for _ in range(10)]
+    (topic_dir / "batch-0.jsonl").write_text("\n".join(recs) + "\n")
+    opts = {
+        "kafka.bootstrap.servers": str(tmp_path / "broker"),
+        "subscribe": "ev",
+        "failOnDataLoss": "false",  # even in permissive mode
+    }
+    r = _FakeKafkaStreamReader(opts)  # fresh reader, NO sidecar anywhere
+    parts = r.partitions({"topics": {"ev": 10}}, {"topics": {"ev": 5}})
+    assert [(p.start, p.end) for p in parts] == [(10, 10)]  # clip holds
+    assert r._hw["ev"] == 10
+
+
+def test_fake_kafka_pattern_topic_deleted_while_stopped(fake_broker, tmp_path):
+    """Round-7 second review fix: a pattern-subscribed topic deleted while
+    the QUERY WAS STOPPED must still trigger data-loss detection on
+    restart — the committed floor survives in the topic's sidecar even
+    though the directory is gone."""
+    import json as _json
+    import shutil
+
+    from energy_data_stream_processing_spark.sources.kafka_fake import (
+        _FakeKafkaStreamReader,
+    )
+
+    root = tmp_path / "broker"
+    for t in ("ev-one", "ev-two"):
+        (root / t).mkdir(parents=True)
+        (root / t / "b.jsonl").write_text(
+            "\n".join(_json.dumps({"key": None, "value": "dGVzdA=="}) for _ in range(4))
+            + "\n"
+        )
+    opts = {"kafka.bootstrap.servers": str(root), "subscribePattern": "ev-.*"}
+    r = _FakeKafkaStreamReader(opts)
+    r.commit(r.latestOffset())  # durable floors for both topics
+    shutil.rmtree(root / "ev-two")
+
+    r2 = _FakeKafkaStreamReader(opts)  # restart AFTER the deletion
+    with pytest.raises(RuntimeError, match="data loss detected on topic ev-two"):
+        r2.latestOffset()
+
+    # ...but a FRESH query (new lineage) over the same broker must not
+    # fail on the long-gone topic's leftover sidecar
+    r3 = _FakeKafkaStreamReader(opts)
+    with pytest.warns(RuntimeWarning, match="un-namespaced commit sidecar"):
+        r3.initialOffset()
+    assert r3.latestOffset()["topics"] == {"ev-one": 4}

@@ -10,10 +10,23 @@ from __future__ import annotations
 import datetime
 import math
 
+import os
+import sys
+
 import duckdb
 import pytest
 
 from energy_data_stream_processing_spark.plans.catalog import all_queries
+
+# one-time path setup for the shared canonicalization gate (NOT inside the
+# per-query helper — ~185 parametrized calls would stack duplicate sys.path
+# entries and shadow same-named imports for the rest of the session)
+_SCRIPTS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+)
+if _SCRIPTS not in sys.path:
+    sys.path.append(_SCRIPTS)
+from self_correctness import assert_driver_canonicalizable  # noqa: E402
 
 TABLES = [
     "region",
@@ -62,15 +75,6 @@ def _canonicalization_gate(name, schema, rows, cols):
     unhashable cell) crash it — round 6's only red row. ONE definition,
     shared with the full self-check (scripts/self_correctness.py), so the
     two gates cannot drift."""
-    import os
-    import sys
-
-    sys.path.insert(
-        0,
-        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"),
-    )
-    from self_correctness import assert_driver_canonicalizable
-
     try:
         assert_driver_canonicalizable(schema, rows, cols)
     except TypeError as e:

@@ -410,42 +410,54 @@ def test_streaming_lake_merge_through_coordinator(spark, sf_dir, tmp_path):
     assert list(t.snapshot()["applied"]) == ["q-coord"]
 
 
-def test_legacy_composite_txn_bridges_to_tuple_form(spark, tmp_path):
-    """Round-7 review fix: a table whose applied set was written by the
-    pre-round-7 streaming sink (composite strings 'app-N') must recognize
-    tuple-form redeliveries of those same batches as no-ops, and tuple
-    commits must retire the subsumed legacy entries so the applied map
-    converges to O(#writers)."""
+def test_legacy_composite_txn_upgrade_converges(spark, tmp_path):
+    """String->tuple txn upgrade semantics: a redelivery straddling the
+    upgrade RE-APPLIES (content-idempotent — full-row replacement per key;
+    recognizing the composite form on the read path would instead
+    permanently collide with unrelated plain ids and silently DROP
+    batches), and tuple commits retire the subsumed legacy tail so the
+    applied map converges to O(#writers)."""
     t = LakeTable(str(tmp_path / "t"))
     # legacy rounds: composite string ids, one per batch
-    v = t.merge_upsert(
-        spark, _metrics(spark, [("h1", 1, 1.0)]), "hour_key", txn_id="q-0"
-    )
+    t.merge_upsert(spark, _metrics(spark, [("h1", 1, 1.0)]), "hour_key", txn_id="q-0")
     v = t.merge_upsert(
         spark, _metrics(spark, [("h1", 2, 2.0)]), "hour_key", txn_id="q-1"
     )
     assert t.snapshot()["applied"] == {"q-0": 0, "q-1": 0}
 
-    # post-upgrade: the SAME batch 1 redelivered in tuple form -> no-op
-    assert (
-        t.merge_upsert(
-            spark, _metrics(spark, [("h1", 99, 99.0)]), "hour_key", txn_id=("q", 1)
-        )
-        == v
+    # post-upgrade: the SAME batch 1 redelivered in tuple form re-applies
+    # (one extra version, same per-key content the stream would ship)
+    v2 = t.merge_upsert(
+        spark, _metrics(spark, [("h1", 2, 2.0)]), "hour_key", txn_id=("q", 1)
     )
-    assert [r.n for r in t.read(spark).collect()] == [2]
+    assert v2 == v + 1  # applied, not silently swallowed
+    assert [r.n for r in t.read(spark).collect()] == [2]  # content unchanged
+    # the legacy tail <= ver is retired; the map is bounded from here on
+    assert t.snapshot()["applied"] == {"q": 1}
 
-    # a NEW batch in tuple form applies and retires the legacy tail
-    t.merge_upsert(spark, _metrics(spark, [("h1", 3, 3.0)]), "hour_key", txn_id=("q", 2))
-    assert t.snapshot()["applied"] == {"q": 2}
-    # ...and batches the pruned entries covered stay no-ops (monotone skip)
     head = t.latest_version()
-    assert (
+    assert (  # tuple replays below the stored version are no-ops again
         t.merge_upsert(
             spark, _metrics(spark, [("h1", 77, 77.0)]), "hour_key", txn_id=("q", 0)
         )
         == head
     )
+
+
+def test_tuple_commit_never_swallowed_by_unrelated_plain_id(spark, tmp_path):
+    """The review-found loss bug must not exist: an opaque plain-string id
+    'other-5' from another writer must NOT make tuple commit ('other', 5)
+    a no-op — the batch must land."""
+    t = LakeTable(str(tmp_path / "t"))
+    t.merge_upsert(
+        spark, _metrics(spark, [("h1", 1, 1.0)]), "hour_key", txn_id="other-5"
+    )
+    v = t.merge_upsert(  # brand-new batch, tuple form, colliding name shape
+        spark, _metrics(spark, [("h2", 2, 2.0)]), "hour_key", txn_id=("other", 5)
+    )
+    assert v == 1  # committed a new version — not swallowed
+    got = sorted(map(tuple, t.read(spark).collect()))
+    assert got == [("h1", 1, 1.0), ("h2", 2, 2.0)]
 
 
 def test_plain_string_namespace_never_pruned(spark, tmp_path):
