@@ -256,7 +256,10 @@ class _FakeKafkaStreamReader(DataSourceStreamReader):
         # directory no longer exists — a topic deleted while the query was
         # stopped must restart into data-loss detection (the isdir filter
         # above would otherwise silently drop it along with its committed
-        # floor, which is exactly the loss being detected).
+        # floor, which is exactly the loss being detected). ONLY for
+        # commit_id-namespaced sidecars: an un-namespaced sidecar may
+        # belong to another lineage entirely, and adopting it would
+        # permanently fail THIS query for a topic it never consumed.
         root = options.get("kafka.bootstrap.servers")
         for t in self._sidecar_topics():
             self._floor.setdefault(
@@ -266,10 +269,15 @@ class _FakeKafkaStreamReader(DataSourceStreamReader):
     def _sidecar_topics(self) -> list[str]:
         """Topics with a committed-floor sidecar in the broker root that
         match a pattern subscription — discoverable even after the topic
-        directory itself was deleted."""
+        directory itself was deleted. Namespaced (commit_id) sidecars
+        only: those are per-lineage by construction, so a discovered floor
+        is provably THIS query's; deleted-while-stopped detection for
+        un-namespaced pattern queries is a documented non-feature (shared
+        sidecars carry the same cross-lineage hazard the reset warning
+        covers)."""
         pattern = self.options.get("subscribePattern")
         root = self.options.get("kafka.bootstrap.servers")
-        if not pattern or not root or not os.path.isdir(root):
+        if not pattern or not self._namespaced or not root or not os.path.isdir(root):
             return []
         import re
 
@@ -432,16 +440,19 @@ class _FakeKafkaStreamReader(DataSourceStreamReader):
                 # only be the in-flight batch planned right after a
                 # failOnDataLoss=false rebase (latestOffset is otherwise
                 # monotone at-or-above every committed start). Confirm via
-                # the rebased durable floor — PRESENT and at-or-below e —
+                # the rebased durable floor — PRESENT and EXACTLY equal to
+                # e (the rebase force-writes the detection-time total, and
+                # the WAL'd end of the post-rebase batch IS that total) —
                 # and adopt it, instead of letting max(hw, s) resurrect the
                 # stale pre-loss cursor (which would re-trigger detection
-                # and permanently swallow post-loss appends). An ABSENT
-                # sidecar means lost-floor restart, where the clip is the
-                # exactly-once guard and must win.
+                # and permanently swallow post-loss appends). Anything
+                # else — absent sidecar (lost floor) or a merely-low value
+                # (failed/cleared writes, another lineage) — keeps the
+                # clip, the exactly-once guard against re-delivery.
                 from .replay_source import _load_watermark
 
                 side = self._sidecar(os.path.join(root, t))
-                if os.path.exists(side) and _load_watermark(side, "offset") <= int(e):
+                if os.path.exists(side) and _load_watermark(side, "offset") == int(e):
                     self._loss_reset[t] = int(e)
                     s = int(e)
             # same restart-safe high-watermark clip as the jsonl replay

@@ -86,31 +86,16 @@ def _txn_already_applied(applied: dict, app: str | None, ver: int) -> bool:
     # ('{app}-{batch}'): recognizing it here would permanently collide with
     # UNRELATED plain-string ids that merely look composite (an opaque
     # 'other-5' from another writer would silently swallow tuple commit
-    # ('other', 5) forever — a lost batch). A redelivery that straddles the
-    # string->tuple upgrade therefore re-applies ONCE, which is
-    # content-idempotent (merges are full-row replacement per key), and
-    # the commit-side prune below then converges the map.
+    # ('other', 5) forever — a lost batch). A tuple redelivery that
+    # straddles the string->tuple upgrade therefore re-applies ONCE, which
+    # is content-idempotent (merges are full-row replacement per key).
+    # Conversely, legacy composite entries are RETAINED, never pruned: a
+    # late legacy-form redelivery must stay an exact no-op, or it would
+    # regress a key to stale aggregates. The retained tail is a frozen,
+    # bounded set (the legacy writer's historical batches); commits from
+    # the upgraded writer add only the single per-app entry, so the
+    # O(#writers) growth bound holds from the upgrade onward.
     return app is not None and app in applied and applied[app] >= ver
-
-
-def _prune_legacy_txns(applied: dict, app: str, ver: int) -> dict:
-    """Drop legacy composite entries ('{app}-N', N <= ver) subsumed by the
-    bounded applied[app] = ver record, so migrated tables converge to the
-    O(#writers) map instead of carrying the old O(#batches) tail forever.
-    Plain-string ids that merely LOOK composite but belong to other apps
-    are untouched by the exact prefix + integer-suffix match UNLESS they
-    collide with this app's own composite namespace — a pruned collider's
-    later redelivery re-applies, which is content-idempotent (full-row
-    replacement), never silently dropped."""
-    prefix = f"{app}-"
-    out = {}
-    for k, v in applied.items():
-        if k.startswith(prefix):
-            suffix = k[len(prefix):]
-            if suffix.isdigit() and int(suffix) <= ver:
-                continue
-        out[k] = v
-    return out
 
 
 class PosixLogStore:
@@ -303,11 +288,6 @@ class LakeTable:
             files.update(new_files)  # replaced keys drop their old files
             applied = dict(head["applied"])
             if txn_app is not None:
-                if isinstance(txn_id, (tuple, list)):
-                    # tuple-form commit: retire legacy composite ids this
-                    # record subsumes (plain-string ids never prune — their
-                    # exact-match namespace must stay intact)
-                    applied = _prune_legacy_txns(applied, txn_app, txn_ver)
                 applied[txn_app] = max(applied.get(txn_app, txn_ver), txn_ver)
             try:
                 return self._commit(

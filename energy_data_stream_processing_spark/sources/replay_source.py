@@ -83,31 +83,36 @@ def _load_watermark(sidecar: str, key: str) -> int:
 _WATERMARK_LOCK = __import__("threading").Lock()
 
 
-def _store_watermark(sidecar: str, key: str, value: int) -> None:
-    """Monotone atomic sidecar update (read-max-replace under a process
-    lock, unique temp name): two driver-side readers in one process can
-    never interleave a lower value over a higher one. Best-effort: a
-    read-only source directory must not fail the query — without the
-    sidecar the reader degrades to the in-run offset-log clip (single-
-    restart guarantee) instead of the durable multi-restart floor. Readers
-    in DIFFERENT processes sharing one file should isolate their floors
-    with the ``commit_id`` option instead of relying on this lock."""
+def _write_watermark_unlocked(sidecar: str, key: str, value: int) -> None:
+    """Atomic best-effort sidecar write (unique temp name + os.replace).
+    Caller must hold ``_WATERMARK_LOCK``. Best-effort: a read-only source
+    directory must not fail the query."""
     import uuid
 
-    with _WATERMARK_LOCK:
-        cur = _load_watermark(sidecar, key)
-        if value <= cur:
-            return
-        tmp = f"{sidecar}.tmp.{uuid.uuid4().hex}"
+    tmp = f"{sidecar}.tmp.{uuid.uuid4().hex}"
+    try:
+        with open(tmp, "w") as f:
+            json.dump({key: value}, f)
+        os.replace(tmp, sidecar)
+    except OSError:
         try:
-            with open(tmp, "w") as f:
-                json.dump({key: value}, f)
-            os.replace(tmp, sidecar)
+            os.unlink(tmp)
         except OSError:
-            try:
-                os.unlink(tmp)
-            except OSError:
-                pass
+            pass
+
+
+def _store_watermark(sidecar: str, key: str, value: int) -> None:
+    """Monotone atomic sidecar update (read-max-replace under a process
+    lock): two driver-side readers in one process can never interleave a
+    lower value over a higher one. Without the sidecar (write failed —
+    best-effort) the reader degrades to the in-run offset-log clip
+    (single-restart guarantee) instead of the durable multi-restart floor.
+    Readers in DIFFERENT processes sharing one file should isolate their
+    floors with the ``commit_id`` option instead of relying on this lock."""
+    with _WATERMARK_LOCK:
+        if value <= _load_watermark(sidecar, key):
+            return
+        _write_watermark_unlocked(sidecar, key, value)
 
 
 def _force_watermark(sidecar: str, key: str, value: int) -> None:
@@ -115,19 +120,8 @@ def _force_watermark(sidecar: str, key: str, value: int) -> None:
     unlike ``_store_watermark`` this may move the floor DOWN, and it always
     leaves a present file — even for value 0 — so a later reader can
     distinguish 'rebased to 0' from 'sidecar never written/lost'."""
-    import uuid
-
     with _WATERMARK_LOCK:
-        tmp = f"{sidecar}.tmp.{uuid.uuid4().hex}"
-        try:
-            with open(tmp, "w") as f:
-                json.dump({key: value}, f)
-            os.replace(tmp, sidecar)
-        except OSError:
-            try:
-                os.unlink(tmp)
-            except OSError:
-                pass
+        _write_watermark_unlocked(sidecar, key, value)
 
 
 def _warn_unnamespaced_reset(sidecar: str, key: str, namespaced: bool) -> None:

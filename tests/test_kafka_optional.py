@@ -685,7 +685,10 @@ def test_fake_kafka_pattern_topic_deleted_while_stopped(fake_broker, tmp_path):
     """Round-7 second review fix: a pattern-subscribed topic deleted while
     the QUERY WAS STOPPED must still trigger data-loss detection on
     restart — the committed floor survives in the topic's sidecar even
-    though the directory is gone."""
+    though the directory is gone. Requires commit_id namespacing: only a
+    namespaced sidecar provably belongs to THIS query's lineage (third
+    review pass — adopting foreign un-namespaced sidecars would brick a
+    query on topics it never consumed)."""
     import json as _json
     import shutil
 
@@ -700,7 +703,11 @@ def test_fake_kafka_pattern_topic_deleted_while_stopped(fake_broker, tmp_path):
             "\n".join(_json.dumps({"key": None, "value": "dGVzdA=="}) for _ in range(4))
             + "\n"
         )
-    opts = {"kafka.bootstrap.servers": str(root), "subscribePattern": "ev-.*"}
+    opts = {
+        "kafka.bootstrap.servers": str(root),
+        "subscribePattern": "ev-.*",
+        "commit_id": "q1",
+    }
     r = _FakeKafkaStreamReader(opts)
     r.commit(r.latestOffset())  # durable floors for both topics
     shutil.rmtree(root / "ev-two")
@@ -712,6 +719,34 @@ def test_fake_kafka_pattern_topic_deleted_while_stopped(fake_broker, tmp_path):
     # ...but a FRESH query (new lineage) over the same broker must not
     # fail on the long-gone topic's leftover sidecar
     r3 = _FakeKafkaStreamReader(opts)
-    with pytest.warns(RuntimeWarning, match="un-namespaced commit sidecar"):
-        r3.initialOffset()
+    r3.initialOffset()  # namespaced -> private reset, no warning
     assert r3.latestOffset()["topics"] == {"ev-one": 4}
+
+
+def test_fake_kafka_foreign_unnamespaced_sidecar_does_not_brick(
+    fake_broker, tmp_path
+):
+    """Third review pass: a leftover UN-namespaced sidecar from another
+    lineage, for a pattern-matching topic this query never consumed, must
+    not fail a restarting failOnDataLoss=true query — un-namespaced
+    vanished-topic detection is a documented non-feature, not a landmine."""
+    import json as _json
+
+    from energy_data_stream_processing_spark.sources.kafka_fake import (
+        _FakeKafkaStreamReader,
+    )
+    from energy_data_stream_processing_spark.sources.replay_source import (
+        _store_watermark,
+    )
+
+    root = tmp_path / "broker"
+    (root / "ev-one").mkdir(parents=True)
+    (root / "ev-one" / "b.jsonl").write_text(
+        _json.dumps({"key": None, "value": "dGVzdA=="}) + "\n"
+    )
+    # another lineage's un-namespaced sidecar for a long-gone topic
+    _store_watermark(str(root / "ev-tmp.kafka_commit"), "offset", 5)
+
+    opts = {"kafka.bootstrap.servers": str(root), "subscribePattern": "ev-.*"}
+    r = _FakeKafkaStreamReader(opts)  # failOnDataLoss defaults to true
+    assert r.latestOffset()["topics"] == {"ev-one": 1}  # no RuntimeError

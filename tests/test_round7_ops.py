@@ -410,13 +410,15 @@ def test_streaming_lake_merge_through_coordinator(spark, sf_dir, tmp_path):
     assert list(t.snapshot()["applied"]) == ["q-coord"]
 
 
-def test_legacy_composite_txn_upgrade_converges(spark, tmp_path):
-    """String->tuple txn upgrade semantics: a redelivery straddling the
-    upgrade RE-APPLIES (content-idempotent — full-row replacement per key;
-    recognizing the composite form on the read path would instead
-    permanently collide with unrelated plain ids and silently DROP
-    batches), and tuple commits retire the subsumed legacy tail so the
-    applied map converges to O(#writers)."""
+def test_legacy_composite_txn_upgrade_semantics(spark, tmp_path):
+    """String->tuple txn upgrade semantics (third review pass): a TUPLE
+    redelivery straddling the upgrade RE-APPLIES (content-idempotent —
+    recognizing the composite form on the read path would collide with
+    unrelated plain ids and silently DROP batches); legacy composite
+    entries are RETAINED, never pruned, so a late LEGACY-form redelivery
+    stays an exact no-op (pruning would let stale aggregates regress newer
+    data); and new tuple commits add only the one per-app entry, so growth
+    is bounded from the upgrade onward."""
     t = LakeTable(str(tmp_path / "t"))
     # legacy rounds: composite string ids, one per batch
     t.merge_upsert(spark, _metrics(spark, [("h1", 1, 1.0)]), "hour_key", txn_id="q-0")
@@ -432,16 +434,31 @@ def test_legacy_composite_txn_upgrade_converges(spark, tmp_path):
     )
     assert v2 == v + 1  # applied, not silently swallowed
     assert [r.n for r in t.read(spark).collect()] == [2]  # content unchanged
-    # the legacy tail <= ver is retired; the map is bounded from here on
-    assert t.snapshot()["applied"] == {"q": 1}
+    # legacy tail retained (frozen), one bounded entry per upgraded app
+    assert t.snapshot()["applied"] == {"q-0": 0, "q-1": 0, "q": 1}
 
     head = t.latest_version()
-    assert (  # tuple replays below the stored version are no-ops again
+    # a late LEGACY-form redelivery with STALE content stays a no-op —
+    # the retained entry absorbs it instead of regressing h1 to 1
+    assert (
+        t.merge_upsert(
+            spark, _metrics(spark, [("h1", 1, 1.0)]), "hour_key", txn_id="q-0"
+        )
+        == head
+    )
+    assert [r.n for r in t.read(spark).collect()] == [2]
+    assert (  # tuple replays below the stored version are no-ops too
         t.merge_upsert(
             spark, _metrics(spark, [("h1", 77, 77.0)]), "hour_key", txn_id=("q", 0)
         )
         == head
     )
+    # growth bound going forward: N more tuple batches, still one app entry
+    for b in (2, 3, 4):
+        t.merge_upsert(
+            spark, _metrics(spark, [("h1", b, float(b))]), "hour_key", txn_id=("q", b)
+        )
+    assert t.snapshot()["applied"] == {"q-0": 0, "q-1": 0, "q": 4}
 
 
 def test_tuple_commit_never_swallowed_by_unrelated_plain_id(spark, tmp_path):
