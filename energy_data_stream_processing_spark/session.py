@@ -19,7 +19,46 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _driver_java_options(run_dir: str) -> str:
+    """The Derby-home flag APPENDED to any pre-existing driver Java options
+    rather than replacing them: a deployment that sets
+    ``spark.driver.extraJavaOptions`` in ``spark-defaults.conf`` (resolved
+    via ``$SPARK_CONF_DIR`` / ``$SPARK_HOME/conf``) or through the
+    ``SPARK_DRIVER_EXTRA_JAVA_OPTIONS`` environment variable keeps those
+    flags; ours is added once (never duplicated on re-entry)."""
+    base = os.environ.get("SPARK_DRIVER_EXTRA_JAVA_OPTIONS", "").strip()
+    if not base:
+        conf_dir = os.environ.get("SPARK_CONF_DIR") or (
+            os.path.join(os.environ["SPARK_HOME"], "conf")
+            if os.environ.get("SPARK_HOME")
+            else None
+        )
+        if conf_dir:
+            try:
+                with open(os.path.join(conf_dir, "spark-defaults.conf")) as f:
+                    for line in f:
+                        parts = line.strip().split(None, 1)
+                        if (
+                            len(parts) == 2
+                            and parts[0] == "spark.driver.extraJavaOptions"
+                        ):
+                            base = parts[1].strip()
+            except OSError:
+                pass
+    flag = f"-Dderby.system.home={run_dir}"
+    if flag in base.split():
+        return base
+    return f"{base} {flag}".strip()
+
+
 def get_spark(app_name: str = "energy-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    NOTE: ``getOrCreate()`` REUSES any live session in the process — in
+    that case none of these configs (warehouse dir, Derby home, shuffle
+    partitions) are applied; they only take effect for the process's FIRST
+    session. Callers embedding this engine next to another Spark app get
+    that app's session settings."""
     import tempfile
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -42,8 +81,6 @@ def get_spark(app_name: str = "energy-spark", shuffle_partitions: int | None = N
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir", os.path.join(run_dir, "warehouse"))
-        .config(
-            "spark.driver.extraJavaOptions", f"-Dderby.system.home={run_dir}"
-        )
+        .config("spark.driver.extraJavaOptions", _driver_java_options(run_dir))
         .getOrCreate()
     )

@@ -142,19 +142,66 @@ class CoordinatedLogStore:
     The payload is still written to the backing store (plain files, no
     atomicity assumed — written under a temp name then copied, as an
     object-store PUT would be); only the name-reservation needs the
-    coordinator, so coordinator state is O(#commits) names, not data."""
+    coordinator, so coordinator state is O(#commits) names, not data.
 
-    def __init__(self):
+    ``lock``/``registry`` are injectable so the coordinator can be shared
+    ACROSS PROCESSES (``multiprocessing.Manager().Lock()`` + ``.dict()``),
+    the production shape where independent writer processes meet at
+    DynamoDB. Defaults are in-process (threading.Lock + plain dict).
+
+    The registry is authoritative: a version file on disk that the
+    registry does not know about is either (a) a torn PUT from a writer
+    that crashed mid-publish — safe to overwrite on retry, because the
+    coordinator never made it visible — or (b) an existing table this
+    FRESH coordinator was mistakenly pointed at, where an overwrite would
+    silently rewind committed state. The two are distinguished by whether
+    the registry holds ANY committed name under the table's log dir:
+    case (b) raises, and ``adopt_existing`` is the explicit opt-in that
+    imports the on-disk log into a new coordinator (e.g. a streaming
+    restart that could not carry the coordinator handle over)."""
+
+    def __init__(self, lock=None, registry=None):
         import threading
 
-        self._lock = threading.Lock()
-        self._committed: set[str] = set()
+        self._lock = lock if lock is not None else threading.Lock()
+        # dict-used-as-set (path -> True): multiprocessing.Manager has no
+        # set proxy, and a dict proxy supports everything needed
+        self._committed = registry if registry is not None else {}
+
+    def _dir_known(self, log_dir: str) -> bool:
+        """True when the registry holds at least one committed name under
+        ``log_dir`` (caller must hold the lock)."""
+        d = log_dir.rstrip("/")
+        return any(os.path.dirname(p) == d for p in self._committed.keys())
+
+    def adopt_existing(self, log_dir: str) -> int:
+        """Import an existing on-disk commit log into this coordinator's
+        registry (explicit recovery for a fresh coordinator pointed at a
+        table committed under a previous coordinator). Returns the number
+        of version files adopted. Only trust this on a quiesced table: a
+        file written by a writer that crashed mid-publish (never
+        registered) is indistinguishable from a committed one here."""
+        import re
+
+        with self._lock:
+            n = 0
+            try:
+                names = os.listdir(log_dir)
+            except FileNotFoundError:
+                names = []
+            for f in names:
+                if re.fullmatch(r"v\d{12}\.json", f):
+                    p = os.path.join(log_dir, f)
+                    if p not in self._committed:
+                        self._committed[p] = True
+                        n += 1
+            return n
 
     def list(self, log_dir: str) -> list[str]:
         with self._lock:
             names = [
                 os.path.basename(p)
-                for p in self._committed
+                for p in self._committed.keys()
                 if os.path.dirname(p) == log_dir.rstrip("/")
             ]
         return names
@@ -167,19 +214,49 @@ class CoordinatedLogStore:
             return f.read()
 
     def put_if_absent(self, path: str, content: str) -> None:
-        with self._lock:
-            if path in self._committed:
-                raise FileExistsError(path)
-            # object-store PUT: no rename atomicity assumed — visibility
-            # comes from the coordinator registering the name only after
-            # the payload write returned
-            with open(path, "w") as f:
-                f.write(content)
-            self._committed.add(path)
+        # Stage the payload OUTSIDE the coordinator lock (an object-store
+        # PUT does its byte transfer before the conditional commit, and a
+        # writer crashing here must not leave the lock held)...
+        tmp = path + f".staged.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(content)
+        try:
+            with self._lock:
+                if path in self._committed:
+                    raise FileExistsError(path)
+                if os.path.exists(path) and not self._dir_known(
+                    os.path.dirname(path)
+                ):
+                    # fresh coordinator pointed at a table committed under
+                    # a DIFFERENT coordinator: overwriting would silently
+                    # rewind committed state (data loss). Loud stop instead;
+                    # adopt_existing() is the explicit recovery.
+                    raise RuntimeError(
+                        f"coordinator out of sync with {path}: the log file "
+                        "exists on disk but this coordinator's registry has "
+                        "no commits for the table — refusing to overwrite "
+                        "committed state; call adopt_existing(log_dir) to "
+                        "import the on-disk log, or reuse the original "
+                        "coordinator handle"
+                    )
+                # ...then publish under the lock: plain byte copy (no rename
+                # atomicity assumed — object-store PUT), registered only
+                # after the write returned. An unregistered on-disk file
+                # under a KNOWN dir is a torn PUT from a crashed writer;
+                # overwriting it here is the retry path.
+                import shutil
+
+                shutil.copyfile(tmp, path)
+                self._committed[path] = True
+        finally:
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
 
     def delete(self, path: str) -> None:
         with self._lock:
-            self._committed.discard(path)
+            self._committed.pop(path, None)
             try:
                 os.unlink(path)
             except FileNotFoundError:
@@ -224,6 +301,26 @@ class LakeTable:
         committers win the version name (POSIX hard-link EEXIST, or the
         object-store coordinator's conditional put)."""
         v = expected_head + 1
+        if v == 0:
+            # Defense-in-depth against a log store whose view of the table
+            # is out of sync with the disk (e.g. a fresh CoordinatedLogStore
+            # registry pointed at an existing table): a first-ever commit
+            # while the on-disk log already holds version files would
+            # rewind committed state. Raise instead; never truncate.
+            import re
+
+            try:
+                on_disk = os.listdir(self.log_dir)
+            except FileNotFoundError:
+                on_disk = []
+            if any(re.fullmatch(r"v\d{12}\.json", f) for f in on_disk):
+                raise RuntimeError(
+                    f"refusing to commit version 0 to {self.path}: the log "
+                    "dir already contains committed version files the log "
+                    "store cannot see — the store's registry is out of sync "
+                    "with the table (adopt the existing log or reuse the "
+                    "original coordinator)"
+                )
         snap = dict(snap, version=v)
         try:
             self.log_store.put_if_absent(self._version_file(v), json.dumps(snap))
@@ -265,7 +362,17 @@ class LakeTable:
         head = self.snapshot()
         if _txn_already_applied(head["applied"], txn_app, txn_ver):
             return head["version"]
+        return self.commit_staged(
+            self.stage_merge_files(df, key_col), txn_id, max_retries
+        )
 
+    def stage_merge_files(self, df: DataFrame, key_col: str) -> dict[str, list[str]]:
+        """Executor-side half of ``merge_upsert``: write every touched key's
+        rows into a fresh private batch directory and return the
+        {key: [file]} map. No coordination — concurrent writers stage into
+        disjoint uuid-named dirs; visibility happens only in
+        ``commit_staged`` (which is pure file/log work, so a writer process
+        without a SparkSession can drive the contended half alone)."""
         # ONE executor-side job writes every touched key into a unique
         # batch directory (partitionBy gives the per-key file layout); the
         # driver then just lists the produced key dirs — no per-key job
@@ -274,12 +381,22 @@ class LakeTable:
         out_root = os.path.join(self.data_dir, batch)
         kdf = df.withColumn("_k", F.col(key_col).cast("string"))
         kdf.write.partitionBy("_k").mode("errorifexists").parquet(out_root)
-        new_files: dict[str, list[str]] = {
+        return {
             d[len("_k="):]: [f"{batch}/{d}"]
             for d in os.listdir(out_root)
             if d.startswith("_k=")
         }
 
+    def commit_staged(
+        self,
+        new_files: dict[str, list[str]],
+        txn_id=None,
+        max_retries: int = 5,
+    ) -> int:
+        """Optimistic-concurrency half of ``merge_upsert``: reconcile the
+        staged {key: files} map against the head snapshot and publish, re-
+        reading and retrying when a concurrent committer wins the version."""
+        txn_app, txn_ver = _txn_parts(txn_id)
         for _ in range(max_retries):
             head = self.snapshot()
             if _txn_already_applied(head["applied"], txn_app, txn_ver):
@@ -375,7 +492,15 @@ def foreach_batch_lake_merge(
     the new query's batches as replays. Default None records no txn ids:
     replays then re-apply, which is still CONTENT-idempotent here because
     every flush carries complete per-key aggregates (full-row
-    replacement), just not commit-count-idempotent."""
+    replacement), just not commit-count-idempotent.
+
+    ``log_store`` caveat: a ``CoordinatedLogStore``'s registry is the
+    authority on committed versions, so a RESTARTED query must reuse the
+    same coordinator handle (or a registry backed by durable shared state,
+    e.g. a Manager dict / DynamoDB) — a fresh empty coordinator pointed at
+    the existing table refuses to commit (see put_if_absent) rather than
+    silently rewinding it; ``adopt_existing(log_dir)`` is the explicit
+    recovery for that case."""
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         # foreachBatch runs driver-side, so the closure can carry a live
