@@ -122,15 +122,25 @@ def to_kafka_sink(
 
 
 def write_kafka_batch(
-    df: DataFrame, bootstrap_servers: str, topic: str, fmt: str = "kafka"
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    fmt: str = "kafka",
+    num_partitions: int | None = None,
 ) -> None:
-    """Batch writer (the producer's file->topic replay as one job)."""
-    (
+    """Batch writer (the producer's file->topic replay as one job).
+
+    ``num_partitions`` is honored by the file-backed contract double when
+    IT creates the topic (a real broker sizes topics itself; the real
+    connector ignores the option)."""
+    writer = (
         df.selectExpr("to_json(struct(*)) AS value")
         # a topic is append-only; explicit mode also satisfies the Python
         # DataSource write API (rejects the default ErrorIfExists)
         .write.mode("append").format(fmt)
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("topic", topic)
-        .save()
     )
+    if num_partitions is not None:
+        writer = writer.option("numPartitions", num_partitions)
+    writer.save()

@@ -83,10 +83,12 @@ def _load_watermark(sidecar: str, key: str) -> int:
 _WATERMARK_LOCK = __import__("threading").Lock()
 
 
-def _write_watermark_unlocked(sidecar: str, key: str, value: int) -> None:
+def _write_watermark_unlocked(sidecar: str, key: str, value) -> bool:
     """Atomic best-effort sidecar write (unique temp name + os.replace).
     Caller must hold ``_WATERMARK_LOCK``. Best-effort: a read-only source
-    directory must not fail the query."""
+    directory must not fail the query — returns False when the write could
+    not be persisted so callers that NEED durability (data-loss rebases)
+    can warn instead of silently losing the floor."""
     import uuid
 
     tmp = f"{sidecar}.tmp.{uuid.uuid4().hex}"
@@ -94,11 +96,13 @@ def _write_watermark_unlocked(sidecar: str, key: str, value: int) -> None:
         with open(tmp, "w") as f:
             json.dump({key: value}, f)
         os.replace(tmp, sidecar)
+        return True
     except OSError:
         try:
             os.unlink(tmp)
         except OSError:
             pass
+        return False
 
 
 def _store_watermark(sidecar: str, key: str, value: int) -> None:
@@ -115,13 +119,16 @@ def _store_watermark(sidecar: str, key: str, value: int) -> None:
         _write_watermark_unlocked(sidecar, key, value)
 
 
-def _force_watermark(sidecar: str, key: str, value: int) -> None:
+def _force_watermark(sidecar: str, key: str, value) -> bool:
     """NON-monotone sidecar write for explicit rebases (data-loss recovery):
     unlike ``_store_watermark`` this may move the floor DOWN, and it always
     leaves a present file — even for value 0 — so a later reader can
-    distinguish 'rebased to 0' from 'sidecar never written/lost'."""
+    distinguish 'rebased to 0' from 'sidecar never written/lost'. Returns
+    False when the write failed (read-only source dir) — callers should
+    warn, because a restarted reader will then re-detect the loss and may
+    permanently swallow post-loss appends."""
     with _WATERMARK_LOCK:
-        _write_watermark_unlocked(sidecar, key, value)
+        return _write_watermark_unlocked(sidecar, key, value)
 
 
 def _warn_unnamespaced_reset(sidecar: str, key: str, namespaced: bool) -> None:

@@ -341,3 +341,244 @@ def test_replay_source_exactly_once_tiling(ops, tmp_path_factory):
         for i in range(h.log[idx - 1], h.log[idx])
     ]
     assert covered == list(range(h.produced))
+
+
+# ---------------------------------------------------------------------------
+# Round 8: the SAME law over a PARTITIONED topic (N=3) — the real
+# connector's offset shape. A topic is N independent offset sequences; the
+# WAL entries are per-partition maps, and the exactly-once tiling must hold
+# PER PARTITION under the same produce / trigger / crash / restart
+# interleavings, with maxOffsetsPerTrigger capping the TOTAL across
+# partitions.
+# ---------------------------------------------------------------------------
+class _PartitionedHarness:
+    """Driver twin over a 3-partition topic. Values encode ``pid:seq`` so a
+    delivered record proves both its partition and its per-partition
+    position; produce() spreads records round-robin across partitions."""
+
+    N = 3
+
+    def __init__(self, root: str, fail_on_data_loss: bool = False, per_trigger=4):
+        self.root = root
+        self.topic_dir = os.path.join(root, "ev")
+        os.makedirs(self.topic_dir, exist_ok=True)
+        with open(os.path.join(self.topic_dir, "_meta.json"), "w") as f:
+            json.dump({"partitions": self.N}, f)
+        self.opts = {
+            "kafka.bootstrap.servers": root,
+            "subscribe": "ev",
+            "maxOffsetsPerTrigger": str(per_trigger),
+            "failOnDataLoss": "true" if fail_on_data_loss else "false",
+        }
+        self.per_trigger = per_trigger
+        self.rr = 0  # round-robin partition cursor
+        self.produced = {str(p): 0 for p in range(self.N)}
+        self.batch_no = 0
+        self.log: list[dict] = [{str(p): 0 for p in range(self.N)}]
+        self.committed_idx = 0
+        self.deliveries: list[tuple[int, dict[str, list[str]]]] = []
+        self.reader = _FakeKafkaStreamReader(self.opts)
+        self.reader.initialOffset()
+
+    # --- broker-side ------------------------------------------------------
+    def produce(self, k: int) -> None:
+        lines: dict[str, list[str]] = {}
+        for _ in range(k):
+            p = str(self.rr % self.N)
+            self.rr += 1
+            val = base64.b64encode(
+                f"{p}:{self.produced[p]}".encode()
+            ).decode()
+            lines.setdefault(p, []).append(
+                json.dumps({"key": None, "value": val})
+            )
+            self.produced[p] += 1
+        for p, ls in lines.items():
+            pdir = os.path.join(self.topic_dir, f"p{int(p):05d}")
+            os.makedirs(pdir, exist_ok=True)
+            with open(os.path.join(pdir, f"b{self.batch_no:06d}.jsonl"), "a") as f:
+                f.write("\n".join(ls) + "\n")
+        self.batch_no += 1
+
+    # --- driver-side ------------------------------------------------------
+    def _end_map(self) -> dict:
+        return {
+            p: int(v)
+            for p, v in self.reader.latestOffset()["topics"]["ev"].items()
+        }
+
+    def _run_batch(self, log_idx: int) -> None:
+        start = {"topics": {"ev": self.log[log_idx - 1]}}
+        end = {"topics": {"ev": self.log[log_idx]}}
+        by_pid: dict[str, list[str]] = {}
+        for part in self.reader.partitions(start, end):
+            by_pid.setdefault(str(part.pid), []).extend(
+                bytes(r[1]).decode() for r in self.reader.read(part)
+            )
+        self.deliveries.append((log_idx, by_pid))
+        self.reader.commit(end)
+        self.committed_idx = log_idx
+
+    def trigger(self) -> None:
+        for i in range(self.committed_idx + 1, len(self.log)):
+            self._run_batch(i)
+        end = self._end_map()
+        if end != self.log[-1]:
+            self.log.append(end)
+            self._run_batch(len(self.log) - 1)
+
+    def crash_after_wal(self) -> None:
+        # a restarted Spark driver FINISHES WAL replay before planning a
+        # new batch (MicroBatchExecution recovery) — a reader is never
+        # asked for latestOffset while an uncommitted WAL batch is pending,
+        # so the crash op replays those first, exactly like trigger()
+        for i in range(self.committed_idx + 1, len(self.log)):
+            self._run_batch(i)
+        end = self._end_map()
+        if end != self.log[-1]:
+            self.log.append(end)
+            start = {"topics": {"ev": self.log[-2]}}
+            by_pid: dict[str, list[str]] = {}
+            for part in self.reader.partitions(start, {"topics": {"ev": end}}):
+                by_pid.setdefault(str(part.pid), []).extend(
+                    bytes(r[1]).decode() for r in self.reader.read(part)
+                )
+            self.deliveries.append((len(self.log) - 1, by_pid))
+            # NO commit — the crash window
+        self.reader = _FakeKafkaStreamReader(self.opts)
+
+    def restart(self) -> None:
+        self.reader = _FakeKafkaStreamReader(self.opts)
+
+    def drain(self) -> None:
+        for _ in range(96):
+            before = (self.committed_idx, self.log[-1])
+            self.trigger()
+            if (self.committed_idx, self.log[-1]) == before:
+                break
+
+
+@settings(max_examples=120, deadline=None)
+@given(ops=st.lists(OP, min_size=1, max_size=14))
+def test_partitioned_exactly_once_tiling_per_partition(ops, tmp_path_factory):
+    """Round-8 law: per-partition WAL monotonicity, WAL-exact deliveries
+    (including crash replays), exactly-once tiling of EVERY partition's id
+    space, and the total-across-partitions trigger budget."""
+    h = _PartitionedHarness(str(tmp_path_factory.mktemp("broker")))
+    for op in ops:
+        if op.startswith("p"):
+            h.produce(int(op[1]))
+        elif op == "trigger":
+            h.trigger()
+        elif op == "crash":
+            h.crash_after_wal()
+        else:
+            h.restart()
+    h.drain()
+
+    pids = [str(p) for p in range(h.N)]
+    # law 1: WAL ends monotone PER PARTITION
+    for p in pids:
+        col = [w[p] for w in h.log]
+        assert col == sorted(col), (p, col)
+    # law 1b: every WAL step's total new records respects the trigger budget
+    for i in range(1, len(h.log)):
+        step = sum(h.log[i][p] - h.log[i - 1][p] for p in pids)
+        assert 0 <= step <= h.per_trigger, (i, step)
+    # law 2: every delivery (incl. replays) carries exactly its WAL range,
+    # per partition
+    per_batch: dict[int, list[dict]] = {}
+    for idx, by_pid in h.deliveries:
+        for p in pids:
+            want = [
+                f"{p}:{i}"
+                for i in range(h.log[idx - 1][p], h.log[idx][p])
+            ]
+            assert by_pid.get(p, []) == want, (
+                f"batch {idx} partition {p}: {by_pid.get(p)}, want {want}"
+            )
+        per_batch.setdefault(idx, []).append(by_pid)
+    for idx, runs in per_batch.items():
+        assert all(r == runs[0] for r in runs), f"batch {idx} replay diverged"
+    # law 3: committed batches tile EVERY partition's produced space once
+    for p in pids:
+        covered = [
+            i
+            for idx in range(1, h.committed_idx + 1)
+            for i in range(h.log[idx - 1][p], h.log[idx][p])
+        ]
+        assert covered == list(range(h.produced[p])), (p, covered)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    pre=st.integers(min_value=3, max_value=9),
+    post=st.integers(min_value=1, max_value=6),
+    lost_pid=st.integers(min_value=0, max_value=2),
+    crash_between=st.booleans(),
+)
+def test_partitioned_single_partition_loss_recovery(
+    pre, post, lost_pid, crash_between, tmp_path_factory
+):
+    """Recovery law, partition-scoped: truncating ONE partition
+    (failOnDataLoss=false) rebases only that partition — its post-loss
+    appends are delivered exactly once, and the OTHER partitions' tiling
+    is completely unaffected."""
+    import shutil
+    import warnings
+
+    h = _PartitionedHarness(str(tmp_path_factory.mktemp("broker")))
+    h.produce(pre)
+    h.drain()
+    lost = str(lost_pid)
+    pdir = os.path.join(h.topic_dir, f"p{lost_pid:05d}")
+    if os.path.isdir(pdir):
+        shutil.rmtree(pdir)  # broker truncates ONE partition
+    h.restart()
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        h.trigger()  # detection + rebase for the lost partition only
+        if crash_between:
+            h.crash_after_wal()
+        base = dict(h.produced)
+        h.produce(post)
+        h.drain()
+
+    pids = [str(p) for p in range(h.N)]
+    for p in pids:
+        delivered = [v for _, by in h.deliveries for v in by.get(p, [])]
+        if p == lost:
+            # every id appended post-loss (values base..produced-1, living
+            # at renumbered indexes) is delivered exactly once
+            post_vals = [
+                v for v in delivered if int(v.split(":")[1]) >= base[p]
+            ]
+            want = [f"{p}:{i}" for i in range(base[p], h.produced[p])]
+            assert sorted(post_vals) == want, (p, sorted(post_vals), want)
+        else:
+            # untouched partitions: full exactly-once tiling, loss-free
+            committed = [
+                v
+                for idx in range(1, h.committed_idx + 1)
+                for v in (
+                    f"{p}:{i}"
+                    for i in range(h.log[idx - 1][p], h.log[idx][p])
+                )
+            ]
+            assert committed == [f"{p}:{i}" for i in range(h.produced[p])]
+
+
+def test_partitioned_truncation_fail_on_data_loss_true_raises(tmp_path):
+    import shutil
+
+    import pytest
+
+    h = _PartitionedHarness(str(tmp_path / "broker"), fail_on_data_loss=True)
+    h.produce(6)
+    h.drain()
+    shutil.rmtree(os.path.join(h.topic_dir, "p00001"))
+    h.restart()
+    with pytest.raises(
+        RuntimeError, match="data loss detected on topic ev partition 1"
+    ):
+        h.trigger()

@@ -750,3 +750,217 @@ def test_fake_kafka_foreign_unnamespaced_sidecar_does_not_brick(
     opts = {"kafka.bootstrap.servers": str(root), "subscribePattern": "ev-.*"}
     r = _FakeKafkaStreamReader(opts)  # failOnDataLoss defaults to true
     assert r.latestOffset()["topics"] == {"ev-one": 1}  # no RuntimeError
+
+
+# --------------------------------------------------------------------------
+# Round-8 per-partition contract tests: a topic is N partitions with
+# per-partition offset sequences (the real connector's offset shape).
+# --------------------------------------------------------------------------
+def test_fake_kafka_keyed_writes_route_by_key_hash(fake_broker, tmp_path):
+    """Keyed records land on crc32(key) % N deterministically; each
+    partition's offsets are a contiguous 0-based sequence and records with
+    one key keep their relative (per-partition) order."""
+    import zlib
+
+    spark = fake_broker
+    broker = str(tmp_path / "broker")
+    rows = [(f"k{i % 5}", f"v{i}") for i in range(40)]
+    # ONE writer task = one producer: Kafka's per-partition ordering
+    # guarantee is per-producer; concurrent tasks interleave arbitrarily
+    df = spark.createDataFrame(rows, "key string, value string").coalesce(1)
+    (
+        df.write.mode("append")
+        .format("kafkafake")
+        .option("kafka.bootstrap.servers", broker)
+        .option("topic", "keyed")
+        .option("numPartitions", "3")
+        .save()
+    )
+    back = (
+        spark.read.format("kafkafake")
+        .option("kafka.bootstrap.servers", broker)
+        .option("subscribe", "keyed")
+        .load()
+        .select("key", "value", "partition", "offset")
+        .collect()
+    )
+    assert len(back) == 40
+    for r in back:
+        key = bytes(r["key"]).decode()
+        assert r["partition"] == zlib.crc32(key.encode()) % 3
+    # contiguous per-partition offsets, per-key order preserved
+    by_pid = {}
+    for r in sorted(back, key=lambda r: (r["partition"], r["offset"])):
+        by_pid.setdefault(r["partition"], []).append(r)
+    assert sorted(by_pid) == [0, 1, 2]  # 5 keys spread over all 3 partitions
+    for pid, rs in by_pid.items():
+        assert [r["offset"] for r in rs] == list(range(len(rs)))
+        per_key = {}
+        for r in rs:
+            per_key.setdefault(bytes(r["key"]).decode(), []).append(
+                int(bytes(r["value"]).decode()[1:])
+            )
+        for key, seq in per_key.items():
+            assert seq == sorted(seq), f"key {key} reordered within partition"
+
+
+def test_fake_kafka_starting_offsets_per_partition_map(fake_broker, tmp_path):
+    """startingOffsets as the connector's JSON per-topic-per-partition map:
+    explicit index, -1 (latest), -2 (earliest), unspecified partitions
+    default to earliest, out-of-range clamps to the available end."""
+    import json as _json
+
+    from energy_data_stream_processing_spark.sources.kafka_fake import (
+        _FakeKafkaStreamReader,
+    )
+
+    topic_dir = tmp_path / "broker" / "ev"
+    for pid, n in ((0, 4), (1, 3), (2, 5)):
+        (topic_dir / f"p{pid:05d}").mkdir(parents=True)
+        (topic_dir / f"p{pid:05d}" / "b0.jsonl").write_text(
+            "\n".join(
+                _json.dumps({"key": None, "value": "dGVzdA=="}) for _ in range(n)
+            )
+            + "\n"
+        )
+    (topic_dir / "_meta.json").write_text('{"partitions": 3}')
+    opts = {
+        "kafka.bootstrap.servers": str(tmp_path / "broker"),
+        "subscribe": "ev",
+        "startingOffsets": '{"ev": {"0": 2, "1": -1, "2": 99}}',
+    }
+    r = _FakeKafkaStreamReader(opts)
+    init = r.initialOffset()["topics"]["ev"]
+    assert init == {"0": 2, "1": 3, "2": 5}  # index / latest / clamped
+    # a partition not in the map defaults to earliest
+    opts2 = dict(opts, startingOffsets='{"ev": {"1": -1}}')
+    r2 = _FakeKafkaStreamReader(opts2)
+    assert r2.initialOffset()["topics"]["ev"] == {"0": 0, "1": 3, "2": 0}
+    # malformed map fails loudly
+    with pytest.raises(ValueError, match="startingOffsets"):
+        _FakeKafkaStreamReader(dict(opts, startingOffsets='{"ev": "nope"}'))
+
+
+def test_fake_kafka_single_partition_loss_leaves_others_alone(fake_broker, tmp_path):
+    """failOnDataLoss=false truncation of ONE partition rebases only that
+    partition: its sidecar entry is force-rewritten, the sibling
+    partition's committed floor and pending records are untouched."""
+    import json as _json
+    import shutil
+
+    from energy_data_stream_processing_spark.sources.kafka_fake import (
+        _FakeKafkaStreamReader,
+    )
+
+    topic_dir = tmp_path / "broker" / "ev"
+    for pid in (0, 1):
+        (topic_dir / f"p{pid:05d}").mkdir(parents=True)
+        (topic_dir / f"p{pid:05d}" / "b0.jsonl").write_text(
+            "\n".join(
+                _json.dumps({"key": None, "value": "dGVzdA=="}) for _ in range(4)
+            )
+            + "\n"
+        )
+    (topic_dir / "_meta.json").write_text('{"partitions": 2}')
+    opts = {
+        "kafka.bootstrap.servers": str(tmp_path / "broker"),
+        "subscribe": "ev",
+        "failOnDataLoss": "false",
+    }
+    r = _FakeKafkaStreamReader(opts)
+    end = r.latestOffset()
+    assert end["topics"]["ev"] == {"0": 4, "1": 4}
+    r.commit(end)
+    shutil.rmtree(topic_dir / "p00000")  # truncate partition 0 only
+
+    r2 = _FakeKafkaStreamReader(opts)
+    with pytest.warns(RuntimeWarning, match="data loss on topic ev partition 0"):
+        out = r2.latestOffset()["topics"]["ev"]
+    assert out == {"0": 0, "1": 4}  # partition 1 floor intact
+    # 2 fresh records on the lost partition, 1 more on the survivor
+    (topic_dir / "p00000").mkdir()
+    (topic_dir / "p00000" / "b1.jsonl").write_text(
+        "\n".join(_json.dumps({"key": None, "value": "bmV3"}) for _ in range(2)) + "\n"
+    )
+    with open(topic_dir / "p00001" / "b1.jsonl", "w") as f:
+        f.write(_json.dumps({"key": None, "value": "bmV3"}) + "\n")
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")  # loss-free trigger: no re-warning
+        end2 = r2.latestOffset()["topics"]["ev"]
+    assert end2 == {"0": 2, "1": 5}
+    parts = {p.pid: p for p in r2.partitions({"topics": {"ev": out}}, {"topics": {"ev": end2}})}
+    assert (parts[0].start, parts[0].end) == (0, 2)  # rebased partition
+    assert (parts[1].start, parts[1].end) == (4, 5)  # survivor: only the new record
+
+
+def test_fake_kafka_trigger_budget_split_proportionally_across_topics(
+    fake_broker, tmp_path
+):
+    """Round-8 advice fix: maxOffsetsPerTrigger is distributed across
+    topics proportionally to lag (the connector's allocation), not spent
+    in sorted-topic-name order — an alphabetically-early topic can no
+    longer swallow the whole budget while others wait."""
+    import json as _json
+
+    from energy_data_stream_processing_spark.sources.kafka_fake import (
+        _FakeKafkaStreamReader,
+    )
+
+    root = tmp_path / "broker"
+    for t, n in (("aa-early", 30), ("zz-late", 10)):
+        (root / t).mkdir(parents=True)
+        (root / t / "b0.jsonl").write_text(
+            "\n".join(
+                _json.dumps({"key": None, "value": "dGVzdA=="}) for _ in range(n)
+            )
+            + "\n"
+        )
+    opts = {
+        "kafka.bootstrap.servers": str(root),
+        "subscribePattern": ".*-.*",
+        "maxOffsetsPerTrigger": "8",
+    }
+    r = _FakeKafkaStreamReader(opts)
+    end = r.latestOffset()["topics"]
+    # lag 30:10 with budget 8 -> 6:2 (proportional), NOT 8:0
+    assert end == {"aa-early": 6, "zz-late": 2}
+    # and the late topic keeps progressing every trigger even while the
+    # early topic still has lag
+    end2 = r.latestOffset()["topics"]
+    assert end2["zz-late"] > end["zz-late"]
+    assert end2["aa-early"] > end["aa-early"]
+
+
+def test_fake_kafka_unpersistable_rebase_warns(fake_broker, tmp_path, monkeypatch):
+    """Round-8 advice fix: when the failOnDataLoss=false rebase cannot be
+    persisted to the sidecar (read-only source dir), the reader must WARN
+    that a restart may permanently swallow post-loss appends — not fail
+    silently."""
+    import json as _json
+
+    from energy_data_stream_processing_spark.sources import kafka_fake
+
+    topic_dir = tmp_path / "broker" / "ev"
+    topic_dir.mkdir(parents=True)
+    (topic_dir / "b0.jsonl").write_text(
+        "\n".join(_json.dumps({"key": None, "value": "dGVzdA=="}) for _ in range(5))
+        + "\n"
+    )
+    opts = {
+        "kafka.bootstrap.servers": str(tmp_path / "broker"),
+        "subscribe": "ev",
+        "failOnDataLoss": "false",
+    }
+    r = kafka_fake._FakeKafkaStreamReader(opts)
+    r.commit(r.latestOffset())
+    (topic_dir / "b0.jsonl").unlink()  # truncation
+
+    monkeypatch.setattr(kafka_fake, "_force_floor", lambda *a, **k: False)
+    r2 = kafka_fake._FakeKafkaStreamReader(opts)
+    with pytest.warns(RuntimeWarning) as rec:
+        r2.latestOffset()
+    msgs = [str(w.message) for w in rec]
+    assert any("data loss on topic ev" in m for m in msgs)
+    assert any("could not persist the data-loss rebase" in m for m in msgs)
