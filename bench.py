@@ -192,11 +192,13 @@ def main() -> None:
         ladder_queries = [
             "hourly_business_metrics", "rolling_24h_metrics",
             "customer_view", "business_kpis_growth", "user_sessions",
-            # the documented 100 TB swap for customer_view (oracle-identical,
-            # two-phase partial aggregation): tracked on the ladder so the
-            # swap's scaling claim has a measured number next to the
-            # single-shuffle variant it replaces
+            # the documented 100 TB swaps for customer_view (both
+            # oracle-identical): two-phase partial aggregation and the
+            # pre-filtered switch-struct join — tracked on the ladder so the
+            # swap's scaling claim has measured numbers next to the
+            # single-shuffle variant they replace
             "customer_view_twophase",
+            "customer_view_prefilter",
         ]
         ladder: dict[str, float] = {}
         for name in ladder_queries:
@@ -211,6 +213,39 @@ def main() -> None:
             "value": round(sum(ladder.values()), 3),
             "queries": ladder,
         }
+
+        # 100x density rung (round-8 verdict item 3): the three
+        # customer_view plans head-to-head at sf10-equivalent per-customer
+        # event density, where the 10x run showed the single-shuffle plan's
+        # curve bending. Generation time excluded; SPARK_GRAFT_LADDER100=0
+        # skips just this rung.
+        if os.environ.get("SPARK_GRAFT_LADDER100", "1") != "0":
+            ladder100_dir = _scaled_dir(sf_dir, "events")
+            (
+                ev.crossJoin(spark.range(100).withColumnRenamed("id", "_rep"))
+                .withColumn("event_id", F.col("event_id") * 100 + F.col("_rep"))
+                .drop("_rep")
+                .repartition(32)
+                .write.mode("overwrite")
+                .parquet(f"{ladder100_dir}/events.parquet")
+            )
+            l100: dict[str, float] = {}
+            for name in (
+                "customer_view",
+                "customer_view_twophase",
+                "customer_view_prefilter",
+            ):
+                t0 = time.perf_counter()
+                catalog[name].builder(spark, ladder100_dir).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                l100[name] = round(time.perf_counter() - t0, 3)
+            result["ladder100"] = {
+                "scale_x": 100,
+                "sf_equiv": round(sf * 100, 3),
+                "value": round(sum(l100.values()), 3),
+                "queries": l100,
+            }
 
     # Composed LLM-corpus curation pipeline (non-headline): quality ->
     # LSH near-dedup keep -> eval-set decontamination -> FFD packing ->

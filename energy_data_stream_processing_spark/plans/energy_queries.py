@@ -418,6 +418,90 @@ def customer_view_two_phase(ev: DataFrame) -> DataFrame:
     ).drop("_sw")
 
 
+@register(
+    "customer_view_prefilter",
+    oracle=CUSTOMER_VIEW_ORACLE,
+    doc="customer_view with the tariff-switch struct aggregation PRE-FILTERED "
+    "to tariff_switch rows (a separate narrow aggregate left-joined back) "
+    "instead of carrying when()-nulls through the wide collect for every "
+    "event — the third 100 TB candidate plan, measured against the "
+    "single-shuffle and two-phase variants on the bench ladder. Shares "
+    "customer_view's oracle as a result-identity proof.",
+)
+def q_customer_view_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return customer_view_prefiltered(energy_events(spark, sf_dir))
+
+
+def customer_view_prefiltered(ev: DataFrame) -> DataFrame:
+    """Result-identical to ``customer_view_from_events``.
+
+    The base wide aggregation drops the switch-struct branch entirely; the
+    top-2 recent switches come from a SEPARATE aggregation over only the
+    ``tariff_switch`` rows (a small fraction of events), left-joined back on
+    customer_id. Costs: one extra (filtered, narrow) shuffle + a join of
+    two customer-sized frames; saves: the wide aggregate no longer
+    evaluates/carries a struct column for every event row, and the switch
+    shuffle moves only switch rows. Which side wins flips with per-customer
+    event density — measured on the 10x/100x bench ladders (SCALE.md)."""
+    t = F.col("event_type")
+
+    base = ev.groupBy("customer_id").agg(
+        F.count(F.lit(1)).alias("total_events"),
+        F.count_distinct(F.col("session_id")).alias("total_sessions"),
+        F.min("event_time").alias("first_seen"),
+        F.max("event_time").alias("last_seen"),
+        F.count(F.when(t == "user_login", 1)).alias("logins"),
+        F.count(F.when(t == "view_tariffs", 1)).alias("tariff_views"),
+        F.count(F.when(t == "tariff_switch", 1)).alias("tariff_switches"),
+        F.count(F.when(t == "bill_payment", 1)).alias("bill_payments"),
+        F.count(F.when(t == "energy_consumed", 1)).alias("energy_reports"),
+        F.count(F.when(t == "incentive_claim", 1)).alias("incentive_claims"),
+        dsum(F.col("payment_amount")).alias("total_amount_paid"),
+        dsum(F.col("energy_consumed")).alias("total_energy_consumed"),
+        F.max(F.when(t == "bill_payment", F.col("event_time"))).alias("last_payment_date"),
+        F.array_join(F.array_sort(F.collect_set(F.col("channel"))), ",").alias("channels"),
+        F.array_join(
+            F.array_sort(
+                F.collect_set(
+                    F.when(t.isin("view_tariffs", "tariff_switch"), F.col("tariff_type"))
+                )
+            ),
+            ",",
+        ).alias("tariff_types_seen"),
+    )
+    switches = (
+        ev.where(t == "tariff_switch")
+        .groupBy("customer_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("event_time"), F.col("event_id"), F.col("tariff_type"))
+                )
+            ).alias("_sw")
+        )
+    )
+    n = F.size(F.col("_sw"))
+    return (
+        base.join(switches, "customer_id", "left")
+        .withColumns(
+            {
+                # _sw is NULL (size -1) for switch-less customers: every
+                # when() below is false there, matching the base variant
+                "current_active_tariff": F.when(
+                    n >= 1, F.element_at(F.col("_sw"), n).tariff_type
+                ),
+                "last_active_tariff": F.when(
+                    n >= 2, F.element_at(F.col("_sw"), n - 1).tariff_type
+                ),
+                "last_tariff_switch_date_time": F.when(
+                    n >= 1, F.element_at(F.col("_sw"), n).event_time
+                ),
+            }
+        )
+        .drop("_sw")
+    )
+
+
 # --------------------------------------------------------------------------
 # Dashboard panels (business-metrics.json)
 # --------------------------------------------------------------------------

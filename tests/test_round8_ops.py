@@ -59,3 +59,47 @@ def test_driver_java_options_bare_default(monkeypatch):
     monkeypatch.delenv("SPARK_CONF_DIR", raising=False)
     monkeypatch.delenv("SPARK_HOME", raising=False)
     assert _driver_java_options("/x") == "-Dderby.system.home=/x"
+
+
+# ---------------------------------------------------------------------------
+# self-gate dtype-parity red-team probes (verdict item 4): the remaining
+# canonicalization divergences the driver's hash compare is sensitive to
+# must FAIL the self-check — NaN-vs-NULL float cells and Decimal-vs-float
+# dtype mixing.
+# ---------------------------------------------------------------------------
+def _self_canon():
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts")
+    )
+    from self_correctness import _canon
+
+    return _canon
+
+
+def test_self_gate_flags_nan_vs_null_float_columns():
+    """A Spark result carrying float NaN where the oracle has SQL NULL must
+    hash-mismatch (pandas would collapse both to NaN in a float64 column —
+    the self-check may not): NaN canonicalizes to its own deterministic
+    token, distinct from NULL and stable across runs."""
+    _canon = _self_canon()
+    nan_rows = [(1, float("nan"))]
+    null_rows = [(1, None)]
+    cols = ["id", "v"]
+    assert _canon(nan_rows, cols)[1] != _canon(null_rows, cols)[1]
+    # deterministic: NaN != NaN as floats, but the canonical form is stable
+    assert _canon(nan_rows, cols)[1] == _canon([(1, float("nan"))], cols)[1]
+
+
+def test_self_gate_flags_decimal_vs_float_dtype_mixing():
+    """A Spark DECIMAL column against an oracle DOUBLE (or int) of equal
+    value must hash-mismatch — the driver's compare is dtype-sensitive, so
+    the self-gate has to be at least as strict (the HUGEINT-vs-bigint
+    artifact class that burned rounds 1-2, now for Decimal)."""
+    from decimal import Decimal
+
+    _canon = _self_canon()
+    assert _canon([(Decimal("5"),)], ["v"])[1] != _canon([(5.0,)], ["v"])[1]
+    assert _canon([(Decimal("5"),)], ["v"])[1] != _canon([(5,)], ["v"])[1]
+    assert _canon([(Decimal("5.0"),)], ["v"])[1] == _canon([(Decimal("5.0"),)], ["v"])[1]

@@ -352,3 +352,54 @@ def test_groupstate_running_totals_multibatch_equals_batch(spark, sf_dir, tmp_pa
         )
     )
     assert sorted(map(tuple, final.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_streaming_hourly_native_approx_within_sketch_bound(spark, sf_dir):
+    """Round-8 verdict item 6: `streaming_hourly_native` is rows-only for
+    the driver (HLL distincts are approximate by design) — pin it
+    QUANTITATIVELY instead: every exact column must equal the batch
+    aggregation exactly, and each approx_count_distinct column must land
+    within the sketch's documented error band (default rsd=0.05; allow 3
+    sigma, floor of 2 for tiny hours where HLL++ is effectively exact)."""
+    from energy_data_stream_processing_spark.plans.catalog import all_queries
+
+    out = {
+        r["hour"]: r
+        for r in all_queries()["streaming_hourly_native"].builder(spark, sf_dir).collect()
+    }
+    assert out
+
+    t = F.col("event_type")
+    exact = {
+        r["hour"]: r
+        for r in (
+            energy_events(spark, sf_dir)
+            .groupBy(F.date_trunc("hour", "event_time").alias("hour"))
+            .agg(
+                F.count(F.when(t == "tariff_switch", 1)).alias("tariff_switches"),
+                F.count(F.when(t == "incentive_claim", 1)).alias("incentive_claims"),
+                F.count(F.when(t == "user_login", 1)).alias("total_logins"),
+                F.count_distinct("customer_id").alias("active_customers"),
+                F.count_distinct(
+                    F.when(t == "user_login", F.col("session_id"))
+                ).alias("new_sessions"),
+            )
+            .collect()
+        )
+    }
+    assert set(out) == set(exact)
+    rsd = 0.05  # approx_count_distinct default
+    for hour, got in out.items():
+        want = exact[hour]
+        # exact columns: streaming == batch, bit-for-bit
+        for c in ("tariff_switches", "incentive_claims", "total_logins"):
+            assert got[c] == want[c], (hour, c, got[c], want[c])
+        # sketched columns: within 3*rsd relative (floor 2 absolute)
+        for approx_c, exact_c in (
+            ("active_customers_approx", "active_customers"),
+            ("new_sessions_approx", "new_sessions"),
+        ):
+            tol = max(2.0, 3 * rsd * want[exact_c])
+            assert abs(got[approx_c] - want[exact_c]) <= tol, (
+                hour, approx_c, got[approx_c], want[exact_c], tol
+            )
