@@ -26,82 +26,79 @@ def entry(spark: SparkSession) -> DataFrame:
     return q.builder(spark, "/root/testdata/sf0.001")
 
 
-# Round-7 gate ordering. The driver checks a ~50-entry prefix of queries().
-# After round 6 every oracle-backed entry has driver evidence, so the
-# prefix is (a) entries whose code changed in round 7 and MUST be
-# driver-re-proven — multimodal_decode_stub (the round-6 red row, now
-# flattened to scalar f0..f3 per the canonicalization convention), its
-# frame-sample sibling, and the incremental-index entries that stage
-# through the pid-renamespaced staging path — then (b) a rotation of the
-# entries with the OLDEST driver evidence (last sampled r2/r3), so stale
-# evidence refreshes round-over-round. EXACTLY 50 names — the driver
-# samples a ~50-entry prefix, so anything past 50 would silently get no
-# evidence; 7 r3-era twins/family-duplicates (customer_view_twophase,
-# hourly_business_metrics_twophase, distinct_channels,
-# streaming_user_sessions, events_profile, corpus_curation_pipeline,
-# mixture_temperature_sample) wait for the round-8 rotation. Entries
-# without an oracle (engine-internal sketches, by design) sort LAST so
-# the sampled prefix is 100% hash-checkable.
-_FRESH_R7 = [
-    # round-7-changed: flattened output (verdict item 1) — re-prove first
-    "multimodal_decode_stub",
-    "multimodal_frame_sample",
-    "multimodal_meta",
-    # round-7-touched via stage_result pid-namespacing (ADVICE item 4)
-    "dedup_incremental_minhash",
-    "streaming_incremental_dedup",
-    "scd2_incremental_apply",
-    "ann_ivf_incremental",
-    # oldest driver evidence: last sampled round 2
-    "time_weighted_value",
-    "user_activity_islands",
-    # oldest driver evidence: last sampled round 3
-    "ab_test_segments",
-    "business_kpis_growth",
-    "channel_performance",
-    "channel_tariff_contingency",
-    "churned_customers",
-    "customer_activity_funnel",
-    "customer_view",
-    "daily_energy_summary",
-    "demand_elasticity",
-    "distinct_tariff_types",
-    "energy_rollup_cascade",
-    "engagement_funnel",
-    "event_transitions",
-    "event_type_hour_cube",
-    "fk_integrity_audit",
-    "green_adoption",
-    "heavy_hitters_tokens",
-    "hourly_anomaly_zscore",
-    "hourly_business_metrics",
-    "hourly_gap_fill",
-    "ingest_validation_summary",
-    "label_cap_sample",
-    "length_band_filter",
-    "ordered_event_funnel",
-    "peak_concurrency",
-    "peak_load_management",
-    "pricing_insights",
-    "props_numeric_profile",
-    "revenue_overview",
-    "robust_outliers_mad",
-    "rolling_24h_metrics",
-    "scd2_tariff_history",
-    "sequence_packing_audit",
-    "session_pattern_match",
-    "session_summary",
-    "stratified_sample_summary",
-    "total_energy_trend",
-    "train_val_test_split",
-    "user_sessions",
-    "user_value_tiers",
-    "vocab_topk",
+# Round-8 gate ordering. The driver checks a ~50-entry prefix of queries().
+# Every oracle-backed entry has green driver evidence (r1-r7 union), so the
+# prefix is pure evidence rotation: (a) entries whose code changed in round
+# 8 and MUST be driver-re-proven — customer_view_prefilter, the new third
+# customer_view plan — then (b) the entries with the OLDEST driver
+# evidence: the 7 last sampled in round 3, the 41 last sampled in round 4,
+# and one round-5 entry to fill the window. EXACTLY 50 names — the driver
+# samples a ~50-entry prefix, so anything past 50 silently gets no
+# evidence. After this round the evidence-age minimum rises to r5.
+#
+# GENERATED — do not hand-edit: regenerate with
+#   python scripts/gen_gate_prefix.py --changed <entries changed this round>
+# and verified by `gen_gate_prefix.py --check` (tests/test_round8_ops.py).
+# Entries without an oracle (engine-internal sketches, by design) sort
+# LAST in _ordered_names so the sampled prefix is 100% hash-checkable.
+_GATE_PREFIX = [
+    "customer_view_prefilter",
+    "corpus_curation_pipeline",
+    "customer_view_twophase",
+    "distinct_channels",
+    "events_profile",
+    "hourly_business_metrics_twophase",
+    "mixture_temperature_sample",
+    "streaming_user_sessions",
+    "asof_active_tariff",
+    "asof_forward_next_switch",
+    "asof_tolerance_tariff",
+    "burstiness_index",
+    "cohort_ltv_curves",
+    "consumption_payment_regression",
+    "cross_source_dup_matrix",
+    "customer_rfm_scores",
+    "data_outage_report",
+    "dedup_ngram_containment",
+    "dup_rate_by_source",
+    "embedding_dim_profile",
+    "embedding_norm_outliers",
+    "funnel_conversion_latency",
+    "hour_of_week_seasonality",
+    "inter_event_gap_profile",
+    "k_anonymity_audit",
+    "kfold_assignment",
+    "lang_id_confusion",
+    "last_touch_attribution",
+    "line_dedup_audit",
+    "load_duration_curve",
+    "markov_stationary_distribution",
+    "ngram_novelty_curve",
+    "ops_events_rate",
+    "ops_latency_p95",
+    "range_join_tariff_periods",
+    "revenue_pareto_concentration",
+    "revenue_reconciliation",
+    "seasonal_anomaly_zscore",
+    "session_type_cooccurrence",
+    "streaming_asof_enrichment",
+    "streaming_wau_growth",
+    "tariff_migration_matrix",
+    "tariff_revenue_attribution",
+    "unigram_surprisal_filter",
+    "vintage_drift_psi",
+    "weekly_active_users_growth",
+    "weighted_reservoir_sample",
+    "zipf_vocab_fit",
+    "zorder_layout_audit",
+    "approx_percentile_audit",
 ]
+_FRESH_R8 = _GATE_PREFIX  # round-tagged alias
+
 
 def _ordered_names() -> list[str]:
     names = all_queries()
-    head = [n for n in _FRESH_R7 if n in names]
+    head = [n for n in _GATE_PREFIX if n in names]
     seen = set(head)
     # already-sampled oracle-backed entries next, engine-internal
     # (no-oracle) entries last — the checked prefix stays fully

@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Compute the driver gate prefix (``_GATE_PREFIX`` in ``__spark_entry__.py``)
+from recorded evidence age, so a round can't mis-rotate by hand.
+
+The driver samples a ~50-entry prefix of ``queries()`` each round and records
+per-entry hash evidence in ``CORRECTNESS_r{N}.json``. The prefix we want is:
+
+1. entries whose code changed this round (``--changed``) — these MUST be
+   driver-re-proven regardless of evidence age; unknown names are an error,
+   rows-only (oracle-less) names are rejected (the driver can't hash-check
+   them, so listing them would waste a sampled slot);
+2. every other oracle-backed catalog entry, ordered by (latest driver round
+   that sampled it, name) — never-sampled entries sort first (round 0);
+3. truncated to exactly ``--cap`` names (default 50, the driver's window).
+
+Usage:
+    python scripts/gen_gate_prefix.py --changed customer_view_prefilter
+    python scripts/gen_gate_prefix.py --check   # assert == committed prefix
+
+``--check`` recomputes with the committed prefix's own head as the changed
+set (the head is whatever precedes the evidence-ordered tail), so the test
+guard stays valid across rounds without re-stating the changed list.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def evidence_age(repo: str = REPO) -> dict[str, int]:
+    """Latest driver round that recorded evidence for each entry name."""
+    latest: dict[str, int] = {}
+    for p in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        with open(p) as f:
+            for name in json.load(f):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def gen_prefix(changed: list[str], cap: int = 50) -> list[str]:
+    from energy_data_stream_processing_spark.plans.catalog import all_queries
+
+    qs = all_queries()
+    oracle_backed = {n for n in qs if qs[n].oracle is not None}
+    unknown = [n for n in changed if n not in qs]
+    if unknown:
+        raise SystemExit(f"--changed names not in catalog: {unknown}")
+    rows_only = [n for n in changed if n not in oracle_backed]
+    if rows_only:
+        raise SystemExit(
+            f"--changed names are rows-only (no oracle, not hash-checkable "
+            f"by the driver): {rows_only}"
+        )
+    head: list[str] = []
+    for n in changed:  # preserve caller order, drop dups
+        if n not in head:
+            head.append(n)
+    latest = evidence_age()
+    tail = sorted(
+        (n for n in oracle_backed if n not in head),
+        key=lambda n: (latest.get(n, 0), n),
+    )
+    return (head + tail)[:cap]
+
+
+def committed_prefix() -> list[str]:
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry", os.path.join(REPO, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return list(mod._GATE_PREFIX)
+
+
+def infer_changed_head(prefix: list[str]) -> list[str]:
+    """Recover the changed-set head of a committed prefix: the longest tail
+    of the prefix that is exactly the evidence-ordered backfill is the
+    rotation; whatever precedes it is the changed head."""
+    latest = evidence_age()
+    for i in range(len(prefix)):
+        head, tail = prefix[:i], prefix[i:]
+        if gen_prefix(head, cap=len(prefix)) == prefix and tail == sorted(
+            tail, key=lambda n: (latest.get(n, 0), n)
+        ):
+            return head
+    return prefix
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--changed", nargs="*", default=[],
+                    help="entries whose code changed this round (head of prefix)")
+    ap.add_argument("--cap", type=int, default=50)
+    ap.add_argument("--check", action="store_true",
+                    help="assert the committed _GATE_PREFIX matches a "
+                    "regeneration (exit 1 with a diff otherwise)")
+    args = ap.parse_args()
+
+    if args.check:
+        committed = committed_prefix()
+        regen = gen_prefix(infer_changed_head(committed), cap=len(committed))
+        if regen != committed:
+            print("MISMATCH committed vs regenerated:", file=sys.stderr)
+            for a, b in zip(committed, regen):
+                if a != b:
+                    print(f"  committed={a!r} regenerated={b!r}", file=sys.stderr)
+            raise SystemExit(1)
+        print(f"ok — committed prefix of {len(committed)} matches regeneration")
+        return
+
+    for n in gen_prefix(args.changed, cap=args.cap):
+        print(n)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,346 @@
+"""Live-PostgreSQL evidence for the reference's metrics-flush path.
+
+The reference's consumer flushes hourly metrics into PostgreSQL with a
+16-column ``INSERT ... ON CONFLICT (hour) DO UPDATE`` (reference
+consumer/consumer.py:321-367) against the schema in reference
+database/schema.sql:30-59. Until round 8 that path was value-proven only on
+stand-in engines (DuckDB ``ON CONFLICT``, Derby ``MERGE``) because no
+Postgres server shipped in the environment — this module upgrades the
+evidence to the real thing: a throwaway PostgreSQL 15 cluster (initdb +
+pg_ctl on a unix socket, no TCP), the reference-shaped DDL, and the
+engine's GENERATED statements server-side PREPAREd and executed with real
+conflicts, including an end-to-end two-partial-flush round-trip of actual
+Spark aggregates.
+
+Transport note: no Python Postgres driver or pgJDBC jar ships here, so
+statements travel via ``psql`` with ``PREPARE``/``EXECUTE`` ($n parameters
+— the server-side form psycopg2's ``%s`` binds to). The Spark-JDBC wire
+path proper stays covered by the Derby MERGE tests until a pgjdbc jar is
+available; everything SQL-semantic about the reference's flush executes
+here on PostgreSQL itself.
+
+Skips cleanly where PostgreSQL 15 / the postgres user / setpriv are absent.
+"""
+
+from __future__ import annotations
+
+import datetime
+import glob
+import os
+import pwd
+import shutil
+import subprocess
+import tempfile
+
+import pytest
+
+from energy_data_stream_processing_spark.operators.hourly import METRIC_COLUMNS
+from energy_data_stream_processing_spark.sources.sinks import jdbc_upsert_statement
+
+COUNTERS = {
+    "tariff_switches", "incentive_claims", "green_tariff_switches",
+    "active_customers", "new_sessions", "total_logins", "payment_events",
+}
+RATIOS = {"avg_switch_value", "avg_consumption_per_customer", "avg_payment_amount"}
+LAST_WRITE = {"peak_hour_usage"}
+ADDITIVE_SUMS = [
+    m for m in METRIC_COLUMNS if m not in RATIOS and m not in LAST_WRITE
+]
+
+
+def _pg_bindir() -> str | None:
+    hits = sorted(glob.glob("/usr/lib/postgresql/*/bin/initdb"))
+    return os.path.dirname(hits[-1]) if hits else None
+
+
+def _pg_available() -> bool:
+    if _pg_bindir() is None:
+        return False
+    if os.geteuid() != 0:
+        return True  # initdb runs directly as an unprivileged user
+    try:
+        pwd.getpwnam("postgres")
+    except KeyError:
+        return False
+    return shutil.which("setpriv") is not None
+
+
+pytestmark = pytest.mark.skipif(
+    not _pg_available(),
+    reason="no usable PostgreSQL install (initdb + postgres user + setpriv)",
+)
+
+
+class LivePg:
+    def __init__(self, bindir: str, base: str):
+        self.bindir = bindir
+        self.data = os.path.join(base, "data")
+        self.sock = os.path.join(base, "sock")
+        os.makedirs(self.data)
+        os.makedirs(self.sock)
+        if os.geteuid() == 0:
+            # postgres refuses to run as root; drop to the postgres user
+            pg = pwd.getpwnam("postgres")
+            os.chown(base, pg.pw_uid, pg.pw_gid)
+            os.chown(self.data, pg.pw_uid, pg.pw_gid)
+            os.chown(self.sock, pg.pw_uid, pg.pw_gid)
+            self._pfx = ["setpriv", "--reuid=postgres", "--regid=postgres",
+                         "--clear-groups"]
+        else:
+            self._pfx = []
+
+    def _admin(self, *args: str) -> None:
+        subprocess.run(
+            [*self._pfx, *args], check=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+
+    def start(self) -> None:
+        self._admin(os.path.join(self.bindir, "initdb"), "-D", self.data,
+                    "-U", "postgres", "-A", "trust")
+        self._admin(
+            os.path.join(self.bindir, "pg_ctl"), "-D", self.data, "-w",
+            "-o", f"-k {self.sock} -c listen_addresses=''",
+            "-l", os.path.join(self.data, "server.log"), "start",
+        )
+
+    def stop(self) -> None:
+        self._admin(os.path.join(self.bindir, "pg_ctl"), "-D", self.data,
+                    "-m", "immediate", "stop")
+
+    def sql(self, script: str) -> list[list[str]]:
+        """Run a SQL script through psql; rows come back tab-separated."""
+        out = subprocess.run(
+            [os.path.join(self.bindir, "psql"), "-X", "-q",
+             "-v", "ON_ERROR_STOP=1", "-h", self.sock, "-U", "postgres",
+             "-d", "postgres", "-A", "-t", "-F", "\t", "-f", "-"],
+            input=script, text=True, capture_output=True,
+        )
+        if out.returncode != 0:
+            raise AssertionError(f"psql failed:\n{out.stderr}\n--- script:\n{script}")
+        return [line.split("\t") for line in out.stdout.splitlines() if line]
+
+
+@pytest.fixture(scope="module")
+def pg():
+    base = tempfile.mkdtemp(prefix="pg-live-")
+    inst = LivePg(_pg_bindir(), base)
+    inst.start()
+    try:
+        yield inst
+    finally:
+        inst.stop()
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, datetime.datetime):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return repr(v)
+
+
+def _prepared(sql: str, rows: list[tuple]) -> str:
+    """psycopg2-style %s placeholders -> server-side $n PREPARE, one
+    EXECUTE per parameter row (all inside one psql session/transaction)."""
+    n = sql.count("%s")
+    for i in range(n):
+        sql = sql.replace("%s", f"${i + 1}", 1)
+    execs = "\n".join(
+        "EXECUTE flush_stmt(" + ", ".join(_lit(v) for v in row) + ");"
+        for row in rows
+    )
+    return f"PREPARE flush_stmt AS\n{sql};\n{execs}"
+
+
+def _reference_ddl(table: str, *, with_defaults: bool = True) -> str:
+    """The reference's hourly_business_metrics shape (database/schema.sql:
+    30-59): hour PK, 15 metric columns NOT NULL DEFAULT 0, updated_at."""
+    d = " NOT NULL DEFAULT 0" if with_defaults else ""
+    cols = ", ".join(
+        f"{m} {'BIGINT' if m in COUNTERS else 'DOUBLE PRECISION'}{d}"
+        for m in METRIC_COLUMNS
+    )
+    return (
+        f"CREATE TABLE {table} (hour TIMESTAMP PRIMARY KEY, {cols}, "
+        f"updated_at TIMESTAMP DEFAULT now())"
+    )
+
+
+def test_reference_schema_ddl_executes(pg):
+    pg.sql(_reference_ddl("ddl_probe"))
+    rows = pg.sql(
+        "SELECT count(*) FROM information_schema.columns "
+        "WHERE table_name = 'ddl_probe';"
+        "SELECT a.attname FROM pg_index i "
+        "JOIN pg_attribute a ON a.attrelid = i.indrelid "
+        "AND a.attnum = ANY(i.indkey) "
+        "WHERE i.indrelid = 'ddl_probe'::regclass AND i.indisprimary;"
+    )
+    assert rows == [[str(len(METRIC_COLUMNS) + 2)], ["hour"]]
+
+
+def test_full_row_replacement_dialect_live(pg):
+    """dialect='postgres' (the engine's own flush): PREPAREs on PostgreSQL
+    and the second flush REPLACES the first, column for column."""
+    pg.sql(_reference_ddl("replace_probe"))
+    sql = jdbc_upsert_statement("replace_probe", dialect="postgres")
+    h = datetime.datetime(2025, 6, 1, 12)
+    first = [h] + [float(i) if m not in COUNTERS else i
+                   for i, m in enumerate(METRIC_COLUMNS)]
+    second = [h] + [float(i) + 100 if m not in COUNTERS else i + 100
+                    for i, m in enumerate(METRIC_COLUMNS)]
+    pg.sql(_prepared(sql, [tuple(first), tuple(second)]))
+    got = pg.sql(
+        "SELECT " + ", ".join(METRIC_COLUMNS) + " FROM replace_probe;"
+    )
+    assert len(got) == 1
+    for want, has in zip(second[1:], got[0]):
+        assert float(has) == float(want)
+
+
+_FLUSH1 = {
+    "tariff_switches": 3, "total_switch_revenue": 100.0,
+    "incentive_claims": 2, "total_incentive_payouts": 25.0,
+    "green_tariff_switches": 1, "active_customers": 4, "new_sessions": 5,
+    "total_logins": 6, "total_energy_consumed": 40.0,
+    "peak_hour_usage": 70.0, "total_payments": 90.0, "payment_events": 3,
+}
+_FLUSH2 = {
+    "tariff_switches": 2, "total_switch_revenue": 50.0,
+    "incentive_claims": 0, "total_incentive_payouts": 0.0,
+    "green_tariff_switches": 2, "active_customers": 6, "new_sessions": 1,
+    "total_logins": 4, "total_energy_consumed": 60.0,
+    "peak_hour_usage": 48.0, "total_payments": 0.0, "payment_events": 0,
+}
+
+
+def _flush_params(hour, s):
+    """The reference's execute() tuple for one partial flush: raw deltas
+    plus the flush-local ratios it derives in Python (consumer.py:310-318)."""
+    avg_switch = s["total_switch_revenue"] / s["tariff_switches"] if s["tariff_switches"] else 0.0
+    avg_cons = s["total_energy_consumed"] / s["active_customers"] if s["active_customers"] else 0.0
+    avg_pay = s["total_payments"] / s["payment_events"] if s["payment_events"] else 0.0
+    derived = {
+        "avg_switch_value": avg_switch,
+        "avg_consumption_per_customer": avg_cons,
+        "avg_payment_amount": avg_pay,
+    }
+    return tuple([hour] + [derived.get(m, s.get(m)) for m in METRIC_COLUMNS])
+
+
+def test_additive_merge_two_partial_flushes_live(pg):
+    """The reference's EXACT 16-column additive merge, executed on real
+    PostgreSQL across two partial flushes of the same hour: counters add,
+    ratios re-derive from the merged sums (not avg-of-avgs), peak is
+    last-write-wins (the reference's documented merge bug, reproduced),
+    updated_at stamps. Twin of the DuckDB law test — now on the engine the
+    reference actually targets."""
+    pg.sql(_reference_ddl("additive_probe"))
+    sql = jdbc_upsert_statement("additive_probe", dialect="postgres_additive")
+    h = datetime.datetime(2025, 6, 3, 9)
+    pg.sql(_prepared(sql, [_flush_params(h, _FLUSH1), _flush_params(h, _FLUSH2)]))
+    got = dict(zip(METRIC_COLUMNS, pg.sql(
+        "SELECT " + ", ".join(METRIC_COLUMNS) + " FROM additive_probe;"
+    )[0]))
+    for c in ADDITIVE_SUMS:
+        assert float(got[c]) == _FLUSH1[c] + _FLUSH2[c], c
+    assert float(got["avg_switch_value"]) == 150.0 / 5
+    assert float(got["avg_consumption_per_customer"]) == 100.0 / 10
+    assert float(got["avg_payment_amount"]) == 90.0 / 3
+    assert float(got["peak_hour_usage"]) == _FLUSH2["peak_hour_usage"]
+    assert pg.sql("SELECT count(*) FROM additive_probe WHERE updated_at IS NOT NULL;") == [["1"]]
+
+
+def test_additive_merge_zero_denominator_live(pg):
+    """A merged hour whose summed denominator is zero takes the CASE
+    guard's 0 on PostgreSQL — no division-by-zero error."""
+    pg.sql(_reference_ddl("zeroden_probe"))
+    sql = jdbc_upsert_statement("zeroden_probe", dialect="postgres_additive")
+    h = datetime.datetime(2025, 6, 3, 10)
+    z = {k: 0 if isinstance(v, int) else 0.0 for k, v in _FLUSH1.items()}
+    pg.sql(_prepared(sql, [_flush_params(h, z), _flush_params(h, z)]))
+    got = pg.sql("SELECT avg_switch_value, avg_payment_amount FROM zeroden_probe;")
+    assert got == [["0", "0"]]
+
+
+def test_additive_merge_heals_stored_nulls_live(pg):
+    """On a target table WITHOUT the reference's NOT NULL DEFAULT 0
+    constraints, a pre-seeded NULL counter row must heal to the flush's
+    delta (COALESCE on the stored side) instead of NULL-poisoning forever."""
+    pg.sql(_reference_ddl("nullheal_probe", with_defaults=False))
+    h = datetime.datetime(2025, 6, 3, 11)
+    pg.sql(f"INSERT INTO nullheal_probe (hour) VALUES ({_lit(h)});")
+    sql = jdbc_upsert_statement("nullheal_probe", dialect="postgres_additive")
+    pg.sql(_prepared(sql, [_flush_params(h, _FLUSH1)]))
+    got = pg.sql("SELECT tariff_switches, total_switch_revenue, avg_switch_value FROM nullheal_probe;")
+    assert got == [["3", "100", str(100.0 / 3)]]
+
+
+def test_spark_partial_flushes_roundtrip_live(pg, spark, sf_dir):
+    """End-to-end on real data: split sf0.001 events into two halves by
+    event time, aggregate EACH half with the engine's hourly metrics
+    operator (a faithful partial-state flush — the reference resets its
+    in-memory stats between flushes), push both through the additive merge
+    on live PostgreSQL, and read the table back. Pure counters/sums must
+    equal the FULL-batch Spark aggregate (they are additive across any
+    event split); the distinct-based counters must equal the SUM of the two
+    partial distinct counts — the reference's documented cross-flush
+    double-count, reproduced on its own database."""
+    from pyspark.sql import functions as F
+
+    from energy_data_stream_processing_spark.operators.hourly import (
+        hourly_business_metrics,
+    )
+    from energy_data_stream_processing_spark.sources.adapter import energy_events
+
+    ev = energy_events(spark, sf_dir)
+    mid = ev.agg(F.percentile_approx("event_time", 0.5)).collect()[0][0]
+    halves = [ev.where(F.col("event_time") <= F.lit(mid)),
+              ev.where(F.col("event_time") > F.lit(mid))]
+
+    pg.sql(_reference_ddl("spark_flush"))
+    sql = jdbc_upsert_statement("spark_flush", dialect="postgres_additive")
+    partials: list[dict] = []
+    for half in halves:
+        rows = hourly_business_metrics(half).collect()
+        partials.extend(r.asDict() for r in rows)
+        pg.sql(_prepared(sql, [
+            tuple([r["hour"]] + [r[m] for m in METRIC_COLUMNS]) for r in rows
+        ]))
+
+    got = {
+        r[0]: dict(zip(METRIC_COLUMNS, r[1:]))
+        for r in pg.sql(
+            "SELECT hour::text, " + ", ".join(METRIC_COLUMNS) + " FROM spark_flush;"
+        )
+    }
+    full = {
+        str(r["hour"]): r.asDict()
+        for r in hourly_business_metrics(ev).collect()
+    }
+    assert set(got) == set(full)
+
+    # additive across ANY split: plain counts and sums
+    pure_additive = [
+        "tariff_switches", "total_switch_revenue", "incentive_claims",
+        "total_incentive_payouts", "green_tariff_switches", "total_logins",
+        "total_energy_consumed", "total_payments", "payment_events",
+    ]
+    # distinct-based: merged value == sum of the per-flush distincts
+    by_hour_partial_distincts: dict[str, dict[str, int]] = {}
+    for p in partials:
+        d = by_hour_partial_distincts.setdefault(
+            str(p["hour"]), {"active_customers": 0, "new_sessions": 0}
+        )
+        d["active_customers"] += p["active_customers"]
+        d["new_sessions"] += p["new_sessions"]
+
+    for hour, merged in got.items():
+        for c in pure_additive:
+            assert abs(float(merged[c]) - float(full[hour][c])) < 1e-6, (hour, c)
+        for c in ("active_customers", "new_sessions"):
+            assert int(merged[c]) == by_hour_partial_distincts[hour][c], (hour, c)

@@ -356,16 +356,16 @@ def test_gate_prefix_names_all_resolve():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     names = set(all_queries())
-    missing = [n for n in mod._FRESH_R7 if n not in names]
+    missing = [n for n in mod._GATE_PREFIX if n not in names]
     assert not missing, f"gate prefix names not in catalog: {missing}"
-    assert len(set(mod._FRESH_R7)) == len(mod._FRESH_R7), "duplicate prefix names"
+    assert len(set(mod._GATE_PREFIX)) == len(mod._GATE_PREFIX), "duplicate prefix names"
     # the whole prefix must be oracle-backed (hash-checkable by the driver)
-    unbacked = [n for n in mod._FRESH_R7 if all_queries()[n].oracle is None]
+    unbacked = [n for n in mod._GATE_PREFIX if all_queries()[n].oracle is None]
     assert not unbacked, f"gate prefix entries without oracle: {unbacked}"
     # the driver samples a ~50-entry prefix: names past 50 silently get no
     # evidence, so the curated list must fit the sampled window
-    assert len(mod._FRESH_R7) <= 50, (
-        f"{len(mod._FRESH_R7)} prefix names overflow the driver's ~50 sample"
+    assert len(mod._GATE_PREFIX) <= 50, (
+        f"{len(mod._GATE_PREFIX)} prefix names overflow the driver's ~50 sample"
     )
 
 

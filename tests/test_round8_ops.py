@@ -103,3 +103,53 @@ def test_self_gate_flags_decimal_vs_float_dtype_mixing():
     assert _canon([(Decimal("5"),)], ["v"])[1] != _canon([(5.0,)], ["v"])[1]
     assert _canon([(Decimal("5"),)], ["v"])[1] != _canon([(5,)], ["v"])[1]
     assert _canon([(Decimal("5.0"),)], ["v"])[1] == _canon([(Decimal("5.0"),)], ["v"])[1]
+
+
+# ---------------------------------------------------------------------------
+# gate-prefix rotation generator (verdict item 8): the committed
+# _GATE_PREFIX must be exactly what scripts/gen_gate_prefix.py computes from
+# CORRECTNESS_r*.json evidence age, so a future round can't mis-rotate.
+# ---------------------------------------------------------------------------
+def _gen_gate_prefix():
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts")
+    )
+    import gen_gate_prefix
+
+    return gen_gate_prefix
+
+
+def test_gate_prefix_matches_generator():
+    """Committed prefix == regeneration from evidence age + the round's
+    changed head (recovered from the committed list itself), i.e. the
+    `--check` mode the round workflow runs."""
+    g = _gen_gate_prefix()
+    committed = g.committed_prefix()
+    assert len(committed) == 50
+    regen = g.gen_prefix(g.infer_changed_head(committed), cap=len(committed))
+    assert regen == committed
+
+
+def test_gate_prefix_generator_rejects_bad_changed_names():
+    """Unknown and rows-only (oracle-less) names must be hard errors — a
+    typo or an unhashable entry would silently waste a sampled slot."""
+    import pytest
+
+    g = _gen_gate_prefix()
+    with pytest.raises(SystemExit, match="not in catalog"):
+        g.gen_prefix(["no_such_query_xyz"])
+    with pytest.raises(SystemExit, match="rows-only"):
+        g.gen_prefix(["dedup_minhash_lsh"])  # rows-only by design
+
+
+def test_gate_prefix_orders_by_evidence_age():
+    """The backfill after the changed head is (latest-evidence-round, name)
+    ascending over oracle-backed entries, never-sampled first."""
+    g = _gen_gate_prefix()
+    latest = g.evidence_age()
+    out = g.gen_prefix(["customer_view_prefilter"], cap=50)
+    assert out[0] == "customer_view_prefilter"
+    ages = [latest.get(n, 0) for n in out[1:]]
+    assert ages == sorted(ages)

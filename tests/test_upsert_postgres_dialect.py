@@ -1,12 +1,16 @@
 """Execute the engine's Postgres-dialect upsert against a real engine.
 
 The reference's metrics flush is ``INSERT ... ON CONFLICT (hour) DO UPDATE``
-(consumer/consumer.py:321-367). No Postgres server ships in this
-environment, but DuckDB implements the same ``ON CONFLICT`` clause with
-``EXCLUDED`` semantics, so the generated statement can be validated beyond
-string equality: parsed, planned, and executed with real conflicts. Only the
-paramstyle is transport-specific (psycopg2 ``%s`` vs DBAPI ``?``) — that
-substitution touches no SQL semantics.
+(consumer/consumer.py:321-367). DuckDB implements the same ``ON CONFLICT``
+clause with ``EXCLUDED`` semantics, so the generated statement can be
+validated beyond string equality: parsed, planned, and executed with real
+conflicts — in milliseconds and with no server lifecycle, which keeps these
+law tests cheap enough to run everywhere. Only the paramstyle is
+transport-specific (psycopg2 ``%s`` vs DBAPI ``?``) — that substitution
+touches no SQL semantics. Since round 8 the SAME statements also execute
+against a real PostgreSQL 15 cluster in tests/test_postgres_live.py
+(server-side PREPARE, reference-shaped DDL, end-to-end Spark flushes);
+this module remains the fast twin.
 
 These tests are Spark-free and run in milliseconds.
 """
