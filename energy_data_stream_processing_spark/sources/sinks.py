@@ -14,8 +14,10 @@ merge bugs. Two upsert backends:
   ``MERGE INTO`` or ``replaceWhere`` would use;
 - a JDBC writer whose per-batch upsert statement is the engine-generated
   equivalent of the reference's ``ON CONFLICT (hour) DO UPDATE`` — but with
-  ``=EXCLUDED`` full-row replacement, not ``+`` addition (no database here,
-  so it is exercised only up to statement generation).
+  ``=EXCLUDED`` full-row replacement, not ``+`` addition. The generated
+  statements execute value-exactly on DuckDB (fast law tests), on embedded
+  Derby via MERGE, and — since round 8 — on a live PostgreSQL 15 cluster,
+  batch and streaming (tests/test_postgres_live.py).
 
 For ATOMIC multi-hour visibility (dynamic partition overwrite is atomic
 only per partition), ``laketable.py`` adds a commit-log MERGE upsert with
@@ -118,6 +120,35 @@ def foreach_batch_upsert(path: str):
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         upsert_hourly_metrics_parquet(batch_df.sparkSession, batch_df, path)
+
+    return fn
+
+
+def foreach_batch_statement_upsert(
+    table: str, execute_many, dialect: str = "postgres"
+):
+    """foreachBatch body flushing each micro-batch's hourly aggregates
+    through the generated upsert statement via an injected executor —
+    transport-agnostic: the reference deploys psycopg2
+    ``execute_batch(cursor, sql, rows)`` (consumer/consumer.py:368-391);
+    tests execute the same statements through ``psql`` on a live
+    PostgreSQL (tests/test_postgres_live.py). ``execute_many(sql, rows)``
+    receives the statement once and the batch's ``(hour, *metrics)``
+    parameter tuples.
+
+    The collect is bounded BY DESIGN: the flush frame is the stateful
+    hourly aggregate — one row per touched hour per trigger (hours-sized,
+    never event-sized), the same shape the parquet/lake upserts flush. With
+    the default ``dialect='postgres'`` each row carries COMPLETE per-hour
+    state and the flush is full-row replacement (idempotent, replay-safe);
+    ``postgres_additive`` is only correct for strictly partial deltas."""
+    sql = jdbc_upsert_statement(table, dialect=dialect)
+    cols = ["hour", *METRIC_COLUMNS]
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        rows = [tuple(r[c] for c in cols) for r in batch_df.select(*cols).collect()]
+        if rows:
+            execute_many(sql, rows)
 
     return fn
 

@@ -344,3 +344,59 @@ def test_spark_partial_flushes_roundtrip_live(pg, spark, sf_dir):
             assert abs(float(merged[c]) - float(full[hour][c])) < 1e-6, (hour, c)
         for c in ("active_customers", "new_sessions"):
             assert int(merged[c]) == by_hour_partial_distincts[hour][c], (hour, c)
+
+
+def test_streaming_flush_to_live_postgres(pg, spark, sf_dir, tmp_path):
+    """The reference pipeline end-to-end on its actual database: streamed
+    events -> exact stateful hourly aggregation (applyInPandasWithState,
+    update mode) -> foreachBatch flush through the engine-generated
+    ``ON CONFLICT (hour) DO UPDATE`` into a LIVE PostgreSQL 15 — then the
+    table must equal the batch aggregate bit-for-bit. Update-mode state rows
+    carry COMPLETE per-hour aggregates, so the full-row-replacement dialect
+    is idempotent across triggers (unlike the reference's additive merge,
+    whose cross-flush distinct double-count is proven above)."""
+    from energy_data_stream_processing_spark.operators.hourly import (
+        hourly_business_metrics,
+    )
+    from energy_data_stream_processing_spark.sources.adapter import energy_events
+    from energy_data_stream_processing_spark.sources.sinks import (
+        foreach_batch_statement_upsert,
+    )
+    from energy_data_stream_processing_spark.streaming.runner import (
+        energy_events_stream,
+        hourly_metrics_stateful_stream,
+    )
+
+    pg.sql(_reference_ddl("stream_flush"))
+    flush = foreach_batch_statement_upsert(
+        "stream_flush",
+        execute_many=lambda sql, rows: pg.sql(_prepared(sql, rows)),
+        dialect="postgres",
+    )
+    q = (
+        hourly_metrics_stateful_stream(energy_events_stream(spark, sf_dir))
+        .drop("update_seq")
+        .writeStream.foreachBatch(flush)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    want = {
+        str(r["hour"]): r.asDict()
+        for r in hourly_business_metrics(energy_events(spark, sf_dir)).collect()
+    }
+    got = {
+        r[0]: dict(zip(METRIC_COLUMNS, r[1:]))
+        for r in pg.sql(
+            "SET extra_float_digits = 3;"
+            "SELECT hour::text, " + ", ".join(METRIC_COLUMNS)
+            + " FROM stream_flush;"
+        )
+    }
+    assert set(got) == set(want)
+    for hour, merged in got.items():
+        for c in METRIC_COLUMNS:
+            assert float(merged[c]) == float(want[hour][c]), (hour, c)
