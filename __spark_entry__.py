@@ -38,9 +38,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # GENERATED — do not hand-edit: regenerate with
 #   python scripts/gen_gate_prefix.py --changed <entries changed this round>
-# and verified by `gen_gate_prefix.py --check` (tests/test_round8_ops.py).
-# Entries without an oracle (engine-internal sketches, by design) sort
-# LAST in _ordered_names so the sampled prefix is 100% hash-checkable.
+# and verified by `gen_gate_prefix.py --check`, which recomputes the list
+# from _GATE_CHANGED + CORRECTNESS_r*.json evidence age and diffs it
+# (tests/test_round8_ops.py). Entries without an oracle (engine-internal
+# sketches, by design) sort LAST in _ordered_names so the sampled prefix
+# is 100% hash-checkable.
+
+# The round's changed/new entries — the declared input to the generator,
+# kept small by policy (a bloated changed set would crowd out rotation).
+_GATE_CHANGED = [
+    "customer_view_prefilter",
+]
+
 _GATE_PREFIX = [
     "customer_view_prefilter",
     "corpus_curation_pipeline",
@@ -93,7 +102,9 @@ _GATE_PREFIX = [
     "zorder_layout_audit",
     "approx_percentile_audit",
 ]
-_FRESH_R8 = _GATE_PREFIX  # round-tagged alias
+# Round-tagged alias: the round-7 verdict names this list "_FRESH_R8";
+# all code reads _GATE_PREFIX (the stable name the generator checks).
+_FRESH_R8 = _GATE_PREFIX
 
 
 def _ordered_names() -> list[str]:

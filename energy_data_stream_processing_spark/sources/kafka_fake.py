@@ -59,6 +59,7 @@ from __future__ import annotations
 import base64
 import json
 import os
+import re
 import uuid
 import zlib
 from collections.abc import Iterator, Sequence
@@ -205,30 +206,43 @@ def _pids(topic_dir: str) -> list[int]:
     return list(range(n)) if n is not None else [0]
 
 
+_STAMPED = re.compile(r"^b\d{20}-[0-9a-f]{8}\.jsonl$")
+
+
+def _flat_sorted(topic_dir: str) -> list[str]:
+    """Flat-dir files in offset order: pre-existing (hand-seeded or legacy
+    ``batch-{uuid}``) files first in name order, then this writer's
+    time-stamped appends in time order. The stamped files are newer BY
+    CONSTRUCTION (the stamp naming postdates every legacy file), but
+    ``b{digits}`` sorts lexicographically BEFORE ``batch-`` — a plain name
+    sort would renumber a legacy topic's committed offsets and silently
+    break exactly-once (new records land below the reader's floor, old
+    records re-deliver above it)."""
+    return sorted(
+        (f for f in os.listdir(topic_dir) if f.endswith(".jsonl")),
+        key=lambda f: (bool(_STAMPED.match(f)), f),
+    )
+
+
 def _partition_files(topic_dir: str, pid: int) -> list[str]:
     """The partition's jsonl files in offset order. For partition 0 of a
     partitioned topic, flat root files (hand-seeded records, e.g. a test's
     rogue record) come FIRST, then the partition dir's time-prefixed
-    appends; a legacy topic is just its sorted flat files. Appending flat
-    files to a partitioned topic mid-query renumbers partition 0 — not
-    supported (same contract class as truncation)."""
+    appends; a legacy topic is its flat files, pre-existing-first (see
+    _flat_sorted). Appending flat files to a partitioned topic mid-query
+    renumbers partition 0 — not supported (same contract class as
+    truncation)."""
     if not os.path.isdir(topic_dir):
         return []
     n = _topic_partitions(topic_dir)
     if n is None:
         if pid != 0:
             return []
-        return [
-            os.path.join(topic_dir, f)
-            for f in sorted(os.listdir(topic_dir))
-            if f.endswith(".jsonl")
-        ]
+        return [os.path.join(topic_dir, f) for f in _flat_sorted(topic_dir)]
     files: list[str] = []
     if pid == 0:
         files += [
-            os.path.join(topic_dir, f)
-            for f in sorted(os.listdir(topic_dir))
-            if f.endswith(".jsonl")
+            os.path.join(topic_dir, f) for f in _flat_sorted(topic_dir)
         ]
     pdir = os.path.join(topic_dir, f"p{pid:05d}")
     if os.path.isdir(pdir):

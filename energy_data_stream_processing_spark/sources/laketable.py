@@ -129,6 +129,24 @@ class PosixLogStore:
         os.unlink(path)
 
 
+def _is_complete_snapshot(path: str) -> bool:
+    """True when ``path`` holds a fully-written snapshot (parseable JSON
+    dict with a version). CoordinatedLogStore publishes with a plain byte
+    copy (object-store PUT, no rename atomicity), so a writer killed
+    mid-publish leaves a torn file under the version name — but every file
+    that was ever COMMITTED (under this or any previous coordinator) was
+    fully written before being made visible, so an unparseable version
+    file is PROVABLY a torn PUT and safe to overwrite on retry. A file
+    that parses could still be either committed or a fully-copied-but-
+    never-registered crash leftover; guards must stay conservative there."""
+    try:
+        with open(path) as f:
+            snap = json.loads(f.read())
+        return isinstance(snap, dict) and "version" in snap
+    except (OSError, ValueError):
+        return False
+
+
 class CoordinatedLogStore:
     """Commit-log store for object stores WITHOUT atomic create-if-absent
     (S3-style): every log write goes through an external coordinator that
@@ -192,7 +210,10 @@ class CoordinatedLogStore:
             for f in names:
                 if re.fullmatch(r"v\d{12}\.json", f):
                     p = os.path.join(log_dir, f)
-                    if p not in self._committed:
+                    # never import a torn PUT: an unparseable version file
+                    # is a crashed writer's leftover, and adopting it would
+                    # poison every subsequent snapshot() read
+                    if p not in self._committed and _is_complete_snapshot(p):
                         self._committed[p] = True
                         n += 1
             return n
@@ -224,9 +245,16 @@ class CoordinatedLogStore:
             with self._lock:
                 if path in self._committed:
                     raise FileExistsError(path)
-                if os.path.exists(path) and not self._dir_known(
-                    os.path.dirname(path)
+                if (
+                    os.path.exists(path)
+                    and not self._dir_known(os.path.dirname(path))
+                    and _is_complete_snapshot(path)
                 ):
+                    # A torn (unparseable) file is excluded above: a writer
+                    # killed mid-copyfile of the FIRST version leaves one
+                    # under a dir with no registered commits, and without
+                    # the parse check every retry would raise here forever
+                    # (and adopt_existing would import the torn bytes).
                     # fresh coordinator pointed at a table committed under
                     # a DIFFERENT coordinator: overwriting would silently
                     # rewind committed state (data loss). Loud stop instead;
@@ -313,7 +341,14 @@ class LakeTable:
                 on_disk = os.listdir(self.log_dir)
             except FileNotFoundError:
                 on_disk = []
-            if any(re.fullmatch(r"v\d{12}\.json", f) for f in on_disk):
+            if any(
+                re.fullmatch(r"v\d{12}\.json", f)
+                # torn (unparseable) leftovers from a writer killed
+                # mid-publish don't block the retry of version 0 — only a
+                # COMPLETE snapshot the store can't see means out-of-sync
+                and _is_complete_snapshot(os.path.join(self.log_dir, f))
+                for f in on_disk
+            ):
                 raise RuntimeError(
                     f"refusing to commit version 0 to {self.path}: the log "
                     "dir already contains committed version files the log "

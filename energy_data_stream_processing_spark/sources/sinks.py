@@ -140,8 +140,21 @@ def foreach_batch_statement_upsert(
     hourly aggregate — one row per touched hour per trigger (hours-sized,
     never event-sized), the same shape the parquet/lake upserts flush. With
     the default ``dialect='postgres'`` each row carries COMPLETE per-hour
-    state and the flush is full-row replacement (idempotent, replay-safe);
-    ``postgres_additive`` is only correct for strictly partial deltas."""
+    state and the flush is full-row replacement — idempotent, so a
+    foreachBatch REPLAY after a crash between the flush and the checkpoint
+    commit lands the same values. ``postgres_additive`` is refused here:
+    even strictly-partial deltas double-add on such a replay (the
+    reference's own at-least-once consumer has exactly this corruption
+    window, consumer/consumer.py:368-391 — a divergence we document rather
+    than reproduce; the additive dialect stays available for the
+    batch/compat path where the caller controls delivery)."""
+    if dialect == "postgres_additive":
+        raise ValueError(
+            "postgres_additive is not replay-safe under foreachBatch "
+            "(a retried micro-batch double-adds its deltas); use the "
+            "idempotent full-row dialects, or drive additive flushes from "
+            "a batch path with exactly-once delivery"
+        )
     sql = jdbc_upsert_statement(table, dialect=dialect)
     cols = ["hour", *METRIC_COLUMNS]
 

@@ -17,9 +17,12 @@ Usage:
     python scripts/gen_gate_prefix.py --changed customer_view_prefilter
     python scripts/gen_gate_prefix.py --check   # assert == committed prefix
 
-``--check`` recomputes with the committed prefix's own head as the changed
-set (the head is whatever precedes the evidence-ordered tail), so the test
-guard stays valid across rounds without re-stating the changed list.
+``--check`` regenerates from the DECLARED changed set — the committed
+``_GATE_CHANGED`` list next to ``_GATE_PREFIX`` — and diffs the result
+against the committed prefix, so any hand-mangled rotation fails loudly.
+(The changed set must be declared, not inferred: any inference that
+absorbs out-of-order entries into the head regenerates every mangled list
+to itself, making the check vacuous.)
 """
 
 from __future__ import annotations
@@ -49,7 +52,16 @@ def evidence_age(repo: str = REPO) -> dict[str, int]:
     return latest
 
 
-def gen_prefix(changed: list[str], cap: int = 50) -> list[str]:
+#: sanity bound on the declared changed set — the rotation exists to
+#: refresh STALE evidence; a changed head this large would crowd it out
+#: (and a changed list equal to the whole prefix would make --check
+#: vacuous again).
+MAX_CHANGED = 15
+
+
+def gen_prefix(
+    changed: list[str], cap: int = 50, latest: dict[str, int] | None = None
+) -> list[str]:
     from energy_data_stream_processing_spark.plans.catalog import all_queries
 
     qs = all_queries()
@@ -67,7 +79,13 @@ def gen_prefix(changed: list[str], cap: int = 50) -> list[str]:
     for n in changed:  # preserve caller order, drop dups
         if n not in head:
             head.append(n)
-    latest = evidence_age()
+    if len(head) > MAX_CHANGED:
+        raise SystemExit(
+            f"{len(head)} changed entries exceed the {MAX_CHANGED}-name "
+            "bound — a head that large starves the evidence rotation"
+        )
+    if latest is None:
+        latest = evidence_age()
     tail = sorted(
         (n for n in oracle_backed if n not in head),
         key=lambda n: (latest.get(n, 0), n),
@@ -75,7 +93,9 @@ def gen_prefix(changed: list[str], cap: int = 50) -> list[str]:
     return (head + tail)[:cap]
 
 
-def committed_prefix() -> list[str]:
+def committed_lists() -> tuple[list[str], list[str]]:
+    """(``_GATE_CHANGED``, ``_GATE_PREFIX``) as committed in
+    ``__spark_entry__.py``."""
     import importlib.util
 
     spec = importlib.util.spec_from_file_location(
@@ -83,21 +103,24 @@ def committed_prefix() -> list[str]:
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    return list(mod._GATE_PREFIX)
+    return list(mod._GATE_CHANGED), list(mod._GATE_PREFIX)
 
 
-def infer_changed_head(prefix: list[str]) -> list[str]:
-    """Recover the changed-set head of a committed prefix: the longest tail
-    of the prefix that is exactly the evidence-ordered backfill is the
-    rotation; whatever precedes it is the changed head."""
-    latest = evidence_age()
-    for i in range(len(prefix)):
-        head, tail = prefix[:i], prefix[i:]
-        if gen_prefix(head, cap=len(prefix)) == prefix and tail == sorted(
-            tail, key=lambda n: (latest.get(n, 0), n)
-        ):
-            return head
-    return prefix
+def check() -> str:
+    """Raise SystemExit(1) if the committed prefix does not regenerate from
+    the committed changed set; return a summary line otherwise."""
+    changed, committed = committed_lists()
+    regen = gen_prefix(changed, cap=len(committed))
+    if regen != committed:
+        print("MISMATCH committed vs regenerated:", file=sys.stderr)
+        for i, (a, b) in enumerate(zip(committed, regen)):
+            if a != b:
+                print(f"  [{i}] committed={a!r} regenerated={b!r}", file=sys.stderr)
+        raise SystemExit(1)
+    return (
+        f"ok — committed prefix of {len(committed)} regenerates from "
+        f"_GATE_CHANGED={changed}"
+    )
 
 
 def main() -> None:
@@ -106,20 +129,12 @@ def main() -> None:
                     help="entries whose code changed this round (head of prefix)")
     ap.add_argument("--cap", type=int, default=50)
     ap.add_argument("--check", action="store_true",
-                    help="assert the committed _GATE_PREFIX matches a "
-                    "regeneration (exit 1 with a diff otherwise)")
+                    help="assert the committed _GATE_PREFIX regenerates from "
+                    "the committed _GATE_CHANGED (exit 1 with a diff otherwise)")
     args = ap.parse_args()
 
     if args.check:
-        committed = committed_prefix()
-        regen = gen_prefix(infer_changed_head(committed), cap=len(committed))
-        if regen != committed:
-            print("MISMATCH committed vs regenerated:", file=sys.stderr)
-            for a, b in zip(committed, regen):
-                if a != b:
-                    print(f"  committed={a!r} regenerated={b!r}", file=sys.stderr)
-            raise SystemExit(1)
-        print(f"ok — committed prefix of {len(committed)} matches regeneration")
+        print(check())
         return
 
     for n in gen_prefix(args.changed, cap=args.cap):

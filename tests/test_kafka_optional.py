@@ -964,3 +964,50 @@ def test_fake_kafka_unpersistable_rebase_warns(fake_broker, tmp_path, monkeypatc
     msgs = [str(w.message) for w in rec]
     assert any("data loss on topic ev" in m for m in msgs)
     assert any("could not persist the data-loss rebase" in m for m in msgs)
+
+
+def test_fake_kafka_legacy_topic_append_preserves_committed_offsets(tmp_path):
+    """Round-8 regression (code review): appends to a LEGACY (metadata-less,
+    flat-file) topic must extend the offset sequence, never renumber it.
+    The r8 writer's time-stamped file names (``b{time_ns}-...``) sort
+    lexicographically BEFORE the r7 writer's ``batch-{uuid}.jsonl``, so a
+    plain name sort gave the new records offsets 0..k and shifted every
+    pre-existing record up — new records fell below a committed reader
+    floor (never delivered) while old ones re-delivered above it."""
+    import base64
+    import json as _json
+
+    from energy_data_stream_processing_spark.sources.kafka_fake import (
+        _read_partition,
+    )
+
+    topic_dir = tmp_path / "legacy-topic"
+    topic_dir.mkdir()
+    # a pre-round-8 topic: flat batch-{uuid} files, no _meta.json
+    with open(topic_dir / "batch-aaaa.jsonl", "w") as f:
+        for v in ("old0", "old1", "old2"):
+            f.write(_json.dumps(
+                {"key": None, "value": base64.b64encode(v.encode()).decode()}
+            ) + "\n")
+    before = _read_partition(str(topic_dir), 0)
+    assert [r[4] for r in before] == [0, 1, 2]
+
+    # round-8 writer appends through the public writer class
+    from energy_data_stream_processing_spark.sources.kafka_fake import (
+        _FakeKafkaWriter,
+    )
+
+    class _Row(dict):
+        def asDict(self):
+            return dict(self)
+
+    w = _FakeKafkaWriter(
+        {"kafka.bootstrap.servers": str(tmp_path), "topic": "legacy-topic"}
+    )
+    w.write(iter([_Row(key=None, value=b"new0"), _Row(key=None, value=b"new1")]))
+
+    after = _read_partition(str(topic_dir), 0)
+    vals = [(r[4], r[1].decode()) for r in after]
+    assert vals == [
+        (0, "old0"), (1, "old1"), (2, "old2"), (3, "new0"), (4, "new1")
+    ], vals

@@ -473,3 +473,45 @@ def test_multiprocess_crash_kill_mid_publish_no_torn_snapshot(spark, tmp_path):
             ("h0", 0, 0.0),
             ("h1", 1, 1.0),
         ]
+
+
+def test_torn_first_commit_retry_succeeds(spark, tmp_path):
+    """Round-8 regression (code review): a writer killed mid-copyfile of
+    the FIRST version (v0) leaves a torn file under a log dir with NO
+    registered commits. The out-of-sync defense must recognize the torn
+    bytes as a crashed publish (unparseable => provably never committed)
+    and let the retry overwrite — previously every retry raised
+    'out of sync' forever and the documented adopt_existing() recovery
+    imported the torn bytes, poisoning snapshot() permanently."""
+    store = CoordinatedLogStore()
+    path = str(tmp_path / "t")
+    t = LakeTable(path, log_store=store)
+    import os
+
+    os.makedirs(t.log_dir, exist_ok=True)
+    with open(t._version_file(0), "w") as f:
+        f.write('{"files": {"h9"')  # torn v0, registry knows nothing
+
+    t.merge_upsert(spark, _metrics(spark, [("h1", 1, 1.0)]), "hour_key")
+    assert t.latest_version() == 0
+    assert sorted(map(tuple, t.read(spark).collect())) == [("h1", 1, 1.0)]
+
+
+def test_adopt_existing_skips_torn_files(spark, tmp_path):
+    """adopt_existing must import only COMPLETE snapshots: adopting a torn
+    leftover would make every later snapshot() read raise on its bytes."""
+    store = CoordinatedLogStore()
+    path = str(tmp_path / "t")
+    t = LakeTable(path, log_store=store)
+    t.merge_upsert(spark, _metrics(spark, [("h1", 1, 1.0)]), "hour_key")  # v0
+    with open(t._version_file(1), "w") as f:
+        f.write('{"files": {"h9"')  # torn v1 from a crashed writer
+
+    fresh = CoordinatedLogStore()
+    t2 = LakeTable(path, log_store=fresh)
+    assert fresh.adopt_existing(t2.log_dir) == 1  # v0 only, torn v1 skipped
+    assert t2.latest_version() == 0
+    assert sorted(map(tuple, t2.read(spark).collect())) == [("h1", 1, 1.0)]
+    # and the next commit retries over the torn v1 name cleanly
+    t2.merge_upsert(spark, _metrics(spark, [("h2", 2, 2.0)]), "hour_key")
+    assert t2.latest_version() == 1

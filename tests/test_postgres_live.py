@@ -400,3 +400,17 @@ def test_streaming_flush_to_live_postgres(pg, spark, sf_dir, tmp_path):
     for hour, merged in got.items():
         for c in METRIC_COLUMNS:
             assert float(merged[c]) == float(want[hour][c]), (hour, c)
+
+
+def test_streaming_flush_refuses_additive_dialect():
+    """foreachBatch replays double-add additive deltas (crash between
+    flush and checkpoint commit) — the streaming sink must refuse the
+    dialect outright rather than corrupt on the reference's own schedule."""
+    from energy_data_stream_processing_spark.sources.sinks import (
+        foreach_batch_statement_upsert,
+    )
+
+    with pytest.raises(ValueError, match="replay-safe"):
+        foreach_batch_statement_upsert(
+            "t", execute_many=lambda s, r: None, dialect="postgres_additive"
+        )

@@ -122,14 +122,45 @@ def _gen_gate_prefix():
 
 
 def test_gate_prefix_matches_generator():
-    """Committed prefix == regeneration from evidence age + the round's
-    changed head (recovered from the committed list itself), i.e. the
-    `--check` mode the round workflow runs."""
+    """Committed prefix == regeneration from evidence age + the DECLARED
+    changed head (_GATE_CHANGED), i.e. the `--check` mode the round
+    workflow runs."""
     g = _gen_gate_prefix()
-    committed = g.committed_prefix()
+    changed, committed = g.committed_lists()
     assert len(committed) == 50
-    regen = g.gen_prefix(g.infer_changed_head(committed), cap=len(committed))
-    assert regen == committed
+    assert g.gen_prefix(changed, cap=len(committed)) == committed
+    assert "ok" in g.check()
+
+
+def test_gate_prefix_check_catches_mangled_rotation(monkeypatch):
+    """--check must FAIL for a hand-mangled rotation (code-review round 8:
+    an inferred changed head absorbed any mangle and regenerated every
+    list to itself, making the check vacuous). Swap two tail entries and
+    the regeneration diff must raise."""
+    import pytest
+
+    g = _gen_gate_prefix()
+    changed, committed = g.committed_lists()
+    mangled = list(committed)
+    mangled[-1], mangled[-2] = mangled[-2], mangled[-1]
+    monkeypatch.setattr(
+        g, "committed_lists", lambda: (changed, mangled)
+    )
+    with pytest.raises(SystemExit):
+        g.check()
+
+
+def test_gate_prefix_generator_bounds_changed_head():
+    """A changed set large enough to starve the rotation is a hard error."""
+    import pytest
+
+    from energy_data_stream_processing_spark.plans.catalog import all_queries
+
+    g = _gen_gate_prefix()
+    qs = all_queries()
+    many = sorted(n for n in qs if qs[n].oracle is not None)[: g.MAX_CHANGED + 1]
+    with pytest.raises(SystemExit, match="bound"):
+        g.gen_prefix(many)
 
 
 def test_gate_prefix_generator_rejects_bad_changed_names():
