@@ -414,3 +414,93 @@ def test_streaming_flush_refuses_additive_dialect():
         foreach_batch_statement_upsert(
             "t", execute_many=lambda s, r: None, dialect="postgres_additive"
         )
+
+
+def test_streaming_flush_kill_and_resume_live(pg, spark, sf_dir, tmp_path):
+    """Crash-and-restart on the live sink: run ONE paced micro-batch of the
+    stateful hourly stream into PostgreSQL, stop the query (a crash in the
+    window after some flushes committed), restart from the same checkpoint
+    to drain the rest — the final table must STILL equal the batch
+    aggregate. This is the replay/idempotence story the full-row dialect
+    buys: partially-flushed hours are simply overwritten with complete
+    state on resume; no txn bookkeeping needed."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from energy_data_stream_processing_spark.operators.hourly import (
+        hourly_business_metrics,
+    )
+    from energy_data_stream_processing_spark.sources.adapter import energy_events
+    from energy_data_stream_processing_spark.sources.sinks import (
+        foreach_batch_statement_upsert,
+    )
+    from energy_data_stream_processing_spark.streaming.runner import (
+        energy_events_stream,
+        hourly_metrics_stateful_stream,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = str(tmp_path / "chunks")
+    (raw.withColumn("_b", F.col("event_id") % 4).repartition(4, "_b").drop("_b")
+        .write.mode("overwrite").parquet(src))
+    assert len(glob.glob(f"{src}/part-*.parquet")) >= 2
+
+    pg.sql(_reference_ddl("resume_flush"))
+    flush = foreach_batch_statement_upsert(
+        "resume_flush",
+        execute_many=lambda sql, rows: pg.sql(_prepared(sql, rows)),
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    def start(paced: bool):
+        return (
+            hourly_metrics_stateful_stream(
+                energy_events_stream(
+                    spark, sf_dir, source_dir=src,
+                    max_files_per_trigger=1 if paced else None,
+                )
+            )
+            .drop("update_seq")
+            .writeStream.foreachBatch(flush)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # phase 1: paced (1 file per trigger), kill after the first flush
+    q = start(paced=True)
+    import time
+
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if any(p.get("numInputRows", 0) > 0 for p in (q.recentProgress or [])):
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+    mid_hours = int(pg.sql("SELECT count(*) FROM resume_flush;")[0][0])
+    assert mid_hours > 0  # the "crash" really happened mid-stream
+
+    # phase 2: restart from the same checkpoint, drain everything
+    q2 = start(paced=False)
+    q2.awaitTermination(300)
+
+    want = {
+        str(r["hour"]): r.asDict()
+        for r in hourly_business_metrics(energy_events(spark, sf_dir)).collect()
+    }
+    got = {
+        r[0]: dict(zip(METRIC_COLUMNS, r[1:]))
+        for r in pg.sql(
+            "SET extra_float_digits = 3;"
+            "SELECT hour::text, " + ", ".join(METRIC_COLUMNS)
+            + " FROM resume_flush;"
+        )
+    }
+    assert set(got) == set(want)
+    for hour, merged in got.items():
+        for c in METRIC_COLUMNS:
+            assert float(merged[c]) == float(want[hour][c]), (hour, c)
