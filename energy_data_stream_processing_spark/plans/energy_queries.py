@@ -264,7 +264,10 @@ FROM base b LEFT JOIN switch_top s USING (customer_id)
     "LIMIT 1 [OFFSET 1] subqueries are rewritten as one row_number window "
     "(Spark cannot express correlated LIMIT; semantics identical incl. NULLs "
     "when <2 switches). ARRAY_AGG DISTINCT becomes a sorted joined string for "
-    "deterministic cross-engine comparison.",
+    "deterministic cross-engine comparison. Scale swaps (both oracle-"
+    "identical, both on the bench ladder): customer_view_twophase for "
+    "cardinality skew, customer_view_prefilter for high per-customer event "
+    "density — the 100x-measured default at 100 TB (SCALE.md §6).",
 )
 def q_customer_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer_view_from_events(energy_events(spark, sf_dir))
