@@ -1011,3 +1011,48 @@ def test_fake_kafka_legacy_topic_append_preserves_committed_offsets(tmp_path):
     assert vals == [
         (0, "old0"), (1, "old1"), (2, "old2"), (3, "new0"), (4, "new1")
     ], vals
+
+
+def test_fake_kafka_flat_ordering_append_is_suffix_property():
+    """Property (hypothesis): for ANY pre-existing set of flat jsonl names
+    (legacy batch-{uuid}, hand-seeded, or stamped) in a topic dir, adding a
+    NEW stamped file with a later timestamp never changes the relative
+    order of the existing files — appends strictly extend the offset
+    sequence. This is the invariant behind the round-8 renumbering fix."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from energy_data_stream_processing_spark.sources.kafka_fake import (
+        _STAMPED,
+        _flat_sorted,
+    )
+
+    legacy = st.from_regex(r"batch-[0-9a-f]{8}\.jsonl", fullmatch=True)
+    seeded = st.from_regex(r"[a-z][a-z0-9_-]{0,12}\.jsonl", fullmatch=True)
+    stamped = st.builds(
+        lambda t, u: f"b{t:020d}-{u}.jsonl",
+        st.integers(min_value=1, max_value=10**18),
+        st.from_regex(r"[0-9a-f]{8}", fullmatch=True),
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.one_of(legacy, seeded, stamped), max_size=12, unique=True))
+    def prop(names):
+        import os
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            for f in names:
+                open(os.path.join(d, f), "w").close()
+            before = _flat_sorted(d)
+            # a later-timestamped append (stamps are time_ns: always larger
+            # than any existing stamp here)
+            new = f"b{10**19:020d}-deadbeef.jsonl"
+            open(os.path.join(d, new), "w").close()
+            after = _flat_sorted(d)
+            assert after[:-1] == before and after[-1] == new
+            # and stamped files always follow every non-stamped file
+            kinds = [bool(_STAMPED.match(f)) for f in after]
+            assert kinds == sorted(kinds)
+
+    prop()
