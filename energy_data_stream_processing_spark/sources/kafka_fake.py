@@ -217,7 +217,15 @@ def _flat_sorted(topic_dir: str) -> list[str]:
     ``b{digits}`` sorts lexicographically BEFORE ``batch-`` — a plain name
     sort would renumber a legacy topic's committed offsets and silently
     break exactly-once (new records land below the reader's floor, old
-    records re-deliver above it)."""
+    records re-deliver above it).
+
+    Contract limit (documented divergence): CONCURRENT producers to the
+    same partition have no total order until their files land — two tasks
+    can create files out of stamp order, and a reader that resolves
+    offsets in that window sees a non-final order (real Kafka serializes
+    same-partition produces at the broker; a file double cannot). Same
+    class as mid-query truncation/flat-append: tests produce to a
+    partition from one task per batch, or quiesce before reading."""
     return sorted(
         (f for f in os.listdir(topic_dir) if f.endswith(".jsonl")),
         key=lambda f: (bool(_STAMPED.match(f)), f),

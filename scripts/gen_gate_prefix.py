@@ -106,10 +106,24 @@ def committed_lists() -> tuple[list[str], list[str]]:
     return list(mod._GATE_CHANGED), list(mod._GATE_PREFIX)
 
 
+#: the driver samples a ~50-entry prefix of queries(): fewer names starve a
+#: rotation slot, more silently get no evidence — the committed list must
+#: be EXACTLY this long (checked, not just regenerated at whatever length
+#: was committed, which would let a truncated/extended list pass).
+DRIVER_WINDOW = 50
+
+
 def check() -> str:
     """Raise SystemExit(1) if the committed prefix does not regenerate from
     the committed changed set; return a summary line otherwise."""
     changed, committed = committed_lists()
+    if len(committed) != DRIVER_WINDOW:
+        print(
+            f"MISMATCH: committed prefix has {len(committed)} names, the "
+            f"driver window is exactly {DRIVER_WINDOW}",
+            file=sys.stderr,
+        )
+        raise SystemExit(1)
     regen = gen_prefix(changed, cap=len(committed))
     if regen != committed:
         print("MISMATCH committed vs regenerated:", file=sys.stderr)

@@ -58,6 +58,9 @@ def main() -> int:
     if not _pg_available():
         print("no usable PostgreSQL install — probe skipped")
         return 0
+    if not os.path.exists(os.path.join(_pg_bindir(), "pgbench")):
+        print("pgbench not installed alongside the server — probe skipped")
+        return 0
     secs = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     base = tempfile.mkdtemp(prefix="pg-bench-")
     pg = LivePg(_pg_bindir(), base)
@@ -84,7 +87,11 @@ def main() -> int:
                     print(f"{table}: pgbench failed\n{out.stderr}")
                     return 1
                 m = re.search(r"tps = ([0-9.]+)", out.stdout)
-                tps = float(m.group(1)) if m else float("nan")
+                if m is None:
+                    print(f"{table}: could not parse tps from pgbench "
+                          f"output:\n{out.stdout}")
+                    return 1
+                tps = float(m.group(1))
                 results[table] = tps
                 rows = pg.sql(f"SELECT count(*) FROM {table};")[0][0]
                 print(f"{table}: {tps:,.0f} upserts/sec "

@@ -402,20 +402,6 @@ def test_streaming_flush_to_live_postgres(pg, spark, sf_dir, tmp_path):
             assert float(merged[c]) == float(want[hour][c]), (hour, c)
 
 
-def test_streaming_flush_refuses_additive_dialect():
-    """foreachBatch replays double-add additive deltas (crash between
-    flush and checkpoint commit) — the streaming sink must refuse the
-    dialect outright rather than corrupt on the reference's own schedule."""
-    from energy_data_stream_processing_spark.sources.sinks import (
-        foreach_batch_statement_upsert,
-    )
-
-    with pytest.raises(ValueError, match="replay-safe"):
-        foreach_batch_statement_upsert(
-            "t", execute_many=lambda s, r: None, dialect="postgres_additive"
-        )
-
-
 def test_streaming_flush_kill_and_resume_live(pg, spark, sf_dir, tmp_path):
     """Crash-and-restart on the live sink: run ONE paced micro-batch of the
     stateful hourly stream into PostgreSQL, stop the query (a crash in the
@@ -448,13 +434,14 @@ def test_streaming_flush_kill_and_resume_live(pg, spark, sf_dir, tmp_path):
     assert len(glob.glob(f"{src}/part-*.parquet")) >= 2
 
     pg.sql(_reference_ddl("resume_flush"))
-    flush = foreach_batch_statement_upsert(
-        "resume_flush",
-        execute_many=lambda sql, rows: pg.sql(_prepared(sql, rows)),
-    )
     ckpt = str(tmp_path / "ckpt")
 
-    def start(paced: bool):
+    def start(paced: bool, execute_many=None):
+        flush = foreach_batch_statement_upsert(
+            "resume_flush",
+            execute_many=execute_many
+            or (lambda sql, rows: pg.sql(_prepared(sql, rows))),
+        )
         return (
             hourly_metrics_stateful_stream(
                 energy_events_stream(
@@ -470,19 +457,26 @@ def test_streaming_flush_kill_and_resume_live(pg, spark, sf_dir, tmp_path):
             .start()
         )
 
-    # phase 1: paced (1 file per trigger), kill after the first flush
-    q = start(paced=True)
-    import time
+    # phase 1: paced (1 file per trigger); the executor CRASHES the query
+    # deterministically after the first successful flush — the exact window
+    # where work is committed to the sink but later batches are not.
+    flushed = []
 
-    deadline = time.time() + 120
-    while time.time() < deadline:
-        if any(p.get("numInputRows", 0) > 0 for p in (q.recentProgress or [])):
-            break
-        time.sleep(0.5)
-    q.stop()
-    q.awaitTermination(60)
+    def crash_after_first(sql, rows):
+        if flushed:
+            raise RuntimeError("injected crash before second flush")
+        pg.sql(_prepared(sql, rows))
+        flushed.append(len(rows))
+
+    q = start(paced=True, execute_many=crash_after_first)
+    with pytest.raises(Exception):
+        q.awaitTermination(300)  # surfaces the injected StreamingQueryException
+    assert flushed  # exactly one flush landed before the crash
     mid_hours = int(pg.sql("SELECT count(*) FROM resume_flush;")[0][0])
-    assert mid_hours > 0  # the "crash" really happened mid-stream
+    assert mid_hours > 0
+    # the flushed hours hold PARTIAL values (only file 1 of 4 was seen):
+    # strictly fewer logins than the full aggregate will carry
+    mid_logins = int(pg.sql("SELECT sum(total_logins) FROM resume_flush;")[0][0])
 
     # phase 2: restart from the same checkpoint, drain everything
     q2 = start(paced=False)
@@ -492,6 +486,9 @@ def test_streaming_flush_kill_and_resume_live(pg, spark, sf_dir, tmp_path):
         str(r["hour"]): r.asDict()
         for r in hourly_business_metrics(energy_events(spark, sf_dir)).collect()
     }
+    # the crash really interrupted a partial stream: phase-1 values were
+    # strictly below the final aggregate (resume OVERWROTE them, not added)
+    assert mid_logins < sum(int(v["total_logins"]) for v in want.values())
     got = {
         r[0]: dict(zip(METRIC_COLUMNS, r[1:]))
         for r in pg.sql(

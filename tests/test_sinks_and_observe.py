@@ -414,3 +414,21 @@ def test_compact_raw_store_and_backfill(spark, sf_dir, tmp_path):
     stored = sorted(map(tuple, read_hourly_metrics_parquet(spark, store).collect()))
     batch = sorted(map(tuple, hourly_business_metrics(ev).collect()))
     assert stored == batch
+
+
+def test_streaming_flush_refuses_additive_dialect():
+    """foreachBatch replays double-add additive deltas (crash between the
+    flush and the checkpoint commit) — foreach_batch_statement_upsert must
+    refuse the dialect outright rather than corrupt on the reference's own
+    schedule. Lives here (not the live-pg module) so the guard is tested
+    even where no PostgreSQL ships."""
+    import pytest
+
+    from energy_data_stream_processing_spark.sources.sinks import (
+        foreach_batch_statement_upsert,
+    )
+
+    with pytest.raises(ValueError, match="replay-safe"):
+        foreach_batch_statement_upsert(
+            "t", execute_many=lambda s, r: None, dialect="postgres_additive"
+        )
