@@ -578,3 +578,119 @@ def test_raw_events_copy_bulk_load_live(pg, spark, sf_dir, tmp_path):
         for r in pg.sql("SELECT event_type, count(*) FROM raw_events GROUP BY 1;")
     }
     assert got_types == want_types
+
+
+def test_reference_sample_end_to_end_live(pg, spark, tmp_path):
+    """The reference's literal sample run, on its actual database: the
+    219-event ``data/events.jsonl`` (the exact file producer/producer.py:41
+    replays) streamed through JSONL envelope parse -> dead-letter split ->
+    exact stateful hourly aggregation -> engine-generated
+    ``ON CONFLICT (hour) DO UPDATE`` into a LIVE PostgreSQL 15 carrying the
+    reference's schema — metrics AND the dead-letter line the reference's
+    own ``data/bad_events.log`` records. Final table must equal the batch
+    aggregate value-exactly across all 125 hour buckets; the quarantine
+    table must hold exactly the malformed line with the reference's reason
+    string. This is the whole reference deployment (producer file ->
+    validation -> HourlyStats -> Postgres) replayed on the engine with the
+    reference's own inputs and the real database underneath."""
+    import shutil as _sh
+
+    from energy_data_stream_processing_spark.operators.hourly import (
+        hourly_business_metrics,
+    )
+    from energy_data_stream_processing_spark.operators.validation import (
+        split_events,
+    )
+    from energy_data_stream_processing_spark.sources.jsonl import (
+        CORRUPT_COL,
+        ENVELOPE_SCHEMA,
+        read_events_jsonl,
+    )
+    from energy_data_stream_processing_spark.sources.sinks import (
+        foreach_batch_statement_upsert,
+    )
+    from energy_data_stream_processing_spark.streaming.runner import (
+        hourly_metrics_stateful_stream,
+    )
+
+    ref_sample = "/root/reference/data/events.jsonl"
+    if not os.path.exists(ref_sample):
+        pytest.skip("reference sample not present")
+    src = tmp_path / "ingest"
+    src.mkdir()
+    _sh.copy(ref_sample, src / "events.jsonl")
+    (src / "tail.jsonl").write_text("not a json line at all\n")
+
+    pg.sql(_reference_ddl("sample_run"))
+    pg.sql("CREATE TABLE sample_bad_events (raw TEXT, reason TEXT)")
+
+    def read_stream():
+        return (
+            spark.readStream.schema(ENVELOPE_SCHEMA)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", CORRUPT_COL)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+
+    valid_stream, _ = split_events(read_stream())
+    flush = foreach_batch_statement_upsert(
+        "sample_run", execute_many=lambda sql, rows: pg.sql(_prepared(sql, rows))
+    )
+    q_metrics = (
+        hourly_metrics_stateful_stream(valid_stream)
+        .drop("update_seq")
+        .writeStream.foreachBatch(flush)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_metrics"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+    _, invalid_stream = split_events(read_stream())
+
+    def flush_dead(batch_df, batch_id):
+        import pyspark.sql.functions as SF
+
+        rows = batch_df.select(
+            SF.coalesce(SF.col(CORRUPT_COL), SF.to_json(SF.struct("*"))).alias("raw"),
+            "reason",
+        ).collect()
+        for r in rows:
+            pg.sql(
+                "INSERT INTO sample_bad_events VALUES ("
+                + _lit(r["raw"]) + ", " + _lit(r["reason"]) + ")"
+            )
+
+    q_dead = (
+        invalid_stream.writeStream.foreachBatch(flush_dead)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dead"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_metrics.awaitTermination(300)
+    q_dead.awaitTermination(300)
+
+    valid_batch, _ = split_events(read_events_jsonl(spark, str(src)))
+    assert valid_batch.count() == 220  # every sample line passes validation
+    want = {
+        str(r["hour"]): r.asDict()
+        for r in hourly_business_metrics(valid_batch).collect()
+    }
+    assert len(want) == 125  # distinct event-time hours in the sample
+    got = {
+        r[0]: dict(zip(METRIC_COLUMNS, r[1:]))
+        for r in pg.sql(
+            "SET extra_float_digits = 3;"
+            "SELECT hour::text, " + ", ".join(METRIC_COLUMNS)
+            + " FROM sample_run;"
+        )
+    }
+    assert set(got) == set(want)
+    for hour, merged in got.items():
+        for c in METRIC_COLUMNS:
+            assert float(merged[c]) == float(want[hour][c]), (hour, c)
+
+    dead = pg.sql("SELECT raw, reason FROM sample_bad_events;")
+    assert dead == [["not a json line at all", "Malformed JSON"]]
