@@ -175,3 +175,44 @@ def test_reference_sample_stream_matches_batch(spark, ingest_dir):
             assert float(v) == pytest.approx(
                 float(want[hour][c]), abs=1e-9
             ), (hour, c)
+
+
+# ---------------------------------------------------------------------------
+# Measured shuffle accounting: SCALE.md §2's collapse claims as byte gates.
+# ---------------------------------------------------------------------------
+
+# (query, shuffle_write upper bound in bytes at sf0.01). Measured values sit
+# 4-6x below each bound (calibration run in scripts/shuffle_accounting_probe
+# history): total_energy_trend 12.4 KB, hourly_business_metrics 305 KB,
+# customer_view 652 KB, revenue_rollup 6.1 KB, sequence_packing_audit 155 B —
+# against a 221 KB events scan. The bounds stay meaningful: a plan that stops
+# collapsing map-side (or shuffles the fact where it should shuffle hours)
+# blows through them immediately.
+SHUFFLE_GATES = [
+    ("total_energy_trend", 64 * 1024),
+    ("revenue_rollup", 64 * 1024),
+    ("hourly_business_metrics", 1536 * 1024),
+    ("customer_view", 3 * 1024 * 1024),
+    ("sequence_packing_audit", 8 * 1024),
+]
+
+
+@pytest.mark.parametrize("name,bound", SHUFFLE_GATES)
+def test_shuffle_volume_and_spill_gates(spark, name, bound):
+    """The map-side-collapse story, measured: each family representative
+    must move fewer shuffle bytes than its gate (hours-/audit-sized, never
+    fact-sized) and spill NOTHING at test scale. This is the byte-level
+    twin of test_plans.py's exchange-count gates."""
+    from energy_data_stream_processing_spark.functions.stage_metrics import (
+        measure_job_metrics,
+        run_to_noop,
+    )
+    from energy_data_stream_processing_spark.plans.catalog import all_queries
+
+    df = all_queries()[name].builder(spark, "/root/testdata/sf0.01")
+    m = measure_job_metrics(spark, lambda: run_to_noop(df))
+    assert m["stages"] >= 1 and m["jobs"], "no jobs captured for the query"
+    assert m["memory_spill_bytes"] == 0 and m["disk_spill_bytes"] == 0
+    assert m["shuffle_write_bytes"] <= bound, (
+        f"{name} shuffled {m['shuffle_write_bytes']}B > gate {bound}B"
+    )
