@@ -86,3 +86,73 @@ def run_to_noop(df) -> None:
     measurement (the ``noop`` sink executes every operator, returns
     nothing)."""
     df.write.format("noop").mode("overwrite").save()
+
+
+def run_stream_with_state_metrics(
+    spark: SparkSession, streaming_df, mode: str = "update"
+) -> tuple[Any, list[dict]]:
+    """Execute a streaming DataFrame with ``availableNow`` into a memory
+    sink and return ``(result_table_df, per_batch_state_metrics)``.
+
+    The streaming counterpart of ``measure_job_metrics``: where that sums
+    shuffle bytes per batch job, this captures the STATE STORE accounting
+    Spark reports per micro-batch (``StreamingQueryProgress
+    .stateOperators``) — the numbers that decide whether a stateful
+    operator survives an unbounded stream. Each returned dict has
+    ``batch_id``, ``input_rows``, ``watermark`` and one
+    ``(operator, rows_total, rows_updated, rows_removed, memory_bytes)``
+    tuple list under ``operators``. State-free streams return entries with
+    empty ``operators`` lists.
+
+    Uses only public API (``query.recentProgress``), so unlike
+    ``measure_job_metrics`` it is Spark-Connect-portable. The default
+    ``spark.sql.streaming.numRecentProgressUpdates`` retains 100 batches —
+    ample for the chunked availableNow replays the tests run.
+    """
+    import uuid as _uuid
+
+    name = f"state_metrics_{_uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    batches: list[dict] = []
+    for p in q.recentProgress:
+        batches.append(
+            {
+                "batch_id": p.batchId,
+                "input_rows": p.numInputRows,
+                "watermark": (p.eventTime or {}).get("watermark"),
+                "operators": [
+                    {
+                        "operator": s.operatorName,
+                        "rows_total": s.numRowsTotal,
+                        "rows_updated": s.numRowsUpdated,
+                        "rows_removed": s.numRowsRemoved,
+                        "memory_bytes": s.memoryUsedBytes,
+                    }
+                    for s in (p.stateOperators or [])
+                ],
+            }
+        )
+    return spark.table(name), batches
+
+
+def state_rows_series(batches: list[dict], operator: str | None = None) -> list[int]:
+    """Per-batch total state rows (summed across state operators, or one
+    named operator) from ``run_stream_with_state_metrics`` output — the
+    series whose SHAPE is the scale claim: bounded operators plateau,
+    unbounded ones grow monotonically with keys seen."""
+    out = []
+    for b in batches:
+        ops = [
+            o
+            for o in b["operators"]
+            if operator is None or o["operator"] == operator
+        ]
+        out.append(sum(o["rows_total"] for o in ops))
+    return out

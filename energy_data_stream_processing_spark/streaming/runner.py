@@ -133,18 +133,21 @@ def energy_events_stream(
     return spark.sql(ENERGY_EVENTS_SQL.replace("FROM events", f"FROM {view}"))
 
 
-def hourly_metrics_native_stream(events: DataFrame) -> DataFrame:
+def hourly_metrics_native_stream(events: DataFrame, watermark: str = "24 hours") -> DataFrame:
     """Built-in watermarked window aggregation (the idiomatic default).
 
     Exact for counters/sums; distincts are HLL approximations — at 100 TB
     this is usually the right trade (documented divergence from the exact
-    batch/stateful results).
+    batch/stateful results). ``watermark`` is the lateness horizon: it
+    bounds BOTH late-data acceptance and state size (windows older than
+    the watermark evict — measured in
+    tests/test_round9_ops.py::test_watermark_eviction_bounds_window_state).
     """
     t = F.col("event_type")
     pay = F.col("payment_amount")
     energy = F.col("energy_consumed")
     return (
-        events.withWatermark("event_time", "24 hours")
+        events.withWatermark("event_time", watermark)
         .groupBy(F.window("event_time", "1 hour"))
         .agg(
             F.count(F.when(t == "tariff_switch", 1)).alias("tariff_switches"),

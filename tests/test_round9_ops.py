@@ -45,7 +45,9 @@ SAMPLE_VALID = 220  # every line passes F1/F2 validation
 SAMPLE_HOURS = 125  # distinct event-time hours (span 2025-05-29..2025-06-05)
 MALFORMED_LINE = "not a json line at all"  # reference data/bad_events.log:2
 
-pytestmark = pytest.mark.skipif(
+# Scoped to the sample-replay tests only (NOT module-wide: the shuffle
+# gates below run on driver testdata and need no reference checkout).
+needs_ref_sample = pytest.mark.skipif(
     not os.path.exists(REF_SAMPLE), reason="reference sample not present"
 )
 
@@ -73,6 +75,7 @@ def _split_sample(spark, ingest_dir):
     return split_events(read_events_jsonl(spark, ingest_dir))
 
 
+@needs_ref_sample
 def test_reference_sample_validation_accounting(spark, ingest_dir):
     valid, invalid = _split_sample(spark, ingest_dir)
     got_types = {
@@ -96,6 +99,7 @@ def test_reference_sample_validation_accounting(spark, ingest_dir):
     assert null_pay == SAMPLE_TYPE_COUNTS["tariff_switch"]
 
 
+@needs_ref_sample
 def test_reference_sample_hourly_batch_vs_duckdb(spark, ingest_dir, tmp_path):
     import duckdb
 
@@ -125,6 +129,7 @@ def test_reference_sample_hourly_batch_vs_duckdb(spark, ingest_dir, tmp_path):
             assert float(s) == pytest.approx(float(d), abs=1e-9), (spark_row[0], c)
 
 
+@needs_ref_sample
 def test_reference_sample_stream_matches_batch(spark, ingest_dir):
     from pyspark.sql.window import Window
 

@@ -1,0 +1,157 @@
+"""Measured state-store accounting for the stateful streaming operators.
+
+The batch twin of this round's shuffle-byte gates (test_round9_ops.py):
+SCALE.md §4 claims which streaming operators hold BOUNDED state (watermark
+eviction) and which intentionally hold hours-cardinality state (the
+reference's unbounded-lateness additive flush, consumer.py:341-356, has no
+watermark concept). These tests replay event-time-ascending micro-batches
+and read the per-batch ``stateOperators`` metrics Spark itself reports —
+rows held, rows evicted — so "state is bounded" is a measured series shape,
+not a docstring.
+
+All bounds are RELATIVE to corpus cardinalities (distinct hours, row count)
+so they hold at any sf_dir, with ≥2x headroom over the measured plateau
+(sf0.001 calibration: windowed-agg plateau 60-81 rows vs 531 hours;
+dedup-within-watermark plateau 124-136 vs 1000 keys).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from energy_data_stream_processing_spark.functions.stage_metrics import (
+    run_stream_with_state_metrics,
+    state_rows_series,
+)
+from energy_data_stream_processing_spark.operators.hourly import (
+    hourly_business_metrics,
+)
+from energy_data_stream_processing_spark.plans.energy_queries import (
+    energy_events,
+)
+from energy_data_stream_processing_spark.streaming.runner import (
+    ascending_time_chunks,
+    energy_events_stream,
+    hourly_metrics_native_stream,
+    hourly_metrics_stateful_stream,
+    stream_raw_events,
+)
+
+N_CHUNKS = 8
+
+
+@pytest.fixture(scope="module")
+def chunk_src(spark, sf_dir):
+    return ascending_time_chunks(spark, sf_dir, N_CHUNKS)
+
+
+@pytest.fixture(scope="module")
+def corpus_stats(spark, sf_dir):
+    raw = energy_events(spark, sf_dir)
+    row = raw.agg(
+        F.countDistinct(F.date_trunc("hour", F.col("event_time"))).alias("hours"),
+        F.count(F.lit(1)).alias("rows"),
+    ).collect()[0]
+    return {"hours": row["hours"], "rows": row["rows"]}
+
+
+def test_watermark_eviction_bounds_window_state(spark, sf_dir, chunk_src, corpus_stats):
+    """The idiomatic watermarked hourly window agg: with a 2-hour lateness
+    horizon over in-order micro-batches, state must PLATEAU at
+    per-batch-arrival size (windows newer than the watermark) while total
+    hours grow 8x past it — and the finalized (appended) hours must still
+    carry batch-exact values, proving eviction only releases CLOSED windows.
+    This is the measured form of SCALE.md §4's bounded-state claim; the
+    hours-cardinality alternative is test_stateful_hourly_state below."""
+    ev = energy_events_stream(spark, sf_dir, source_dir=chunk_src, max_files_per_trigger=1)
+    out, batches = run_stream_with_state_metrics(
+        spark, hourly_metrics_native_stream(ev, watermark="2 hours"), mode="append"
+    )
+    series = state_rows_series(batches)
+    removed = [sum(o["rows_removed"] for o in b["operators"]) for b in batches]
+    hours = corpus_stats["hours"]
+
+    # bounded: never holds more than ~a chunk's worth of open windows
+    # (measured plateau 60-81 of 531 hours; bound 35% with 2x headroom)
+    assert max(series) <= hours * 0.35, (series, hours)
+    # eviction actually ran, continuously — not one final flush
+    assert sum(1 for r in removed if r > 0) >= N_CHUNKS - 1, removed
+    assert sum(removed) >= hours * 0.9, (removed, hours)
+    # the final flush batch leaves only the still-open horizon
+    assert series[-1] <= 25, series
+
+    # value check: every emitted (finalized) hour is batch-exact on the
+    # exact columns (distincts are HLL in the native stream, skipped)
+    cols = ["tariff_switches", "total_logins", "total_energy_consumed", "total_payments"]
+    want = {
+        r["hour"]: r
+        for r in hourly_business_metrics(energy_events(spark, sf_dir)).collect()
+    }
+    got = out.collect()
+    assert len(got) >= hours - 25  # all but the still-open tail emitted
+    assert len(got) == len({r["hour"] for r in got})  # appended exactly once
+    for r in got:
+        for c in cols:
+            assert float(r[c]) == pytest.approx(float(want[r["hour"]][c]), abs=1e-9), (
+                r["hour"],
+                c,
+            )
+
+
+def test_dedup_within_watermark_state_evicts(spark, sf_dir, chunk_src, corpus_stats):
+    """dropDuplicatesWithinWatermark holds (key, ts) only inside the
+    lateness horizon: state plateaus at horizon-arrival size and evicts
+    every batch, while every input row still passes through exactly once
+    (event_ids are unique in the fixture). The 100 TB contrast with plain
+    dropDuplicates is measured in the companion test below."""
+    raw = stream_raw_events(spark, sf_dir, source_dir=chunk_src, max_files_per_trigger=1)
+    ded = raw.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(["event_id"])
+    out, batches = run_stream_with_state_metrics(spark, ded, mode="append")
+    series = state_rows_series(batches)
+    removed = [sum(o["rows_removed"] for o in b["operators"]) for b in batches]
+    n = corpus_stats["rows"]
+
+    assert max(series) <= n * 0.30, (series, n)  # measured plateau ~13.6%
+    assert sum(1 for r in removed if r > 0) >= N_CHUNKS - 1, removed
+    assert out.count() == n  # nothing lost, nothing duplicated
+
+
+def test_plain_dedup_state_grows_with_keys(spark, sf_dir, chunk_src, corpus_stats):
+    """The anti-pattern, measured: plain dropDuplicates keeps EVERY key
+    forever — state is monotone nondecreasing and ends at exactly
+    keys-cardinality. This is why the engine's replay-dedup path
+    (dedup_summary_stream) uses the watermark-bounded form; the test pins
+    the contrast so the scale claim has both sides on record."""
+    raw = stream_raw_events(spark, sf_dir, source_dir=chunk_src, max_files_per_trigger=1)
+    out, batches = run_stream_with_state_metrics(
+        spark, raw.dropDuplicates(["event_id"]), mode="append"
+    )
+    series = state_rows_series(batches)
+    n = corpus_stats["rows"]
+
+    assert all(a <= b for a, b in zip(series, series[1:])), series
+    assert series[-1] == n, (series, n)
+    assert out.count() == n
+
+
+def test_stateful_hourly_state_tracks_hours_cardinality(spark, sf_dir, chunk_src, corpus_stats):
+    """The exact stateful twin (applyInPandasWithState) INTENTIONALLY holds
+    one state row per hour forever — that is the unbounded-lateness
+    capability the reference's additive flush implies (consumer.py:341-356:
+    any hour can be re-opened by a late event). Measured: state grows to
+    exactly hours-cardinality, nothing is evicted. SCALE.md §4 documents
+    the production mitigation (state TTL / snapshot-and-trim at the flush
+    boundary); this test pins the measured cost of exactness so the trade
+    against the watermarked variant (plateau vs hours-cardinality) is a
+    recorded number, not an opinion."""
+    ev = energy_events_stream(spark, sf_dir, source_dir=chunk_src, max_files_per_trigger=1)
+    _, batches = run_stream_with_state_metrics(
+        spark, hourly_metrics_stateful_stream(ev), mode="update"
+    )
+    series = state_rows_series(batches)
+    removed = sum(sum(o["rows_removed"] for o in b["operators"]) for b in batches)
+
+    assert all(a <= b for a, b in zip(series, series[1:])), series
+    assert series[-1] == corpus_stats["hours"], (series, corpus_stats)
+    assert removed == 0
