@@ -26,15 +26,16 @@ def entry(spark: SparkSession) -> DataFrame:
     return q.builder(spark, "/root/testdata/sf0.001")
 
 
-# Round-8 gate ordering. The driver checks a ~50-entry prefix of queries().
-# Every oracle-backed entry has green driver evidence (r1-r7 union), so the
-# prefix is pure evidence rotation: (a) entries whose code changed in round
-# 8 and MUST be driver-re-proven — customer_view_prefilter, the new third
-# customer_view plan — then (b) the entries with the OLDEST driver
-# evidence: the 7 last sampled in round 3, the 41 last sampled in round 4,
-# and one round-5 entry to fill the window. EXACTLY 50 names — the driver
+# Round-9 gate ordering. The driver checks a ~50-entry prefix of queries().
+# The round-8 driver gate never ran (no CORRECTNESS_r08.json), so evidence
+# age is unchanged since round 7 and the round-8 rotation is still the one
+# that matters — this round's prefix is that same rotation with the three
+# entries whose code changed in round 9 at the head: the NEW
+# streaming_hourly_bounded (bounded-state exact hourly, EventTimeTimeout)
+# plus streaming_hourly_metrics / streaming_timeout_sessions, which share
+# the refactored update-fn / sentinel helper. EXACTLY 50 names — the driver
 # samples a ~50-entry prefix, so anything past 50 silently gets no
-# evidence. After this round the evidence-age minimum rises to r5.
+# evidence.
 #
 # GENERATED — do not hand-edit: regenerate with
 #   python scripts/gen_gate_prefix.py --changed <entries changed this round>
@@ -47,10 +48,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # The round's changed/new entries — the declared input to the generator,
 # kept small by policy (a bloated changed set would crowd out rotation).
 _GATE_CHANGED = [
-    "customer_view_prefilter",
+    "streaming_hourly_bounded",
+    "streaming_hourly_metrics",
+    "streaming_timeout_sessions",
 ]
 
 _GATE_PREFIX = [
+    "streaming_hourly_bounded",
+    "streaming_hourly_metrics",
+    "streaming_timeout_sessions",
     "customer_view_prefilter",
     "corpus_curation_pipeline",
     "customer_view_twophase",
@@ -98,13 +104,12 @@ _GATE_PREFIX = [
     "vintage_drift_psi",
     "weekly_active_users_growth",
     "weighted_reservoir_sample",
-    "zipf_vocab_fit",
-    "zorder_layout_audit",
-    "approx_percentile_audit",
 ]
-# Round-tagged alias: the round-7 verdict names this list "_FRESH_R8";
-# all code reads _GATE_PREFIX (the stable name the generator checks).
+
+# Round-tagged alias (kept for older tests); all code reads _GATE_PREFIX
+# (the stable name the generator checks).
 _FRESH_R8 = _GATE_PREFIX
+_FRESH_R9 = _GATE_PREFIX
 
 
 def _ordered_names() -> list[str]:

@@ -172,12 +172,59 @@ def hourly_metrics_native_stream(events: DataFrame, watermark: str = "24 hours")
     )
 
 
-def _stateful_update_fn():
-    """Closure (pickled by value — workers never import this package)."""
+def _stateful_update_fn(final_only: bool = False):
+    """Closure (pickled by value — workers never import this package).
+
+    ``final_only=True`` is the bounded-state flavor: merge batches emit
+    NOTHING; the hour's single final row emits when its event-time timeout
+    fires (the watermark passed the hour end), after which the state row is
+    REMOVED. Requires ``outputMode="append"`` +
+    ``GroupStateTimeout.EventTimeTimeout`` at the call site."""
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        def final_row(ts, src, ic, icc, gs, tl, em, pk, pc, pe, n_cust, n_sess, seq):
+            def r2(x: float) -> float:
+                return math.floor(x * 100.0 + 0.5) / 100.0
+
+            switch_rev = src / 100.0
+            incentive = icc / 100.0
+            energy_total = em / 1000.0
+            payments = pc / 100.0
+            return pd.DataFrame(
+                [
+                    {
+                        "hour": key[0],
+                        "update_seq": seq,
+                        "tariff_switches": ts,
+                        "total_switch_revenue": switch_rev,
+                        "avg_switch_value": r2(switch_rev / ts) if ts else 0.0,
+                        "incentive_claims": ic,
+                        "total_incentive_payouts": incentive,
+                        "green_tariff_switches": gs,
+                        "active_customers": n_cust,
+                        "new_sessions": n_sess,
+                        "total_logins": tl,
+                        "total_energy_consumed": energy_total,
+                        "avg_consumption_per_customer": r2(energy_total / n_cust) if n_cust else 0.0,
+                        "peak_hour_usage": pk / 1000.0,
+                        "total_payments": payments,
+                        "payment_events": pe,
+                        "avg_payment_amount": r2(payments / pe) if pe else 0.0,
+                    }
+                ]
+            )
+
+        if final_only and state.hasTimedOut:
+            (ts, src, ic, icc, gs, tl, em, pk, pc, pe, customers, sessions, seq) = state.get
+            state.remove()
+            yield final_row(
+                ts, src, ic, icc, gs, tl, em, pk, pc, pe,
+                len(customers), len(sessions), seq,
+            )
+            return
+
         if state.exists:
             (ts, src, ic, icc, gs, tl, em, pk, pc, pe, customers, sessions, seq) = state.get
             cust, sess = set(customers), set(sessions)
@@ -228,35 +275,17 @@ def _stateful_update_fn():
 
         state.update((ts, src, ic, icc, gs, tl, em, pk, pc, pe, sorted(cust), sorted(sess), seq))
 
-        def r2(x: float) -> float:
-            return math.floor(x * 100.0 + 0.5) / 100.0
+        if final_only:
+            # Evict as soon as the watermark passes the hour end: lateness
+            # tolerance = the withWatermark delay, state held no longer than
+            # (hour + delay). An hour already below the watermark (late rows
+            # re-opened it) times out at the next batch boundary.
+            hour_end_ms = int(pd.Timestamp(key[0]).value // 1_000_000) + 3_600_000
+            state.setTimeoutTimestamp(max(hour_end_ms, state.getCurrentWatermarkMs() + 1))
+            return
 
-        switch_rev = src / 100.0
-        incentive = icc / 100.0
-        energy_total = em / 1000.0
-        payments = pc / 100.0
-        yield pd.DataFrame(
-            [
-                {
-                    "hour": key[0],
-                    "update_seq": seq,
-                    "tariff_switches": ts,
-                    "total_switch_revenue": switch_rev,
-                    "avg_switch_value": r2(switch_rev / ts) if ts else 0.0,
-                    "incentive_claims": ic,
-                    "total_incentive_payouts": incentive,
-                    "green_tariff_switches": gs,
-                    "active_customers": len(cust),
-                    "new_sessions": len(sess),
-                    "total_logins": tl,
-                    "total_energy_consumed": energy_total,
-                    "avg_consumption_per_customer": r2(energy_total / len(cust)) if cust else 0.0,
-                    "peak_hour_usage": pk / 1000.0,
-                    "total_payments": payments,
-                    "payment_events": pe,
-                    "avg_payment_amount": r2(payments / pe) if pe else 0.0,
-                }
-            ]
+        yield final_row(
+            ts, src, ic, icc, gs, tl, em, pk, pc, pe, len(cust), len(sess), seq
         )
 
     return update
@@ -275,6 +304,42 @@ def hourly_metrics_stateful_stream(events: DataFrame) -> DataFrame:
             stateStructType=STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def hourly_metrics_stateful_bounded_stream(
+    events: DataFrame, horizon: str = "2 hours"
+) -> DataFrame:
+    """Exact HourlyStats with BOUNDED state: the snapshot-and-trim variant.
+
+    Same merge logic and EXACT distincts as ``hourly_metrics_stateful_stream``
+    (the reference's additive flush, consumer.py:341-356), but each hour's
+    state self-evicts by event-time timeout once the watermark passes the
+    hour end — ``horizon`` is the lateness tolerance AND the state-retention
+    bound. Merge batches emit nothing; the single final row per hour emits
+    at eviction (append mode), so downstream sinks never see retractions.
+
+    The trade, measured in tests/test_state_accounting.py: the unbounded
+    twin holds hours-cardinality state forever; this plateaus at the open
+    horizon. Rows arriving LATER than the horizon re-open the hour and emit
+    a supplemental partial row at its next timeout — additively correct
+    counters under the additive upsert sink, but exact distincts can then
+    overcount across partials (precisely the reference's cross-flush
+    distinct bug, consumer.py:341-342, which the unbounded twin exists to
+    avoid). Pick by lateness regime: bounded when the replay horizon is
+    known, unbounded when any-lateness exactness is worth hours-cardinality
+    state (8,760 rows/year — trivially small either way)."""
+    return (
+        events.withWatermark("event_time", horizon)
+        .withColumn("hour", F.date_trunc("hour", F.col("event_time")))
+        .groupBy("hour")
+        .applyInPandasWithState(
+            _stateful_update_fn(final_only=True),
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 
@@ -338,6 +403,60 @@ def q_streaming_hourly_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_streaming_hourly_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = energy_events_stream(spark, sf_dir)
     return run_stream_to_table(spark, hourly_metrics_native_stream(ev))
+
+
+def append_watermark_sentinel(spark: SparkSession, sf_dir: str, src: str):
+    """Write one far-future event into a chunk dir so the final availableNow
+    micro-batch pushes the global watermark past every real event-time
+    timeout — every open state row flushes. Returns the max REAL timestamp
+    (callers filter output to ``< max + margin`` to drop the sentinel's own
+    rows). Built on the normalized frame so the file schema matches the
+    chunk files regardless of the source parquet's timestamp vintage."""
+    import shutil
+    from datetime import timedelta
+
+    norm = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    mx = norm.selectExpr("max(ts) AS m").collect()[0]["m"]
+    sdf = spark.createDataFrame(
+        [(-1, mx + timedelta(days=3650), -1, "sentinel", 0.0, "{}")],
+        schema=norm.schema,
+    )
+    stage = tempfile.mkdtemp(prefix="sentinel-stage-")
+    sdf.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    os.rename(f"{stage}/{part}", f"{src}/chunk_z_sentinel.parquet")
+    shutil.rmtree(stage, ignore_errors=True)
+    return mx
+
+
+@register(
+    "streaming_hourly_bounded",
+    oracle=_hourly_oracle(),
+    doc="Bounded-state exact hourly metrics: same merge logic and EXACT "
+    "distincts as streaming_hourly_metrics, but each hour self-evicts by "
+    "event-time timeout (applyInPandasWithState + EventTimeTimeout) once "
+    "the watermark passes it, emitting its single final row append-mode — "
+    "the snapshot-and-trim pattern. Three ascending time-chunk "
+    "micro-batches force hours to close while later data still arrives; a "
+    "far-future sentinel flushes the tail; the result must equal the BATCH "
+    "oracle on every hour including the two exact distincts. Scale: state "
+    "plateaus at the open lateness horizon (measured 96 rows vs 720 hours "
+    "at sf0.01, tests/test_state_accounting.py) where the unbounded twin "
+    "holds hours-cardinality — pick by lateness regime: rows later than "
+    "the horizon re-open an hour and emit a supplemental ADDITIVE partial "
+    "(exact counters under the additive sink; distincts may overcount "
+    "across partials, the reference's cross-flush bug, consumer.py:341).",
+)
+def q_streaming_hourly_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import timedelta
+
+    src = ascending_time_chunks(spark, sf_dir, 3)
+    mx = append_watermark_sentinel(spark, sf_dir, src)
+    ev = energy_events_stream(spark, sf_dir, source_dir=src, max_files_per_trigger=1)
+    out = run_stream_to_table(
+        spark, hourly_metrics_stateful_bounded_stream(ev, horizon="2 hours"), mode="append"
+    )
+    return out.where(F.col("hour") < mx + timedelta(days=30)).drop("update_seq")
 
 
 def dedup_summary_stream(raw_events: DataFrame) -> DataFrame:
@@ -878,26 +997,10 @@ FROM numbered GROUP BY user_id, session_no
     "built-in merge cannot express (per-key custom close rules).",
 )
 def q_streaming_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-
     src = ascending_time_chunks(spark, sf_dir, 3)
     # Sentinel: one far-future event for a fake user advances the global
     # watermark past every real session's timeout in a final micro-batch.
-    # Built on the NORMALIZED frame so its schema matches the chunk files
-    # (ts is timestamp there regardless of the source parquet vintage).
-    from datetime import timedelta
-
-    norm = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
-    mx = norm.selectExpr("max(ts) AS m").collect()[0]["m"]
-    sdf = spark.createDataFrame(
-        [(-1, mx + timedelta(days=3650), -1, "sentinel", 0.0, "{}")],
-        schema=norm.schema,
-    )
-    stage = tempfile.mkdtemp(prefix="sentinel-stage-")
-    sdf.coalesce(1).write.mode("overwrite").parquet(stage)
-    part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
-    os.rename(f"{stage}/{part}", f"{src}/chunk_z_sentinel.parquet")
-    shutil.rmtree(stage, ignore_errors=True)
+    append_watermark_sentinel(spark, sf_dir, src)
 
     stream = stream_raw_events(spark, sf_dir, source_dir=src, max_files_per_trigger=1)
     out = run_stream_to_table(
