@@ -167,15 +167,18 @@ def test_streaming_stateful_under_rocksdb_state_store(spark, sf_dir):
     state round-trip through RocksDB."""
     from energy_data_stream_processing_spark.plans.catalog import all_queries
 
-    q = all_queries()["streaming_hourly_metrics"]
-    base = sorted(map(tuple, q.builder(spark, sf_dir).collect()))
-    with _conf_override(
-        spark,
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    ):
-        rocks = sorted(map(tuple, q.builder(spark, sf_dir).collect()))
-    assert rocks == base and len(rocks) > 0
+    # streaming_hourly_bounded adds timer (EventTimeTimeout) state to the
+    # round-trip: eviction timestamps must also commit/restore via RocksDB
+    for name in ("streaming_hourly_metrics", "streaming_hourly_bounded"):
+        q = all_queries()[name]
+        base = sorted(map(tuple, q.builder(spark, sf_dir).collect()))
+        with _conf_override(
+            spark,
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        ):
+            rocks = sorted(map(tuple, q.builder(spark, sf_dir).collect()))
+        assert rocks == base and len(rocks) > 0, name
 
 
 def test_ivf_training_sample_deterministic_and_sortfree(spark, sf_dir):
