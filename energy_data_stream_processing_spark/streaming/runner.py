@@ -322,14 +322,16 @@ def hourly_metrics_stateful_bounded_stream(
 
     The trade, measured in tests/test_state_accounting.py: the unbounded
     twin holds hours-cardinality state forever; this plateaus at the open
-    horizon. Rows arriving LATER than the horizon re-open the hour and emit
-    a supplemental partial row at its next timeout — additively correct
-    counters under the additive upsert sink, but exact distincts can then
-    overcount across partials (precisely the reference's cross-flush
-    distinct bug, consumer.py:341-342, which the unbounded twin exists to
-    avoid). Pick by lateness regime: bounded when the replay horizon is
-    known, unbounded when any-lateness exactness is worth hours-cardinality
-    state (8,760 rows/year — trivially small either way)."""
+    horizon. Rows arriving LATER than the horizon are DROPPED before they
+    reach the state function — Spark filters watermark-late input whenever
+    event-time timeouts are active (FlatMapGroupsWithStateExec; measured in
+    test_stateful_bounded_hourly_drops_beyond_horizon_rows: the late batch
+    reports zero state updates) — so the semantics match the native
+    windowed aggregation's lateness contract, with exact distincts instead
+    of HLL. Pick by lateness regime: bounded when the replay horizon is
+    known, unbounded (NoTimeout twin, which Spark does NOT late-filter)
+    when any-lateness exactness is worth hours-cardinality state
+    (8,760 rows/year — trivially small either way)."""
     return (
         events.withWatermark("event_time", horizon)
         .withColumn("hour", F.date_trunc("hour", F.col("event_time")))
@@ -443,9 +445,11 @@ def append_watermark_sentinel(spark: SparkSession, sf_dir: str, src: str):
     "plateaus at the open lateness horizon (measured 96 rows vs 720 hours "
     "at sf0.01, tests/test_state_accounting.py) where the unbounded twin "
     "holds hours-cardinality — pick by lateness regime: rows later than "
-    "the horizon re-open an hour and emit a supplemental ADDITIVE partial "
-    "(exact counters under the additive sink; distincts may overcount "
-    "across partials, the reference's cross-flush bug, consumer.py:341).",
+    "the horizon are DROPPED (Spark late-filters stateful input under "
+    "event-time timeouts — measured, zero state updates in the late "
+    "batch), the native windowed aggregation's lateness contract with "
+    "exact distincts instead of HLL; any-lateness exactness needs the "
+    "unbounded twin.",
 )
 def q_streaming_hourly_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datetime import timedelta

@@ -282,6 +282,84 @@ def test_stateful_bounded_hourly_survives_restart(spark, sf_dir, corpus_stats, t
             ), (hour, c)
 
 
+def test_stateful_bounded_hourly_drops_beyond_horizon_rows(spark, sf_dir, tmp_path):
+    """The documented beyond-horizon divergence, executed: Spark
+    late-filters stateful input whenever event-time timeouts are active
+    (FlatMapGroupsWithStateExec), so stragglers arriving after their hour's
+    eviction are DROPPED — they neither re-open the hour nor corrupt it.
+    Measured three ways: the late batch reports ZERO state updates, every
+    hour still emits exactly once, and each emitted hour equals the batch
+    aggregation over the ON-TIME subset on all 15 metrics. (The NoTimeout
+    unbounded twin is the documented contrast: Spark does NOT late-filter
+    it, which test_stateful_streaming_late_arrivals_equal_batch exploits
+    for any-lateness exactness.)"""
+    import os
+    from datetime import timedelta
+
+    from energy_data_stream_processing_spark.streaming.runner import (
+        append_watermark_sentinel,
+        hourly_metrics_stateful_bounded_stream,
+        normalize_event_ts,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    ts_us = F.unix_micros(F.col("ts"))
+    q1, q2 = raw.withColumn("_ts_us", ts_us).approxQuantile("_ts_us", [0.25, 0.5], 0.0)
+    held = (ts_us < q1) & (F.col("event_id") % 10 < 3)  # ~30% of early rows
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def add_chunk(df, name):
+        stage = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        os.rename(f"{stage}/{part}", str(src / f"{name}.parquet"))
+
+    add_chunk(raw.where((ts_us < q2) & ~held), "chunk_a")   # on-time early data
+    add_chunk(raw.where(ts_us >= q2), "chunk_b")            # advances watermark far past q1 hours
+    add_chunk(raw.where(held), "chunk_c_late")              # beyond-horizon stragglers
+    mx = append_watermark_sentinel(spark, sf_dir, str(src))
+
+    ev = energy_events_stream(spark, sf_dir, source_dir=str(src), max_files_per_trigger=1)
+    out, batches = run_stream_with_state_metrics(
+        spark, hourly_metrics_stateful_bounded_stream(ev, horizon="2 hours"), mode="append"
+    )
+    # the late chunk's micro-batch delivered rows but updated NO state —
+    # the measured form of "Spark late-filters under event-time timeouts"
+    late_batch = batches[2]
+    assert late_batch["input_rows"] > 0
+    assert sum(o["rows_updated"] for o in late_batch["operators"]) == 0, late_batch
+
+    cut = mx + timedelta(days=30)
+    rows = [r for r in out.collect() if r["hour"] < cut]
+    hours_emitted = [r["hour"] for r in rows]
+    assert len(hours_emitted) == len(set(hours_emitted)), "an hour emitted twice"
+
+    # each emitted hour equals the batch aggregation over the ON-TIME subset
+    ontime = energy_events(spark, sf_dir).alias("e").join(
+        raw.where(held).select(F.col("event_id").alias("_held_id")),
+        F.col("e.event_id") == F.col("_held_id"),
+        "left_anti",
+    )
+    want = {r["hour"]: r for r in hourly_business_metrics(ontime).collect()}
+    got = {r["hour"]: r for r in rows}
+    assert set(got) == set(want)
+    # the fixture genuinely had all-held hours: they must NOT appear at all
+    all_hours = {
+        r["hour"]
+        for r in raw.select(F.date_trunc("hour", "ts").alias("hour")).distinct().collect()
+    }
+    assert set(got) < all_hours, "no hour was fully late — fixture too weak"
+    for hour, row in got.items():
+        for c in want[hour].asDict():
+            if c == "hour":
+                continue
+            assert float(row[c]) == pytest.approx(
+                float(want[hour][c]), abs=1e-9
+            ), (hour, c)
+
+
 def test_stateful_hourly_state_tracks_hours_cardinality(spark, sf_dir, chunk_src, corpus_stats):
     """The exact stateful twin (applyInPandasWithState) INTENTIONALLY holds
     one state row per hour forever — that is the unbounded-lateness
