@@ -48,20 +48,28 @@ def measure_job_metrics(
     """
     sc = spark.sparkContext
     group = f"stage-metrics-{uuid.uuid4().hex[:12]}"
+    prior_group = sc.getLocalProperty("spark.jobGroup.id")
+    prior_desc = sc.getLocalProperty("spark.job.description")
     sc.setJobGroup(group, "stage-metrics capture")
     try:
         result = fn()
     finally:
-        sc.setJobGroup(f"{group}-done", "stage-metrics capture done")
+        # restore the caller's group (None clears) so cancellation scoping
+        # and UI attribution outside this capture are untouched
+        sc.setLocalProperty("spark.jobGroup.id", prior_group)
+        sc.setLocalProperty("spark.job.description", prior_desc)
+    # the AppStatusStore is fed asynchronously off the listener bus; drain it
+    # so jobs/stages whose completion events are still queued are not missed
+    # (undercounted bytes would pass the byte-budget gates vacuously)
+    spark._jsc.sc().listenerBus().waitUntilEmpty(30_000)
     tracker = sc.statusTracker()
     jobs = sorted(tracker.getJobIdsForGroup(group))
-    stage_ids = sorted(
-        {
-            sid
-            for j in jobs
-            for sid in (tracker.getJobInfo(j).stageIds if tracker.getJobInfo(j) else [])
-        }
-    )
+    stage_ids = set()
+    for j in jobs:
+        info = tracker.getJobInfo(j)
+        if info:
+            stage_ids.update(info.stageIds)
+    stage_ids = sorted(stage_ids)
     store = spark._jsc.sc().statusStore()
     totals = dict.fromkeys(METRIC_FIELDS, 0)
     recorded = 0
@@ -109,9 +117,7 @@ def run_stream_with_state_metrics(
     ``spark.sql.streaming.numRecentProgressUpdates`` retains 100 batches —
     ample for the chunked availableNow replays the tests run.
     """
-    import uuid as _uuid
-
-    name = f"state_metrics_{_uuid.uuid4().hex[:8]}"
+    name = f"state_metrics_{uuid.uuid4().hex[:8]}"
     q = (
         streaming_df.writeStream.format("memory")
         .queryName(name)

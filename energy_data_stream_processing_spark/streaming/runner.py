@@ -172,14 +172,18 @@ def hourly_metrics_native_stream(events: DataFrame, watermark: str = "24 hours")
     )
 
 
-def _stateful_update_fn(final_only: bool = False):
+def _stateful_update_fn(final_only: bool = False, session_tz: str = "UTC"):
     """Closure (pickled by value — workers never import this package).
 
     ``final_only=True`` is the bounded-state flavor: merge batches emit
     NOTHING; the hour's single final row emits when its event-time timeout
     fires (the watermark passed the hour end), after which the state row is
     REMOVED. Requires ``outputMode="append"`` +
-    ``GroupStateTimeout.EventTimeTimeout`` at the call site."""
+    ``GroupStateTimeout.EventTimeTimeout`` at the call site.
+    ``session_tz`` must be the session's ``spark.sql.session.timeZone``:
+    the group key arrives tz-naive in SESSION time while
+    ``getCurrentWatermarkMs``/``setTimeoutTimestamp`` speak true epoch, so
+    the hour-end conversion localizes through it."""
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -279,8 +283,12 @@ def _stateful_update_fn(final_only: bool = False):
             # Evict as soon as the watermark passes the hour end: lateness
             # tolerance = the withWatermark delay, state held no longer than
             # (hour + delay). An hour already below the watermark (late rows
-            # re-opened it) times out at the next batch boundary.
-            hour_end_ms = int(pd.Timestamp(key[0]).value // 1_000_000) + 3_600_000
+            # re-opened it) times out at the next batch boundary. The naive
+            # key is SESSION-tz wall clock; localize to get true epoch ms.
+            hour_end_ms = (
+                int(pd.Timestamp(key[0]).tz_localize(session_tz).value // 1_000_000)
+                + 3_600_000
+            )
             state.setTimeoutTimestamp(max(hour_end_ms, state.getCurrentWatermarkMs() + 1))
             return
 
@@ -332,12 +340,13 @@ def hourly_metrics_stateful_bounded_stream(
     known, unbounded (NoTimeout twin, which Spark does NOT late-filter)
     when any-lateness exactness is worth hours-cardinality state
     (8,760 rows/year — trivially small either way)."""
+    session_tz = events.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
     return (
         events.withWatermark("event_time", horizon)
         .withColumn("hour", F.date_trunc("hour", F.col("event_time")))
         .groupBy("hour")
         .applyInPandasWithState(
-            _stateful_update_fn(final_only=True),
+            _stateful_update_fn(final_only=True, session_tz=session_tz),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",

@@ -382,7 +382,7 @@ def test_streaming_flush_to_live_postgres(pg, spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "metrics flush stream did not terminate"
 
     want = {
         str(r["hour"]): r.asDict()
@@ -480,7 +480,7 @@ def test_streaming_flush_kill_and_resume_live(pg, spark, sf_dir, tmp_path):
 
     # phase 2: restart from the same checkpoint, drain everything
     q2 = start(paced=False)
-    q2.awaitTermination(300)
+    assert q2.awaitTermination(300), "resumed flush stream did not terminate"
 
     want = {
         str(r["hour"]): r.asDict()
@@ -582,7 +582,7 @@ def test_raw_events_copy_bulk_load_live(pg, spark, sf_dir, tmp_path):
 
 def test_reference_sample_end_to_end_live(pg, spark, tmp_path):
     """The reference's literal sample run, on its actual database: the
-    219-event ``data/events.jsonl`` (the exact file producer/producer.py:41
+    220-event ``data/events.jsonl`` (the exact file producer/producer.py:41
     replays) streamed through JSONL envelope parse -> dead-letter split ->
     exact stateful hourly aggregation -> engine-generated
     ``ON CONFLICT (hour) DO UPDATE`` into a LIVE PostgreSQL 15 carrying the
@@ -669,8 +669,8 @@ def test_reference_sample_end_to_end_live(pg, spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q_metrics.awaitTermination(300)
-    q_dead.awaitTermination(300)
+    assert q_metrics.awaitTermination(300), "metrics stream did not terminate"
+    assert q_dead.awaitTermination(300), "dead-letter stream did not terminate"
 
     valid_batch, _ = split_events(read_events_jsonl(spark, str(src)))
     assert valid_batch.count() == 220  # every sample line passes validation

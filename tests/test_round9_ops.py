@@ -2,8 +2,10 @@
 
 Every prior correctness gate runs on the driver's synthetic testdata mapped
 through the energy adapter. This module closes the remaining fidelity gap at
-the INPUT boundary: the literal 219-event ``data/events.jsonl`` the reference
-ships (producer/producer.py:41-53 reads exactly this file) goes through the
+the INPUT boundary: the literal 220-event ``data/events.jsonl`` the reference
+ships (219 newlines + an unterminated final record — the reference README's
+"219" count misses the last line; producer/producer.py:41-53 reads exactly
+this file). The sample goes through the
 engine's real ingestion surface — JSONL envelope scan, dead-letter split,
 exact stateful hourly aggregation — and the result is pinned three ways:
 

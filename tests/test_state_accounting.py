@@ -143,28 +143,15 @@ def test_stateful_bounded_hourly_exact_and_evicting(spark, sf_dir, corpus_stats,
     must emit exactly once with ALL 15 metrics — including the two exact
     distincts — equal to the batch aggregation, while state plateaus at the
     open horizon instead of growing to hours-cardinality."""
-    import os
-    import shutil
-    import tempfile
     from datetime import timedelta
 
     from energy_data_stream_processing_spark.streaming.runner import (
+        append_watermark_sentinel,
         hourly_metrics_stateful_bounded_stream,
-        normalize_event_ts,
     )
 
     src = ascending_time_chunks(spark, sf_dir, N_CHUNKS)
-    norm = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
-    mx = norm.selectExpr("max(ts) AS m").collect()[0]["m"]
-    sdf = spark.createDataFrame(
-        [(-1, mx + timedelta(days=3650), -1, "sentinel", 0.0, "{}")],
-        schema=norm.schema,
-    )
-    stage = tempfile.mkdtemp(prefix="sentinel-stage-")
-    sdf.coalesce(1).write.mode("overwrite").parquet(stage)
-    part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
-    os.rename(f"{stage}/{part}", f"{src}/chunk_z_sentinel.parquet")
-    shutil.rmtree(stage, ignore_errors=True)
+    mx = append_watermark_sentinel(spark, sf_dir, src)
 
     ev = energy_events_stream(spark, sf_dir, source_dir=src, max_files_per_trigger=1)
     out, batches = run_stream_with_state_metrics(
@@ -280,6 +267,53 @@ def test_stateful_bounded_hourly_survives_restart(spark, sf_dir, corpus_stats, t
             assert float(row[c]) == pytest.approx(
                 float(want[hour][c]), abs=1e-9
             ), (hour, c)
+
+
+def test_stateful_bounded_hourly_non_utc_session_tz(spark, sf_dir, corpus_stats):
+    """Timer-epoch regression guard: the group key reaches the state
+    function tz-NAIVE in session wall-clock, while setTimeoutTimestamp and
+    getCurrentWatermarkMs speak true epoch — an unlocalized conversion
+    makes hour-end timestamps 4-5 h early under America/New_York, firing
+    timeouts while on-time rows still arrive (premature eviction, then a
+    duplicate partial when the hour re-opens). Under a non-UTC session the
+    bounded stream must still emit every hour exactly once, batch-equal."""
+    from datetime import timedelta
+
+    from energy_data_stream_processing_spark.streaming.runner import (
+        append_watermark_sentinel,
+        hourly_metrics_stateful_bounded_stream,
+        run_stream_to_table,
+    )
+
+    prior = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        src = ascending_time_chunks(spark, sf_dir, 3)
+        mx = append_watermark_sentinel(spark, sf_dir, src)
+        ev = energy_events_stream(spark, sf_dir, source_dir=src, max_files_per_trigger=1)
+        out = run_stream_to_table(
+            spark,
+            hourly_metrics_stateful_bounded_stream(ev, horizon="2 hours"),
+            mode="append",
+        )
+        rows = [r for r in out.collect() if r["hour"] < mx + timedelta(days=30)]
+        hours = [r["hour"] for r in rows]
+        assert len(hours) == len(set(hours)), "premature eviction duplicated an hour"
+        # batch twin computed under the SAME session tz
+        want = {
+            r["hour"]: r
+            for r in hourly_business_metrics(energy_events(spark, sf_dir)).collect()
+        }
+        got = {r["hour"]: r for r in rows}
+        assert set(got) == set(want) and len(got) == corpus_stats["hours"]
+        for hour, row in got.items():
+            for c in want[hour].asDict():
+                if c != "hour":
+                    assert float(row[c]) == pytest.approx(
+                        float(want[hour][c]), abs=1e-9
+                    ), (hour, c)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prior)
 
 
 def test_stateful_bounded_hourly_drops_beyond_horizon_rows(spark, sf_dir, tmp_path):
