@@ -26,9 +26,11 @@ from energy_data_stream_processing_spark.functions.stage_metrics import (
 )
 from energy_data_stream_processing_spark.session import get_spark
 from energy_data_stream_processing_spark.streaming.runner import (
+    append_watermark_sentinel,
     ascending_time_chunks,
     energy_events_stream,
     hourly_metrics_native_stream,
+    hourly_metrics_stateful_bounded_stream,
     hourly_metrics_stateful_stream,
     stream_raw_events,
 )
@@ -79,6 +81,16 @@ def main() -> None:
         "exact stateful hourly (no horizon)",
         hourly_metrics_stateful_stream(ev2),
         "update",
+    )
+    # bounded variant gets its OWN chunk dir: the sentinel file that flushes
+    # its tail must not leak into the other profiles' replays
+    src_b = ascending_time_chunks(spark, sf_dir, n_chunks)
+    append_watermark_sentinel(spark, sf_dir, src_b)
+    ev3 = energy_events_stream(spark, sf_dir, source_dir=src_b, max_files_per_trigger=1)
+    out["hourly_stateful_bounded"] = profile(
+        "bounded exact hourly (2h timeout)",
+        hourly_metrics_stateful_bounded_stream(ev3, horizon="2 hours"),
+        "append",
     )
 
     row = (
