@@ -895,7 +895,12 @@ def sessionize_timeout_stream(events: DataFrame, gap_minutes: int = 30) -> DataF
     own timeout — this is what bounds state under key churn, where the
     batch window plan would re-sort everything); emission is append-mode
     (sessions are final when emitted), so downstream sinks never see
-    retractions.
+    retractions. Lateness contract: Spark late-filters stateful input
+    whenever event-time timeouts are active, so rows older than the 1-hour
+    watermark are DROPPED, not sessionized — the same measured behavior as
+    the bounded hourly variant (tests/test_state_accounting.py::
+    test_stateful_bounded_hourly_drops_beyond_horizon_rows); batch parity
+    therefore assumes arrival order within the watermark horizon.
     """
     from pyspark.sql.types import LongType
 
