@@ -209,6 +209,21 @@ def jdbc_upsert_statement(
             f"INSERT INTO {table} ({collist})\nVALUES ({placeholders})\n"
             f"ON CONFLICT (hour) DO UPDATE SET\n    {updates}"
         )
+    if dialect == "postgres_final":
+        # Append-only sink for FINAL-emission streams (the bounded hourly
+        # variant emits each hour exactly once, append mode): plain INSERT
+        # with DO NOTHING as the replay guard — a retried micro-batch
+        # re-inserts identical final rows and the conflict is a no-op, so
+        # the flush is idempotent WITHOUT update arithmetic. Correct ONLY
+        # for final rows: an update-mode stream fed through this would
+        # freeze each hour at its first partial — pair it with append-mode
+        # final-only emission (tests/test_postgres_live.py proves the
+        # pairing end-to-end on a live server).
+        placeholders = ", ".join(["%s"] * len(cols))
+        return (
+            f"INSERT INTO {table} ({collist})\nVALUES ({placeholders})\n"
+            f"ON CONFLICT (hour) DO NOTHING"
+        )
     if dialect == "postgres_additive":
         placeholders = ", ".join(["%s"] * len(cols))
         # In DO UPDATE SET the target row must be referenced by the table's

@@ -694,3 +694,87 @@ def test_reference_sample_end_to_end_live(pg, spark, tmp_path):
 
     dead = pg.sql("SELECT raw, reason FROM sample_bad_events;")
     assert dead == [["not a json line at all", "Malformed JSON"]]
+
+
+def test_bounded_stream_final_insert_flush_live(pg, spark, sf_dir, tmp_path):
+    """The bounded variant's operational payoff, on the real database: its
+    append-mode FINAL-only emission needs no upsert arithmetic at all — the
+    flush is a plain ``INSERT ... ON CONFLICT (hour) DO NOTHING``
+    (``dialect='postgres_final'``), append-only and replay-idempotent
+    because every row is already the hour's final value. The reference
+    needs its 16-column additive merge precisely because its consumer
+    flushes PARTIAL states (consumer/consumer.py:321-367); final-only
+    emission dissolves that whole class of merge arithmetic (and its
+    distinct double-count bug). Gate: stream through the real sink, then
+    the table must equal the batch aggregate on all 15 metrics for every
+    real hour — the PRIMARY KEY makes any double-emission a loud error.
+    Replay-idempotence is then proven directly by re-executing the whole
+    first batch's statements: row count and values must not move."""
+    from energy_data_stream_processing_spark.operators.hourly import (
+        hourly_business_metrics,
+    )
+    from energy_data_stream_processing_spark.sources.adapter import energy_events
+    from energy_data_stream_processing_spark.sources.sinks import (
+        foreach_batch_statement_upsert,
+    )
+    from energy_data_stream_processing_spark.streaming.runner import (
+        append_watermark_sentinel,
+        ascending_time_chunks,
+        energy_events_stream,
+        hourly_metrics_stateful_bounded_stream,
+    )
+
+    pg.sql(_reference_ddl("bounded_flush"))
+    executed: list[tuple[str, list]] = []
+
+    def execute_many(sql, rows):
+        executed.append((sql, rows))
+        pg.sql(_prepared(sql, rows))
+
+    src = ascending_time_chunks(spark, sf_dir, 3)
+    mx = append_watermark_sentinel(spark, sf_dir, src)
+    flush = foreach_batch_statement_upsert(
+        "bounded_flush", execute_many=execute_many, dialect="postgres_final"
+    )
+    ev = energy_events_stream(spark, sf_dir, source_dir=src, max_files_per_trigger=1)
+    q = (
+        hourly_metrics_stateful_bounded_stream(ev, horizon="2 hours")
+        .drop("update_seq")
+        .writeStream.foreachBatch(flush)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_bounded"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "bounded flush stream did not terminate"
+
+    want = {
+        str(r["hour"]): r.asDict()
+        for r in hourly_business_metrics(energy_events(spark, sf_dir)).collect()
+    }
+    sentinel_cut = (mx + datetime.timedelta(days=30)).strftime("%Y-%m-%d %H:%M:%S")
+
+    def read_table():
+        return {
+            r[0]: dict(zip(METRIC_COLUMNS, r[1:]))
+            for r in pg.sql(
+                "SET extra_float_digits = 3;"
+                "SELECT hour::text, " + ", ".join(METRIC_COLUMNS)
+                + f" FROM bounded_flush WHERE hour < '{sentinel_cut}';"
+            )
+        }
+
+    got = read_table()
+    assert set(got) == set(want)
+    for hour, row in got.items():
+        for c in METRIC_COLUMNS:
+            assert float(row[c]) == float(want[hour][c]), (hour, c)
+
+    # replay-idempotence of the sink itself: re-execute every flushed
+    # statement verbatim (a foreachBatch retry) — DO NOTHING absorbs it
+    n_before = int(pg.sql("SELECT count(*) FROM bounded_flush;")[0][0])
+    assert executed
+    for sql, rows in executed:
+        pg.sql(_prepared(sql, rows))
+    assert int(pg.sql("SELECT count(*) FROM bounded_flush;")[0][0]) == n_before
+    assert read_table() == got
