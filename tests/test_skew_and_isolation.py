@@ -62,3 +62,50 @@ def test_interleaved_sf_dirs_do_not_clobber(spark):
     assert rows_a != rows_b, "test data scales must differ for this to prove anything"
     assert rows_a == q.builder(spark, "/root/testdata/sf0.001").count()
     assert rows_b == q.builder(spark, "/root/testdata/sf0.01").count()
+
+
+def test_aqe_skew_join_split_engages(spark):
+    """SCALE.md §3's 'AQE's skew-join split handles the moderate cases
+    without code' claim, measured: a planted hot key (90% of a 400k-row
+    fact on one join key) through a non-broadcast SortMergeJoin must come
+    back with AQE's skew optimization actually applied — the final
+    adaptive plan carries ``SortMergeJoin(skew=true)`` and a
+    ``skewed`` AQEShuffleRead — and the result must be exactly the join's
+    semantic output (every fact row matches exactly one dim row). The
+    thresholds are lowered because the defaults gate on 256 MB partitions;
+    the MECHANISM under test is identical at any scale."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(400_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(0))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k")
+        rows = j.collect()
+        # correctness under the split: inner join on a key space the dim
+        # covers completely — exactly one match per fact row, w == 2k
+        assert len(rows) == 400_000
+        assert all(r["w"] == 2 * r["k"] for r in rows[:1000])
+        # the plan must be the FINAL adaptive plan with the skew split on
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+        assert "skewed" in plan  # AQEShuffleRead applied skewed reads
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
