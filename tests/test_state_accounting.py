@@ -269,6 +269,31 @@ def test_stateful_bounded_hourly_survives_restart(spark, sf_dir, corpus_stats, t
             ), (hour, c)
 
 
+def test_sliding_window_state_multiplier_measured(spark, sf_dir, chunk_src):
+    """SCALE.md §4's 'sliding windows multiply state by window/slide' claim,
+    measured: the same corpus through a 1 h TUMBLING window and a
+    1 h / 15 min SLIDING window (×4 overlap) under the same 2 h watermark
+    must show a ~4× state-row plateau ratio — the number that prices a
+    dashboard's slide granularity before anyone ships it."""
+    def peak(windowed):
+        _, batches = run_stream_with_state_metrics(spark, windowed, mode="append")
+        return max(state_rows_series(batches))
+
+    def stream():
+        return stream_raw_events(
+            spark, sf_dir, source_dir=chunk_src, max_files_per_trigger=1
+        ).withWatermark("ts", "2 hours")
+
+    tumbling = peak(
+        stream().groupBy(F.window("ts", "1 hour")).count()
+    )
+    sliding = peak(
+        stream().groupBy(F.window("ts", "1 hour", "15 minutes")).count()
+    )
+    ratio = sliding / tumbling
+    assert 3.0 <= ratio <= 5.5, (tumbling, sliding, ratio)
+
+
 def test_stateful_bounded_hourly_non_utc_session_tz(spark, sf_dir, corpus_stats):
     """Timer-epoch regression guard: the group key reaches the state
     function tz-NAIVE in session wall-clock, while setTimeoutTimestamp and
