@@ -294,6 +294,81 @@ def test_sliding_window_state_multiplier_measured(spark, sf_dir, chunk_src):
     assert 3.0 <= ratio <= 5.5, (tumbling, sliding, ratio)
 
 
+def test_interval_join_state_evicts_by_condition(spark, sf_dir, chunk_src):
+    """SCALE.md §4's stream-stream join claim, measured: 'the interval
+    predicate is what lets the engine evict each side'. With a 1-HOUR
+    watermark (not the test-wide 45-day blanket) the symmetricHashJoin's
+    state must plateau at interval-horizon size (~25 h of arrivals, not
+    the 30-day corpus), evict every batch — and the appended pairs must
+    STILL exactly equal the batch self-join, because retention is derived
+    from the 24 h interval condition, not the watermark delay alone."""
+    def sides():
+        raw = stream_raw_events(
+            spark, sf_dir, source_dir=chunk_src, max_files_per_trigger=1
+        )
+        v = (
+            raw.where(F.col("event_type") == "view")
+            .select(
+                F.col("user_id").alias("v_user"),
+                F.col("ts").alias("view_ts"),
+                F.col("event_id").alias("view_id"),
+            )
+            .withWatermark("view_ts", "1 hour")
+        )
+        raw2 = stream_raw_events(
+            spark, sf_dir, source_dir=chunk_src, max_files_per_trigger=1
+        )
+        p = (
+            raw2.where(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("purchase_ts"),
+                F.col("event_id").alias("purchase_id"),
+            )
+            .withWatermark("purchase_ts", "1 hour")
+        )
+        return v, p
+
+    cond = (
+        "v_user = p_user AND purchase_ts > view_ts "
+        "AND purchase_ts <= view_ts + INTERVAL 24 HOURS"
+    )
+    v, p = sides()
+    out, batches = run_stream_with_state_metrics(
+        spark, v.join(p, F.expr(cond)), mode="append"
+    )
+    series = state_rows_series(batches)
+    removed = [sum(o["rows_removed"] for o in b["operators"]) for b in batches]
+
+    from energy_data_stream_processing_spark.streaming.runner import (
+        normalize_event_ts,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    n_sides = raw.where(F.col("event_type").isin("view", "purchase")).count()
+    # plateau at interval-horizon size (measured 66 of 390 side rows = 17%)
+    assert max(series) <= n_sides * 0.35, (series, n_sides)
+    assert sum(1 for r in removed if r > 0) >= N_CHUNKS - 1, removed
+
+    vb = raw.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    pb = raw.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    want = sorted(
+        (r["view_id"], r["purchase_id"])
+        for r in vb.join(pb, F.expr(cond)).collect()
+    )
+    got = sorted((r["view_id"], r["purchase_id"]) for r in out.collect())
+    assert got == want and len(got) > 0
+
+
 def test_stateful_bounded_hourly_non_utc_session_tz(spark, sf_dir, corpus_stats):
     """Timer-epoch regression guard: the group key reaches the state
     function tz-NAIVE in session wall-clock, while setTimeoutTimestamp and
