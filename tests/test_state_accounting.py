@@ -369,6 +369,52 @@ def test_interval_join_state_evicts_by_condition(spark, sf_dir, chunk_src):
     assert got == want and len(got) > 0
 
 
+def test_session_window_state_evicts_closed_sessions(spark, sf_dir):
+    """SCALE.md §4's session_window claim, measured: the merging-window
+    state holds only OPEN sessions — closed ones evict as the watermark
+    passes their gap — so the plateau tracks concurrent activity, not the
+    corpus's total session count, while append-mode emission reproduces the
+    batch sessionization exactly (the sentinel closes the tail)."""
+    from energy_data_stream_processing_spark.operators.sessions import (
+        sessionize,
+        sessionize_native,
+    )
+    from energy_data_stream_processing_spark.streaming.runner import (
+        append_watermark_sentinel,
+        normalize_event_ts,
+    )
+
+    src = ascending_time_chunks(spark, sf_dir, N_CHUNKS)
+    append_watermark_sentinel(spark, sf_dir, src)
+    stream = stream_raw_events(spark, sf_dir, source_dir=src, max_files_per_trigger=1)
+    agg = sessionize_native(
+        stream.withWatermark("ts", "1 hour"), gap_minutes=30, exact_distinct=False
+    )
+    out, batches = run_stream_with_state_metrics(spark, agg, mode="append")
+    series = state_rows_series(batches)
+    removed = [sum(o["rows_removed"] for o in b["operators"]) for b in batches]
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    want = sorted(
+        map(
+            tuple,
+            sessionize(raw, gap_minutes=30)
+            .select("user_id", "session_start", "session_end", "n_events")
+            .collect(),
+        )
+    )
+    # plateau = concurrently-open sessions (measured 125 of 946 = 13%)
+    assert max(series) <= len(want) * 0.35, (series, len(want))
+    assert sum(1 for r in removed if r > 0) >= N_CHUNKS - 1, removed
+    got = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in out.collect()
+        if r["user_id"] >= 0
+    )
+    assert got == want and len(got) > 0
+
+
 def test_stateful_bounded_hourly_non_utc_session_tz(spark, sf_dir, corpus_stats):
     """Timer-epoch regression guard: the group key reaches the state
     function tz-NAIVE in session wall-clock, while setTimeoutTimestamp and
