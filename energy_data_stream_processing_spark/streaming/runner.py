@@ -763,25 +763,30 @@ def ascending_time_chunks(spark: SparkSession, sf_dir: str, n_chunks: int) -> st
     return src
 
 
-def view_purchase_attribution_stream(views: DataFrame, purchases: DataFrame) -> DataFrame:
+def view_purchase_attribution_stream(
+    views: DataFrame, purchases: DataFrame, watermark: str = "45 days"
+) -> DataFrame:
     """Stream-stream event-time interval join: attribute each purchase to
     every view by the same user in the preceding 24 h.
 
     Both sides carry watermarks; the time-range predicate lets the engine
     evict view state once ``view_ts + 24h`` falls behind the purchase-side
     watermark and purchase state once it falls behind the view-side
-    watermark — bounded state, append-mode emission.
+    watermark — bounded state, append-mode emission. The default 45-day
+    ``watermark`` blankets the test fixture's span; the eviction mechanics
+    under a tight 1-hour horizon are measured in
+    tests/test_state_accounting.py::test_interval_join_state_evicts_by_condition.
     """
     v = views.select(
         F.col("user_id").alias("v_user"),
         F.col("ts").alias("view_ts"),
         F.col("event_id").alias("view_id"),
-    ).withWatermark("view_ts", "45 days")
+    ).withWatermark("view_ts", watermark)
     p = purchases.select(
         F.col("user_id").alias("p_user"),
         F.col("ts").alias("purchase_ts"),
         F.col("event_id").alias("purchase_id"),
-    ).withWatermark("purchase_ts", "45 days")
+    ).withWatermark("purchase_ts", watermark)
     return v.join(
         p,
         F.expr(

@@ -707,7 +707,9 @@ def test_bounded_stream_final_insert_flush_live(pg, spark, sf_dir, tmp_path):
     emission dissolves that whole class of merge arithmetic (and its
     distinct double-count bug). Gate: stream through the real sink, then
     the table must equal the batch aggregate on all 15 metrics for every
-    real hour — the PRIMARY KEY makes any double-emission a loud error.
+    real hour — note DO NOTHING means a double-emission would be silently
+    absorbed (first write wins), so the per-metric value equality below is
+    the guard that catches a stale first partial, not the PRIMARY KEY.
     Replay-idempotence is then proven directly by re-executing the whole
     first batch's statements: row count and values must not move."""
     from energy_data_stream_processing_spark.operators.hourly import (

@@ -302,40 +302,20 @@ def test_interval_join_state_evicts_by_condition(spark, sf_dir, chunk_src):
     the 30-day corpus), evict every batch — and the appended pairs must
     STILL exactly equal the batch self-join, because retention is derived
     from the 24 h interval condition, not the watermark delay alone."""
-    def sides():
-        raw = stream_raw_events(
-            spark, sf_dir, source_dir=chunk_src, max_files_per_trigger=1
-        )
-        v = (
-            raw.where(F.col("event_type") == "view")
-            .select(
-                F.col("user_id").alias("v_user"),
-                F.col("ts").alias("view_ts"),
-                F.col("event_id").alias("view_id"),
-            )
-            .withWatermark("view_ts", "1 hour")
-        )
-        raw2 = stream_raw_events(
-            spark, sf_dir, source_dir=chunk_src, max_files_per_trigger=1
-        )
-        p = (
-            raw2.where(F.col("event_type") == "purchase")
-            .select(
-                F.col("user_id").alias("p_user"),
-                F.col("ts").alias("purchase_ts"),
-                F.col("event_id").alias("purchase_id"),
-            )
-            .withWatermark("purchase_ts", "1 hour")
-        )
-        return v, p
-
-    cond = (
-        "v_user = p_user AND purchase_ts > view_ts "
-        "AND purchase_ts <= view_ts + INTERVAL 24 HOURS"
+    from energy_data_stream_processing_spark.streaming.runner import (
+        view_purchase_attribution_stream,
     )
-    v, p = sides()
+
+    views = stream_raw_events(
+        spark, sf_dir, source_dir=chunk_src, max_files_per_trigger=1
+    ).where(F.col("event_type") == "view")
+    purchases = stream_raw_events(
+        spark, sf_dir, source_dir=chunk_src, max_files_per_trigger=1
+    ).where(F.col("event_type") == "purchase")
     out, batches = run_stream_with_state_metrics(
-        spark, v.join(p, F.expr(cond)), mode="append"
+        spark,
+        view_purchase_attribution_stream(views, purchases, watermark="1 hour"),
+        mode="append",
     )
     series = state_rows_series(batches)
     removed = [sum(o["rows_removed"] for o in b["operators"]) for b in batches]
@@ -361,9 +341,14 @@ def test_interval_join_state_evicts_by_condition(spark, sf_dir, chunk_src):
         F.col("ts").alias("purchase_ts"),
         F.col("event_id").alias("purchase_id"),
     )
+    # batch groundtruth states the predicate independently (the oracle side)
+    batch_cond = (
+        "v_user = p_user AND purchase_ts > view_ts "
+        "AND purchase_ts <= view_ts + INTERVAL 24 HOURS"
+    )
     want = sorted(
         (r["view_id"], r["purchase_id"])
-        for r in vb.join(pb, F.expr(cond)).collect()
+        for r in vb.join(pb, F.expr(batch_cond)).collect()
     )
     got = sorted((r["view_id"], r["purchase_id"]) for r in out.collect())
     assert got == want and len(got) > 0
