@@ -42,9 +42,13 @@ def measure_job_metrics(
     group and return the summed stage metrics of exactly those jobs.
 
     Returns a dict with ``METRIC_FIELDS`` totals plus ``stages`` (stage
-    count with recorded attempts), ``jobs`` (job ids) and ``result``
-    (``fn``'s return value). Byte totals are executor-aggregated across all
-    task attempts of each stage's LAST attempt.
+    count with recorded attempts), ``jobs`` (job ids), ``result``
+    (``fn``'s return value) and ``peak_execution_memory_bytes`` — the MAX
+    single-stage peak execution memory (sort/agg/join buffer high-water
+    mark; a max, not a sum, because stages of one job run sequentially and
+    summing would overstate concurrent pressure). Byte totals are
+    executor-aggregated across all task attempts of each stage's LAST
+    attempt.
     """
     sc = spark.sparkContext
     group = f"stage-metrics-{uuid.uuid4().hex[:12]}"
@@ -73,6 +77,7 @@ def measure_job_metrics(
     store = spark._jsc.sc().statusStore()
     totals = dict.fromkeys(METRIC_FIELDS, 0)
     recorded = 0
+    peak_mem = 0
     for sid in stage_ids:
         try:
             s = store.lastStageAttempt(sid)
@@ -85,7 +90,14 @@ def measure_job_metrics(
         totals["disk_spill_bytes"] += s.diskBytesSpilled()
         totals["input_bytes"] += s.inputBytes()
         totals["output_bytes"] += s.outputBytes()
-    return {**totals, "stages": recorded, "jobs": jobs, "result": result}
+        peak_mem = max(peak_mem, s.peakExecutionMemory())
+    return {
+        **totals,
+        "peak_execution_memory_bytes": peak_mem,
+        "stages": recorded,
+        "jobs": jobs,
+        "result": result,
+    }
 
 
 def run_to_noop(df) -> None:

@@ -57,8 +57,8 @@ def main() -> None:
     spark = get_spark("shuffle-accounting-probe")
     qs = all_queries()
     out: dict[str, dict] = {}
-    fmt = "{:<28}{:>14}{:>14}{:>12}{:>14}{:>8}"
-    print(fmt.format("query", "shuffle_w", "shuffle_r", "spill", "input", "stages"))
+    fmt = "{:<28}{:>14}{:>14}{:>12}{:>14}{:>14}{:>8}"
+    print(fmt.format("query", "shuffle_w", "shuffle_r", "spill", "input", "peak_mem", "stages"))
     for name in PROBE_QUERIES:
         q = qs[name]
         df = q.builder(spark, sf_dir)
@@ -68,7 +68,7 @@ def main() -> None:
             for k in (
                 "shuffle_write_bytes", "shuffle_read_bytes",
                 "memory_spill_bytes", "disk_spill_bytes",
-                "input_bytes", "stages",
+                "input_bytes", "peak_execution_memory_bytes", "stages",
             )
         }
         out[name] = row
@@ -79,6 +79,7 @@ def main() -> None:
                 row["shuffle_read_bytes"],
                 row["memory_spill_bytes"] + row["disk_spill_bytes"],
                 row["input_bytes"],
+                row["peak_execution_memory_bytes"],
                 row["stages"],
             )
         )
