@@ -216,6 +216,19 @@ SHUFFLE_GATES = [
     ("embedding_cosine_topk", 16 * 1024),
     ("ann_ivf_topk", 256 * 1024),
     ("sequence_packing_audit", 8 * 1024),
+    # training-pipeline composed operators (first-class in the coverage
+    # story): measured 7-340 KB at sf0.01 against a 580 KB documents scan —
+    # every one collapses to vocab-/bin-/panel-sized frames before the wire
+    ("corpus_curation_pipeline", 256 * 1024),
+    ("semantic_dedup_keep", 96 * 1024),
+    ("greedy_sequence_packing", 64 * 1024),
+    ("tfidf_top_terms", 1536 * 1024),
+    ("bm25_search", 384 * 1024),
+    ("epoch_shuffle_assignment", 320 * 1024),
+    ("dedup_simhash", 320 * 1024),
+    ("unigram_surprisal_filter", 1536 * 1024),
+    ("label_cap_sample", 48 * 1024),
+    ("embedding_gram_matrix", 192 * 1024),
 ]
 
 
