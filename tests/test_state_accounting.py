@@ -56,6 +56,35 @@ def corpus_stats(spark, sf_dir):
     return {"hours": row["hours"], "rows": row["rows"]}
 
 
+def test_state_metrics_helper_contract(spark, sf_dir, chunk_src):
+    """Contract of the measurement tool the rest of this module leans on:
+    a STATELESS stream reports batches with EMPTY operator lists (so a
+    plateau assertion against it would be vacuous — which is why every
+    test here also asserts a POSITIVE signal: evictions, exact finals, or
+    output equality), and a stateful one reports non-empty stateOperators
+    with the documented fields."""
+    raw = stream_raw_events(spark, sf_dir, source_dir=chunk_src, max_files_per_trigger=1)
+    _, batches = run_stream_with_state_metrics(
+        spark, raw.select("event_id", "ts"), mode="append"
+    )
+    assert len(batches) >= N_CHUNKS
+    assert all(b["operators"] == [] for b in batches)
+    assert state_rows_series(batches) == [0] * len(batches)
+
+    raw2 = stream_raw_events(spark, sf_dir, source_dir=chunk_src, max_files_per_trigger=1)
+    _, batches2 = run_stream_with_state_metrics(
+        spark,
+        raw2.withWatermark("ts", "2 hours").groupBy(F.window("ts", "1 hour")).count(),
+        mode="append",
+    )
+    ops = [o for b in batches2 for o in b["operators"]]
+    assert ops, "stateful stream reported no state operators"
+    assert all(
+        set(o) == {"operator", "rows_total", "rows_updated", "rows_removed", "memory_bytes"}
+        for o in ops
+    )
+
+
 def test_watermark_eviction_bounds_window_state(spark, sf_dir, chunk_src, corpus_stats):
     """The idiomatic watermarked hourly window agg: with a 2-hour lateness
     horizon over in-order micro-batches, state must PLATEAU at
