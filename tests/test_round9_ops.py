@@ -1,4 +1,6 @@
-"""Round 9: the reference's OWN sample corpus replayed through the engine.
+"""Round 9: reference-sample replay fidelity + measured shuffle byte gates.
+
+Part 1 — the reference's OWN sample corpus replayed through the engine.
 
 Every prior correctness gate runs on the driver's synthetic testdata mapped
 through the energy adapter. This module closes the remaining fidelity gap at
