@@ -253,3 +253,74 @@ def test_shuffle_volume_and_spill_gates(spark, name, bound):
     assert m["shuffle_write_bytes"] <= bound, (
         f"{name} shuffled {m['shuffle_write_bytes']}B > gate {bound}B"
     )
+
+
+@needs_ref_sample
+def test_reference_sample_bounded_stream_matches_batch(spark, ingest_dir):
+    """The bounded-state variant over the reference's OWN corpus: the same
+    220-event sample through hourly_metrics_stateful_bounded_stream —
+    eviction by event-time timeout, final-only append emission, a valid
+    far-future sentinel event flushing the tail — must reproduce the batch
+    aggregation on every one of the 125 sample hours, all 15 metrics
+    including both exact distincts. Fidelity x capability cross-check: the
+    snapshot-and-trim variant is proven not just on driver testdata but on
+    the reference's literal inputs."""
+    import json
+
+    from energy_data_stream_processing_spark.operators.hourly import (
+        hourly_business_metrics,
+    )
+    from energy_data_stream_processing_spark.operators.validation import (
+        split_events,
+    )
+    from energy_data_stream_processing_spark.sources.jsonl import (
+        CORRUPT_COL,
+        ENVELOPE_SCHEMA,
+    )
+    from energy_data_stream_processing_spark.streaming.runner import (
+        hourly_metrics_stateful_bounded_stream,
+        run_stream_to_table,
+    )
+
+    # sentinel: a VALID far-future event (first sample line, timestamp
+    # moved to 2035) in its own file — the final micro-batch pushes the
+    # watermark past every real hour's timeout
+    with open(REF_SAMPLE) as f:
+        ev = json.loads(f.readline())
+    ev["event_time"] = "2035-01-01T00:00:00.000000"
+    with open(os.path.join(ingest_dir, "z_sentinel.jsonl"), "w") as f:
+        f.write(json.dumps(ev) + "\n")
+
+    raw = (
+        spark.readStream.schema(ENVELOPE_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("maxFilesPerTrigger", 1)
+        .json(ingest_dir)
+    )
+    valid_stream, _ = split_events(raw)
+    out = run_stream_to_table(
+        spark,
+        hourly_metrics_stateful_bounded_stream(valid_stream, horizon="2 hours"),
+        mode="append",
+    )
+    import datetime
+
+    cut = datetime.datetime(2030, 1, 1)
+    got = {r["hour"]: r for r in out.collect() if r["hour"] < cut}
+
+    valid_batch, _ = _split_sample(spark, ingest_dir)
+    # exclude the sentinel from the batch twin too (same hour filter)
+    want = {
+        r["hour"]: r.asDict()
+        for r in hourly_business_metrics(valid_batch).collect()
+        if r["hour"] < cut
+    }
+    assert set(got) == set(want) and len(got) == SAMPLE_HOURS
+    for hour, row in got.items():
+        for c in want[hour]:
+            if c in ("hour", "update_seq"):
+                continue
+            assert float(row[c]) == pytest.approx(
+                float(want[hour][c]), abs=1e-9
+            ), (hour, c)
