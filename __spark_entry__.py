@@ -26,90 +26,99 @@ def entry(spark: SparkSession) -> DataFrame:
     return q.builder(spark, "/root/testdata/sf0.001")
 
 
-# Round-9 gate ordering. The driver checks a ~50-entry prefix of queries().
-# The round-8 driver gate never ran (no CORRECTNESS_r08.json), so evidence
-# age is unchanged since round 7 and the round-8 rotation is still the one
-# that matters — this round's prefix is that same rotation with the three
-# entries whose code changed in round 9 at the head: the NEW
-# streaming_hourly_bounded (bounded-state exact hourly, EventTimeTimeout)
-# plus streaming_hourly_metrics / streaming_timeout_sessions, which share
-# the refactored update-fn / sentinel helper. EXACTLY 50 names — the driver
-# samples a ~50-entry prefix, so anything past 50 silently gets no
-# evidence.
+# Round-10 gate ordering. The driver checks a ~50-entry prefix of
+# queries(). Head = the three entries whose CODE changed this round
+# (customer_view now density-dispatches between its three oracle-identical
+# plans; the two exact stateful hourly streams share the vectorized
+# _stateful_update_fn + the DST-safe timeout localization), then every
+# other oracle-backed entry by stalest-evidence-first — the two r4-era
+# entries (zipf_vocab_fit, zorder_layout_audit) lead the rotation tail,
+# backfilled with r5-era names to EXACTLY 50 (the driver samples a
+# ~50-entry prefix, so anything past 50 silently gets no evidence).
 #
 # GENERATED — do not hand-edit: regenerate with
-#   python scripts/gen_gate_prefix.py --changed <entries changed this round>
+#   python scripts/gen_gate_prefix.py --max-round <horizon> \
+#       --changed <entries changed this round>
 # and verified by `gen_gate_prefix.py --check`, which recomputes the list
-# from _GATE_CHANGED + CORRECTNESS_r*.json evidence age and diffs it
-# (tests/test_round8_ops.py). Entries without an oracle (engine-internal
-# sketches, by design) sort LAST in _ordered_names so the sampled prefix
-# is 100% hash-checkable.
+# from _GATE_CHANGED + CORRECTNESS_r*.json evidence age UP TO the
+# committed _GATE_EVIDENCE_MAX_ROUND horizon and diffs it
+# (tests/test_round8_ops.py, tests/test_round10_ops.py). Entries without
+# an oracle (engine-internal sketches, by design) sort LAST in
+# _ordered_names so the sampled prefix is 100% hash-checkable.
+
+#: Evidence horizon this rotation was generated from (round-9 verdict
+#: item 1): CORRECTNESS_r*.json artifacts from LATER rounds are ignored by
+#: the regeneration check, so the driver dropping this round's artifact
+#: after our last commit cannot redden the suite. The round workflow bumps
+#: this together with the regenerated prefix.
+_GATE_EVIDENCE_MAX_ROUND = 9
 
 # The round's changed/new entries — the declared input to the generator,
 # kept small by policy (a bloated changed set would crowd out rotation).
 _GATE_CHANGED = [
-    "streaming_hourly_bounded",
+    "customer_view",
     "streaming_hourly_metrics",
-    "streaming_timeout_sessions",
+    "streaming_hourly_bounded",
 ]
 
 _GATE_PREFIX = [
-    "streaming_hourly_bounded",
+    "customer_view",
     "streaming_hourly_metrics",
-    "streaming_timeout_sessions",
-    "customer_view_prefilter",
-    "corpus_curation_pipeline",
-    "customer_view_twophase",
-    "distinct_channels",
-    "events_profile",
-    "hourly_business_metrics_twophase",
-    "mixture_temperature_sample",
-    "streaming_user_sessions",
-    "asof_active_tariff",
-    "asof_forward_next_switch",
-    "asof_tolerance_tariff",
-    "burstiness_index",
-    "cohort_ltv_curves",
-    "consumption_payment_regression",
-    "cross_source_dup_matrix",
-    "customer_rfm_scores",
-    "data_outage_report",
-    "dedup_ngram_containment",
-    "dup_rate_by_source",
-    "embedding_dim_profile",
-    "embedding_norm_outliers",
-    "funnel_conversion_latency",
-    "hour_of_week_seasonality",
-    "inter_event_gap_profile",
-    "k_anonymity_audit",
-    "kfold_assignment",
-    "lang_id_confusion",
-    "last_touch_attribution",
-    "line_dedup_audit",
-    "load_duration_curve",
-    "markov_stationary_distribution",
-    "ngram_novelty_curve",
-    "ops_events_rate",
-    "ops_latency_p95",
-    "range_join_tariff_periods",
-    "revenue_pareto_concentration",
-    "revenue_reconciliation",
-    "seasonal_anomaly_zscore",
-    "session_type_cooccurrence",
-    "streaming_asof_enrichment",
-    "streaming_wau_growth",
-    "tariff_migration_matrix",
-    "tariff_revenue_attribution",
-    "unigram_surprisal_filter",
-    "vintage_drift_psi",
-    "weekly_active_users_growth",
-    "weighted_reservoir_sample",
+    "streaming_hourly_bounded",
+    "zipf_vocab_fit",
+    "zorder_layout_audit",
+    "approx_percentile_audit",
+    "bm25_search",
+    "brand_quantity_revenue",
+    "changelog_compaction",
+    "collocation_pmi",
+    "copurchase_pairs",
+    "cross_source_contamination",
+    "customer_order_distribution",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "doc_chunk_audit",
+    "doc_fingerprints",
+    "dominant_part_suppliers",
+    "embedding_gram_matrix",
+    "embedding_quantization_audit",
+    "embedding_similar_pairs",
+    "event_grouping_sets",
+    "forecast_revenue_change",
+    "greedy_sequence_packing",
+    "hard_negative_mining",
+    "hourly_event_pivot",
+    "important_parts_value_share",
+    "key_skew_profile",
+    "label_centroids",
+    "lang_id",
+    "lapsed_buyers_except",
+    "large_volume_customers",
+    "linestatus_priority_counts",
+    "local_supplier_volume",
+    "market_share",
+    "multimodal_phash_dedup",
+    "nation_product_profit",
+    "nation_revenue_share",
+    "ngram_decontamination",
+    "order_priority_check",
+    "parts_never_ordered",
+    "pii_redaction_audit",
+    "price_bucket_histogram",
+    "pricing_summary",
+    "promo_revenue",
+    "regional_cheapest_supplier",
+    "repetition_profile",
+    "retained_buyers_intersect",
+    "ann_recall_eval",
+    "approx_distinct_profile",
 ]
 
 # Round-tagged alias (kept for older tests); all code reads _GATE_PREFIX
 # (the stable name the generator checks).
 _FRESH_R8 = _GATE_PREFIX
 _FRESH_R9 = _GATE_PREFIX
+_FRESH_R10 = _GATE_PREFIX
 
 
 def _ordered_names() -> list[str]:

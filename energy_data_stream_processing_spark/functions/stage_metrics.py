@@ -109,7 +109,7 @@ def run_to_noop(df) -> None:
 
 
 def run_stream_with_state_metrics(
-    spark: SparkSession, streaming_df, mode: str = "update"
+    spark: SparkSession, streaming_df, mode: str = "update", timeout_s: int = 300
 ) -> tuple[Any, list[dict]]:
     """Execute a streaming DataFrame with ``availableNow`` into a memory
     sink and return ``(result_table_df, per_batch_state_metrics)``.
@@ -125,9 +125,15 @@ def run_stream_with_state_metrics(
     empty ``operators`` lists.
 
     Uses only public API (``query.recentProgress``), so unlike
-    ``measure_job_metrics`` it is Spark-Connect-portable. The default
-    ``spark.sql.streaming.numRecentProgressUpdates`` retains 100 batches —
-    ample for the chunked availableNow replays the tests run.
+    ``measure_job_metrics`` it is Spark-Connect-portable. Two guards
+    (round-10 advice): the run is bounded by ``timeout_s`` — a wedged
+    availableNow stream surfaces as an error with the query stopped, not a
+    suite hang — and the returned series is VERIFIED COMPLETE against the
+    last batch id: ``recentProgress`` retains only
+    ``spark.sql.streaming.numRecentProgressUpdates`` entries (default 100),
+    so a replay with more micro-batches than that would silently drop its
+    earliest batches and corrupt the plateau/monotonicity shapes callers
+    assert on; that now raises instead.
     """
     name = f"state_metrics_{uuid.uuid4().hex[:8]}"
     q = (
@@ -137,9 +143,27 @@ def run_stream_with_state_metrics(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        if not q.awaitTermination(timeout_s):
+            raise TimeoutError(
+                f"availableNow stream still running after {timeout_s}s "
+                "(wedged stream; see query.lastProgress for the stuck batch)"
+            )
+    finally:
+        q.stop()
+    progress = list(q.recentProgress)
+    ids = sorted(p.batchId for p in progress)
+    last = q.lastProgress
+    if last is not None and ids != list(range(last.batchId + 1)):
+        raise RuntimeError(
+            f"recentProgress is incomplete: saw batch ids {ids} but the "
+            f"last batch id is {last.batchId} — raise "
+            "spark.sql.streaming.numRecentProgressUpdates above the "
+            "micro-batch count (or lower n_chunks); a truncated series "
+            "would silently corrupt state-accounting shapes"
+        )
     batches: list[dict] = []
-    for p in q.recentProgress:
+    for p in progress:
         batches.append(
             {
                 "batch_id": p.batchId,

@@ -267,10 +267,81 @@ FROM base b LEFT JOIN switch_top s USING (customer_id)
     "deterministic cross-engine comparison. Scale swaps (both oracle-"
     "identical, both on the bench ladder): customer_view_twophase for "
     "cardinality skew, customer_view_prefilter for high per-customer event "
-    "density — the 100x-measured default at 100 TB (SCALE.md §6).",
+    "density — the 100x-measured default at 100 TB (SCALE.md §6). Since "
+    "round 10 this entry dispatches on MEASURED density (variant='auto'): "
+    "the ladder crossover picked the plan by hand; now the caller gets it "
+    "by default.",
 )
-def q_customer_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return customer_view_from_events(energy_events(spark, sf_dir))
+def q_customer_view(
+    spark: SparkSession,
+    sf_dir: str,
+    variant: str = "auto",
+    events_per_customer: float | None = None,
+) -> DataFrame:
+    return customer_view_dispatch(
+        energy_events(spark, sf_dir),
+        variant=variant,
+        events_per_customer=events_per_customer,
+    )
+
+
+#: events-per-customer density above which the PREFILTER plan is the
+#: measured winner (SCALE.md §6 three-plan ladder: at ~670 ev/cust the
+#: single-shuffle plan still wins 7.4 s vs 8.0 s; at ~6,700 prefilter wins
+#: 18.1 s vs 22.2 s) — the geometric midpoint of the two measured rungs.
+CUSTOMER_VIEW_DENSITY_CROSSOVER = 2000.0
+
+
+def estimate_events_per_customer(ev: DataFrame) -> float:
+    """Cheap density probe for the auto dispatch: one narrow job over the
+    pruned ``customer_id`` column (count + approx_count_distinct — at 100 TB
+    this reads a single column's pages, and the ±2% HLL error is irrelevant
+    against a 10x-wide crossover band)."""
+    row = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct("customer_id").alias("c"),
+    ).first()
+    return float(row["n"]) / float(max(1, row["c"]))
+
+
+def customer_view_dispatch(
+    ev: DataFrame,
+    variant: str = "auto",
+    events_per_customer: float | None = None,
+) -> DataFrame:
+    """Density-dispatched customer_view (round 10, SCALE.md §6).
+
+    All variants are result-identical (they share ONE DuckDB oracle);
+    ``variant`` picks the physical plan:
+
+    - ``"single"`` — one wide groupBy (simplest; best at low density);
+    - ``"prefilter"`` — switch structs from a tariff_switch-only slice,
+      joined back (measured best at >=100x density: 18.1 s vs 22.2 s);
+    - ``"twophase"`` — (customer, session) pre-agg (the CARDINALITY-skew
+      swap; never auto-picked — its failure mode is density itself);
+    - ``"auto"`` — measure ``events_per_customer`` (unless the caller
+      already knows it and passes it) and take prefilter above
+      ``CUSTOMER_VIEW_DENSITY_CROSSOVER``, single below.
+    """
+    if variant == "auto":
+        if events_per_customer is None:
+            events_per_customer = estimate_events_per_customer(ev)
+        variant = (
+            "prefilter"
+            if events_per_customer >= CUSTOMER_VIEW_DENSITY_CROSSOVER
+            else "single"
+        )
+    builders = {
+        "single": customer_view_from_events,
+        "twophase": customer_view_two_phase,
+        "prefilter": customer_view_prefiltered,
+    }
+    if variant not in builders:
+        raise ValueError(
+            f"unknown customer_view variant {variant!r}; "
+            f"expected one of {sorted(builders)} or 'auto'"
+        )
+    return builders[variant](ev)
 
 
 def customer_view_from_events(ev: DataFrame) -> DataFrame:

@@ -125,7 +125,7 @@ def foreach_batch_upsert(path: str):
 
 
 def foreach_batch_statement_upsert(
-    table: str, execute_many, dialect: str = "postgres"
+    table: str, execute_many, dialect: str = "postgres", final_only: bool = False
 ):
     """foreachBatch body flushing each micro-batch's hourly aggregates
     through the generated upsert statement via an injected executor —
@@ -147,13 +147,32 @@ def foreach_batch_statement_upsert(
     reference's own at-least-once consumer has exactly this corruption
     window, consumer/consumer.py:368-391 — a divergence we document rather
     than reproduce; the additive dialect stays available for the
-    batch/compat path where the caller controls delivery)."""
+    batch/compat path where the caller controls delivery).
+
+    ``postgres_final`` (INSERT ... ON CONFLICT DO NOTHING) has the MIRROR
+    hazard (round-10 advice): it is correct only for streams that emit each
+    hour EXACTLY ONCE with its final aggregates (append-mode final-only
+    emission, e.g. ``hourly_metrics_stateful_bounded_stream``). Fed an
+    update-mode partial-emitting stream, DO NOTHING silently freezes every
+    hour at its first partial. The sink cannot see the upstream output
+    mode, so the caller must acknowledge the pairing with
+    ``final_only=True`` — omitting it is a hard error, not a comment."""
     if dialect == "postgres_additive":
         raise ValueError(
             "postgres_additive is not replay-safe under foreachBatch "
             "(a retried micro-batch double-adds its deltas); use the "
             "idempotent full-row dialects, or drive additive flushes from "
             "a batch path with exactly-once delivery"
+        )
+    if dialect == "postgres_final" and not final_only:
+        raise ValueError(
+            "postgres_final (INSERT .. ON CONFLICT DO NOTHING) silently "
+            "freezes each hour at its FIRST emission, so it is only correct "
+            "for append-mode final-only streams (e.g. "
+            "hourly_metrics_stateful_bounded_stream); pass final_only=True "
+            "to acknowledge the stream emits each hour exactly once with "
+            "final values, or use dialect='postgres' (full-row replacement) "
+            "for update-mode partial emissions"
         )
     sql = jdbc_upsert_statement(table, dialect=dialect)
     cols = ["hour", *METRIC_COLUMNS]

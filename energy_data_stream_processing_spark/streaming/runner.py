@@ -35,8 +35,9 @@ import math
 import os
 import tempfile
 import uuid
-from typing import Any, Iterator
+from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -188,6 +189,25 @@ def _stateful_update_fn(final_only: bool = False, session_tz: str = "UTC"):
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        def f64(series: pd.Series):
+            """DECIMAL/object column -> float64 array with NaN for nulls.
+
+            Arrow hands DECIMAL columns to the state function as
+            object-dtype ``decimal.Decimal`` cells; ``pd.to_numeric``
+            converts them one object at a time over the WHOLE column
+            (measured 30 ms per 100k-row chunk at the real 23% non-null
+            payment density). Converting only the non-null cells through
+            numpy's C loop is ~5x faster (6 ms), value-identical — and a
+            cheap passthrough when the column already arrives numeric.
+            (Defined inside the closure: the update fn is pickled by
+            value; workers never import this package.)"""
+            a = series.to_numpy()
+            if a.dtype != object:
+                return a.astype(np.float64, copy=False)
+            out = np.full(len(a), np.nan)
+            m = pd.notna(a)
+            out[m] = a[m].astype(np.float64)
+            return out
         def final_row(ts, src, ic, icc, gs, tl, em, pk, pc, pe, n_cust, n_sess, seq):
             def r2(x: float) -> float:
                 return math.floor(x * 100.0 + 0.5) / 100.0
@@ -237,45 +257,53 @@ def _stateful_update_fn(final_only: bool = False, session_tz: str = "UTC"):
             cust, sess = set(), set()
         seq += 1
 
-        def cents(v: Any) -> int:
-            # payment_amount arrives as DECIMAL(10,2) -> exact cents
-            return int(round(float(v) * 100))
-
-        def milli(v: Any) -> int:
-            return int(round(float(v) * 1000))
-
         for pdf in pdfs:
-            for et, payment, energy, cid, sid, tariff in zip(
-                pdf["event_type"], pdf["payment_amount"], pdf["energy_consumed"],
-                pdf["customer_id"], pdf["session_id"], pdf["tariff_type"],
-            ):
-                has_pay = payment is not None and not (isinstance(payment, float) and math.isnan(payment))
-                has_energy = energy is not None and not (isinstance(energy, float) and math.isnan(energy))
-                if et == "tariff_switch":
-                    ts += 1
-                    if has_pay:
-                        src += cents(payment)
-                    if tariff == "green":
-                        gs += 1
-                elif et == "incentive_claim":
-                    ic += 1
-                    if has_pay:
-                        icc += cents(payment)
-                elif et == "user_login":
-                    tl += 1
-                    if sid is not None:
-                        sess.add(int(sid))
-                elif et == "energy_consumed":
-                    if has_energy:
-                        m = milli(energy)
-                        em += m
-                        pk = max(pk, m)  # GREATEST merge (reference bug fixed)
-                elif et == "bill_payment":
-                    if has_pay:
-                        pc += cents(payment)
-                        pe += 1
-                if cid is not None:
-                    cust.add(cid)
+            # Vectorized per Arrow chunk (round 10): pandas masks +
+            # int64 sums replace the former per-event Python loop — the
+            # last interpreted per-row path any catalog entry crossed
+            # (reference twin consumer/consumer.py:240-293). Quantization
+            # is bit-identical to the scalar form it replaced: DECIMAL ->
+            # float64, * 100 (or * 1000), half-even rounding per element
+            # (np.round == Python round on float64 — both round-half-even,
+            # and DECIMAL(10,2)*100 never lands on an exact .5 anyway),
+            # then exact int64 accumulation.
+            # one factorize pass replaces five object-string equality scans
+            # (measured 3 ms vs 21.5 ms per 100k-row chunk)
+            codes, uniques = pd.factorize(pdf["event_type"])
+            code_of = {v: i for i, v in enumerate(uniques)}
+
+            def m(name: str):
+                return codes == code_of.get(name, -2)
+
+            pay_cents = np.round(f64(pdf["payment_amount"]) * 100.0)
+            # NaN marks absent payment
+            has_pay = ~np.isnan(pay_cents)
+            is_switch = m("tariff_switch")
+            is_claim = m("incentive_claim")
+            is_login = m("user_login")
+            is_energy = m("energy_consumed")
+            is_bill = m("bill_payment")
+
+            ts += int(is_switch.sum())
+            src += int(pay_cents[is_switch & has_pay].astype(np.int64).sum())
+            gs += int((is_switch & (pdf["tariff_type"] == "green").to_numpy()).sum())
+            ic += int(is_claim.sum())
+            icc += int(pay_cents[is_claim & has_pay].astype(np.int64).sum())
+            tl += int(is_login.sum())
+            # unique() first: the C hash pass collapses the chunk before
+            # the Python set sees it (chunk rows >> distincts per hour)
+            sess.update(
+                int(s) for s in pdf.loc[is_login, "session_id"].dropna().unique()
+            )
+            en = f64(pdf["energy_consumed"])
+            en_milli = np.round(en[is_energy & ~np.isnan(en)] * 1000.0).astype(np.int64)
+            em += int(en_milli.sum())
+            if en_milli.size:
+                pk = max(pk, int(en_milli.max()))  # GREATEST merge (reference bug fixed)
+            paid = is_bill & has_pay
+            pc += int(pay_cents[paid].astype(np.int64).sum())
+            pe += int(paid.sum())
+            cust.update(pdf["customer_id"].dropna().unique())
 
         state.update((ts, src, ic, icc, gs, tl, em, pk, pc, pe, sorted(cust), sorted(sess), seq))
 
@@ -285,8 +313,24 @@ def _stateful_update_fn(final_only: bool = False, session_tz: str = "UTC"):
             # (hour + delay). An hour already below the watermark (late rows
             # re-opened it) times out at the next batch boundary. The naive
             # key is SESSION-tz wall clock; localize to get true epoch ms.
+            # DST handling (round-10 advice): on a fall-back transition the
+            # repeated wall-clock hour maps to ONE naive key (date_trunc
+            # collapses both occurrences), so resolve the ambiguity to the
+            # LATER (standard-time) occurrence — the timeout then fires only
+            # after BOTH occurrences' events have arrived and the single
+            # final row matches the batch oracle's merged hour, instead of
+            # raising AmbiguousTimeError mid-stream. Spring-forward keys
+            # cannot arise from valid event times, but shift_forward keeps
+            # a hand-fed nonexistent key from killing the query.
             hour_end_ms = (
-                int(pd.Timestamp(key[0]).tz_localize(session_tz).value // 1_000_000)
+                int(
+                    pd.Timestamp(key[0])
+                    .tz_localize(
+                        session_tz, ambiguous=False, nonexistent="shift_forward"
+                    )
+                    .value
+                    // 1_000_000
+                )
                 + 3_600_000
             )
             state.setTimeoutTimestamp(max(hour_end_ms, state.getCurrentWatermarkMs() + 1))

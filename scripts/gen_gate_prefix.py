@@ -38,14 +38,28 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def evidence_age(repo: str = REPO) -> dict[str, int]:
-    """Latest driver round that recorded evidence for each entry name."""
+def evidence_age(
+    repo: str = REPO, max_round: int | None = None
+) -> dict[str, int]:
+    """Latest driver round that recorded evidence for each entry name.
+
+    ``max_round`` is the committed evidence HORIZON
+    (``_GATE_EVIDENCE_MAX_ROUND`` in ``__spark_entry__.py``): artifacts from
+    later rounds are ignored. Without it the check had a built-in lifecycle
+    race (round-9 verdict item 1): the driver drops ``CORRECTNESS_r{N}.json``
+    AFTER the builder's last commit, shifting the ages the committed prefix
+    was generated from and guaranteeing a red ``--check`` until the next
+    rotation. Pinning the horizon next to the prefix makes the check
+    reproducible at ANY point in the round lifecycle; the round workflow
+    bumps horizon + prefix together."""
     latest: dict[str, int] = {}
     for p in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
         if not m:
             continue
         rnd = int(m.group(1))
+        if max_round is not None and rnd > max_round:
+            continue
         with open(p) as f:
             for name in json.load(f):
                 latest[name] = max(latest.get(name, 0), rnd)
@@ -60,7 +74,10 @@ MAX_CHANGED = 15
 
 
 def gen_prefix(
-    changed: list[str], cap: int = 50, latest: dict[str, int] | None = None
+    changed: list[str],
+    cap: int = 50,
+    latest: dict[str, int] | None = None,
+    max_round: int | None = None,
 ) -> list[str]:
     from energy_data_stream_processing_spark.plans.catalog import all_queries
 
@@ -85,7 +102,7 @@ def gen_prefix(
             "bound — a head that large starves the evidence rotation"
         )
     if latest is None:
-        latest = evidence_age()
+        latest = evidence_age(max_round=max_round)
     tail = sorted(
         (n for n in oracle_backed if n not in head),
         key=lambda n: (latest.get(n, 0), n),
@@ -93,9 +110,9 @@ def gen_prefix(
     return (head + tail)[:cap]
 
 
-def committed_lists() -> tuple[list[str], list[str]]:
-    """(``_GATE_CHANGED``, ``_GATE_PREFIX``) as committed in
-    ``__spark_entry__.py``."""
+def committed_lists() -> tuple[list[str], list[str], int]:
+    """(``_GATE_CHANGED``, ``_GATE_PREFIX``, ``_GATE_EVIDENCE_MAX_ROUND``)
+    as committed in ``__spark_entry__.py``."""
     import importlib.util
 
     spec = importlib.util.spec_from_file_location(
@@ -103,7 +120,11 @@ def committed_lists() -> tuple[list[str], list[str]]:
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    return list(mod._GATE_CHANGED), list(mod._GATE_PREFIX)
+    return (
+        list(mod._GATE_CHANGED),
+        list(mod._GATE_PREFIX),
+        int(mod._GATE_EVIDENCE_MAX_ROUND),
+    )
 
 
 #: the driver samples a ~50-entry prefix of queries(): fewer names starve a
@@ -115,8 +136,9 @@ DRIVER_WINDOW = 50
 
 def check() -> str:
     """Raise SystemExit(1) if the committed prefix does not regenerate from
-    the committed changed set; return a summary line otherwise."""
-    changed, committed = committed_lists()
+    the committed changed set + evidence horizon; return a summary line
+    otherwise."""
+    changed, committed, horizon = committed_lists()
     if len(committed) != DRIVER_WINDOW:
         print(
             f"MISMATCH: committed prefix has {len(committed)} names, the "
@@ -124,7 +146,7 @@ def check() -> str:
             file=sys.stderr,
         )
         raise SystemExit(1)
-    regen = gen_prefix(changed, cap=len(committed))
+    regen = gen_prefix(changed, cap=len(committed), max_round=horizon)
     if regen != committed:
         print("MISMATCH committed vs regenerated:", file=sys.stderr)
         for i, (a, b) in enumerate(zip(committed, regen)):
@@ -133,7 +155,7 @@ def check() -> str:
         raise SystemExit(1)
     return (
         f"ok — committed prefix of {len(committed)} regenerates from "
-        f"_GATE_CHANGED={changed}"
+        f"_GATE_CHANGED={changed} at evidence horizon r{horizon}"
     )
 
 
@@ -142,6 +164,10 @@ def main() -> None:
     ap.add_argument("--changed", nargs="*", default=[],
                     help="entries whose code changed this round (head of prefix)")
     ap.add_argument("--cap", type=int, default=50)
+    ap.add_argument("--max-round", type=int, default=None,
+                    help="evidence horizon: ignore CORRECTNESS_r*.json beyond "
+                    "this round (commit the same value as "
+                    "_GATE_EVIDENCE_MAX_ROUND)")
     ap.add_argument("--check", action="store_true",
                     help="assert the committed _GATE_PREFIX regenerates from "
                     "the committed _GATE_CHANGED (exit 1 with a diff otherwise)")
@@ -151,7 +177,7 @@ def main() -> None:
         print(check())
         return
 
-    for n in gen_prefix(args.changed, cap=args.cap):
+    for n in gen_prefix(args.changed, cap=args.cap, max_round=args.max_round):
         print(n)
 
 

@@ -736,7 +736,8 @@ def test_bounded_stream_final_insert_flush_live(pg, spark, sf_dir, tmp_path):
     src = ascending_time_chunks(spark, sf_dir, 3)
     mx = append_watermark_sentinel(spark, sf_dir, src)
     flush = foreach_batch_statement_upsert(
-        "bounded_flush", execute_many=execute_many, dialect="postgres_final"
+        "bounded_flush", execute_many=execute_many, dialect="postgres_final",
+        final_only=True,  # append-mode final-emission stream below — valid pairing
     )
     ev = energy_events_stream(spark, sf_dir, source_dir=src, max_files_per_trigger=1)
     q = (

@@ -1,0 +1,442 @@
+"""Round-10 items:
+
+- gate-prefix evidence HORIZON (verdict item 1): regeneration must ignore
+  ``CORRECTNESS_r*.json`` artifacts beyond the committed
+  ``_GATE_EVIDENCE_MAX_ROUND``, so the driver dropping this round's artifact
+  after our last commit cannot redden the suite;
+- vectorized ``_stateful_update_fn`` (verdict item 2): the pandas-mask
+  arithmetic must be value-identical to the per-row loop it replaced —
+  pinned directly on a hand-made chunk with every null/NaN/rounding edge;
+- density-dispatched ``customer_view`` (verdict item 3): ``variant='auto'``
+  must measure per-customer density and pick the ladder-measured plan;
+- round-10 advice: DST fall-back hour keys must not kill the bounded
+  stream (AmbiguousTimeError) — and must merge both wall-clock occurrences
+  into ONE batch-equal row; ``postgres_final`` needs an explicit
+  ``final_only=True`` acknowledgment; truncated ``recentProgress`` series
+  must raise instead of silently corrupting state-accounting shapes.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _gen_gate_prefix():
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts")
+    )
+    import gen_gate_prefix
+
+    return gen_gate_prefix
+
+
+# ---------------------------------------------------------------------------
+# Evidence horizon: the lifecycle race fix
+# ---------------------------------------------------------------------------
+def test_evidence_horizon_ignores_post_round_artifacts(tmp_path):
+    """A CORRECTNESS artifact dropped AFTER the committed horizon must not
+    shift evidence ages (the round-9 red test was exactly this race); the
+    negative control proves the horizon — not luck — is what protects."""
+    g = _gen_gate_prefix()
+    for p in glob.glob(os.path.join(g.REPO, "CORRECTNESS_r*.json")):
+        shutil.copy(p, tmp_path / os.path.basename(p))
+    _, _, horizon = g.committed_lists()
+    before = g.evidence_age(repo=str(tmp_path), max_round=horizon)
+    assert before, "no evidence found"
+
+    # simulate the driver dropping a post-round artifact covering some names
+    fake = {name: {"hash_match": True} for name in list(before)[:10]}
+    (tmp_path / f"CORRECTNESS_r{horizon + 2}.json").write_text(json.dumps(fake))
+
+    after = g.evidence_age(repo=str(tmp_path), max_round=horizon)
+    assert after == before, "horizoned ages shifted on a post-round drop"
+    unbounded = g.evidence_age(repo=str(tmp_path))
+    assert unbounded != before, (
+        "negative control: without the horizon the fake artifact should "
+        "have shifted ages — the test fixture is not exercising the race"
+    )
+
+
+def test_committed_horizon_covers_all_present_artifacts():
+    """The committed horizon must be >= every artifact present at commit
+    time (a horizon BELOW an existing round would hide real evidence and
+    starve the rotation of its freshness signal)."""
+    g = _gen_gate_prefix()
+    _, _, horizon = g.committed_lists()
+    import re
+
+    rounds = [
+        int(re.search(r"CORRECTNESS_r(\d+)\.json$", p).group(1))
+        for p in glob.glob(os.path.join(g.REPO, "CORRECTNESS_r*.json"))
+    ]
+    assert rounds and horizon >= max(rounds), (horizon, sorted(rounds))
+
+
+# ---------------------------------------------------------------------------
+# Vectorized stateful update fn: value-identity on a hand-made chunk
+# ---------------------------------------------------------------------------
+class _FakeGroupState:
+    """Just enough GroupState surface for the merge path of
+    ``_stateful_update_fn`` (exists/get/update; no timeout)."""
+
+    def __init__(self, state=None):
+        self._state = state
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._state is not None
+
+    @property
+    def get(self):
+        return self._state
+
+    def update(self, s):
+        self._state = tuple(s)
+
+
+def _chunk(rows):
+    import pandas as pd
+
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "event_type", "payment_amount", "energy_consumed",
+            "customer_id", "session_id", "tariff_type",
+        ],
+    )
+
+
+def test_vectorized_update_fn_matches_hand_computed_state():
+    """Every edge the old per-row loop handled, on one chunk: None and NaN
+    payments, DECIMAL-ish cents rounding (0.29 * 100 = 28.999...), green
+    vs non-green switches, session/customer null handling, GREATEST peak
+    merge across rows AND across chunks, and exact int accumulation."""
+    from decimal import Decimal
+
+    from energy_data_stream_processing_spark.streaming.runner import (
+        _stateful_update_fn,
+    )
+
+    fn = _stateful_update_fn()
+    state = _FakeGroupState()
+    import datetime
+
+    key = (datetime.datetime(2024, 1, 1, 10, 0, 0),)
+    chunk1 = _chunk(
+        [
+            ("tariff_switch", Decimal("0.29"), None, "c1", 7, "green"),
+            ("tariff_switch", None, None, "c2", None, "standard"),
+            ("incentive_claim", Decimal("10.01"), None, "c1", 7, None),
+            ("user_login", None, None, "c3", 8, None),
+            ("user_login", None, None, "c3", None, None),  # null session
+            ("energy_consumed", None, 2.5, "c1", 7, None),
+            ("energy_consumed", None, 0.004, None, None, None),  # null customer
+            ("bill_payment", Decimal("99.99"), None, "c4", 9, None),
+            ("bill_payment", float("nan"), None, "c4", 9, None),  # NaN payment
+            ("unknown_event", Decimal("5.00"), 1.0, "c5", 10, None),
+        ]
+    )
+    out1 = list(fn(key, iter([chunk1]), state))
+    assert len(out1) == 1
+    # second chunk exercises cross-chunk merge + GREATEST peak
+    chunk2 = _chunk(
+        [
+            ("energy_consumed", None, 9.999, "c1", 7, None),
+            ("tariff_switch", Decimal("1.00"), None, "c1", 7, "green"),
+        ]
+    )
+    out2 = list(fn(key, iter([chunk2]), state))
+    row = out2[0].iloc[0]
+
+    assert row["tariff_switches"] == 3
+    assert row["total_switch_revenue"] == pytest.approx(1.29)
+    assert row["avg_switch_value"] == pytest.approx(0.43)
+    assert row["incentive_claims"] == 1
+    assert row["total_incentive_payouts"] == pytest.approx(10.01)
+    assert row["green_tariff_switches"] == 2
+    # distinct customers: c1 c2 c3 c4 c5 (the null-customer row adds none)
+    assert row["active_customers"] == 5
+    # distinct login sessions: only 8 (nulls skipped; 7/9/10 not logins)
+    assert row["new_sessions"] == 1
+    assert row["total_logins"] == 2
+    assert row["total_energy_consumed"] == pytest.approx(12.503)
+    assert row["peak_hour_usage"] == pytest.approx(9.999)  # GREATEST, not last
+    # bill payments: NaN row contributes neither sum nor count
+    assert row["total_payments"] == pytest.approx(99.99)
+    assert row["payment_events"] == 1
+    assert row["avg_payment_amount"] == pytest.approx(99.99)
+    assert row["update_seq"] == 2
+    # state money stays exact integer cents — 29 + 100, not float drift
+    assert state.get[1] == 129
+
+
+# ---------------------------------------------------------------------------
+# customer_view density dispatch
+# ---------------------------------------------------------------------------
+def _n_filescans(df):
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return len(re.findall(r"FileScan parquet", plan))
+
+
+def test_customer_view_auto_picks_single_at_low_density(spark, sf_dir):
+    """Testdata density is ~67 events/customer — far below the measured
+    crossover (~2000), so auto must return the single-shuffle plan
+    (one events scan, no switch-branch join)."""
+    from energy_data_stream_processing_spark.plans.catalog import all_queries
+
+    df = all_queries()["customer_view"].builder(spark, sf_dir)
+    assert _n_filescans(df) == 1
+
+
+def test_customer_view_auto_picks_prefilter_at_high_density(spark, sf_dir):
+    """With a caller-supplied density above the crossover, auto must return
+    the prefilter plan (two scans: wide agg + pruned switch slice) and stay
+    result-identical to the single-shuffle plan."""
+    from energy_data_stream_processing_spark.plans.catalog import all_queries
+    from energy_data_stream_processing_spark.plans.energy_queries import (
+        CUSTOMER_VIEW_DENSITY_CROSSOVER,
+    )
+
+    q = all_queries()["customer_view"].builder
+    hi = q(spark, sf_dir, events_per_customer=CUSTOMER_VIEW_DENSITY_CROSSOVER * 3)
+    assert _n_filescans(hi) == 2
+    lo = q(spark, sf_dir, variant="single")
+    cols = sorted(hi.columns)
+    assert cols == sorted(lo.columns)
+    got = sorted(map(tuple, hi.select(*cols).collect()))
+    want = sorted(map(tuple, lo.select(*cols).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_customer_view_dispatch_rejects_unknown_variant(spark, sf_dir):
+    from energy_data_stream_processing_spark.plans.catalog import all_queries
+
+    with pytest.raises(ValueError, match="variant"):
+        all_queries()["customer_view"].builder(spark, sf_dir, variant="bogus")
+
+
+def test_estimate_events_per_customer_close_to_exact(spark, sf_dir):
+    from energy_data_stream_processing_spark.plans.energy_queries import (
+        energy_events,
+        estimate_events_per_customer,
+    )
+
+    ev = energy_events(spark, sf_dir)
+    est = estimate_events_per_customer(ev)
+    row = ev.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("customer_id").alias("c")
+    ).first()
+    exact = row["n"] / row["c"]
+    # HLL error is ~2%; the crossover band is a full decade wide
+    assert est == pytest.approx(exact, rel=0.10)
+
+
+# ---------------------------------------------------------------------------
+# postgres_final pairing acknowledgment
+# ---------------------------------------------------------------------------
+def test_postgres_final_requires_final_only_ack():
+    from energy_data_stream_processing_spark.sources.sinks import (
+        foreach_batch_statement_upsert,
+    )
+
+    with pytest.raises(ValueError, match="final_only=True"):
+        foreach_batch_statement_upsert(
+            "t", execute_many=lambda s, r: None, dialect="postgres_final"
+        )
+    # acknowledged pairing constructs fine
+    fn = foreach_batch_statement_upsert(
+        "t", execute_many=lambda s, r: None, dialect="postgres_final",
+        final_only=True,
+    )
+    assert callable(fn)
+    # the full-row-replacement default needs no ack (idempotent either way)
+    assert callable(
+        foreach_batch_statement_upsert("t", execute_many=lambda s, r: None)
+    )
+
+
+# ---------------------------------------------------------------------------
+# recentProgress completeness guard
+# ---------------------------------------------------------------------------
+def test_state_metrics_raises_on_truncated_progress(spark, sf_dir):
+    """With numRecentProgressUpdates below the micro-batch count the helper
+    must raise (a silently truncated series corrupts the plateau shapes
+    callers assert on), and succeed again at the default retention."""
+    from energy_data_stream_processing_spark.functions.stage_metrics import (
+        run_stream_with_state_metrics,
+    )
+    from energy_data_stream_processing_spark.streaming.runner import (
+        ascending_time_chunks,
+        energy_events_stream,
+        hourly_metrics_native_stream,
+    )
+
+    src = ascending_time_chunks(spark, sf_dir, 4)
+    prior = spark.conf.get("spark.sql.streaming.numRecentProgressUpdates")
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "2")
+    try:
+        ev = energy_events_stream(
+            spark, sf_dir, source_dir=src, max_files_per_trigger=1
+        )
+        with pytest.raises(RuntimeError, match="recentProgress is incomplete"):
+            run_stream_with_state_metrics(
+                spark, hourly_metrics_native_stream(ev, watermark="2 hours")
+            )
+    finally:
+        spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", prior)
+    ev = energy_events_stream(spark, sf_dir, source_dir=src, max_files_per_trigger=1)
+    _, batches = run_stream_with_state_metrics(
+        spark, hourly_metrics_native_stream(ev, watermark="2 hours")
+    )
+    assert [b["batch_id"] for b in batches] == sorted(
+        b["batch_id"] for b in batches
+    )
+    assert len(batches) >= 4
+
+
+# ---------------------------------------------------------------------------
+# DST fall-back: the ambiguous hour key
+# ---------------------------------------------------------------------------
+def test_stateful_bounded_hourly_dst_fall_back(spark, sf_dir, tmp_path):
+    """Round-10 advice: under America/New_York the 2023-11-05 01:00 wall
+    hour occurs twice. Measured Spark semantics this test pins: date_trunc
+    keeps the two occurrences as DISTINCT epoch keys (05:00Z EDT and
+    06:00Z EST) that share the naive label "01:00" — so batch emits one
+    row per EPOCH hour (9 for this window), and the stream holds two
+    separate state groups. The state function sees only the naive label,
+    so its timeout localization hits an ambiguous timestamp: unfixed, that
+    is an AmbiguousTimeError that kills the query mid-stream. The fix
+    resolves to the LATER (standard-time) occurrence — exact for the EST
+    group, one-hour-late-but-never-premature for the EDT group — so both
+    groups emit exactly once with batch-equal values. The one residual
+    divergence, asserted not hidden: the pandas->Spark OUTPUT conversion
+    of the ambiguous naive label collapses both rows onto a single epoch
+    label (Spark's Arrow serializer resolution, outside the operator), so
+    the pair is compared as a multiset of values."""
+    from datetime import datetime, timezone
+
+    from energy_data_stream_processing_spark.operators.hourly import (
+        hourly_business_metrics,
+    )
+    from energy_data_stream_processing_spark.sources.adapter import (
+        ENERGY_EVENTS_SQL,
+        normalize_event_ts,
+    )
+    from energy_data_stream_processing_spark.streaming.runner import (
+        energy_events_stream,
+        hourly_metrics_stateful_bounded_stream,
+        run_stream_to_table,
+    )
+
+    prior = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        raw = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+        # Fold the whole corpus into the 8 EPOCH hours straddling the
+        # fall-back (2023-11-05 01:30Z..09:30Z = 21:30 EDT Nov 4 .. 04:30
+        # EST Nov 5): 7 wall-clock hour keys, with 01:00 receiving events
+        # from TWO distinct epoch hours (05Z EDT + 06Z EST).
+        target_us = int(
+            datetime(2023, 11, 5, 1, 30, tzinfo=timezone.utc).timestamp() * 1_000_000
+        )
+        win_us = 8 * 3600 * 1_000_000
+        mn_us = raw.select(F.min(F.unix_micros("ts")).alias("m")).first()["m"]
+        folded = raw.withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.lit(target_us)
+                + (F.unix_micros("ts") - F.lit(mn_us)) % F.lit(win_us)
+            ),
+        )
+
+        # three ascending chunks + a far-future sentinel to flush the tail
+        src = tmp_path / "src"
+        src.mkdir()
+
+        def add_chunk(df, name):
+            stage = str(tmp_path / f"stage_{name}")
+            df.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+            os.rename(f"{stage}/{part}", str(src / f"{name}.parquet"))
+
+        us = F.unix_micros(F.col("ts"))
+        b1 = target_us + 3 * 3600 * 1_000_000   # < 00:30 EDT
+        b2 = target_us + 5 * 3600 * 1_000_000   # < first 01:30 EDT pass
+        add_chunk(folded.where(us < b1), "chunk_a")
+        add_chunk(folded.where((us >= b1) & (us < b2)), "chunk_b")
+        add_chunk(folded.where(us >= b2), "chunk_c")
+        sentinel = spark.createDataFrame(
+            [(-1, datetime(2033, 1, 1, 0, 0, 0), -1, "sentinel", 0.0, "{}")],
+            schema=folded.schema,
+        )
+        add_chunk(sentinel, "chunk_z_sentinel")
+
+        ev = energy_events_stream(
+            spark, sf_dir, source_dir=str(src), max_files_per_trigger=1
+        )
+        out = run_stream_to_table(
+            spark,
+            hourly_metrics_stateful_bounded_stream(ev, horizon="2 hours"),
+            mode="append",
+        )
+
+        # compare on tz-proof epoch-hour numbers, not collected datetimes
+        def by_epoch_hour(df, metric_cols):
+            recs = []
+            for r in (
+                df.withColumn("_eh", F.unix_micros("hour") / F.lit(3_600_000_000.0))
+                .collect()
+            ):
+                recs.append(
+                    (r["_eh"], tuple(round(float(r[c]), 6) for c in metric_cols))
+                )
+            return recs
+
+        view = "dst_folded_events"
+        folded.createOrReplaceTempView(view)
+        ev_batch = spark.sql(ENERGY_EVENTS_SQL.replace("FROM events", f"FROM {view}"))
+        batch_df = hourly_business_metrics(ev_batch)
+        metric_cols = [c for c in batch_df.columns if c != "hour"]
+
+        h0 = target_us // 3_600_000_000  # epoch hour of 2023-11-05 01:00Z
+        window_hours = set(range(h0, h0 + 9))
+        edt, est = h0 + 4, h0 + 5  # 05:00Z and 06:00Z — the two wall-"01:00"s
+
+        want = by_epoch_hour(batch_df, metric_cols)
+        assert {h for h, _ in want} == window_hours  # batch: 9 DISTINCT epochs
+
+        got = [
+            (h, v)
+            for h, v in by_epoch_hour(out.drop("update_seq"), metric_cols)
+            if h in window_hours  # drops the far-future sentinel's rows
+        ]
+        assert len(got) == 9, sorted(h for h, _ in got)  # each group emitted once
+
+        # non-ambiguous hours: exact per-epoch match
+        want_map = dict(want)
+        plain = [(h, v) for h, v in got if h not in (edt, est)]
+        assert len(plain) == 7
+        for h, v in plain:
+            assert v == want_map[h], h
+
+        # the ambiguous pair: output labels collapse onto ONE of the two
+        # epochs (serializer resolution), but the VALUES are the two batch
+        # rows exactly — no merge, no split, no premature eviction
+        pair = sorted(v for h, v in got if h in (edt, est))
+        assert len(pair) == 2
+        assert pair == sorted([want_map[edt], want_map[est]])
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prior)

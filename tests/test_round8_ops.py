@@ -126,9 +126,11 @@ def test_gate_prefix_matches_generator():
     changed head (_GATE_CHANGED), i.e. the `--check` mode the round
     workflow runs."""
     g = _gen_gate_prefix()
-    changed, committed = g.committed_lists()
+    changed, committed, horizon = g.committed_lists()
     assert len(committed) == 50
-    assert g.gen_prefix(changed, cap=len(committed)) == committed
+    assert (
+        g.gen_prefix(changed, cap=len(committed), max_round=horizon) == committed
+    )
     assert "ok" in g.check()
 
 
@@ -140,11 +142,11 @@ def test_gate_prefix_check_catches_mangled_rotation(monkeypatch):
     import pytest
 
     g = _gen_gate_prefix()
-    changed, committed = g.committed_lists()
+    changed, committed, horizon = g.committed_lists()
     mangled = list(committed)
     mangled[-1], mangled[-2] = mangled[-2], mangled[-1]
     monkeypatch.setattr(
-        g, "committed_lists", lambda: (changed, mangled)
+        g, "committed_lists", lambda: (changed, mangled, horizon)
     )
     with pytest.raises(SystemExit):
         g.check()
