@@ -27,10 +27,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Round-10 gate ordering. The driver checks a ~50-entry prefix of
-# queries(). Head = the three entries whose CODE changed this round
+# queries(). Head = the four entries whose CODE changed this round
 # (customer_view now density-dispatches between its three oracle-identical
 # plans; the two exact stateful hourly streams share the vectorized
-# _stateful_update_fn + the DST-safe timeout localization), then every
+# _stateful_update_fn + the DST-safe timeout localization; the timeout
+# sessionization's gap-split is vectorized too), then every
 # other oracle-backed entry by stalest-evidence-first — the two r4-era
 # entries (zipf_vocab_fit, zorder_layout_audit) lead the rotation tail,
 # backfilled with r5-era names to EXACTLY 50 (the driver samples a
@@ -59,12 +60,14 @@ _GATE_CHANGED = [
     "customer_view",
     "streaming_hourly_metrics",
     "streaming_hourly_bounded",
+    "streaming_timeout_sessions",
 ]
 
 _GATE_PREFIX = [
     "customer_view",
     "streaming_hourly_metrics",
     "streaming_hourly_bounded",
+    "streaming_timeout_sessions",
     "zipf_vocab_fit",
     "zorder_layout_audit",
     "approx_percentile_audit",
@@ -111,7 +114,6 @@ _GATE_PREFIX = [
     "repetition_profile",
     "retained_buyers_intersect",
     "ann_recall_eval",
-    "approx_distinct_profile",
 ]
 
 # Round-tagged alias (kept for older tests); all code reads _GATE_PREFIX

@@ -168,6 +168,7 @@ def run_stream_with_state_metrics(
             {
                 "batch_id": p.batchId,
                 "input_rows": p.numInputRows,
+                "trigger_ms": (p.durationMs or {}).get("triggerExecution"),
                 "watermark": (p.eventTime or {}).get("watermark"),
                 "operators": [
                     {

@@ -953,7 +953,6 @@ def sessionize_timeout_stream(events: DataFrame, gap_minutes: int = 30) -> DataF
     """
     from pyspark.sql.types import LongType
 
-    gap_sec = gap_minutes * 60
     out_schema = StructType(
         [
             StructField("user_id", LongType(), True),
@@ -970,63 +969,97 @@ def sessionize_timeout_stream(events: DataFrame, gap_minutes: int = 30) -> DataF
         ]
     )
 
-    def update(key, pdfs, state: GroupState):
-        import pandas as pd
-
-        def row(start_us: int, end_us: int, n: int) -> pd.DataFrame:
-            return pd.DataFrame(
-                {
-                    "user_id": [key[0]],
-                    "session_start": [pd.to_datetime(start_us, unit="us")],
-                    "session_end": [pd.to_datetime(end_us, unit="us")],
-                    "n_events": [n],
-                }
-            )
-
-        if state.hasTimedOut:
-            start_us, end_us, n = state.get
-            state.remove()
-            yield row(start_us, end_us, n)
-            return
-
-        events_us: list[int] = []
-        for pdf in pdfs:
-            if len(pdf):
-                events_us.extend((pdf["ts"].astype("int64") // 1000).tolist())
-        events_us.sort()
-        if state.exists:
-            start_us, end_us, n = state.get
-        else:
-            start_us = end_us = -1
-            n = 0
-        for us in events_us:
-            if n == 0:
-                start_us, end_us, n = us, us, 1
-                continue
-            # batch parity: second-floored epoch gap strictly > gap_sec
-            if us // 1_000_000 - end_us // 1_000_000 > gap_sec:
-                yield row(start_us, end_us, n)
-                start_us, end_us, n = us, us, 1
-            else:
-                end_us = max(end_us, us)
-                n += 1
-        if n:
-            state.update((start_us, end_us, n))
-            state.setTimeoutTimestamp(end_us // 1000 + gap_sec * 1000)
-        elif state.exists:
-            state.update((start_us, end_us, n))
-
     return (
         events.withWatermark("ts", "1 hour")
         .groupBy("user_id")
         .applyInPandasWithState(
-            update,
+            _session_update_fn(gap_minutes * 60),
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def _session_update_fn(gap_sec: int):
+    """Closure for ``sessionize_timeout_stream`` (pickled by value —
+    workers never import this package). Extracted to module level so the
+    round-10 vectorization carries a direct differential property test
+    against the sequential reference (tests/test_round10_ops.py)."""
+
+    def update(key, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        def rows(starts, ends, counts) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(counts),
+                    "session_start": pd.to_datetime(starts, unit="us"),
+                    "session_end": pd.to_datetime(ends, unit="us"),
+                    "n_events": counts,
+                }
+            )
+
+        if state.hasTimedOut:
+            start_us, end_us, n = state.get
+            state.remove()
+            yield rows([start_us], [end_us], [n])
+            return
+
+        chunks = [pdf["ts"].astype("int64").to_numpy() // 1000 for pdf in pdfs if len(pdf)]
+        arr = np.sort(np.concatenate(chunks)) if chunks else np.empty(0, np.int64)
+        if state.exists:
+            start_us, end_us, n = state.get
+        else:
+            start_us = end_us = -1
+            n = 0
+        if arr.size:
+            # Vectorized gap-split (round 10; value-identical to the
+            # per-event loop it replaced). The loop compared each event to
+            # the RUNNING max of everything before it (a carried session
+            # end can exceed early events), so the previous-end series is
+            # a running maximum seeded with the carried end, and a session
+            # break is a second-floored epoch gap strictly > gap_sec —
+            # batch parity with the lag()-window oracle.
+            seed = end_us if n else arr[0]
+            prev = np.maximum.accumulate(np.concatenate(([seed], arr)))[:-1]
+            brk = (arr // 1_000_000) - (prev // 1_000_000) > gap_sec
+            if n == 0:
+                brk[0] = True  # first event opens a session (none carried)
+            starts_i = np.flatnonzero(brk)  # index of each NEW session's head
+            if starts_i.size:
+                # segment ends: element before each next break + the final
+                # element; sorted => a segment's last element is its max
+                ends_i = np.concatenate((starts_i[1:] - 1, [arr.size - 1]))
+                seg_start = arr[starts_i]
+                seg_end = arr[ends_i]
+                seg_n = np.diff(np.concatenate((starts_i, [arr.size])))
+            else:  # no breaks: every event merges into the carried session
+                seg_start = seg_end = seg_n = np.empty(0, np.int64)
+            if n:
+                # events before the first break extend the carried session
+                head = int(starts_i[0]) if starts_i.size else arr.size
+                c_end = max(end_us, int(arr[head - 1])) if head else end_us
+                seg_start = np.concatenate(([start_us], seg_start))
+                seg_end = np.concatenate(([c_end], seg_end))
+                seg_n = np.concatenate(([n + head], seg_n))
+            # all segments but the last are CLOSED sessions; the last stays
+            # open in state awaiting its gap timeout
+            if len(seg_n) > 1:
+                yield rows(
+                    seg_start[:-1].tolist(), seg_end[:-1].tolist(),
+                    seg_n[:-1].tolist(),
+                )
+            start_us, end_us, n = int(seg_start[-1]), int(seg_end[-1]), int(seg_n[-1])
+        if n:
+            state.update((start_us, end_us, n))
+            state.setTimeoutTimestamp(end_us // 1000 + gap_sec * 1000)
+        elif state.exists:
+            state.update((start_us, end_us, n))
+
+    return update
 
 
 @register(

@@ -85,8 +85,8 @@ def test_committed_horizon_covers_all_present_artifacts():
 # Vectorized stateful update fn: value-identity on a hand-made chunk
 # ---------------------------------------------------------------------------
 class _FakeGroupState:
-    """Just enough GroupState surface for the merge path of
-    ``_stateful_update_fn`` (exists/get/update; no timeout)."""
+    """Just enough GroupState surface for the merge paths of
+    ``_stateful_update_fn`` / ``_session_update_fn``."""
 
     def __init__(self, state=None):
         self._state = state
@@ -102,6 +102,12 @@ class _FakeGroupState:
 
     def update(self, s):
         self._state = tuple(s)
+
+    def remove(self):
+        self._state = None
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ms = ms
 
 
 def _chunk(rows):
@@ -178,6 +184,86 @@ def test_vectorized_update_fn_matches_hand_computed_state():
     assert row["update_seq"] == 2
     # state money stays exact integer cents — 29 + 100, not float drift
     assert state.get[1] == 129
+
+
+# ---------------------------------------------------------------------------
+# Vectorized gap-sessionization: differential property vs the sequential
+# reference (the round-9 loop), across carried state, chunk splits, ties,
+# and exact-gap boundaries.
+# ---------------------------------------------------------------------------
+def _run_session_update(gap_sec, carried, chunks_us):
+    """Run the shipped _session_update_fn on integer-µs event chunks with an
+    optional carried (start, end, n) state; return (closed_sessions, state)."""
+    import pandas as pd
+
+    from energy_data_stream_processing_spark.streaming.runner import (
+        _session_update_fn,
+    )
+
+    fn = _session_update_fn(gap_sec)
+    state = _FakeGroupState(tuple(carried) if carried else None)
+    pdfs = [
+        pd.DataFrame({"ts": pd.to_datetime(c, unit="us")}) for c in chunks_us
+    ]
+    out = []
+    for odf in fn((7,), iter(pdfs), state):
+        for r in odf.itertuples(index=False):
+            out.append(
+                (r.session_start.value // 1000, r.session_end.value // 1000, r.n_events)
+            )
+    return sorted(out), state.get
+
+
+def _reference_sessionize(gap_sec, carried, chunks_us):
+    """The retired sequential loop, verbatim semantics."""
+    events = sorted(us for c in chunks_us for us in c)
+    if carried:
+        start_us, end_us, n = carried
+    else:
+        start_us = end_us = -1
+        n = 0
+    closed = []
+    for us in events:
+        if n == 0:
+            start_us, end_us, n = us, us, 1
+            continue
+        if us // 1_000_000 - end_us // 1_000_000 > gap_sec:
+            closed.append((start_us, end_us, n))
+            start_us, end_us, n = us, us, 1
+        else:
+            end_us = max(end_us, us)
+            n += 1
+    return sorted(closed), ((start_us, end_us, n) if n else carried and (start_us, end_us, n))
+
+
+@pytest.mark.parametrize("seed", range(16))
+def test_vectorized_sessionize_matches_sequential_reference(seed):
+    import random
+
+    rng = random.Random(seed)
+    gap_sec = rng.choice([1, 30, 1800])
+    base = 1_700_000_000_000_000
+    # carried open session in ~half the cases
+    carried = None
+    if rng.random() < 0.5:
+        s = base - rng.randrange(0, 10_000_000)
+        carried = (s, s + rng.randrange(0, gap_sec * 1_000_000), rng.randrange(1, 5))
+    t, events = base, []
+    for _ in range(rng.randrange(0, 60)):
+        # mix sub-gap steps, exact-gap boundaries (the strict > edge),
+        # gap+1 breaks, ties, and sub-second jitter
+        t += rng.choice(
+            [0, 1, 999_999, gap_sec * 1_000_000, (gap_sec + 1) * 1_000_000]
+        )
+        events.append(t)
+    rng.shuffle(events)  # out-of-order arrival inside the batch
+    k = rng.randrange(1, 4)
+    chunks = [events[i::k] for i in range(k)]
+    chunks = [c for c in chunks if c]
+    got_closed, got_state = _run_session_update(gap_sec, carried, chunks)
+    want_closed, want_state = _reference_sessionize(gap_sec, carried, chunks)
+    assert got_closed == want_closed
+    assert (got_state or None) == (want_state or None)
 
 
 # ---------------------------------------------------------------------------
