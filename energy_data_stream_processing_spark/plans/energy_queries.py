@@ -412,10 +412,12 @@ def customer_view_from_events(ev: DataFrame) -> DataFrame:
     "plan (no reducer sees a whole hot customer's raw events; the Expand "
     "row-doubling disappears). Shares customer_view's oracle as a "
     "result-identity proof, mirroring hourly_business_metrics_twophase. "
-    "Caveat (measured, SCALE.md §6): its array partials MERGE per customer, "
-    "so it degrades super-linearly in per-customer switch-list DENSITY — "
-    "wins at 10x density, worst of the three plans at 100x; the right swap "
-    "for cardinality skew, not density (that is customer_view_prefilter).",
+    "Caveat (SCALE.md §6): its array partials MERGE per customer, so "
+    "switch-list density is its cost driver — it wins at 10x density; the "
+    "round-8 100x reading that put it far behind (33.9 s) did not "
+    "reproduce in rounds 9-10 (~17-19 s, within noise of prefilter), so "
+    "treat it as the swap for cardinality skew, not a density loser or "
+    "winner (the density default is customer_view_prefilter).",
 )
 def q_customer_view_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer_view_two_phase(energy_events(spark, sf_dir))
