@@ -278,11 +278,29 @@ def q_customer_view(
     variant: str = "auto",
     events_per_customer: float | None = None,
 ) -> DataFrame:
+    ev = energy_events(spark, sf_dir)
+    if variant == "auto" and events_per_customer is None:
+        # Memoized per dataset: the probe is an EAGER job, and this builder
+        # is called from plan-shape tests and the bench's cold+warm loop —
+        # without the cache every plan construction would re-pay the scan.
+        # Density is a property of the data, so sf_dir is the right key.
+        import os
+
+        key = os.path.realpath(sf_dir)
+        if key not in _DENSITY_CACHE:
+            _DENSITY_CACHE[key] = estimate_events_per_customer(ev)
+        events_per_customer = _DENSITY_CACHE[key]
     return customer_view_dispatch(
-        energy_events(spark, sf_dir),
+        ev,
         variant=variant,
         events_per_customer=events_per_customer,
     )
+
+
+#: per-dataset memo for the auto-dispatch density probe (realpath(sf_dir)
+#: -> events/customer); bounded by the number of distinct datasets a
+#: process touches.
+_DENSITY_CACHE: dict[str, float] = {}
 
 
 #: events-per-customer density above which the PREFILTER plan is the
@@ -321,7 +339,10 @@ def customer_view_dispatch(
       swap; never auto-picked — its failure mode is density itself);
     - ``"auto"`` — measure ``events_per_customer`` (unless the caller
       already knows it and passes it) and take prefilter above
-      ``CUSTOMER_VIEW_DENSITY_CROSSOVER``, single below.
+      ``CUSTOMER_VIEW_DENSITY_CROSSOVER``, single below. The probe is
+      an EAGER job at plan-BUILD time — the catalog entry memoizes it
+      per dataset; callers handing a raw frame should pass
+      ``events_per_customer`` themselves if they build plans repeatedly.
     """
     if variant == "auto":
         if events_per_customer is None:

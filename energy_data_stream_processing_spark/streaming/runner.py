@@ -313,15 +313,18 @@ def _stateful_update_fn(final_only: bool = False, session_tz: str = "UTC"):
             # (hour + delay). An hour already below the watermark (late rows
             # re-opened it) times out at the next batch boundary. The naive
             # key is SESSION-tz wall clock; localize to get true epoch ms.
-            # DST handling (round-10 advice): on a fall-back transition the
-            # repeated wall-clock hour maps to ONE naive key (date_trunc
-            # collapses both occurrences), so resolve the ambiguity to the
-            # LATER (standard-time) occurrence — the timeout then fires only
-            # after BOTH occurrences' events have arrived and the single
-            # final row matches the batch oracle's merged hour, instead of
-            # raising AmbiguousTimeError mid-stream. Spring-forward keys
-            # cannot arise from valid event times, but shift_forward keeps
-            # a hand-fed nonexistent key from killing the query.
+            # DST handling (round-10 advice): on a fall-back transition
+            # date_trunc keeps the repeated wall hour's two occurrences as
+            # DISTINCT epoch keys, so TWO state groups share this naive
+            # label and each emits its own batch-equal final row — but the
+            # label alone can't tell us which group we are, so localizing
+            # it is ambiguous (unfixed: AmbiguousTimeError kills the
+            # query). Resolve to the LATER (standard-time) occurrence:
+            # exact for the EST-side group, one-hour-late-but-NEVER-
+            # premature for the EDT-side group. Measured semantics pinned
+            # in test_stateful_bounded_hourly_dst_fall_back. Spring-forward
+            # keys cannot arise from valid event times, but shift_forward
+            # keeps a hand-fed nonexistent key from killing the query.
             hour_end_ms = (
                 int(
                     pd.Timestamp(key[0])
