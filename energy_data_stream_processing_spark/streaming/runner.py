@@ -61,7 +61,16 @@ from ..sources.sinks import _conf_override
 from ..plans.catalog import register
 
 OUTPUT_SCHEMA = StructType(
-    [StructField("hour", TimestampType(), False), StructField("update_seq", LongType(), False)]
+    [
+        StructField("hour", TimestampType(), False),
+        # True epoch ms of the hour start, carried through the group key.
+        # The naive session-tz `hour` label is LOSSY on a DST fall-back
+        # (two epoch hours share one wall label); this column is the
+        # tz-proof identity the stream builders reconstruct `hour` from
+        # (and which sinks can key on). Round-11 advice fix.
+        StructField("hour_epoch_ms", LongType(), False),
+        StructField("update_seq", LongType(), False),
+    ]
     + [
         StructField(c, LongType() if c in {
             "tariff_switches", "incentive_claims", "green_tariff_switches",
@@ -173,7 +182,7 @@ def hourly_metrics_native_stream(events: DataFrame, watermark: str = "24 hours")
     )
 
 
-def _stateful_update_fn(final_only: bool = False, session_tz: str = "UTC"):
+def _stateful_update_fn(final_only: bool = False):
     """Closure (pickled by value — workers never import this package).
 
     ``final_only=True`` is the bounded-state flavor: merge batches emit
@@ -181,10 +190,15 @@ def _stateful_update_fn(final_only: bool = False, session_tz: str = "UTC"):
     fires (the watermark passed the hour end), after which the state row is
     REMOVED. Requires ``outputMode="append"`` +
     ``GroupStateTimeout.EventTimeTimeout`` at the call site.
-    ``session_tz`` must be the session's ``spark.sql.session.timeZone``:
-    the group key arrives tz-naive in SESSION time while
-    ``getCurrentWatermarkMs``/``setTimeoutTimestamp`` speak true epoch, so
-    the hour-end conversion localizes through it."""
+
+    Keyed by ``(hour, hour_epoch_ms)``: the naive session-tz ``hour``
+    label arrives lossy (a DST fall-back maps TWO epoch hours onto one
+    wall label, and ``getCurrentWatermarkMs``/``setTimeoutTimestamp``
+    speak true epoch), so the JVM side computes the hour start's epoch ms
+    (``cast(hour as long) * 1000`` — tz-independent: Spark timestamps are
+    internal epoch micros) and carries it in the key. ``key[1]`` makes the
+    timeout arithmetic exact and the output rows tz-proof with no
+    ambiguous re-localization anywhere (round-10/11 advice)."""
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -220,6 +234,7 @@ def _stateful_update_fn(final_only: bool = False, session_tz: str = "UTC"):
                 [
                     {
                         "hour": key[0],
+                        "hour_epoch_ms": int(key[1]),
                         "update_seq": seq,
                         "tariff_switches": ts,
                         "total_switch_revenue": switch_rev,
@@ -311,31 +326,13 @@ def _stateful_update_fn(final_only: bool = False, session_tz: str = "UTC"):
             # Evict as soon as the watermark passes the hour end: lateness
             # tolerance = the withWatermark delay, state held no longer than
             # (hour + delay). An hour already below the watermark (late rows
-            # re-opened it) times out at the next batch boundary. The naive
-            # key is SESSION-tz wall clock; localize to get true epoch ms.
-            # DST handling (round-10 advice): on a fall-back transition
-            # date_trunc keeps the repeated wall hour's two occurrences as
-            # DISTINCT epoch keys, so TWO state groups share this naive
-            # label and each emits its own batch-equal final row — but the
-            # label alone can't tell us which group we are, so localizing
-            # it is ambiguous (unfixed: AmbiguousTimeError kills the
-            # query). Resolve to the LATER (standard-time) occurrence:
-            # exact for the EST-side group, one-hour-late-but-NEVER-
-            # premature for the EDT-side group. Measured semantics pinned
-            # in test_stateful_bounded_hourly_dst_fall_back. Spring-forward
-            # keys cannot arise from valid event times, but shift_forward
-            # keeps a hand-fed nonexistent key from killing the query.
-            hour_end_ms = (
-                int(
-                    pd.Timestamp(key[0])
-                    .tz_localize(
-                        session_tz, ambiguous=False, nonexistent="shift_forward"
-                    )
-                    .value
-                    // 1_000_000
-                )
-                + 3_600_000
-            )
+            # re-opened it) times out at the next batch boundary. key[1] is
+            # the hour start's TRUE epoch ms (computed JVM-side before the
+            # groupBy), so the hour-end arithmetic is exact in every
+            # session tz — including the DST fall-back wall hour, whose two
+            # occurrences arrive as two distinct keys here (pinned in
+            # test_stateful_bounded_hourly_dst_fall_back).
+            hour_end_ms = int(key[1]) + 3_600_000
             state.setTimeoutTimestamp(max(hour_end_ms, state.getCurrentWatermarkMs() + 1))
             return
 
@@ -346,13 +343,38 @@ def _stateful_update_fn(final_only: bool = False, session_tz: str = "UTC"):
     return update
 
 
+def _hour_keyed(events: DataFrame) -> DataFrame:
+    """hour (naive label) + hour_epoch_ms (tz-proof identity) group keys.
+
+    ``cast(hour as long)`` reads the internal epoch micros — session-tz
+    independent — so the pair keeps the two occurrences of a DST
+    fall-back wall hour distinct all the way through the Python state
+    function and back."""
+    return events.withColumn(
+        "hour", F.date_trunc("hour", F.col("event_time"))
+    ).withColumn("hour_epoch_ms", F.col("hour").cast("long") * F.lit(1000))
+
+
+def _epoch_hour_restored(out: DataFrame) -> DataFrame:
+    """Rebuild ``hour`` from the tz-proof epoch key and drop the helper.
+
+    The pandas->Spark conversion of the NAIVE hour label re-localizes
+    through the session tz, which on a DST fall-back collapses the two
+    ambiguous rows onto one instant; ``timestamp_millis(hour_epoch_ms)``
+    restores each row's true instant, so downstream sinks (e.g. the
+    ``postgres_final`` DO NOTHING upsert) never see two rows with one
+    key (round-10 advice)."""
+    return out.withColumn(
+        "hour", F.timestamp_millis(F.col("hour_epoch_ms"))
+    ).drop("hour_epoch_ms")
+
+
 def hourly_metrics_stateful_stream(events: DataFrame) -> DataFrame:
     """Exact HourlyStats as a custom stateful operator
     (applyInPandasWithState keyed by event-time hour)."""
-    return (
-        events.withWatermark("event_time", "24 hours")
-        .withColumn("hour", F.date_trunc("hour", F.col("event_time")))
-        .groupBy("hour")
+    return _epoch_hour_restored(
+        _hour_keyed(events.withWatermark("event_time", "24 hours"))
+        .groupBy("hour", "hour_epoch_ms")
         .applyInPandasWithState(
             _stateful_update_fn(),
             outputStructType=OUTPUT_SCHEMA,
@@ -387,13 +409,11 @@ def hourly_metrics_stateful_bounded_stream(
     known, unbounded (NoTimeout twin, which Spark does NOT late-filter)
     when any-lateness exactness is worth hours-cardinality state
     (8,760 rows/year — trivially small either way)."""
-    session_tz = events.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
-    return (
-        events.withWatermark("event_time", horizon)
-        .withColumn("hour", F.date_trunc("hour", F.col("event_time")))
-        .groupBy("hour")
+    return _epoch_hour_restored(
+        _hour_keyed(events.withWatermark("event_time", horizon))
+        .groupBy("hour", "hour_epoch_ms")
         .applyInPandasWithState(
-            _stateful_update_fn(final_only=True, session_tz=session_tz),
+            _stateful_update_fn(final_only=True),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",

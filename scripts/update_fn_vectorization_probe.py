@@ -221,7 +221,10 @@ def main() -> None:
     pdf["payment_amount"] = pdf["payment_amount"].map(lambda x: dec(x, 2))
     pdf["energy_consumed"] = pdf["energy_consumed"].map(lambda x: dec(x, 3))
 
-    key = (datetime.datetime(2024, 1, 1, 0, 0, 0),)
+    key = (
+        datetime.datetime(2024, 1, 1, 0, 0, 0),
+        int(datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc).timestamp() * 1000),
+    )  # (naive hour label, epoch ms) — round-11 tz-proof key shape
     fn = _stateful_update_fn()
 
     def run_shipped(pdf):

@@ -153,7 +153,17 @@ def test_vectorized_update_fn_matches_hand_computed_state():
     state = _FakeGroupState()
     import datetime
 
-    key = (datetime.datetime(2024, 1, 1, 10, 0, 0),)
+    # (naive hour label, true epoch ms of the hour start) — the round-11
+    # tz-proof group key shape
+    key = (
+        datetime.datetime(2024, 1, 1, 10, 0, 0),
+        int(
+            datetime.datetime(
+                2024, 1, 1, 10, 0, 0, tzinfo=datetime.timezone.utc
+            ).timestamp()
+            * 1000
+        ),
+    )
     chunk1 = _chunk(
         [
             ("tariff_switch", Decimal("0.29"), None, "c1", 7, "green"),
@@ -395,21 +405,20 @@ def test_state_metrics_raises_on_truncated_progress(spark, sf_dir):
 # DST fall-back: the ambiguous hour key
 # ---------------------------------------------------------------------------
 def test_stateful_bounded_hourly_dst_fall_back(spark, sf_dir, tmp_path):
-    """Round-10 advice: under America/New_York the 2023-11-05 01:00 wall
-    hour occurs twice. Measured Spark semantics this test pins: date_trunc
-    keeps the two occurrences as DISTINCT epoch keys (05:00Z EDT and
-    06:00Z EST) that share the naive label "01:00" — so batch emits one
-    row per EPOCH hour (9 for this window), and the stream holds two
-    separate state groups. The state function sees only the naive label,
-    so its timeout localization hits an ambiguous timestamp: unfixed, that
-    is an AmbiguousTimeError that kills the query mid-stream. The fix
-    resolves to the LATER (standard-time) occurrence — exact for the EST
-    group, one-hour-late-but-never-premature for the EDT group — so both
-    groups emit exactly once with batch-equal values. The one residual
-    divergence, asserted not hidden: the pandas->Spark OUTPUT conversion
-    of the ambiguous naive label collapses both rows onto a single epoch
-    label (Spark's Arrow serializer resolution, outside the operator), so
-    the pair is compared as a multiset of values."""
+    """Round-10/11 advice: under America/New_York the 2023-11-05 01:00
+    wall hour occurs twice. date_trunc keeps the two occurrences as
+    DISTINCT epoch keys (05:00Z EDT and 06:00Z EST) that share the naive
+    label "01:00" — batch emits one row per EPOCH hour (9 for this
+    window) and the stream holds two separate state groups. Round 11
+    carries the hour start's TRUE epoch ms through the group key
+    (``hour_epoch_ms``, computed JVM-side), so (a) the event-time timeout
+    is exact epoch arithmetic with no ambiguous re-localization for
+    EITHER group, and (b) the output ``hour`` is rebuilt from the epoch
+    key after the state function, so the two fall-back rows keep DISTINCT
+    correct instants all the way to the sink (the round-10 residual —
+    output labels collapsing onto one epoch, which silently violated the
+    ``postgres_final`` one-row-per-key upsert contract — is gone). The
+    whole 9-hour window must now match batch EXACTLY per epoch hour."""
     from datetime import datetime, timezone
 
     from energy_data_stream_processing_spark.operators.hourly import (
@@ -510,18 +519,13 @@ def test_stateful_bounded_hourly_dst_fall_back(spark, sf_dir, tmp_path):
         ]
         assert len(got) == 9, sorted(h for h, _ in got)  # each group emitted once
 
-        # non-ambiguous hours: exact per-epoch match
+        # EVERY hour — including the two wall-"01:00" fall-back groups —
+        # carries its own distinct, correct epoch label and batch-equal
+        # values: no merge, no split, no collapse, no premature eviction
         want_map = dict(want)
-        plain = [(h, v) for h, v in got if h not in (edt, est)]
-        assert len(plain) == 7
-        for h, v in plain:
+        assert {h for h, _ in got} == window_hours
+        assert edt in want_map and est in want_map  # the pair is exercised
+        for h, v in got:
             assert v == want_map[h], h
-
-        # the ambiguous pair: output labels collapse onto ONE of the two
-        # epochs (serializer resolution), but the VALUES are the two batch
-        # rows exactly — no merge, no split, no premature eviction
-        pair = sorted(v for h, v in got if h in (edt, est))
-        assert len(pair) == 2
-        assert pair == sorted([want_map[edt], want_map[est]])
     finally:
         spark.conf.set("spark.sql.session.timeZone", prior)
