@@ -253,6 +253,49 @@ def main() -> None:
                 "queries": l100,
             }
 
+    # Streaming replay rung (round-11 verdict item 3): the bounded-state
+    # exact hourly twin replayed over FIXED ascending event-time chunks at
+    # 10x density with availableNow — the reference's actual core is the
+    # streaming path, and until now its replay time lived only in SCALE.md
+    # §4.2 prose (12.1 s unbounded / ~10-12 s bounded post-vectorization).
+    # Chunk-file generation is excluded; the timed span is the streaming
+    # query itself (8 data micro-batches + the sentinel flush batch).
+    # SPARK_GRAFT_STREAM_REPLAY=0 skips.
+    if (
+        os.environ.get("SPARK_GRAFT_LADDER", "1") != "0"
+        and os.environ.get("SPARK_GRAFT_STREAM_REPLAY", "1") != "0"
+    ):
+        from energy_data_stream_processing_spark.streaming.runner import (
+            append_watermark_sentinel,
+            ascending_time_chunks,
+            energy_events_stream,
+            hourly_metrics_stateful_bounded_stream,
+            run_stream_to_table,
+        )
+
+        replay_chunks = 8
+        src = ascending_time_chunks(spark, ladder_dir, replay_chunks)
+        append_watermark_sentinel(spark, ladder_dir, src)
+        stream_ev = energy_events_stream(
+            spark, ladder_dir, source_dir=src, max_files_per_trigger=1
+        )
+        t0 = time.perf_counter()
+        run_stream_to_table(
+            spark,
+            hourly_metrics_stateful_bounded_stream(stream_ev, horizon="2 hours"),
+            mode="append",
+        )
+        result["streaming_replay_sec"] = round(time.perf_counter() - t0, 3)
+        result["streaming_replay"] = {
+            "variant": "bounded",
+            "chunks": replay_chunks,
+            "scale_x": 10,
+            "see": "SCALE.md §4.2",
+        }
+        import shutil
+
+        shutil.rmtree(src, ignore_errors=True)
+
     # Composed LLM-corpus curation pipeline (non-headline): quality ->
     # LSH near-dedup keep -> eval-set decontamination -> FFD packing ->
     # split accounting as ONE job, so the training-data-pipeline story has
@@ -260,6 +303,7 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_PIPELINE", "1") != "0":
         from energy_data_stream_processing_spark.plans.sampling_queries import (
             curation_pipeline_full,
+            curation_stage_frames,
         )
 
         t0 = time.perf_counter()
@@ -267,6 +311,30 @@ def main() -> None:
             "overwrite"
         ).save()
         result["curation_pipeline_sec"] = round(time.perf_counter() - t0, 3)
+
+        # Per-stage localization (round-11 verdict item 4): cumulative
+        # prefixes of the same composed plan, timed stage by stage, so
+        # drift in curation_pipeline_sec points at a stage instead of a
+        # prose shrug. Deltas are cumulative diffs (each prefix re-runs
+        # the stages above it); tiny negatives are noise. The prefixes
+        # run AFTER the composed pass, i.e. WARM — their sum is well below
+        # curation_pipeline_sec, whose first-run cost includes plan
+        # construction + codegen. That split is the point: if the
+        # composed number drifts while the warm stage deltas stay flat,
+        # the drift is cold-path/VM noise, not a stage regression.
+        cumulative: dict[str, float] = {}
+        for stage, frame in curation_stage_frames(spark, sf_dir).items():
+            t0 = time.perf_counter()
+            frame.write.format("noop").mode("overwrite").save()
+            cumulative[stage] = round(time.perf_counter() - t0, 3)
+        deltas, prev = {}, 0.0
+        for stage, sec in cumulative.items():
+            deltas[stage] = round(sec - prev, 3)
+            prev = sec
+        result["curation_stages_sec"] = {
+            "cumulative": cumulative,
+            "delta": deltas,
+        }
 
         # Curation scale probe: the same composed pipeline on a 10x
         # documents corpus, so the LLM-pipeline story has a scaling

@@ -154,6 +154,15 @@ def run_stream_with_state_metrics(
     progress = list(q.recentProgress)
     ids = sorted(p.batchId for p in progress)
     last = q.lastProgress
+    # Anchored at batch 0 BY CONSTRUCTION (round-11 advice): this helper
+    # always starts its own query above, so ids begin at 0 and eviction
+    # (recentProgress drops the OLDEST entries, leaving a contiguous
+    # suffix) is exactly what the 0-anchor catches. Do NOT relax this to
+    # min(ids)-anchoring — a truncated fresh series IS a contiguous
+    # suffix and would pass. The check is wrong only for a checkpoint-
+    # RESUMED query (ids continue from the prior run), which cannot reach
+    # this code path; if this guard is ever extracted for resumed
+    # queries, it needs the query's own starting batch id, not 0.
     if last is not None and ids != list(range(last.batchId + 1)):
         raise RuntimeError(
             f"recentProgress is incomplete: saw batch ids {ids} but the "

@@ -787,36 +787,41 @@ def q_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def curated_document_set(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality -> near-dedup keep -> decontamination: the curated (doc_id,
-    text) set the packing stage of ``curation_pipeline_full`` consumes.
-    Factored out so tests can assert packing conservation against it."""
+def _curation_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage 1: quality gate (>= 10 words) over one corpus scan."""
+    from ..operators.dedup import words as _dwords
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "text", F.size(_dwords()).alias("n_words")
+    ).where(F.col("n_words") >= 10)
+
+
+def _curation_dedup(quality: DataFrame) -> DataFrame:
+    """Stage 2: near-dedup — keep the longest copy of each multi-member
+    cluster. SAME component/keep helpers as the oracle-gated
+    semantic_dedup_lsh entry, so the composition can't drift from the
+    gated plan."""
     from ..operators.dedup import (
         component_scores,
         keep_longest_ord,
         minhash_lsh_pairs,
     )
-    from ..operators.dedup import words as _dwords
-    from ..operators.text import ngram_shingle_index
 
-    docs = load_table(spark, sf_dir, "documents")
-    quality = docs.select(
-        "doc_id", "text", F.size(_dwords()).alias("n_words")
-    ).where(F.col("n_words") >= 10)
-
-    # near-dedup: keep the longest copy of each multi-member cluster —
-    # SAME component/keep helpers as the oracle-gated semantic_dedup_lsh
-    # entry, so the composition can't drift from the gated plan
     scored = component_scores(quality, minhash_lsh_pairs(quality, threshold=0.5))
     keep = (
         scored.groupBy("component_id")
         .agg(F.max_by("doc_id", keep_longest_ord()).alias("keep_doc_id"))
         .select(F.col("keep_doc_id").alias("doc_id"))
     )
-    deduped = quality.join(keep, "doc_id", "left_semi")
+    return quality.join(keep, "doc_id", "left_semi")
 
-    # decontamination: drop train-bucket docs overlapping the eval bucket
-    # (same shared shingle index as ngram_decontamination)
+
+def _curation_decontaminate(deduped: DataFrame) -> DataFrame:
+    """Stage 3: drop train-bucket docs overlapping the eval bucket (same
+    shared shingle index as ngram_decontamination)."""
+    from ..operators.text import ngram_shingle_index
+
     sh = ngram_shingle_index(deduped, n=5)
     b = hash_bucket(F.col("doc_id")) % 10
     train_sh = sh.where(b <= 7).withColumnRenamed("doc_id", "train_doc")
@@ -830,6 +835,13 @@ def curated_document_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return deduped.join(contaminated, "doc_id", "left_anti")
+
+
+def curated_document_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality -> near-dedup keep -> decontamination: the curated (doc_id,
+    text) set the packing stage of ``curation_pipeline_full`` consumes.
+    Factored out so tests can assert packing conservation against it."""
+    return _curation_decontaminate(_curation_dedup(_curation_quality(spark, sf_dir)))
 
 
 def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -852,10 +864,14 @@ def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows; packing shuffles once on the shard key and runs sequential FFD
     per shard; the final agg is split-cardinality sized.
     """
-    window, n_shards = 256, 8
-    curated = curated_document_set(spark, sf_dir)
+    return _curation_split_account(
+        _curation_packed(curated_document_set(spark, sf_dir))
+    )
 
-    # pack: shard-local FFD into fixed context windows
+
+def _curation_packed(curated: DataFrame, window: int = 256, n_shards: int = 8) -> DataFrame:
+    """Stage 4: token counting + shard-local FFD packing into fixed
+    context windows."""
     toks = curated.select(
         "doc_id",
         F.least(F.size(bpe_tokens(F.col("text"))).cast("long"), F.lit(window)).alias(
@@ -898,10 +914,40 @@ def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     out_schema = "split string, shard long, bin_id long, n_docs long, bin_tokens long"
-    packed = toks.groupBy("split", "shard").applyInPandas(pack, out_schema)
+    return toks.groupBy("split", "shard").applyInPandas(pack, out_schema)
+
+
+def _curation_split_account(packed: DataFrame, window: int = 256) -> DataFrame:
+    """Stage 5: per-split packing account (bins, docs, tokens, utilization)."""
     return packed.groupBy("split").agg(
         F.count(F.lit(1)).alias("n_bins"),
         F.sum("n_docs").cast("long").alias("n_docs"),
         F.sum("bin_tokens").cast("long").alias("total_tokens"),
         F.avg(F.col("bin_tokens").cast("double") / window).alias("mean_utilization"),
     )
+
+
+def curation_stage_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Cumulative-PREFIX frames of ``curation_pipeline_full``, one per
+    stage: quality -> dedup -> decontaminate -> pack -> split.
+
+    bench.py materializes each prefix through the noop sink and reports
+    both the cumulative timings and their consecutive deltas, so drift in
+    the composed number can be localized to a stage (round-11 verdict
+    item 4: the total spanned 4.3-6.9 s across rounds with no breakdown).
+    Each prefix re-runs the stages above it — the deltas are
+    cumulative-diff attribution, not isolated stage cost, and small
+    negative deltas are measurement noise, not speedups. The 'split'
+    prefix IS the full pipeline (identical plan to
+    ``curation_pipeline_full``)."""
+    quality = _curation_quality(spark, sf_dir)
+    dedup = _curation_dedup(quality)
+    decon = _curation_decontaminate(dedup)
+    packed = _curation_packed(decon)
+    return {
+        "quality": quality,
+        "dedup": dedup,
+        "decontaminate": decon,
+        "pack": packed,
+        "split": _curation_split_account(packed),
+    }
