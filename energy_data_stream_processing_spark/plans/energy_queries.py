@@ -267,12 +267,13 @@ FROM base b LEFT JOIN switch_top s USING (customer_id)
     "(Spark cannot express correlated LIMIT; semantics identical incl. NULLs "
     "when <2 switches). ARRAY_AGG DISTINCT becomes a sorted joined string for "
     "deterministic cross-engine comparison. Scale swaps (both oracle-"
-    "identical, both on the bench ladder): customer_view_twophase for "
-    "cardinality skew, customer_view_prefilter for high per-customer event "
-    "density — the 100x-measured default at 100 TB (SCALE.md §6). Since "
-    "round 10 this entry dispatches on MEASURED density (variant='auto'): "
-    "the ladder crossover picked the plan by hand; now the caller gets it "
-    "by default.",
+    "identical, both on the bench ladder): customer_view_twophase — the "
+    "replicated high-density AND cardinality-skew winner (round-11 A/B, "
+    "SCALE.md §6) — and customer_view_prefilter, the explicit "
+    "second-scan swap. Since round 10 this entry dispatches on MEASURED "
+    "density (variant='auto'); since round 11 the probe answers from "
+    "Parquet footer metadata when decisive and the high-density pick is "
+    "twophase.",
 )
 def q_customer_view(
     spark: SparkSession,
@@ -360,8 +361,8 @@ def events_per_customer_footer_lower_bound(sf_dir: str) -> float | None:
     (customer_id is a 1:1 reformat of user_id); ids denser than their
     range make the bound tight, sparse ids only make it lower. Therefore
     ``rows / (max-min+1) <= true events-per-customer`` always: when the
-    bound already clears ``CUSTOMER_VIEW_DENSITY_CROSSOVER`` the prefilter
-    pick is certain from metadata alone (the 100 TB high-density path — a
+    bound already clears ``CUSTOMER_VIEW_DENSITY_CROSSOVER`` the
+    high-density pick is certain from metadata alone (the 100 TB path — a
     footer read beats even one narrow column scan); below the line the
     true density may still be higher, so the caller falls back to the
     scan+HLL probe. Returns None when footers can't answer (missing
@@ -399,11 +400,15 @@ def events_per_customer_footer_lower_bound(sf_dir: str) -> float | None:
     return rows / float(max(1, hi - lo + 1))
 
 
-#: events-per-customer density above which the PREFILTER plan is the
-#: measured winner (SCALE.md §6 three-plan ladder: at ~670 ev/cust the
-#: single-shuffle plan still wins 7.4 s vs 8.0 s; at ~6,700 prefilter wins
-#: 18.1 s vs 22.2 s) — the geometric midpoint of the two measured rungs.
-CUSTOMER_VIEW_DENSITY_CROSSOVER = 2000.0
+#: events-per-customer density above which the TWO-PHASE plan is the
+#: replicated winner (round-11 A/B, scripts/customer_view_ladder_ab.py:
+#: N=5 interleaved reps per variant on an idle machine, medians — at ~670
+#: ev/cust twophase 2.21 s vs single 2.62 / prefilter 2.77; at ~6,700
+#: twophase 13.78 s vs prefilter 15.99 / single 16.47; at the base ~67
+#: single and twophase tie within noise, 1.21 vs 1.14). Geometric midpoint
+#: of the tie rung (~67) and the first clear-win rung (~670); full table
+#: in SCALE.md §6.
+CUSTOMER_VIEW_DENSITY_CROSSOVER = 200.0
 
 
 def estimate_events_per_customer(ev: DataFrame) -> float:
@@ -428,23 +433,37 @@ def customer_view_dispatch(
     All variants are result-identical (they share ONE DuckDB oracle);
     ``variant`` picks the physical plan:
 
-    - ``"single"`` — one wide groupBy (simplest; best at low density);
+    - ``"single"`` — one wide groupBy (simplest; ties twophase at base
+      density, the default below the crossover);
+    - ``"twophase"`` — (customer, session) pre-agg, then fold per
+      customer. The replicated round-11 A/B (N=5 interleaved reps,
+      medians, SCALE.md §6) has it WINNING at 10x and 100x density —
+      phase 1 combines map-side on keys whose cardinality does not grow
+      with density, so its shuffle volume is density-capped while the
+      other two plans ship (and single additionally Expands) every raw
+      event. The round-8 "array partials bend super-linearly at 100x"
+      reading never reproduced and is retired. Also still the
+      cardinality-skew swap (hot customers collapse per session before
+      the wide shuffle);
     - ``"prefilter"`` — switch structs from a tariff_switch-only slice,
-      joined back (measured best at >=100x density: 18.1 s vs 22.2 s);
-    - ``"twophase"`` — (customer, session) pre-agg (the CARDINALITY-skew
-      swap; never auto-picked — its failure mode is density itself);
+      joined back. Beats single at 100x (15.99 vs 16.47 median) but
+      loses to twophase everywhere measured; kept as the explicit swap
+      for workloads where the switch-row fraction is tiny and a second
+      scan is cheap (columnar pruned);
     - ``"auto"`` — measure ``events_per_customer`` (unless the caller
-      already knows it and passes it) and take prefilter above
+      already knows it and passes it) and take twophase above
       ``CUSTOMER_VIEW_DENSITY_CROSSOVER``, single below. The probe is
-      an EAGER job at plan-BUILD time — the catalog entry memoizes it
-      per dataset; callers handing a raw frame should pass
-      ``events_per_customer`` themselves if they build plans repeatedly.
+      an EAGER job at plan-BUILD time unless Parquet footers already
+      decide it (see ``events_per_customer_footer_lower_bound``) — the
+      catalog entry memoizes it per dataset snapshot; callers handing a
+      raw frame should pass ``events_per_customer`` themselves if they
+      build plans repeatedly.
     """
     if variant == "auto":
         if events_per_customer is None:
             events_per_customer = estimate_events_per_customer(ev)
         variant = (
-            "prefilter"
+            "twophase"
             if events_per_customer >= CUSTOMER_VIEW_DENSITY_CROSSOVER
             else "single"
         )
@@ -529,12 +548,12 @@ def customer_view_from_events(ev: DataFrame) -> DataFrame:
     "plan (no reducer sees a whole hot customer's raw events; the Expand "
     "row-doubling disappears). Shares customer_view's oracle as a "
     "result-identity proof, mirroring hourly_business_metrics_twophase. "
-    "Caveat (SCALE.md §6): its array partials MERGE per customer, so "
-    "switch-list density is its cost driver — it wins at 10x density; the "
-    "round-8 100x reading that put it far behind (33.9 s) did not "
-    "reproduce in rounds 9-10 (~17-19 s, within noise of prefilter), so "
-    "treat it as the swap for cardinality skew, not a density loser or "
-    "winner (the density default is customer_view_prefilter).",
+    "Round-11 replicated A/B (N=5 interleaved reps, SCALE.md §6): it WINS "
+    "at both 10x and 100x density (medians 2.21 / 13.78 s vs single "
+    "2.62 / 16.47 and prefilter 2.77 / 15.99) and ties single at base "
+    "density — so since round 11 it IS the auto dispatch's high-density "
+    "pick; the round-8 'array partials bend super-linearly' reading "
+    "(33.9 s) never reproduced and is retired.",
 )
 def q_customer_view_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer_view_two_phase(energy_events(spark, sf_dir))

@@ -286,19 +286,31 @@ def _n_filescans(df):
 
 
 def test_customer_view_auto_picks_single_at_low_density(spark, sf_dir):
-    """Testdata density is ~67 events/customer — far below the measured
-    crossover (~2000), so auto must return the single-shuffle plan
-    (one events scan, no switch-branch join)."""
+    """Testdata density is ~67 events/customer — below the replicated
+    crossover (200, SCALE.md §6), so auto must return the single-shuffle
+    plan (one events scan, no switch-branch join, no phase-1
+    session-keyed pre-aggregation shuffle)."""
+    import re
+
     from energy_data_stream_processing_spark.plans.catalog import all_queries
 
     df = all_queries()["customer_view"].builder(spark, sf_dir)
     assert _n_filescans(df) == 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # "p_sw" is the twophase phase-1 alias; the planner's own
+    # count_distinct rewrite gives SINGLE the same exchange keys, so
+    # exchange shape does not discriminate — the alias does
+    assert "p_sw" not in plan
 
 
-def test_customer_view_auto_picks_prefilter_at_high_density(spark, sf_dir):
+def test_customer_view_auto_picks_twophase_at_high_density(spark, sf_dir):
     """With a caller-supplied density above the crossover, auto must return
-    the prefilter plan (two scans: wide agg + pruned switch slice) and stay
-    result-identical to the single-shuffle plan."""
+    the TWO-PHASE plan — the replicated round-11 high-density winner
+    (SCALE.md §6): one scan, with the phase-1 (customer_id, session_id)
+    pre-aggregation shuffle — and stay result-identical to the
+    single-shuffle plan."""
+    import re
+
     from energy_data_stream_processing_spark.plans.catalog import all_queries
     from energy_data_stream_processing_spark.plans.energy_queries import (
         CUSTOMER_VIEW_DENSITY_CROSSOVER,
@@ -306,7 +318,9 @@ def test_customer_view_auto_picks_prefilter_at_high_density(spark, sf_dir):
 
     q = all_queries()["customer_view"].builder
     hi = q(spark, sf_dir, events_per_customer=CUSTOMER_VIEW_DENSITY_CROSSOVER * 3)
-    assert _n_filescans(hi) == 2
+    assert _n_filescans(hi) == 1
+    plan = hi._jdf.queryExecution().executedPlan().toString()
+    assert "p_sw" in plan  # the twophase phase-1 alias
     lo = q(spark, sf_dir, variant="single")
     cols = sorted(hi.columns)
     assert cols == sorted(lo.columns)

@@ -88,15 +88,18 @@ def test_footer_lower_bound_returns_none_when_unanswerable(tmp_path):
 # ---------------------------------------------------------------------------
 # Dispatch: metadata decides prefilter with NO Spark probe job
 # ---------------------------------------------------------------------------
-def test_auto_dispatch_decides_prefilter_from_metadata_alone(
+def test_auto_dispatch_decides_twophase_from_metadata_alone(
     spark, tmp_path, monkeypatch
 ):
     """At high footer-proven density the auto dispatch must pick the
-    prefilter plan WITHOUT running the scan+HLL probe — the 100 TB probe
-    cost story. Proven by making the scan probe a hard error."""
+    two-phase plan (the replicated round-11 winner) WITHOUT running the
+    scan+HLL probe — the 100 TB probe cost story. Proven by making the
+    scan probe a hard error."""
+    import re
+
     d = tmp_path / "hi"
     d.mkdir()
-    # sf0.01: 10k events over user_id range 2 -> footer bound 5000 >= 2000
+    # sf0.01: 10k events over user_id range 2 -> footer bound 5000 >= 200
     _write_events_with_user_mod("/root/testdata/sf0.01", str(d), 2)
     lb = eq.events_per_customer_footer_lower_bound(str(d))
     assert lb is not None and lb >= eq.CUSTOMER_VIEW_DENSITY_CROSSOVER
@@ -107,7 +110,10 @@ def test_auto_dispatch_decides_prefilter_from_metadata_alone(
     monkeypatch.setattr(eq, "estimate_events_per_customer", boom)
     eq.clear_density_cache()
     df = all_queries()["customer_view"].builder(spark, str(d))
-    assert _n_filescans(df) == 2  # the prefilter plan shape
+    assert _n_filescans(df) == 1  # the two-phase plan shape: one scan...
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # ...carrying the phase-1 per-(customer, session) partial aggregate
+    assert "p_sw" in plan  # the twophase phase-1 alias
 
 
 def test_auto_dispatch_falls_back_to_scan_probe_below_the_line(
@@ -144,10 +150,14 @@ def test_density_cache_reprobes_after_in_place_rewrite(spark, tmp_path):
     assert _n_filescans(low) == 1  # ~67 ev/cust -> single
 
     # rewrite IN PLACE at 5000 ev/cust
+    import re
+
     os.remove(d / "events.parquet")
     _write_events_with_user_mod("/root/testdata/sf0.01", str(d), 2)
     hi = all_queries()["customer_view"].builder(spark, str(d))
-    assert _n_filescans(hi) == 2  # re-probed -> prefilter
+    plan = hi._jdf.queryExecution().executedPlan().toString()
+    # re-probed -> the high-density two-phase plan
+    assert "p_sw" in plan  # the twophase phase-1 alias
 
 
 def test_clear_density_cache_hook():
