@@ -55,6 +55,12 @@ class ProgressCapture:
                         # ISO-8601 wall-clock stamp — the alert rule's rate
                         # window derives from the first->last batch span.
                         "timestamp": p.timestamp,
+                        # state memory feeds the state_store_bytes gauge
+                        # (process_gauges); empty for stateless queries
+                        "stateOperators": [
+                            {"memoryUsedBytes": s.memoryUsedBytes}
+                            for s in (p.stateOperators or [])
+                        ],
                     }
                 )
 
@@ -81,23 +87,74 @@ class ProgressCapture:
 LATENCY_BUCKETS_S = (0.001, 0.005, 0.01, 0.05, 0.1, 0.5, 1.0, 5.0)
 
 
+def process_gauges(spark=None, batches: list[dict] | None = None) -> dict[str, float]:
+    """Engine twins of the reference dashboard's process-level gauges.
+
+    The reference exports consumer-process memory and a psycopg2 pool size
+    (monitoring/grafana/dashboards/dashboard.json; consumer/consumer.py).
+    The Spark-side equivalents, sampled on demand:
+
+    - ``jvm_heap_used_bytes`` / ``jvm_heap_total_bytes`` — driver JVM heap
+      (``Runtime.getRuntime()``), the process whose memory matters here;
+    - ``python_rss_bytes`` — the PySpark driver's resident set;
+    - ``executor_pool_size`` — ``defaultParallelism``: the engine's
+      "connection pool" twin is its task-slot pool (COVERAGE.md S9: the
+      JDBC connector owns actual DB connections);
+    - ``state_store_bytes`` — summed ``memoryUsedBytes`` across state
+      operators of the LAST captured micro-batch (0 when stateless), the
+      long-running-process memory series a streaming job actually watches.
+    """
+    g: dict[str, float] = {}
+    if spark is not None:
+        rt = spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+        g["jvm_heap_used_bytes"] = float(rt.totalMemory() - rt.freeMemory())
+        g["jvm_heap_total_bytes"] = float(rt.totalMemory())
+        g["executor_pool_size"] = float(spark.sparkContext.defaultParallelism)
+    try:
+        import resource
+
+        # ru_maxrss is KiB on Linux
+        g["python_rss_bytes"] = float(
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
+        )
+    except (ImportError, ValueError):  # non-POSIX: gauge simply absent
+        pass
+    if batches:
+        g["state_store_bytes"] = float(
+            sum(
+                op.get("memoryUsedBytes", 0) or 0
+                for op in (batches[-1].get("stateOperators") or [])
+            )
+        )
+    return g
+
+
 def prometheus_exposition(
     ingest_counts: dict | None = None,
     batches: list[dict] | None = None,
     buckets: tuple[float, ...] = LATENCY_BUCKETS_S,
+    gauges: dict[str, float] | None = None,
 ) -> str:
     """Render engine metrics in Prometheus text exposition format.
 
     Covers the reference's exported series (consumer/consumer.py:30-37):
     ``events_processed_total{status=...}`` counters from the
-    ``observed_ingest`` Observation, and a ``batch_duration_seconds``
+    ``observed_ingest`` Observation, a ``batch_duration_seconds``
     histogram + ``events_input_rows_total`` counter from
-    ``ProgressCapture.batches``. The snapshot string can be served on
-    ``/metrics`` or dropped in a node-exporter textfile-collector dir —
-    Spark-side there is no long-lived per-event process to instrument, so a
-    per-job/per-batch snapshot IS the native equivalent.
+    ``ProgressCapture.batches``, and (round 11) the dashboard's
+    process-level gauges via ``gauges=process_gauges(spark, batches)``.
+    The snapshot string can be served on ``/metrics`` or dropped in a
+    node-exporter textfile-collector dir — Spark-side there is no
+    long-lived per-event process to instrument, so a per-job/per-batch
+    snapshot IS the native equivalent.
     """
     lines: list[str] = []
+    if gauges:
+        for name in sorted(gauges):
+            lines += [
+                f"# TYPE {name} gauge",
+                f"{name} {gauges[name]}",
+            ]
     if ingest_counts is not None:
         status_of = {
             "events_valid": "success",

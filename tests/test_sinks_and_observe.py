@@ -233,6 +233,55 @@ def test_prometheus_exposition_format(spark, sf_dir, tmp_path):
     assert failure_rate_alert(cap.batches, [0]) is False
 
 
+def test_process_gauges_exposition(spark, sf_dir):
+    """Round-11 stretch: the reference dashboard's process-level gauges
+    (consumer memory, pool size) twinned as exposition lines — JVM heap,
+    Python RSS, task-slot pool, and last-batch state-store bytes from a
+    genuinely STATEFUL query's progress."""
+    from energy_data_stream_processing_spark.functions.observe import (
+        ProgressCapture,
+        process_gauges,
+        prometheus_exposition,
+    )
+    from energy_data_stream_processing_spark.streaming.runner import (
+        run_stream_to_table,
+        stream_raw_events,
+    )
+
+    cap = ProgressCapture(spark)
+    try:
+        out = run_stream_to_table(
+            spark,
+            stream_raw_events(spark, sf_dir).groupBy("event_type").count(),
+            mode="complete",
+        )
+        assert out.count() > 0
+        import time
+
+        for _ in range(40):
+            if cap.batches:
+                break
+            time.sleep(0.25)
+    finally:
+        cap.close()
+
+    g = process_gauges(spark, cap.batches)
+    assert g["jvm_heap_used_bytes"] > 0
+    assert g["jvm_heap_total_bytes"] >= g["jvm_heap_used_bytes"]
+    assert g["python_rss_bytes"] > 0
+    assert g["executor_pool_size"] >= 1
+    # complete-mode aggregation is stateful: its state store holds bytes
+    assert g["state_store_bytes"] > 0
+
+    text = prometheus_exposition(gauges=g)
+    assert "# TYPE jvm_heap_used_bytes gauge" in text
+    assert "# TYPE state_store_bytes gauge" in text
+    for ln in text.strip().splitlines():
+        if not ln.startswith("#"):
+            name, _, val = ln.rpartition(" ")
+            assert name and float(val) >= 0
+
+
 def test_raw_store_schema_evolution(spark, sf_dir, tmp_path):
     """A later ingest adds a payload column; the evolution-aware reader
     surfaces it as NULL on old partitions, old projections still work, and
