@@ -80,6 +80,28 @@ def test_footer_lower_bound_is_a_lower_bound_on_sparse_ids(sf_dir, tmp_path):
     assert lb < dense / 100  # ~1000x lower, definitely below any crossover
 
 
+def test_footer_lower_bound_over_multi_file_directory(spark, sf_dir, tmp_path):
+    """Spark-written events tables are DIRECTORIES of part files (the bench
+    ladder dirs are exactly this); the bound must aggregate row counts and
+    min/max across every part footer."""
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "multi"
+    d.mkdir()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    (
+        ev.crossJoin(spark.range(10).withColumnRenamed("id", "_rep"))
+        .withColumn("event_id", F.col("event_id") * 10 + F.col("_rep"))
+        .drop("_rep")
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(f"{d}/events.parquet")
+    )
+    lb = eq.events_per_customer_footer_lower_bound(str(d))
+    base = eq.events_per_customer_footer_lower_bound(sf_dir)
+    assert lb == pytest.approx(10 * base)  # 10x rows, same id range
+
+
 def test_footer_lower_bound_returns_none_when_unanswerable(tmp_path):
     assert eq.events_per_customer_footer_lower_bound(str(tmp_path)) is None
     assert eq.events_per_customer_footer_lower_bound("/nonexistent/dir") is None
