@@ -7,7 +7,12 @@ runs: prefilter 17.5-19.6 s, twophase 17.0-17.3 s), so the auto-dispatch
 default rested on noise. This script settles it with N alternating
 repetitions per variant on one session:
 
-    python scripts/customer_view_ladder_ab.py [sf_dir] [scale_x] [reps]
+    python scripts/customer_view_ladder_ab.py [sf_dir] [scale_x] [reps] [entries]
+
+``entries`` (optional) generalizes the harness to any comma-separated
+catalog entries over a scaled events table (e.g.
+``hourly_business_metrics,hourly_business_metrics_twophase``); default is
+the customer_view trio with the single variant pinned.
 
 - events replicated ``scale_x`` times with fresh event_ids, same time span
   and SAME customer set (per-customer density scales, cardinality doesn't) —
@@ -49,6 +54,9 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     scale_x = int(sys.argv[2]) if len(sys.argv) > 2 else 100
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    variants = VARIANTS
+    if len(sys.argv) > 4:
+        variants = {e: (e, {}) for e in sys.argv[4].split(",")}
 
     spark = get_spark("customer-view-ladder-ab")
     spark.sparkContext.setLogLevel("ERROR")
@@ -68,14 +76,14 @@ def main() -> None:
     catalog = all_queries()
     # one untimed warmup pass per variant: codegen + page cache, so rep 1
     # is not the odd one out
-    for name, (entry, kw) in VARIANTS.items():
+    for name, (entry, kw) in variants.items():
         catalog[entry].builder(spark, scaled, **kw).write.format("noop").mode(
             "overwrite"
         ).save()
 
-    times: dict[str, list[float]] = {v: [] for v in VARIANTS}
+    times: dict[str, list[float]] = {v: [] for v in variants}
     for rep in range(reps):
-        for name, (entry, kw) in VARIANTS.items():
+        for name, (entry, kw) in variants.items():
             t0 = time.perf_counter()
             catalog[entry].builder(spark, scaled, **kw).write.format(
                 "noop"
