@@ -189,6 +189,35 @@ def test_clear_density_cache_hook():
 
 
 # ---------------------------------------------------------------------------
+# Footer bound soundness as a property: for ANY integer id multiset, the
+# metadata bound must never exceed the true events-per-customer density
+# (an overclaim would mis-dispatch; underclaims only fall back to the probe)
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    ids=st.lists(st.integers(min_value=-10_000, max_value=10_000), min_size=1, max_size=400)
+)
+def test_footer_bound_never_exceeds_true_density(ids, tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("prop")
+    t = pa.table({"user_id": pa.array(ids, type=pa.int64())})
+    pq.write_table(t, f"{d}/events.parquet")
+    lb = eq.events_per_customer_footer_lower_bound(str(d))
+    assert lb is not None
+    true_density = len(ids) / len(set(ids))
+    assert lb <= true_density + 1e-9
+    # tight exactly when the ids are dense in their range
+    if len(set(ids)) == max(ids) - min(ids) + 1:
+        assert lb == pytest.approx(true_density)
+
+
+# ---------------------------------------------------------------------------
 # DST fall-back: the UNBOUNDED twin's output labels (the bounded variant is
 # pinned in test_round10_ops; round 11 changed BOTH streams' group key)
 # ---------------------------------------------------------------------------
