@@ -96,7 +96,11 @@ def process_gauges(spark=None, batches: list[dict] | None = None) -> dict[str, f
 
     - ``jvm_heap_used_bytes`` / ``jvm_heap_total_bytes`` — driver JVM heap
       (``Runtime.getRuntime()``), the process whose memory matters here;
-    - ``python_rss_bytes`` — the PySpark driver's resident set;
+    - ``python_rss_bytes`` — the PySpark driver's CURRENT resident set
+      (``/proc/self/status`` VmRSS); where /proc is absent the gauge
+      falls back to ``python_peak_rss_bytes`` only (``ru_maxrss`` is a
+      peak, not current, and its unit is platform-specific — KiB on
+      Linux, bytes on macOS — so the fallback scales by platform);
     - ``executor_pool_size`` — ``defaultParallelism``: the engine's
       "connection pool" twin is its task-slot pool (COVERAGE.md S9: the
       JDBC connector owns actual DB connections);
@@ -111,12 +115,28 @@ def process_gauges(spark=None, batches: list[dict] | None = None) -> dict[str, f
         g["jvm_heap_total_bytes"] = float(rt.totalMemory())
         g["executor_pool_size"] = float(spark.sparkContext.defaultParallelism)
     try:
+        # Current RSS, the series a dashboard actually plots. ru_maxrss is
+        # PEAK RSS (monotone — useless as a live gauge) so prefer
+        # /proc/self/status VmRSS where it exists (Linux).
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    g["python_rss_bytes"] = float(line.split()[1]) * 1024.0
+                    break
+    except OSError:
+        pass
+    try:
         import resource
+        import sys as _sys
 
-        # ru_maxrss is KiB on Linux
-        g["python_rss_bytes"] = float(
-            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
-        )
+        # ru_maxrss unit is platform-specific: KiB on Linux, BYTES on
+        # macOS — scaling unconditionally by 1024 would inflate the
+        # darwin reading 1024x.
+        scale = 1024.0 if _sys.platform.startswith("linux") else 1.0
+        peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * scale
+        g["python_peak_rss_bytes"] = float(peak)
+        # non-Linux fallback so the dashboard key is never silently absent
+        g.setdefault("python_rss_bytes", float(peak))
     except (ImportError, ValueError):  # non-POSIX: gauge simply absent
         pass
     if batches:

@@ -358,8 +358,12 @@ def events_per_customer_footer_lower_bound(sf_dir: str) -> float | None:
     adapter is a pure projection — ENERGY_EVENTS_SQL filters nothing — so
     footer rows == frame rows). Denominator: an UPPER bound on distinct
     customers from the integer ``user_id`` column's footer min/max range
-    (customer_id is a 1:1 reformat of user_id); ids denser than their
-    range make the bound tight, sparse ids only make it lower. Therefore
+    (the adapter's ``lpad(user_id, 4, '0')`` is 1:1 for ids up to 4
+    digits; a >=5-digit id TRUNCATES, collapsing distinct user_ids into
+    one customer_id — which only LOWERS distinct customers, i.e. RAISES
+    true density, so the bound stays a valid lower bound, merely less
+    tight there); ids denser than their range make the bound tight,
+    sparse ids only make it lower. Therefore
     ``rows / (max-min+1) <= true events-per-customer`` always: when the
     bound already clears ``CUSTOMER_VIEW_DENSITY_CROSSOVER`` the
     high-density pick is certain from metadata alone (the 100 TB path — a

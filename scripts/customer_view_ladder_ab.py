@@ -39,7 +39,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from bench import TABLES, _scaled_dir
+from bench import _scaled_dir
 from energy_data_stream_processing_spark.plans.catalog import all_queries
 from energy_data_stream_processing_spark.session import get_spark
 

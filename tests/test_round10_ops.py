@@ -290,8 +290,6 @@ def test_customer_view_auto_picks_single_at_low_density(spark, sf_dir):
     crossover (200, SCALE.md §6), so auto must return the single-shuffle
     plan (one events scan, no switch-branch join, no phase-1
     session-keyed pre-aggregation shuffle)."""
-    import re
-
     from energy_data_stream_processing_spark.plans.catalog import all_queries
 
     df = all_queries()["customer_view"].builder(spark, sf_dir)
@@ -309,8 +307,6 @@ def test_customer_view_auto_picks_twophase_at_high_density(spark, sf_dir):
     (SCALE.md §6): one scan, with the phase-1 (customer_id, session_id)
     pre-aggregation shuffle — and stay result-identical to the
     single-shuffle plan."""
-    import re
-
     from energy_data_stream_processing_spark.plans.catalog import all_queries
     from energy_data_stream_processing_spark.plans.energy_queries import (
         CUSTOMER_VIEW_DENSITY_CROSSOVER,

@@ -239,6 +239,7 @@ def test_stateful_unbounded_hourly_dst_fall_back_output_labels(spark, tmp_path):
     )
 
     prior = spark.conf.get("spark.sql.session.timeZone")
+    prior_nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.set("spark.sql.session.timeZone", "America/New_York")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
@@ -293,3 +294,7 @@ def test_stateful_unbounded_hourly_dst_fall_back_output_labels(spark, tmp_path):
         assert got == want
     finally:
         spark.conf.set("spark.sql.session.timeZone", prior)
+        if prior_nanos is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior_nanos)

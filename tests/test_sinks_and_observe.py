@@ -269,6 +269,10 @@ def test_process_gauges_exposition(spark, sf_dir):
     assert g["jvm_heap_used_bytes"] > 0
     assert g["jvm_heap_total_bytes"] >= g["jvm_heap_used_bytes"]
     assert g["python_rss_bytes"] > 0
+    # round-12 advice fix: the live gauge is CURRENT RSS (/proc VmRSS);
+    # peak RSS is a separate monotone gauge bounding it (small slack —
+    # ru_maxrss accounting can lag a just-grown VmRSS)
+    assert g["python_peak_rss_bytes"] >= g["python_rss_bytes"] * 0.9
     assert g["executor_pool_size"] >= 1
     # complete-mode aggregation is stateful: its state store holds bytes
     assert g["state_store_bytes"] > 0
