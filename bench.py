@@ -145,6 +145,41 @@ def main() -> None:
 
     spark.range(32).select(_noop("id")).write.format("noop").mode("overwrite").save()
 
+    # ------------------------------------------------------------------
+    # VM-drift canary (round-11 verdict item 4). A FROZEN synthetic plan —
+    # deterministic spark.range data, NO table reads, and this code block
+    # must NEVER change across rounds — timed cold (first run after the
+    # warmups) and warm (second run). Because the plan is constant, any
+    # cross-round movement in canary_sec is the MACHINE, not the engine:
+    # per-query drift diagnosis divides by the canary instead of the prose
+    # triangulation rounds 10-11 needed. The shape deliberately spans the
+    # hot paths the catalog leans on: codegen expressions (sha2), Expand +
+    # two-phase distinct agg, decimal sums, a shuffle, and a global sort.
+    def _canary_run() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 3_000_000)
+            .select(
+                (F.col("id") % 9973).alias("k"),
+                F.sha2(F.col("id").cast("string"), 256).alias("h"),
+                (F.col("id") % 997).cast("decimal(12,2)").alias("amt"),
+            )
+            .groupBy("k")
+            .agg(
+                F.count_distinct("h").alias("nh"),
+                F.sum("amt").alias("s"),
+                F.max("h").alias("mx"),
+            )
+            .orderBy(F.desc("s"), "k")
+            .limit(100)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return round(time.perf_counter() - t0, 3)
+
+    canary = {"cold": _canary_run(), "warm": _canary_run()}
+
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
     catalog = all_queries()
@@ -169,6 +204,14 @@ def main() -> None:
         "queries": timings,
         "warm_value": round(sum(warm.values()), 3),
         "warm_queries": warm,
+        # canary-normalized warm ratios: per-query warm seconds divided by
+        # the frozen canary's warm seconds — compare THESE across rounds;
+        # a query whose ratio holds while its seconds inflate moved with
+        # the machine, not the plan.
+        "canary_sec": canary,
+        "warm_queries_per_canary": {
+            name: round(v / canary["warm"], 2) for name, v in warm.items()
+        },
         "sf": sf,
     }
 
