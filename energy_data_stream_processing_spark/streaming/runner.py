@@ -98,6 +98,35 @@ STATE_SCHEMA = StructType(
     ]
 )
 
+# Per-(hour, shard) PARTIAL emitted by the sharded hot-hour variant
+# (round-11 verdict item 6): raw integer accumulators — the same
+# quantized representation the state carries — plus the shard's exact
+# distinct-customer COUNT (shards are customer-hash-disjoint, so counts
+# add) and its exact session ID SET (sessions are only customer-scoped
+# by convention, not by schema, so cross-shard exactness needs the set;
+# the merge dedups across shards). Emitted ONCE per (hour, shard) at
+# eviction, never rewritten.
+SHARD_PARTIAL_SCHEMA = StructType(
+    [
+        StructField("hour", TimestampType(), False),
+        StructField("hour_epoch_ms", LongType(), False),
+        StructField("shard", LongType(), False),
+        StructField("update_seq", LongType(), False),
+        StructField("tariff_switches", LongType(), False),
+        StructField("switch_revenue_cents", LongType(), False),
+        StructField("incentive_claims", LongType(), False),
+        StructField("incentive_cents", LongType(), False),
+        StructField("green_switches", LongType(), False),
+        StructField("total_logins", LongType(), False),
+        StructField("energy_milli", LongType(), False),
+        StructField("peak_milli", LongType(), False),
+        StructField("payment_cents", LongType(), False),
+        StructField("payment_events", LongType(), False),
+        StructField("n_customers", LongType(), False),
+        StructField("sessions", ArrayType(LongType()), False),
+    ]
+)
+
 
 def stream_raw_events(
     spark: SparkSession,
@@ -182,7 +211,7 @@ def hourly_metrics_native_stream(events: DataFrame, watermark: str = "24 hours")
     )
 
 
-def _stateful_update_fn(final_only: bool = False):
+def _stateful_update_fn(final_only: bool = False, shard_partial: bool = False):
     """Closure (pickled by value — workers never import this package).
 
     ``final_only=True`` is the bounded-state flavor: merge batches emit
@@ -190,6 +219,12 @@ def _stateful_update_fn(final_only: bool = False):
     fires (the watermark passed the hour end), after which the state row is
     REMOVED. Requires ``outputMode="append"`` +
     ``GroupStateTimeout.EventTimeTimeout`` at the call site.
+
+    ``shard_partial=True`` (implies ``final_only``) is the hot-hour
+    sharded flavor: the key is ``(hour, hour_epoch_ms, shard)`` and the
+    eviction emits a RAW PARTIAL (``SHARD_PARTIAL_SCHEMA``) instead of
+    derived metrics — ``merge_sharded_hourly_partials`` folds the shards
+    back into the exact hourly row downstream of the state function.
 
     Keyed by ``(hour, hour_epoch_ms)``: the naive session-tz ``hour``
     label arrives lossy (a DST fall-back maps TWO epoch hours onto one
@@ -199,6 +234,11 @@ def _stateful_update_fn(final_only: bool = False):
     internal epoch micros) and carries it in the key. ``key[1]`` makes the
     timeout arithmetic exact and the output rows tz-proof with no
     ambiguous re-localization anywhere (round-10/11 advice)."""
+    if shard_partial and not final_only:
+        raise ValueError(
+            "shard_partial emits once per (hour, shard) at eviction — it "
+            "requires final_only=True (append-mode EventTimeTimeout)"
+        )
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -255,13 +295,43 @@ def _stateful_update_fn(final_only: bool = False):
                 ]
             )
 
+        def partial_row(ts, src, ic, icc, gs, tl, em, pk, pc, pe, customers, sessions, seq):
+            return pd.DataFrame(
+                [
+                    {
+                        "hour": key[0],
+                        "hour_epoch_ms": int(key[1]),
+                        "shard": int(key[2]),
+                        "update_seq": seq,
+                        "tariff_switches": ts,
+                        "switch_revenue_cents": src,
+                        "incentive_claims": ic,
+                        "incentive_cents": icc,
+                        "green_switches": gs,
+                        "total_logins": tl,
+                        "energy_milli": em,
+                        "peak_milli": pk,
+                        "payment_cents": pc,
+                        "payment_events": pe,
+                        "n_customers": len(customers),
+                        "sessions": sorted(sessions),
+                    }
+                ]
+            )
+
         if final_only and state.hasTimedOut:
             (ts, src, ic, icc, gs, tl, em, pk, pc, pe, customers, sessions, seq) = state.get
             state.remove()
-            yield final_row(
-                ts, src, ic, icc, gs, tl, em, pk, pc, pe,
-                len(customers), len(sessions), seq,
-            )
+            if shard_partial:
+                yield partial_row(
+                    ts, src, ic, icc, gs, tl, em, pk, pc, pe,
+                    customers, sessions, seq,
+                )
+            else:
+                yield final_row(
+                    ts, src, ic, icc, gs, tl, em, pk, pc, pe,
+                    len(customers), len(sessions), seq,
+                )
             return
 
         if state.exists:
@@ -423,6 +493,96 @@ def hourly_metrics_stateful_bounded_stream(
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
+    )
+
+
+def hourly_metrics_stateful_sharded_stream(
+    events: DataFrame, horizon: str = "2 hours", shards: int = 8
+) -> DataFrame:
+    """Hot-hour-bounded variant of the exact bounded stream (round-11
+    verdict item 6, SCALE.md §5.1's top 1000x hazard): the exact distinct
+    ID sets live INSIDE each hour's state row, so one hot hour at 100 TB
+    is a multi-MB row re-serialized by a single task on every touched
+    micro-batch. This variant salts the state key to
+    ``(hour, hour_epoch_ms, shard)`` with ``shard =
+    pmod(xxhash64(customer_id), shards)``: each state row holds ~1/shards
+    of the hot hour's sets (measured in scripts/hot_hour_shard_probe.py),
+    and the per-batch state rewrite parallelizes across state partitions
+    instead of serializing on one.
+
+    Exactness is preserved by construction, not assumption: customers are
+    hash-DISJOINT across shards (counts add); sessions are NOT provably
+    disjoint (a session_id could span customers), so each shard emits its
+    exact session SET and ``merge_sharded_hourly_partials`` dedups across
+    shards — the merged row is bit-identical to the unsharded twin's (and
+    the batch oracle's) for any input. Emission stays final-only
+    append-mode: one raw partial per (hour, shard) at eviction, merged
+    DOWNSTREAM of the state function (post-collect or foreachBatch), so
+    the merge itself holds no streaming state."""
+    keyed = _hour_keyed(events.withWatermark("event_time", horizon)).withColumn(
+        "shard", F.pmod(F.xxhash64(F.col("customer_id")), F.lit(shards))
+    )
+    return keyed.groupBy("hour", "hour_epoch_ms", "shard").applyInPandasWithState(
+        _stateful_update_fn(final_only=True, shard_partial=True),
+        outputStructType=SHARD_PARTIAL_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def merge_sharded_hourly_partials(partials: DataFrame) -> DataFrame:
+    """Fold per-(hour, shard) raw partials into the exact hourly metrics.
+
+    Numeric identity with ``final_row`` (and hence the batch oracle): the
+    accumulators arrive in the state's quantized integer units (cents /
+    milli), sums stay exact int64, the three ratio metrics re-derive with
+    the same ``floor(x*100 + 0.5)/100`` half-up rounding on float64, and
+    ``peak`` is a max — all order- and shard-count-independent.
+    ``n_customers`` ADDS (shards partition the customer hash space);
+    sessions dedup across shards via array union, exact regardless of
+    whether session ids are customer-scoped."""
+    r2 = lambda c: F.floor(c * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)  # noqa: E731
+    agg = partials.groupBy("hour_epoch_ms").agg(
+        F.sum("tariff_switches").alias("ts"),
+        F.sum("switch_revenue_cents").alias("src"),
+        F.sum("incentive_claims").alias("ic"),
+        F.sum("incentive_cents").alias("icc"),
+        F.sum("green_switches").alias("gs"),
+        F.sum("total_logins").alias("tl"),
+        F.sum("energy_milli").alias("em"),
+        F.max("peak_milli").alias("pk"),
+        F.sum("payment_cents").alias("pc"),
+        F.sum("payment_events").alias("pe"),
+        F.sum("n_customers").alias("n_cust"),
+        F.size(F.array_distinct(F.flatten(F.collect_list("sessions")))).alias("n_sess"),
+    )
+    switch_rev = F.col("src") / F.lit(100.0)
+    energy_total = F.col("em") / F.lit(1000.0)
+    payments = F.col("pc") / F.lit(100.0)
+    return agg.select(
+        F.timestamp_millis(F.col("hour_epoch_ms")).alias("hour"),
+        F.col("ts").alias("tariff_switches"),
+        switch_rev.alias("total_switch_revenue"),
+        F.when(F.col("ts") > 0, r2(switch_rev / F.col("ts")))
+        .otherwise(F.lit(0.0))
+        .alias("avg_switch_value"),
+        F.col("ic").alias("incentive_claims"),
+        (F.col("icc") / F.lit(100.0)).alias("total_incentive_payouts"),
+        F.col("gs").alias("green_tariff_switches"),
+        F.col("n_cust").alias("active_customers"),
+        F.col("n_sess").cast("long").alias("new_sessions"),
+        F.col("tl").alias("total_logins"),
+        energy_total.alias("total_energy_consumed"),
+        F.when(F.col("n_cust") > 0, r2(energy_total / F.col("n_cust")))
+        .otherwise(F.lit(0.0))
+        .alias("avg_consumption_per_customer"),
+        (F.col("pk") / F.lit(1000.0)).alias("peak_hour_usage"),
+        payments.alias("total_payments"),
+        F.col("pe").alias("payment_events"),
+        F.when(F.col("pe") > 0, r2(payments / F.col("pe")))
+        .otherwise(F.lit(0.0))
+        .alias("avg_payment_amount"),
     )
 
 
