@@ -262,6 +262,55 @@ def main() -> None:
             "queries": ladder,
         }
 
+        # Streaming replay rung (round-11 verdict item 3): the bounded-
+        # state exact hourly twin replayed over FIXED ascending event-time
+        # chunks at 10x density with availableNow, at the engine's hours-
+        # class state partitioning (SCALE.md §4.3). Runs HERE — after the
+        # 10x rung whose data it reuses, BEFORE ladder100 — because the
+        # 100x rung's heap/GC hangover inflated the replay ~2x when it ran
+        # afterwards (measured r12: 20.1 s after ladder100 vs 11.3 s
+        # before, both at 8 state partitions). Chunk-file generation is
+        # excluded; the timed span is the streaming query itself (8 data
+        # micro-batches + the sentinel flush batch).
+        # SPARK_GRAFT_STREAM_REPLAY=0 skips.
+        if os.environ.get("SPARK_GRAFT_STREAM_REPLAY", "1") != "0":
+            from energy_data_stream_processing_spark.streaming.runner import (
+                HOURS_STATE_PARTITIONS,
+                append_watermark_sentinel,
+                ascending_time_chunks,
+                energy_events_stream,
+                hourly_metrics_stateful_bounded_stream,
+                run_stream_to_table,
+            )
+
+            replay_chunks = 8
+            src = ascending_time_chunks(spark, ladder_dir, replay_chunks)
+            append_watermark_sentinel(spark, ladder_dir, src)
+            stream_ev = energy_events_stream(
+                spark, ladder_dir, source_dir=src, max_files_per_trigger=1
+            )
+            t0 = time.perf_counter()
+            run_stream_to_table(
+                spark,
+                hourly_metrics_stateful_bounded_stream(stream_ev, horizon="2 hours"),
+                mode="append",
+                # round-12: the engine sizes state partitions to the key-
+                # cardinality class (hours => 8); SCALE.md §4.3 measured the
+                # 32-partition session default wasting 1.45-1.67x wall here
+                state_partitions=HOURS_STATE_PARTITIONS,
+            )
+            result["streaming_replay_sec"] = round(time.perf_counter() - t0, 3)
+            result["streaming_replay"] = {
+                "variant": "bounded",
+                "chunks": replay_chunks,
+                "scale_x": 10,
+                "state_partitions": HOURS_STATE_PARTITIONS,
+                "see": "SCALE.md §4.2-4.3",
+            }
+            import shutil
+
+            shutil.rmtree(src, ignore_errors=True)
+
         # 100x density rung (round-8 verdict item 3): the three
         # customer_view plans head-to-head at sf10-equivalent per-customer
         # event density, where the 10x run showed the single-shuffle plan's
@@ -295,55 +344,6 @@ def main() -> None:
                 "value": round(sum(l100.values()), 3),
                 "queries": l100,
             }
-
-    # Streaming replay rung (round-11 verdict item 3): the bounded-state
-    # exact hourly twin replayed over FIXED ascending event-time chunks at
-    # 10x density with availableNow — the reference's actual core is the
-    # streaming path, and until now its replay time lived only in SCALE.md
-    # §4.2 prose (12.1 s unbounded / ~10-12 s bounded post-vectorization).
-    # Chunk-file generation is excluded; the timed span is the streaming
-    # query itself (8 data micro-batches + the sentinel flush batch).
-    # SPARK_GRAFT_STREAM_REPLAY=0 skips.
-    if (
-        os.environ.get("SPARK_GRAFT_LADDER", "1") != "0"
-        and os.environ.get("SPARK_GRAFT_STREAM_REPLAY", "1") != "0"
-    ):
-        from energy_data_stream_processing_spark.streaming.runner import (
-            HOURS_STATE_PARTITIONS,
-            append_watermark_sentinel,
-            ascending_time_chunks,
-            energy_events_stream,
-            hourly_metrics_stateful_bounded_stream,
-            run_stream_to_table,
-        )
-
-        replay_chunks = 8
-        src = ascending_time_chunks(spark, ladder_dir, replay_chunks)
-        append_watermark_sentinel(spark, ladder_dir, src)
-        stream_ev = energy_events_stream(
-            spark, ladder_dir, source_dir=src, max_files_per_trigger=1
-        )
-        t0 = time.perf_counter()
-        run_stream_to_table(
-            spark,
-            hourly_metrics_stateful_bounded_stream(stream_ev, horizon="2 hours"),
-            mode="append",
-            # round-12: the engine sizes state partitions to the key-
-            # cardinality class (hours => 8); SCALE.md §4.3 measured the
-            # 32-partition session default wasting 1.45-1.67x wall here
-            state_partitions=HOURS_STATE_PARTITIONS,
-        )
-        result["streaming_replay_sec"] = round(time.perf_counter() - t0, 3)
-        result["streaming_replay"] = {
-            "variant": "bounded",
-            "chunks": replay_chunks,
-            "scale_x": 10,
-            "state_partitions": HOURS_STATE_PARTITIONS,
-            "see": "SCALE.md §4.2-4.3",
-        }
-        import shutil
-
-        shutil.rmtree(src, ignore_errors=True)
 
     # Composed LLM-corpus curation pipeline (non-headline): quality ->
     # LSH near-dedup keep -> eval-set decontamination -> FFD packing ->

@@ -123,3 +123,16 @@ def test_sharded_hourly_stream_matches_batch_exactly(spark, sf_dir):
     for h, row in got.items():
         for c in METRIC_COLUMNS:
             assert float(row[c]) == float(want[h][c]), (h, c, row[c], want[h][c])
+
+
+def test_shard_partial_requires_final_only():
+    """shard_partial emits once per (hour, shard) at eviction; constructing
+    it without final_only (update-mode) must be a hard error, mirroring the
+    postgres_final pairing ack."""
+    from energy_data_stream_processing_spark.streaming.runner import (
+        _stateful_update_fn,
+    )
+
+    with pytest.raises(ValueError, match="final_only"):
+        _stateful_update_fn(shard_partial=True)
+    assert callable(_stateful_update_fn(final_only=True, shard_partial=True))
