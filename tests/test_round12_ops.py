@@ -136,3 +136,49 @@ def test_shard_partial_requires_final_only():
     with pytest.raises(ValueError, match="final_only"):
         _stateful_update_fn(shard_partial=True)
     assert callable(_stateful_update_fn(final_only=True, shard_partial=True))
+
+
+def test_sharded_merge_dedups_sessions_across_shards_and_keeps_dst_hours(spark):
+    """Two exactness seams the real testdata never exercises: (a) a session
+    id that appears in TWO shards (possible whenever session ids are not
+    customer-scoped) must count ONCE in new_sessions — the merge unions
+    session SETS rather than summing per-shard counts; (b) partials from
+    the two DST fall-back epoch hours (same naive wall label) must merge
+    into TWO output rows because the merge keys on hour_epoch_ms."""
+    from datetime import datetime, timezone
+
+    from energy_data_stream_processing_spark.streaming.runner import (
+        SHARD_PARTIAL_SCHEMA,
+        merge_sharded_hourly_partials,
+    )
+
+    h1 = int(datetime(2023, 11, 5, 5, 0, tzinfo=timezone.utc).timestamp() * 1000)
+    h2 = h1 + 3_600_000  # the second wall-"01:00" occurrence in America/New_York
+    naive = datetime(2023, 11, 5, 1, 0)  # lossy label, same for both
+
+    def partial(hour_ms, shard, n_cust, sessions, logins):
+        return (
+            naive, hour_ms, shard, 1,
+            0, 0, 0, 0, 0, logins, 0, 0, 0, 0,
+            n_cust, sessions,
+        )
+
+    partials = spark.createDataFrame(
+        [
+            # hour 1: session 77 spans shards 0 and 1 -> must count once
+            partial(h1, 0, 2, [77, 101], 3),
+            partial(h1, 1, 1, [77], 2),
+            # hour 2 (same wall label): disjoint sessions
+            partial(h2, 0, 1, [55], 1),
+        ],
+        schema=SHARD_PARTIAL_SCHEMA,
+    )
+    rows = {
+        int(r["hour"].timestamp() * 1000): r
+        for r in merge_sharded_hourly_partials(partials).collect()
+    }
+    assert set(rows) == {h1, h2}  # DST fall-back hours stay distinct
+    assert rows[h1]["new_sessions"] == 2  # {77, 101}, NOT 3
+    assert rows[h1]["active_customers"] == 3  # shard-disjoint counts add
+    assert rows[h1]["total_logins"] == 5
+    assert rows[h2]["new_sessions"] == 1
