@@ -182,3 +182,85 @@ def test_sharded_merge_dedups_sessions_across_shards_and_keeps_dst_hours(spark):
     assert rows[h1]["active_customers"] == 3  # shard-disjoint counts add
     assert rows[h1]["total_logins"] == 5
     assert rows[h2]["new_sessions"] == 1
+
+
+def test_sharded_stream_kill_and_resume_under_rocksdb(spark, sf_dir, tmp_path):
+    """Operational story for the sharded variant: crash after the first
+    flushed micro-batch and resume from the checkpoint under the RocksDB
+    state-store provider (the 100 TB default) — the deduped partials,
+    merged, must still equal the batch aggregate on every hour and metric.
+    foreachBatch is at-least-once across the crash, so the collector
+    overwrites by (hour_epoch_ms, shard): exactly the idempotence the
+    partials' once-per-key-final emission is designed to give a sink."""
+    from datetime import timedelta
+
+    from pyspark.sql import functions as F
+
+    from energy_data_stream_processing_spark.operators.hourly import (
+        METRIC_COLUMNS,
+        hourly_business_metrics,
+    )
+    from energy_data_stream_processing_spark.sources.adapter import energy_events
+    from energy_data_stream_processing_spark.sources.sinks import _conf_override
+    from energy_data_stream_processing_spark.streaming.runner import (
+        SHARD_PARTIAL_SCHEMA,
+        append_watermark_sentinel,
+        ascending_time_chunks,
+        energy_events_stream,
+        hourly_metrics_stateful_sharded_stream,
+        merge_sharded_hourly_partials,
+    )
+
+    src = ascending_time_chunks(spark, sf_dir, 3)
+    mx = append_watermark_sentinel(spark, sf_dir, src)
+    ckpt = str(tmp_path / "ckpt")
+    collected: dict[tuple, tuple] = {}
+
+    def start(crash_after: int | None):
+        calls: list[int] = []
+
+        def flush(batch_df, batch_id):
+            for r in batch_df.collect():
+                collected[(r["hour_epoch_ms"], r["shard"])] = tuple(r)
+            calls.append(batch_id)
+            if crash_after is not None and len(calls) >= crash_after:
+                raise RuntimeError("injected crash after first flush")
+
+        ev = energy_events_stream(
+            spark, sf_dir, source_dir=src, max_files_per_trigger=1
+        )
+        return (
+            hourly_metrics_stateful_sharded_stream(ev, horizon="2 hours", shards=8)
+            .writeStream.foreachBatch(flush)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    with _conf_override(
+        spark,
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    ):
+        q = start(crash_after=2)
+        with pytest.raises(Exception):
+            q.awaitTermination(300)
+        q2 = start(crash_after=None)
+        assert q2.awaitTermination(300), "resumed sharded stream did not finish"
+
+    partials = spark.createDataFrame(
+        list(collected.values()), schema=SHARD_PARTIAL_SCHEMA
+    )
+    merged = merge_sharded_hourly_partials(partials).where(
+        F.col("hour") < mx + timedelta(days=30)
+    )
+    got = {int(r["hour"].timestamp()): r.asDict() for r in merged.collect()}
+    want = {
+        int(r["hour"].timestamp()): r.asDict()
+        for r in hourly_business_metrics(energy_events(spark, sf_dir)).collect()
+    }
+    assert set(got) == set(want) and len(want) > 0
+    for h, row in got.items():
+        for c in METRIC_COLUMNS:
+            assert float(row[c]) == float(want[h][c]), (h, c)
