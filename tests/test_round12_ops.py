@@ -264,3 +264,87 @@ def test_sharded_stream_kill_and_resume_under_rocksdb(spark, sf_dir, tmp_path):
     for h, row in got.items():
         for c in METRIC_COLUMNS:
             assert float(row[c]) == float(want[h][c]), (h, c)
+
+
+def test_sharded_merge_arithmetic_matches_reference_on_random_partials(spark):
+    """Shard-invariance soundness, divorced from real data: for randomly
+    generated per-hour accumulators randomly SPLIT across shards, the Spark
+    merge must equal a pure-Python reference that computes the metrics the
+    way the state function's final_row does (same quantized integer units,
+    same floor(x*100+0.5)/100 half-up rounding on float64). Random values
+    include rounding-boundary amounts (exact .005 cents cases arise
+    naturally from integer cents), many hours, varying shard counts, and
+    cross-shard session overlap."""
+    import math
+    import random
+    from datetime import datetime, timezone
+
+    from energy_data_stream_processing_spark.streaming.runner import (
+        SHARD_PARTIAL_SCHEMA,
+        merge_sharded_hourly_partials,
+    )
+
+    rng = random.Random(0xC0FFEE)
+    base_ms = int(
+        datetime(2024, 3, 1, tzinfo=timezone.utc).timestamp() * 1000
+    )
+    naive = datetime(2024, 3, 1)
+    rows, want = [], {}
+    for h in range(60):  # 60 hours, 1-6 shards each
+        hour_ms = base_ms + h * 3_600_000
+        n_shards = rng.randint(1, 6)
+        tot = [0] * 10
+        all_cust = 0
+        all_sessions: set[int] = set()
+        session_pool = list(range(h * 50, h * 50 + 30))
+        for s in range(n_shards):
+            acc = [rng.randint(0, 10_000) for _ in range(10)]
+            # force rounding-boundary cases: odd cents with tiny divisors
+            if s == 0:
+                acc[0] = rng.choice([1, 2, 3])          # tariff_switches
+                acc[1] = acc[0] * 100 + 50               # .5-cent avg boundary
+            n_cust = rng.randint(0, 40)
+            sess = sorted(rng.sample(session_pool, rng.randint(0, 10)))
+            rows.append(
+                (naive, hour_ms, s, 1, *acc, n_cust, sess)
+            )
+            tot = [a + b for a, b in zip(tot, acc)]
+            tot[7] = max(r[11] for r in rows if r[1] == hour_ms)  # peak = max
+            all_cust += n_cust
+            all_sessions.update(sess)
+
+        def r2(x: float) -> float:
+            return math.floor(x * 100.0 + 0.5) / 100.0
+
+        ts, src, ic, icc, gs, tl, em, pk, pc, pe = tot
+        switch_rev, energy_total, payments = src / 100.0, em / 1000.0, pc / 100.0
+        want[hour_ms] = {
+            "tariff_switches": ts,
+            "total_switch_revenue": switch_rev,
+            "avg_switch_value": r2(switch_rev / ts) if ts else 0.0,
+            "incentive_claims": ic,
+            "total_incentive_payouts": icc / 100.0,
+            "green_tariff_switches": gs,
+            "active_customers": all_cust,
+            "new_sessions": len(all_sessions),
+            "total_logins": tl,
+            "total_energy_consumed": energy_total,
+            "avg_consumption_per_customer": r2(energy_total / all_cust)
+            if all_cust
+            else 0.0,
+            "peak_hour_usage": pk / 1000.0,
+            "total_payments": payments,
+            "payment_events": pe,
+            "avg_payment_amount": r2(payments / pe) if pe else 0.0,
+        }
+
+    merged = merge_sharded_hourly_partials(
+        spark.createDataFrame(rows, schema=SHARD_PARTIAL_SCHEMA)
+    )
+    got = {
+        int(r["hour"].timestamp() * 1000): r.asDict() for r in merged.collect()
+    }
+    assert set(got) == set(want)
+    for hour_ms, exp in want.items():
+        for c, v in exp.items():
+            assert float(got[hour_ms][c]) == float(v), (hour_ms, c, got[hour_ms][c], v)
