@@ -17,7 +17,12 @@ partitioning (8). Reported per arm: replay wall seconds, final state-row
 count, peak stateOperators.memoryUsedBytes, and peak bytes PER STATE ROW —
 the quantity sharding is supposed to divide.
 
-    python scripts/hot_hour_shard_probe.py [sf_dir] [shards]
+    python scripts/hot_hour_shard_probe.py [sf_dir] [shards] [layout]
+
+``layout`` is ``hot`` (default: all events folded into one hour — the
+hazard scenario) or ``normal`` (events keep their real hours — measures
+what sharding COSTS in the regime where it is not needed, completing the
+ship-as-opt-in decision table in SCALE.md §4.4).
 """
 
 from __future__ import annotations
@@ -62,7 +67,16 @@ def build_hot_hour_dir(spark, sf_dir: str) -> str:
     return d
 
 
-def run_arm(sf_dir: str, variant: str, shards: int) -> dict:
+def build_normal_dir(spark, sf_dir: str) -> str:
+    """Temp sf-dir with events unchanged (real hour spread) — symlinks."""
+    d = tempfile.mkdtemp(prefix="normal-hours-")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings", "events"):
+        os.symlink(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
+    return d
+
+
+def run_arm(sf_dir: str, variant: str, shards: int, layout: str = "hot") -> dict:
     from energy_data_stream_processing_spark.functions.stage_metrics import (
         run_stream_with_state_metrics,
     )
@@ -81,7 +95,11 @@ def run_arm(sf_dir: str, variant: str, shards: int) -> dict:
     )
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    hot_dir = build_hot_hour_dir(spark, sf_dir)
+    hot_dir = (
+        build_hot_hour_dir(spark, sf_dir)
+        if layout == "hot"
+        else build_normal_dir(spark, sf_dir)
+    )
     src = ascending_time_chunks(spark, hot_dir, 8)
     append_watermark_sentinel(spark, hot_dir, src)
     ev = energy_events_stream(spark, hot_dir, source_dir=src, max_files_per_trigger=1)
@@ -108,6 +126,7 @@ def run_arm(sf_dir: str, variant: str, shards: int) -> dict:
     peak = max(series, key=lambda s: s["bytes"]) if series else {"rows": 0, "bytes": 0}
     out = {
         "variant": variant,
+        "layout": layout,
         "shards": shards if variant == "sharded" else 1,
         "wall_sec": wall,
         "peak_state_bytes": peak["bytes"],
@@ -124,8 +143,9 @@ def run_arm(sf_dir: str, variant: str, shards: int) -> dict:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     shards = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    layout = sys.argv[3] if len(sys.argv) > 3 else "hot"
     for variant in ("unsharded", "sharded"):
-        r = run_arm(sf_dir, variant, shards)
+        r = run_arm(sf_dir, variant, shards, layout)
         series = r.pop("series")
         print(json.dumps(r), flush=True)
         print(
