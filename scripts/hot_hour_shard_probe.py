@@ -38,7 +38,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-HOT_EPOCH_US = 1_700_000_000 * 1_000_000  # fixed, arbitrary hour anchor
+# Fixed anchor, HOUR-ALIGNED (1_699_999_200 s = 2023-11-14 22:00:00Z).
+# A non-aligned anchor silently spreads "one hot hour" across two
+# date_trunc hours (the original 1_700_000_000 s was 800 s past the
+# boundary and produced 2 unsharded state rows, not 1).
+HOT_EPOCH_US = 1_699_999_200 * 1_000_000
+assert HOT_EPOCH_US % 3_600_000_000 == 0
 
 
 def build_hot_hour_dir(spark, sf_dir: str) -> str:

@@ -829,8 +829,15 @@ def test_dst_fall_back_flushes_two_rows_live(pg, spark):
         ]
         assert labels == ["01:00", "01:00"]
 
+        # the SERVER session tz is hostile too: the sink binds NAIVE UTC
+        # wall times (never timestamptz), so PostgreSQL's session TimeZone
+        # must not matter — an aware binding would re-render through it
+        # via the timestamptz -> timestamp assignment cast and re-collide
         flush = foreach_batch_statement_upsert(
-            "dst_flush", execute_many=lambda sql, rows: pg.sql(_prepared(sql, rows))
+            "dst_flush",
+            execute_many=lambda sql, rows: pg.sql(
+                "SET TIME ZONE 'America/New_York';\n" + _prepared(sql, rows)
+            ),
         )
         flush(batch, 0)
     finally:

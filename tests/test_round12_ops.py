@@ -185,8 +185,9 @@ def test_sharded_merge_dedups_sessions_across_shards_and_keeps_dst_hours(spark):
 
 
 def test_sharded_stream_kill_and_resume_under_rocksdb(spark, sf_dir, tmp_path):
-    """Operational story for the sharded variant: crash after the first
-    flushed micro-batch and resume from the checkpoint under the RocksDB
+    """Operational story for the sharded variant: crash after the SECOND
+    flushed micro-batch (crash_after=2 — some but not all state flushed)
+    and resume from the checkpoint under the RocksDB
     state-store provider (the 100 TB default) — the deduped partials,
     merged, must still equal the batch aggregate on every hour and metric.
     foreachBatch is at-least-once across the crash, so the collector
