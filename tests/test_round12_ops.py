@@ -349,3 +349,100 @@ def test_sharded_merge_arithmetic_matches_reference_on_random_partials(spark):
     for hour_ms, exp in want.items():
         for c, v in exp.items():
             assert float(got[hour_ms][c]) == float(v), (hour_ms, c, got[hour_ms][c], v)
+
+
+def test_sharded_stream_dst_fall_back_end_to_end(spark, tmp_path):
+    """The sharded variant end-to-end under America/New_York with the
+    corpus folded around the 2023 DST fall-back: the merged output must
+    carry BOTH wall-"01:00" epoch hours as distinct rows with batch-equal
+    values — the (hour_epoch_ms, shard) key and the epoch-keyed merge
+    must not re-introduce the ambiguity anywhere in the chain."""
+    from datetime import datetime, timedelta, timezone
+
+    from pyspark.sql import functions as F
+
+    from energy_data_stream_processing_spark.operators.hourly import (
+        hourly_business_metrics,
+    )
+    from energy_data_stream_processing_spark.sources.adapter import (
+        ENERGY_EVENTS_SQL,
+        normalize_event_ts,
+    )
+    from energy_data_stream_processing_spark.streaming.runner import (
+        append_watermark_sentinel,
+        ascending_time_chunks,
+        energy_events_stream,
+        hourly_metrics_stateful_sharded_stream,
+        merge_sharded_hourly_partials,
+        run_stream_to_table,
+    )
+
+    prior_tz = spark.conf.get("spark.sql.session.timeZone")
+    prior_nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        raw = normalize_event_ts(
+            spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        )
+        target_us = int(
+            datetime(2023, 11, 5, 1, 30, tzinfo=timezone.utc).timestamp()
+            * 1_000_000
+        )
+        win_us = 8 * 3600 * 1_000_000
+        mn_us = raw.select(F.min(F.unix_micros("ts")).alias("m")).first()["m"]
+        folded = raw.withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.lit(target_us) + (F.unix_micros("ts") - F.lit(mn_us)) % F.lit(win_us)
+            ),
+        )
+        d = tmp_path / "sf"
+        d.mkdir()
+        stage = str(tmp_path / "stage")
+        folded.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        os.rename(f"{stage}/{part}", str(d / "events.parquet"))
+
+        src = ascending_time_chunks(spark, str(d), 3)
+        mx = append_watermark_sentinel(spark, str(d), src)
+        ev = energy_events_stream(
+            spark, str(d), source_dir=src, max_files_per_trigger=1
+        )
+        partials = run_stream_to_table(
+            spark,
+            hourly_metrics_stateful_sharded_stream(ev, horizon="2 hours", shards=8),
+            mode="append",
+            state_partitions=8,
+        ).where(F.col("hour") < mx + timedelta(days=30))
+        out = merge_sharded_hourly_partials(partials)
+
+        view = "dst_sharded_events"
+        folded.createOrReplaceTempView(view)
+        batch_df = hourly_business_metrics(
+            spark.sql(ENERGY_EVENTS_SQL.replace("FROM events", f"FROM {view}"))
+        )
+        metric_cols = [c for c in batch_df.columns if c != "hour"]
+
+        def by_epoch_hour(df):
+            return sorted(
+                (
+                    r["_eh"],
+                    tuple(round(float(r[c]), 6) for c in metric_cols),
+                )
+                for r in df.withColumn(
+                    "_eh", (F.unix_micros("hour") / F.lit(3_600_000_000.0))
+                ).collect()
+            )
+
+        want = by_epoch_hour(batch_df)
+        got = by_epoch_hour(out)
+        h0 = target_us // 3_600_000_000
+        assert {h0 + 4, h0 + 5} <= {h for h, _ in want}  # both 01:00 epochs
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prior_tz)
+        if prior_nanos is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior_nanos)
