@@ -123,7 +123,9 @@ def process_gauges(spark=None, batches: list[dict] | None = None) -> dict[str, f
                 if line.startswith("VmRSS:"):
                     g["python_rss_bytes"] = float(line.split()[1]) * 1024.0
                     break
-    except OSError:
+    except (OSError, ValueError, IndexError):
+        # a malformed/truncated VmRSS line must fall through to the
+        # ru_maxrss fallback below, not fail the whole gauges call
         pass
     try:
         import resource

@@ -544,7 +544,12 @@ def foreach_batch_lake_merge(
         table = LakeTable(path, log_store=log_store)
         df = batch_df
         if key_col == "hour_key" and "hour_key" not in df.columns:
-            df = df.withColumn("hour_key", F.date_format("hour", "yyyy-MM-dd-HH"))
+            # injective tz-proof key (label + epoch): the wall label alone
+            # merges a DST fall-back's two instants onto one row under a
+            # non-UTC session tz — see sinks.hour_partition_key
+            from .sinks import hour_partition_key
+
+            df = df.withColumn("hour_key", hour_partition_key())
         # (app_id, batchId) pair -> the snapshot records one latest-version
         # entry per app id, so a long stream never grows the commit log
         txn = (txn_app_id, batch_id) if txn_app_id is not None else None

@@ -1,0 +1,385 @@
+"""Round-13 pins: the sharded hot-hour flush shipped end-to-end
+(foreach_batch_sharded_flush), density auto-dispatch bounded-vs-sharded,
+the two-stage session merge, and the injective tz-proof parquet hour key."""
+
+from __future__ import annotations
+
+import os
+import sys
+from datetime import datetime, timedelta, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from energy_data_stream_processing_spark.operators.hourly import (
+    METRIC_COLUMNS,
+    hourly_business_metrics,
+)
+from energy_data_stream_processing_spark.sources.adapter import energy_events
+from energy_data_stream_processing_spark.sources.sinks import (
+    foreach_batch_sharded_flush,
+    read_hourly_metrics_parquet,
+    upsert_hourly_metrics_parquet,
+)
+from energy_data_stream_processing_spark.streaming.runner import (
+    SHARD_PARTIAL_SCHEMA,
+    append_watermark_sentinel,
+    ascending_time_chunks,
+    energy_events_stream,
+    merge_sharded_hourly_partials,
+)
+
+
+def _partial(hour_ms, shard, n_cust, sessions, logins, energy_milli=0):
+    """SHARD_PARTIAL_SCHEMA row with only the fields under test non-zero."""
+    naive = datetime.fromtimestamp(hour_ms / 1000, tz=timezone.utc).replace(
+        tzinfo=None
+    )
+    return (
+        naive, hour_ms, shard, 1,
+        0, 0, 0, 0, 0, logins, energy_milli, 0, 0, 0,
+        n_cust, sessions,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-stage session merge (round-12 advice: merge-side memory bound)
+# ---------------------------------------------------------------------------
+def test_two_stage_merge_matches_default_everywhere(spark):
+    """The explode+count_distinct session merge must be value-identical to
+    the single-buffer collect_list form on cross-shard session overlap,
+    DST twin hours, empty session arrays, and random accumulators — it is
+    a memory-layout change (no whole-set aggregation buffer), not a
+    semantic one."""
+    import random
+
+    rng = random.Random(13)
+    base = int(datetime(2023, 11, 5, 5, 0, tzinfo=timezone.utc).timestamp() * 1000)
+    rows = [
+        # cross-shard overlap: 77 in shards 0 and 1 of hour 0
+        _partial(base, 0, 2, [77, 101], 3),
+        _partial(base, 1, 1, [77], 2),
+        # DST twin hour (same wall label under NY): distinct output row
+        _partial(base + 3_600_000, 0, 1, [55], 1),
+        # an hour whose every shard has an EMPTY session set -> n_sess 0
+        _partial(base + 7_200_000, 0, 1, [], 4),
+        _partial(base + 7_200_000, 3, 2, [], 1),
+    ]
+    pool = list(range(1000))
+    for h in range(40):
+        hms = base + (h + 3) * 3_600_000
+        for s in range(rng.randint(1, 5)):
+            rows.append(
+                _partial(
+                    hms, s, rng.randint(0, 30),
+                    sorted(rng.sample(pool, rng.randint(0, 12))),
+                    rng.randint(0, 9), rng.randint(0, 10_000),
+                )
+            )
+    partials = spark.createDataFrame(rows, schema=SHARD_PARTIAL_SCHEMA)
+
+    def snap(df):
+        return sorted(
+            (int(r["hour"].timestamp()), *(float(r[c]) for c in METRIC_COLUMNS))
+            for r in df.collect()
+        )
+
+    one = snap(merge_sharded_hourly_partials(partials))
+    two = snap(merge_sharded_hourly_partials(partials, two_stage_sessions=True))
+    assert one == two and len(one) >= 40
+    # the empty-session hour really exercised the left-join null path
+    empty_hour = next(r for r in one if r[0] == (base + 7_200_000) // 1000)
+    assert empty_hour[METRIC_COLUMNS.index("new_sessions") + 1] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# foreach_batch_sharded_flush: cross-batch shard straddle + replay
+# ---------------------------------------------------------------------------
+def test_sharded_flush_cross_batch_straddle_and_replay(spark, tmp_path):
+    """The seam the staging store exists for: one hour's shard partials
+    evicting in DIFFERENT micro-batches (each (hour, shard) state row
+    times out independently). Batch 0 carries only shard 0 of hour H; the
+    flush lands a complete-so-far row; batch 1 brings shard 1 and the
+    re-merge UPGRADES the stored row to the full-hour value. Then a
+    foreachBatch REPLAY of batch 0 (the crash-between-flush-and-commit
+    window) must change nothing: the staging overwrite rewrites exactly
+    its own files and full-row replacement re-lands identical values —
+    never regressing the hour to its batch-0 partial."""
+    staging = str(tmp_path / "staging")
+    store = str(tmp_path / "metrics")
+    pg_table: dict = {}
+    statements: list = []
+
+    def execute_many(sql, rows):
+        statements.append(sql)
+        for r in rows:
+            pg_table[r[0]] = dict(zip(METRIC_COLUMNS, r[1:]))  # full-row replace
+
+    flush = foreach_batch_sharded_flush(
+        staging, table="m", execute_many=execute_many, metrics_path=store
+    )
+    h = int(datetime(2024, 5, 1, 7, 0, tzinfo=timezone.utc).timestamp() * 1000)
+    b0 = spark.createDataFrame(
+        [_partial(h, 0, 2, [1, 2], 3, energy_milli=1500)],
+        schema=SHARD_PARTIAL_SCHEMA,
+    )
+    b1 = spark.createDataFrame(
+        [_partial(h, 1, 1, [2, 9], 4, energy_milli=500)],
+        schema=SHARD_PARTIAL_SCHEMA,
+    )
+    key = datetime(2024, 5, 1, 7, 0)  # naive UTC wall binding
+
+    flush(b0, 0)
+    assert pg_table[key]["total_logins"] == 3
+    assert pg_table[key]["active_customers"] == 2
+    assert pg_table[key]["new_sessions"] == 2
+
+    flush(b1, 1)  # straddling shard arrives -> row upgrades in place
+    full = {
+        "total_logins": 7, "active_customers": 3, "new_sessions": 3,
+        "total_energy_consumed": 2.0,
+        "avg_consumption_per_customer": 0.67,  # floor(2/3*100+0.5)/100
+    }
+    for k, v in full.items():
+        assert pg_table[key][k] == v, (k, pg_table[key][k])
+
+    flush(b0, 0)  # replayed batch: idempotent, must NOT regress to partial
+    for k, v in full.items():
+        assert pg_table[key][k] == v, ("after replay", k, pg_table[key][k])
+    assert "ON CONFLICT (hour) DO UPDATE" in statements[0]
+
+    got = read_hourly_metrics_parquet(spark, store).collect()
+    assert len(got) == 1
+    for k, v in full.items():
+        assert float(got[0][k]) == v, ("parquet", k)
+
+
+def test_sharded_flush_argument_contract():
+    with pytest.raises(ValueError, match="at least one sink"):
+        foreach_batch_sharded_flush("/tmp/x")
+    with pytest.raises(ValueError, match="together"):
+        foreach_batch_sharded_flush("/tmp/x", table="m")
+    with pytest.raises(ValueError, match="together"):
+        foreach_batch_sharded_flush("/tmp/x", execute_many=lambda s, r: None)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end: sharded stream -> staged flush -> parquet store, with a crash
+# ---------------------------------------------------------------------------
+def test_sharded_flush_kill_and_resume_equals_batch(spark, sf_dir, tmp_path):
+    """Round-12 verdict item 1's 'done' bar, engine-native sink: the
+    sharded stream drives foreach_batch_sharded_flush through a crash
+    injected AFTER the second flush but BEFORE its checkpoint commit (the
+    at-least-once replay window), resumes, and the metrics parquet store
+    must equal the batch aggregate on every hour and all 15 metrics."""
+    from energy_data_stream_processing_spark.streaming.runner import (
+        hourly_metrics_stateful_sharded_stream,
+    )
+
+    src = ascending_time_chunks(spark, sf_dir, 3)
+    mx = append_watermark_sentinel(spark, sf_dir, src)
+    staging = str(tmp_path / "staging")
+    store = str(tmp_path / "metrics")
+    ckpt = str(tmp_path / "ckpt")
+    inner = foreach_batch_sharded_flush(staging, metrics_path=store)
+
+    def start(crash_after: int | None):
+        calls: list[int] = []
+
+        def flush(batch_df, batch_id):
+            inner(batch_df, batch_id)
+            calls.append(batch_id)
+            if crash_after is not None and len(calls) >= crash_after:
+                raise RuntimeError("injected crash after flush, before commit")
+
+        ev = energy_events_stream(
+            spark, sf_dir, source_dir=src, max_files_per_trigger=1
+        )
+        return (
+            hourly_metrics_stateful_sharded_stream(ev, horizon="2 hours", shards=8)
+            .writeStream.foreachBatch(flush)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start(crash_after=2)
+    with pytest.raises(Exception):
+        q.awaitTermination(300)
+    q2 = start(crash_after=None)
+    assert q2.awaitTermination(300), "resumed sharded flush did not finish"
+
+    got = {
+        int(r["hour"].timestamp()): r.asDict()
+        for r in read_hourly_metrics_parquet(spark, store)
+        .where(F.col("hour") < mx + timedelta(days=30))
+        .collect()
+    }
+    want = {
+        int(r["hour"].timestamp()): r.asDict()
+        for r in hourly_business_metrics(energy_events(spark, sf_dir)).collect()
+    }
+    assert set(got) == set(want) and len(want) > 0
+    for h, row in got.items():
+        for c in METRIC_COLUMNS:
+            assert float(row[c]) == float(want[h][c]), (h, c)
+
+
+# ---------------------------------------------------------------------------
+# Density auto-dispatch: bounded vs sharded (round-12 verdict item 2)
+# ---------------------------------------------------------------------------
+def test_shard_count_rule():
+    from energy_data_stream_processing_spark.streaming.runner import (
+        shard_count_for,
+    )
+
+    assert shard_count_for(0) == 8          # floor: hours state partitions
+    assert shard_count_for(100_000) == 8
+    assert shard_count_for(150_000) == 16
+    assert shard_count_for(400_000) == 32
+    assert shard_count_for(10_000_000) == 64  # cap
+
+def test_peak_hour_density_probe(spark, sf_dir, tmp_path):
+    """The probe reads per-hour distinct customers (max over hours) from a
+    BATCH slice; folding every event into ONE hour must raise the peak to
+    ~the corpus's total distinct-customer count (HLL tolerance)."""
+    from energy_data_stream_processing_spark.streaming.runner import (
+        estimate_peak_hour_distinct_customers,
+    )
+
+    ev = energy_events(spark, sf_dir)
+    peak = estimate_peak_hour_distinct_customers(ev)
+    total = ev.select(F.count_distinct("customer_id")).first()[0]
+    assert 0 < peak <= total * 1.05
+
+    anchor = datetime(2024, 7, 1, 12, 0, tzinfo=timezone.utc)
+    folded = ev.withColumn(
+        "event_time",
+        F.timestamp_micros(
+            F.lit(int(anchor.timestamp() * 1_000_000))
+            + F.unix_micros("event_time") % F.lit(3_600_000_000)
+        ),
+    )
+    hot_peak = estimate_peak_hour_distinct_customers(folded)
+    assert hot_peak >= total * 0.9  # the whole corpus now shares one hour
+
+
+def test_dispatch_picks_bounded_at_normal_density(spark, sf_dir):
+    """variant='auto' with a normal-density probe frame must take the
+    BOUNDED twin (sharding at normal density is the measured 2.7x loss,
+    SCALE.md §4.4) and the result must equal the batch aggregate."""
+    from energy_data_stream_processing_spark.streaming import runner
+
+    src = ascending_time_chunks(spark, sf_dir, 3)
+    mx = append_watermark_sentinel(spark, sf_dir, src)
+    ev = energy_events_stream(spark, sf_dir, source_dir=src, max_files_per_trigger=1)
+    out = runner.run_hourly_stream_dispatched(
+        spark, ev, probe_df=energy_events(spark, sf_dir)
+    ).where(F.col("hour") < mx + timedelta(days=30))
+
+    d = runner.LAST_HOURLY_DISPATCH
+    assert d is not None and d["variant"] == "bounded"
+    assert d["peak_hour_distinct"] < runner.HOT_HOUR_SHARD_THRESHOLD
+    assert d["state_partitions"] == runner.HOURS_STATE_PARTITIONS
+
+    got = {int(r["hour"].timestamp()): r.asDict() for r in out.collect()}
+    want = {
+        int(r["hour"].timestamp()): r.asDict()
+        for r in hourly_business_metrics(energy_events(spark, sf_dir)).collect()
+    }
+    assert set(got) == set(want) and len(want) > 0
+    for h, row in got.items():
+        for c in METRIC_COLUMNS:
+            assert float(row[c]) == float(want[h][c]), (h, c)
+
+
+def test_dispatch_picks_sharded_at_hot_density(spark, sf_dir):
+    """variant='auto' with a declared hot peak (the caller-known-density
+    path, same contract as customer_view_dispatch's events_per_customer
+    argument) must take the SHARDED variant with the rule's shard count
+    and the two-stage session merge, and still equal the batch aggregate
+    — the dispatch changes state layout only."""
+    from energy_data_stream_processing_spark.streaming import runner
+
+    src = ascending_time_chunks(spark, sf_dir, 3)
+    mx = append_watermark_sentinel(spark, sf_dir, src)
+    ev = energy_events_stream(spark, sf_dir, source_dir=src, max_files_per_trigger=1)
+    out = runner.run_hourly_stream_dispatched(
+        spark, ev, peak_hour_distinct=150_000
+    ).where(F.col("hour") < mx + timedelta(days=30))
+
+    d = runner.LAST_HOURLY_DISPATCH
+    assert d is not None and d["variant"] == "sharded"
+    assert d["shards"] == 16
+    assert d["two_stage_sessions"] is True
+    assert d["state_partitions"] == 16
+
+    got = {int(r["hour"].timestamp()): r.asDict() for r in out.collect()}
+    want = {
+        int(r["hour"].timestamp()): r.asDict()
+        for r in hourly_business_metrics(energy_events(spark, sf_dir)).collect()
+    }
+    assert set(got) == set(want) and len(want) > 0
+    for h, row in got.items():
+        for c in METRIC_COLUMNS:
+            assert float(row[c]) == float(want[h][c]), (h, c)
+
+
+def test_dispatch_explicit_optout_and_probe_contract(spark):
+    from energy_data_stream_processing_spark.streaming import runner
+
+    with pytest.raises(ValueError, match="probe_df"):
+        runner.run_hourly_stream_dispatched(spark, spark.range(1))
+    with pytest.raises(ValueError, match="unknown variant"):
+        runner.run_hourly_stream_dispatched(
+            spark, spark.range(1), variant="native"
+        )
+
+
+# ---------------------------------------------------------------------------
+# Injective parquet hour key (the statement path's DST fix, lake/parquet side)
+# ---------------------------------------------------------------------------
+def test_parquet_hour_key_keeps_dst_twin_rows(spark, tmp_path):
+    """Under a non-UTC session tz the DST fall-back's two instants render
+    as ONE wall label; with the old label-only hour_key, flushing instant
+    B after instant A dynamic-overwrote A's row away. The epoch-suffixed
+    key keeps them in distinct partitions: two separate flushes, two
+    surviving rows with their own values."""
+    store = str(tmp_path / "m")
+    prior = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        def one_hour(instant: str, scale: int):
+            cols = ", ".join(
+                f"CAST({(i + 1) * scale} AS DOUBLE) AS {m}"
+                for i, m in enumerate(METRIC_COLUMNS)
+            )
+            return spark.sql(f"SELECT TIMESTAMP '{instant}' AS hour, {cols}")
+
+        a = one_hour("2023-11-05 05:00:00+00:00", 1)
+        b = one_hour("2023-11-05 06:00:00+00:00", 10)
+        # the hazard: same wall label under the NY session tz
+        assert (
+            a.selectExpr("date_format(hour, 'yyyy-MM-dd-HH')").first()[0]
+            == b.selectExpr("date_format(hour, 'yyyy-MM-dd-HH')").first()[0]
+        )
+        upsert_hourly_metrics_parquet(spark, a, store)
+        upsert_hourly_metrics_parquet(spark, b, store)  # separate flush
+        got = sorted(
+            (int(r["hour"].timestamp()), float(r["tariff_switches"]))
+            for r in read_hourly_metrics_parquet(spark, store).collect()
+        )
+        h0 = int(datetime(2023, 11, 5, 5, 0, tzinfo=timezone.utc).timestamp())
+        assert got == [(h0, 1.0), (h0 + 3600, 10.0)]
+        # and re-flushing one instant still overwrites ONLY itself
+        upsert_hourly_metrics_parquet(spark, one_hour("2023-11-05 05:00:00+00:00", 3), store)
+        got2 = sorted(
+            (int(r["hour"].timestamp()), float(r["tariff_switches"]))
+            for r in read_hourly_metrics_parquet(spark, store).collect()
+        )
+        assert got2 == [(h0, 3.0), (h0 + 3600, 10.0)]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prior)
