@@ -26,16 +26,14 @@ def entry(spark: SparkSession) -> DataFrame:
     return q.builder(spark, "/root/testdata/sf0.001")
 
 
-# Round-12 gate ordering. The driver checks a ~50-entry prefix of
-# queries(). Head = the two entries whose CODE changed this round (the
-# exact stateful hourly twins now size their state-store count to the
-# hours key-cardinality class — HOURS_STATE_PARTITIONS=8, scoped for the
-# query lifetime — instead of inheriting the session shuffle default;
-# SCALE.md §4.3), then every other oracle-backed entry by
-# stalest-evidence-first — this rotates the r7-evidence cohort (round-11
-# verdict item 3) into the sampled window, truncated to EXACTLY 50 (the
-# driver samples a ~50-entry prefix, so anything past 50 silently gets
-# no evidence).
+# Round-13 gate ordering. The driver checks a ~50-entry prefix of
+# queries(). No catalog entry's builder changed this round (round-12
+# verdict: integration seams only — the sharded flush and the density
+# dispatch live in sinks.py/runner.py behind the catalog surface), so the
+# changed head is EMPTY and the full window rotates the stalest-evidence
+# cohort: the 42 entries whose latest driver evidence is r9, then the
+# next-stalest by name, truncated to EXACTLY 50 (the driver samples a
+# ~50-entry prefix, so anything past 50 silently gets no evidence).
 #
 # GENERATED — do not hand-edit: regenerate with
 #   python scripts/gen_gate_prefix.py --max-round <horizon> \
@@ -52,66 +50,63 @@ def entry(spark: SparkSession) -> DataFrame:
 #: the regeneration check, so the driver dropping this round's artifact
 #: after our last commit cannot redden the suite. The round workflow bumps
 #: this together with the regenerated prefix.
-_GATE_EVIDENCE_MAX_ROUND = 11
+_GATE_EVIDENCE_MAX_ROUND = 12
 
 # The round's changed/new entries — the declared input to the generator,
 # kept small by policy (a bloated changed set would crowd out rotation).
-_GATE_CHANGED = [
-    "streaming_hourly_metrics",
-    "streaming_hourly_bounded",
-]
+_GATE_CHANGED: list[str] = []
 
 _GATE_PREFIX = [
-    "streaming_hourly_metrics",
-    "streaming_hourly_bounded",
-    "customer_activity_funnel",
-    "daily_energy_summary",
-    "dedup_incremental_minhash",
-    "demand_elasticity",
-    "distinct_tariff_types",
-    "energy_rollup_cascade",
-    "engagement_funnel",
-    "event_transitions",
-    "event_type_hour_cube",
-    "fk_integrity_audit",
-    "green_adoption",
-    "heavy_hitters_tokens",
-    "hourly_anomaly_zscore",
-    "hourly_business_metrics",
-    "hourly_gap_fill",
-    "ingest_validation_summary",
-    "label_cap_sample",
-    "length_band_filter",
-    "multimodal_decode_stub",
-    "multimodal_frame_sample",
-    "multimodal_meta",
-    "ordered_event_funnel",
-    "peak_concurrency",
-    "peak_load_management",
-    "pricing_insights",
-    "props_numeric_profile",
-    "revenue_overview",
-    "robust_outliers_mad",
-    "rolling_24h_metrics",
-    "scd2_incremental_apply",
-    "scd2_tariff_history",
-    "sequence_packing_audit",
-    "session_pattern_match",
-    "session_summary",
-    "stratified_sample_summary",
-    "streaming_incremental_dedup",
-    "time_weighted_value",
-    "total_energy_trend",
-    "train_val_test_split",
-    "user_activity_islands",
-    "user_sessions",
-    "user_value_tiers",
-    "vocab_topk",
-    "asof_active_tariff",
-    "asof_forward_next_switch",
-    "asof_tolerance_tariff",
-    "burstiness_index",
-    "cohort_ltv_curves",
+    "consumption_payment_regression",
+    "corpus_curation_pipeline",
+    "cross_source_dup_matrix",
+    "customer_rfm_scores",
+    "customer_view_prefilter",
+    "customer_view_twophase",
+    "data_outage_report",
+    "dedup_ngram_containment",
+    "distinct_channels",
+    "dup_rate_by_source",
+    "embedding_dim_profile",
+    "embedding_norm_outliers",
+    "events_profile",
+    "funnel_conversion_latency",
+    "hour_of_week_seasonality",
+    "hourly_business_metrics_twophase",
+    "inter_event_gap_profile",
+    "k_anonymity_audit",
+    "kfold_assignment",
+    "lang_id_confusion",
+    "last_touch_attribution",
+    "line_dedup_audit",
+    "load_duration_curve",
+    "markov_stationary_distribution",
+    "mixture_temperature_sample",
+    "ngram_novelty_curve",
+    "ops_events_rate",
+    "ops_latency_p95",
+    "range_join_tariff_periods",
+    "revenue_pareto_concentration",
+    "revenue_reconciliation",
+    "seasonal_anomaly_zscore",
+    "session_type_cooccurrence",
+    "streaming_asof_enrichment",
+    "streaming_user_sessions",
+    "streaming_wau_growth",
+    "tariff_migration_matrix",
+    "tariff_revenue_attribution",
+    "unigram_surprisal_filter",
+    "vintage_drift_psi",
+    "weekly_active_users_growth",
+    "weighted_reservoir_sample",
+    "ann_recall_eval",
+    "approx_percentile_audit",
+    "bm25_search",
+    "brand_quantity_revenue",
+    "changelog_compaction",
+    "collocation_pmi",
+    "copurchase_pairs",
+    "cross_source_contamination",
 ]
 
 # Round-tagged alias (kept for older tests); all code reads _GATE_PREFIX
