@@ -297,23 +297,29 @@ def test_dispatch_picks_bounded_at_normal_density(spark, sf_dir):
 
 
 def test_dispatch_picks_sharded_at_hot_density(spark, sf_dir):
-    """variant='auto' with a declared hot peak (the caller-known-density
-    path, same contract as customer_view_dispatch's events_per_customer
-    argument) must take the SHARDED variant with the rule's shard count
-    and the two-stage session merge, and still equal the batch aggregate
-    — the dispatch changes state layout only."""
+    """variant='auto' with a PLANTED hot-hour probe (150k distinct
+    customers in one event-time hour — the batch slice a deployment would
+    probe) must take the SHARDED variant with the rule's shard count and
+    the two-stage session merge, and still equal the batch aggregate —
+    the dispatch changes state layout only."""
     from energy_data_stream_processing_spark.streaming import runner
+
+    hot_probe = spark.range(150_000).select(
+        F.lit("2024-07-01 12:00:00").cast("timestamp").alias("event_time"),
+        F.col("id").cast("string").alias("customer_id"),
+    )
 
     src = ascending_time_chunks(spark, sf_dir, 3)
     mx = append_watermark_sentinel(spark, sf_dir, src)
     ev = energy_events_stream(spark, sf_dir, source_dir=src, max_files_per_trigger=1)
-    out = runner.run_hourly_stream_dispatched(
-        spark, ev, peak_hour_distinct=150_000
-    ).where(F.col("hour") < mx + timedelta(days=30))
+    out = runner.run_hourly_stream_dispatched(spark, ev, probe_df=hot_probe).where(
+        F.col("hour") < mx + timedelta(days=30)
+    )
 
     d = runner.LAST_HOURLY_DISPATCH
     assert d is not None and d["variant"] == "sharded"
-    assert d["shards"] == 16
+    assert 0.95 * 150_000 <= d["peak_hour_distinct"] <= 1.05 * 150_000  # HLL
+    assert d["shards"] == runner.shard_count_for(d["peak_hour_distinct"]) == 16
     assert d["two_stage_sessions"] is True
     assert d["state_partitions"] == 16
 
