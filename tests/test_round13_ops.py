@@ -389,3 +389,22 @@ def test_parquet_hour_key_keeps_dst_twin_rows(spark, tmp_path):
         assert got2 == [(h0, 3.0), (h0 + 3600, 10.0)]
     finally:
         spark.conf.set("spark.sql.session.timeZone", prior)
+
+
+# ---------------------------------------------------------------------------
+# Bench canary-ratio gate plumbing (round-12 verdict item 4)
+# ---------------------------------------------------------------------------
+def test_bench_baseline_reader_is_sf_scoped():
+    """The committed canary baseline only applies at its own scale factor
+    (ratios are sf-specific); a different sf must yield no baseline rather
+    than mis-alerting. With the baseline present, the sf0.1 read returns
+    the ratio map the in-bench gate divides against."""
+    import bench
+
+    ratios, label = bench._committed_baseline_ratios(0.01)
+    assert ratios == {} and label == ""
+    p = os.path.join(os.path.dirname(bench.__file__), "bench_canary_baseline.json")
+    if os.path.exists(p):
+        ratios, label = bench._committed_baseline_ratios(0.1)
+        assert ratios and label
+        assert all(v > 0 for v in ratios.values())
