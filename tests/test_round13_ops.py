@@ -408,3 +408,26 @@ def test_bench_baseline_reader_is_sf_scoped():
         ratios, label = bench._committed_baseline_ratios(0.1)
         assert ratios and label
         assert all(v > 0 for v in ratios.values())
+
+
+def test_two_stage_merge_plans_distributed_distinct(spark):
+    """Plan gate for the memory claim: the default merge materializes each
+    hour's full session set in one collect_list aggregation buffer; the
+    two-stage form must plan WITHOUT any collect_list — its session count
+    goes through explode + count_distinct, which Spark executes as
+    distributed two-phase partial dedup (partial_count(distinct ...))."""
+    partials = spark.createDataFrame(
+        [_partial(1_700_000_000_000, 0, 1, [1, 2], 1)],
+        schema=SHARD_PARTIAL_SCHEMA,
+    )
+    default_plan = (
+        merge_sharded_hourly_partials(partials)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    two_stage_plan = (
+        merge_sharded_hourly_partials(partials, two_stage_sessions=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "collect_list" in default_plan
+    assert "collect_list" not in two_stage_plan
+    assert "count(distinct" in two_stage_plan.lower()
