@@ -790,6 +790,48 @@ def run_hourly_stream_dispatched(
     ``LAST_HOURLY_DISPATCH`` for tests/observability."""
     global LAST_HOURLY_DISPATCH
     LAST_HOURLY_DISPATCH = None
+    decision = decide_hourly_variant(
+        variant=variant,
+        peak_hour_distinct=peak_hour_distinct,
+        probe_df=probe_df,
+        shards=shards,
+        two_stage_sessions=two_stage_sessions,
+    )
+    if decision["variant"] == "sharded":
+        out = run_stream_to_table(
+            spark,
+            hourly_metrics_stateful_sharded_stream(
+                events, horizon=horizon, shards=decision["shards"]
+            ),
+            mode="append",
+            state_partitions=decision["state_partitions"],
+        )
+        result = merge_sharded_hourly_partials(
+            out, two_stage_sessions=decision["two_stage_sessions"]
+        )
+    else:
+        out = run_stream_to_table(
+            spark,
+            hourly_metrics_stateful_bounded_stream(events, horizon=horizon),
+            mode="append",
+            state_partitions=decision["state_partitions"],
+        )
+        result = out.drop("update_seq")
+    LAST_HOURLY_DISPATCH = decision
+    return result
+
+
+def decide_hourly_variant(
+    variant: str = "auto",
+    peak_hour_distinct: int | None = None,
+    probe_df: DataFrame | None = None,
+    shards: int | None = None,
+    two_stage_sessions: bool | None = None,
+) -> dict:
+    """The dispatch DECISION, factored out so the memory-sink runner and
+    the durable pipeline share one rule (see run_hourly_stream_dispatched
+    for the semantics). Returns {variant, peak_hour_distinct, shards,
+    state_partitions, two_stage_sessions}."""
     if variant == "auto":
         if peak_hour_distinct is None:
             if probe_df is None:
@@ -815,39 +857,116 @@ def run_hourly_stream_dispatched(
             two_stage_sessions = bool(
                 peak_hour_distinct and peak_hour_distinct >= SHARD_IDS_BUDGET
             )
-        # live keys multiply by the shard count — re-apply §4.3's sizing
-        state_parts = min(32, max(HOURS_STATE_PARTITIONS, n_shards))
-        out = run_stream_to_table(
-            spark,
-            hourly_metrics_stateful_sharded_stream(
-                events, horizon=horizon, shards=n_shards
-            ),
-            mode="append",
-            state_partitions=state_parts,
-        )
-        result = merge_sharded_hourly_partials(
-            out, two_stage_sessions=two_stage_sessions
-        )
         decision.update(
             shards=n_shards,
-            state_partitions=state_parts,
+            # live keys multiply by the shard count — re-apply §4.3's sizing
+            state_partitions=min(32, max(HOURS_STATE_PARTITIONS, n_shards)),
             two_stage_sessions=two_stage_sessions,
         )
     else:
-        out = run_stream_to_table(
-            spark,
-            hourly_metrics_stateful_bounded_stream(events, horizon=horizon),
-            mode="append",
-            state_partitions=HOURS_STATE_PARTITIONS,
-        )
-        result = out.drop("update_seq")
         decision.update(
             shards=None,
             state_partitions=HOURS_STATE_PARTITIONS,
             two_stage_sessions=False,
         )
+    return decision
+
+
+def run_stream_foreach_batch(
+    spark: SparkSession,
+    streaming_df: DataFrame,
+    fn,
+    checkpoint: str,
+    mode: str = "append",
+    state_partitions: int | None = None,
+) -> dict | None:
+    """``run_stream_to_table``'s durable twin: execute with availableNow
+    into a ``foreachBatch`` sink under a REAL checkpoint (kill-and-resume
+    capable — the memory-sink runner is for tests/oracles, this is for
+    stores). Same scoped state-partition contract and sequential-only
+    ``LAST_STREAM_PROGRESS`` behavior; returns the final progress."""
+    global LAST_STREAM_PROGRESS
+    LAST_STREAM_PROGRESS = None
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            streaming_df.writeStream.foreachBatch(fn)
+            .outputMode(mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        LAST_STREAM_PROGRESS = q.lastProgress
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prior)
+    return LAST_STREAM_PROGRESS
+
+
+def run_hourly_pipeline_dispatched(
+    spark: SparkSession,
+    events: DataFrame,
+    metrics_path: str,
+    checkpoint: str,
+    staging_path: str | None = None,
+    variant: str = "auto",
+    horizon: str = "2 hours",
+    peak_hour_distinct: int | None = None,
+    probe_df: DataFrame | None = None,
+    shards: int | None = None,
+    two_stage_sessions: bool | None = None,
+) -> dict:
+    """The full turnkey pipeline: density dispatch -> exact bounded/sharded
+    stateful stream -> DURABLE idempotent parquet hour store, one call.
+    ``run_hourly_stream_dispatched`` ends in a memory sink (the
+    test/oracle form); this composes the same decision with the real
+    sinks under a real checkpoint, so kill-and-resume lands the same
+    store contents (both sink bodies are replay-idempotent:
+    ``foreach_batch_upsert`` is full-aggregate dynamic overwrite,
+    ``foreach_batch_sharded_flush`` stages by batch id and re-merges).
+
+    ``staging_path`` holds the sharded variant's partial store (defaults
+    to ``<metrics_path>_staging``); unused — and not created — on the
+    bounded arm. Returns the decision dict (also in
+    ``LAST_HOURLY_DISPATCH``)."""
+    from ..sources.sinks import foreach_batch_sharded_flush, foreach_batch_upsert
+
+    global LAST_HOURLY_DISPATCH
+    LAST_HOURLY_DISPATCH = None
+    decision = decide_hourly_variant(
+        variant=variant,
+        peak_hour_distinct=peak_hour_distinct,
+        probe_df=probe_df,
+        shards=shards,
+        two_stage_sessions=two_stage_sessions,
+    )
+    if decision["variant"] == "sharded":
+        stream = hourly_metrics_stateful_sharded_stream(
+            events, horizon=horizon, shards=decision["shards"]
+        )
+        fn = foreach_batch_sharded_flush(
+            staging_path or f"{metrics_path}_staging",
+            metrics_path=metrics_path,
+            two_stage_sessions=decision["two_stage_sessions"],
+        )
+    else:
+        stream = hourly_metrics_stateful_bounded_stream(
+            events, horizon=horizon
+        ).drop("update_seq")
+        fn = foreach_batch_upsert(metrics_path)
+    run_stream_foreach_batch(
+        spark,
+        stream,
+        fn,
+        checkpoint=checkpoint,
+        mode="append",
+        state_partitions=decision["state_partitions"],
+    )
     LAST_HOURLY_DISPATCH = decision
-    return result
+    return decision
 
 
 # --------------------------------------------------------------------------

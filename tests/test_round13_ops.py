@@ -431,3 +431,77 @@ def test_two_stage_merge_plans_distributed_distinct(spark):
     assert "collect_list" in default_plan
     assert "collect_list" not in two_stage_plan
     assert "count(distinct" in two_stage_plan.lower()
+
+
+# ---------------------------------------------------------------------------
+# Composed turnkey pipeline: dispatch -> stream -> durable store, one call
+# ---------------------------------------------------------------------------
+def test_pipeline_dispatched_bounded_arm_lands_batch_equal_store(
+    spark, sf_dir, tmp_path
+):
+    """run_hourly_pipeline_dispatched at normal density: picks bounded,
+    streams under a real checkpoint into the parquet hour store, and the
+    store equals the batch aggregate on every hour and metric."""
+    from energy_data_stream_processing_spark.streaming import runner
+
+    src = ascending_time_chunks(spark, sf_dir, 3)
+    mx = append_watermark_sentinel(spark, sf_dir, src)
+    ev = energy_events_stream(spark, sf_dir, source_dir=src, max_files_per_trigger=1)
+    store = str(tmp_path / "metrics")
+    decision = runner.run_hourly_pipeline_dispatched(
+        spark, ev, metrics_path=store, checkpoint=str(tmp_path / "ckpt"),
+        probe_df=energy_events(spark, sf_dir),
+    )
+    assert decision["variant"] == "bounded"
+    assert not os.path.exists(f"{store}_staging")  # sharded staging untouched
+
+    got = {
+        int(r["hour"].timestamp()): r.asDict()
+        for r in read_hourly_metrics_parquet(spark, store)
+        .where(F.col("hour") < mx + timedelta(days=30))
+        .collect()
+    }
+    want = {
+        int(r["hour"].timestamp()): r.asDict()
+        for r in hourly_business_metrics(energy_events(spark, sf_dir)).collect()
+    }
+    assert set(got) == set(want) and len(want) > 0
+    for h, row in got.items():
+        for c in METRIC_COLUMNS:
+            assert float(row[c]) == float(want[h][c]), (h, c)
+
+
+def test_pipeline_dispatched_sharded_arm_lands_batch_equal_store(
+    spark, sf_dir, tmp_path
+):
+    """Same one-call pipeline with a declared hot peak: picks sharded,
+    flushes through the staged re-merge, and the store STILL equals the
+    batch aggregate — the turnkey path is layout-transparent."""
+    from energy_data_stream_processing_spark.streaming import runner
+
+    src = ascending_time_chunks(spark, sf_dir, 3)
+    mx = append_watermark_sentinel(spark, sf_dir, src)
+    ev = energy_events_stream(spark, sf_dir, source_dir=src, max_files_per_trigger=1)
+    store = str(tmp_path / "metrics")
+    decision = runner.run_hourly_pipeline_dispatched(
+        spark, ev, metrics_path=store, checkpoint=str(tmp_path / "ckpt"),
+        peak_hour_distinct=150_000, shards=8,
+    )
+    assert decision["variant"] == "sharded"
+    assert decision["two_stage_sessions"] is True
+    assert os.path.exists(f"{store}_staging")  # partials staged by batch id
+
+    got = {
+        int(r["hour"].timestamp()): r.asDict()
+        for r in read_hourly_metrics_parquet(spark, store)
+        .where(F.col("hour") < mx + timedelta(days=30))
+        .collect()
+    }
+    want = {
+        int(r["hour"].timestamp()): r.asDict()
+        for r in hourly_business_metrics(energy_events(spark, sf_dir)).collect()
+    }
+    assert set(got) == set(want) and len(want) > 0
+    for h, row in got.items():
+        for c in METRIC_COLUMNS:
+            assert float(row[c]) == float(want[h][c]), (h, c)
