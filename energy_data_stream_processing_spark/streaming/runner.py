@@ -931,18 +931,60 @@ def run_hourly_pipeline_dispatched(
     ``staging_path`` holds the sharded variant's partial store (defaults
     to ``<metrics_path>_staging``); unused — and not created — on the
     bounded arm. Returns the decision dict (also in
-    ``LAST_HOURLY_DISPATCH``)."""
+    ``LAST_HOURLY_DISPATCH``).
+
+    The decision is PINNED in the checkpoint (``<checkpoint>/dispatch.json``,
+    written on first run, loaded on every later run): Spark already pins
+    the state-partition count at first query start, and a variant or
+    shard-count flip on an existing checkpoint would fail with an opaque
+    state-schema/distribution error — so repeated scheduled invocations
+    (the availableNow catch-up pattern) keep the first run's physical
+    strategy and skip re-probing; retire the checkpoint to re-decide.
+    (Local-filesystem checkpoints assumed, as everywhere in this repo;
+    a remote checkpoint store would pin through its own fs API.)
+
+    Catch-up COMPLETENESS CONTRACT (measured, not assumed — the probe
+    runs are in round-13's test/dev notes): with repeated availableNow
+    invocations, an invocation durably lands every hour whose end fell
+    behind the watermark built from the PREVIOUS batches of the SAME
+    run — pending event-time timeouts do NOT fire in a restart's first
+    batch (they fire only after an in-run watermark advance), and the
+    trailing no-data micro-batch that would flush the final tail is
+    scheduling-dependent under availableNow. Net effect: store
+    completeness lags the stream head by the lateness horizon plus up to
+    one batch, and the lag drains on the NEXT invocation that brings
+    newer data — identical to a live stream's steady state, where
+    no-data triggers keep firing and no lag survives. Two operational
+    corollaries: (1) a far-future sentinel file closes out the tail only
+    within a single run that processes data batches AFTER it advanced
+    the watermark — it is a test fixture, not a restart tool; for batch
+    catch-up that must end complete, use the batch path
+    (``sinks.refresh_hourly_incremental`` / ``backfill_hourly_range``);
+    (2) source files must arrive in event-time order within the horizon
+    — a file landing after a later-event-time file is watermark-late and
+    the bounded variants DROP it by the documented lateness contract
+    (the unbounded twin accepts any lateness)."""
+    import json as _json
+
     from ..sources.sinks import foreach_batch_sharded_flush, foreach_batch_upsert
 
     global LAST_HOURLY_DISPATCH
     LAST_HOURLY_DISPATCH = None
-    decision = decide_hourly_variant(
-        variant=variant,
-        peak_hour_distinct=peak_hour_distinct,
-        probe_df=probe_df,
-        shards=shards,
-        two_stage_sessions=two_stage_sessions,
-    )
+    pin_path = os.path.join(checkpoint, "dispatch.json")
+    if os.path.exists(pin_path):
+        with open(pin_path) as f:
+            decision = _json.load(f)
+    else:
+        decision = decide_hourly_variant(
+            variant=variant,
+            peak_hour_distinct=peak_hour_distinct,
+            probe_df=probe_df,
+            shards=shards,
+            two_stage_sessions=two_stage_sessions,
+        )
+        os.makedirs(checkpoint, exist_ok=True)
+        with open(pin_path, "w") as f:
+            _json.dump(decision, f)
     if decision["variant"] == "sharded":
         stream = hourly_metrics_stateful_sharded_stream(
             events, horizon=horizon, shards=decision["shards"]

@@ -505,3 +505,95 @@ def test_pipeline_dispatched_sharded_arm_lands_batch_equal_store(
     for h, row in got.items():
         for c in METRIC_COLUMNS:
             assert float(row[c]) == float(want[h][c]), (h, c)
+
+
+def test_pipeline_dispatched_catchup_invocations_pin_decision(
+    spark, sf_dir, tmp_path
+):
+    """The scheduled-catch-up pattern and its measured completeness
+    contract (pipeline docstring): invoke the one-call pipeline, add more
+    source files with ASCENDING mtimes (ordered arrival — the bounded
+    lateness contract drops out-of-order-beyond-horizon files by design),
+    invoke AGAIN with the same checkpoint. The second run must (a) reuse
+    the PINNED decision without any probe (dispatch.json in the
+    checkpoint — a variant flip on live state would fail with an opaque
+    state-schema error), (b) land AT LEAST every hour that fell behind
+    the watermark the run built before its last data batch (completeness
+    lags the head by horizon + up to one batch; timeouts don't fire in a
+    restart's first batch and the trailing no-data batch is
+    scheduling-dependent under availableNow), and (c) everything landed
+    must be batch-exact — partial values never reach the store, an hour
+    flushes once, final, at eviction."""
+    import shutil
+
+    from energy_data_stream_processing_spark.streaming import runner
+
+    full = ascending_time_chunks(spark, sf_dir, 3)
+    mx = append_watermark_sentinel(spark, sf_dir, full)
+    live = str(tmp_path / "live")
+    os.makedirs(live)
+    t0 = 1_000_000_000
+    for i, f in enumerate(
+        ("chunk_0.parquet", "chunk_1.parquet",
+         "chunk_2.parquet", "chunk_z_sentinel.parquet")
+    ):
+        shutil.copy(f"{full}/{f}", f"{tmp_path}/{f}")
+        os.utime(f"{tmp_path}/{f}", (t0 + i, t0 + i))  # strict arrival order
+
+    def arrive(*names):
+        for f in names:
+            shutil.move(f"{tmp_path}/{f}", f"{live}/{f}")
+
+    arrive("chunk_0.parquet", "chunk_1.parquet")
+    store, ckpt = str(tmp_path / "metrics"), str(tmp_path / "ckpt")
+    ev1 = energy_events_stream(spark, sf_dir, source_dir=live, max_files_per_trigger=1)
+    d1 = runner.run_hourly_pipeline_dispatched(
+        spark, ev1, metrics_path=store, checkpoint=ckpt,
+        probe_df=energy_events(spark, sf_dir),
+    )
+    assert d1["variant"] == "bounded"
+    partial_hours = read_hourly_metrics_parquet(spark, store).count()
+
+    # catch-up invocation: two more files, SAME checkpoint, NO probe —
+    # the pinned decision must load instead of raising the probe error
+    arrive("chunk_2.parquet", "chunk_z_sentinel.parquet")
+    ev2 = energy_events_stream(spark, sf_dir, source_dir=live, max_files_per_trigger=1)
+    d2 = runner.run_hourly_pipeline_dispatched(
+        spark, ev2, metrics_path=store, checkpoint=ckpt
+    )
+    assert d2 == d1  # pinned, not re-decided
+
+    got = {
+        int(r["hour"].timestamp()): r.asDict()
+        for r in read_hourly_metrics_parquet(spark, store)
+        .where(F.col("hour") < mx + timedelta(days=30))
+        .collect()
+    }
+    want = {
+        int(r["hour"].timestamp()): r.asDict()
+        for r in hourly_business_metrics(energy_events(spark, sf_dir)).collect()
+    }
+    assert partial_hours < len(want)  # run 1 really was a partial landing
+    assert len(got) > partial_hours   # run 2 really continued the stream
+
+    # completeness floor: everything behind the wm built from chunk_2
+    # (the last pre-sentinel data) must have landed durably
+    from pyspark.sql import functions as SF
+
+    from energy_data_stream_processing_spark.sources.adapter import (
+        normalize_event_ts,
+    )
+
+    c2_max = (
+        normalize_event_ts(spark.read.parquet(f"{live}/chunk_2.parquet"))
+        .select(SF.max("ts"))
+        .first()[0]
+    )
+    wm_floor = int(c2_max.timestamp()) - 2 * 3600  # horizon = 2 hours
+    required = {h for h in want if h + 3600 <= wm_floor}
+    assert required and required <= set(got) <= set(want)
+
+    # exactness: every landed hour is final — batch-equal on all metrics
+    for h, row in got.items():
+        for c in METRIC_COLUMNS:
+            assert float(row[c]) == float(want[h][c]), (h, c)
