@@ -279,11 +279,15 @@ def foreach_batch_sharded_flush(
     Scale: every frame touched here is aggregate-sized — a batch carries
     at most touched-hours x shards partial rows, staging holds one row per
     (hour, shard) ever evicted, and the merge groups hours-cardinality
-    keys. The staging scan is not pruned to the touched hours' files (the
-    store is batch-partitioned), but it is a partial-rows scan, never an
-    event scan; compact/expire it like any checkpoint directory. For
-    hot-hour session sets ≥~10^5 ids pass ``two_stage_sessions=True``
-    (see ``merge_sharded_hourly_partials``)."""
+    keys. Staging is partitioned by ``(_batch_id, hour_epoch_ms)``: the
+    batch-id level keeps the replay overwrite exact (a retried batch
+    rewrites exactly its own (batch, hour) partitions), and the hour level
+    lets the touched-hours re-read PARTITION-PRUNE (plan-gated) — per-batch
+    flush cost is O(touched hours' partials), not O(everything staged), so
+    a long-running stream stays linear instead of re-scanning its whole
+    history every trigger. Expire old staging partitions like any
+    checkpoint directory. For hot-hour session sets ≥~10^5 ids pass
+    ``two_stage_sessions=True`` (see ``merge_sharded_hourly_partials``)."""
     if (table is None) != (execute_many is None):
         raise ValueError("table and execute_many must be passed together")
     if metrics_path is None and table is None:
@@ -305,7 +309,7 @@ def foreach_batch_sharded_flush(
                 (
                     batch_df.withColumn("_batch_id", F.lit(batch_id))
                     .write.mode("overwrite")
-                    .partitionBy("_batch_id")
+                    .partitionBy("_batch_id", "hour_epoch_ms")
                     .parquet(staging_path)
                 )
             touched = [

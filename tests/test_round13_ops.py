@@ -597,3 +597,31 @@ def test_pipeline_dispatched_catchup_invocations_pin_decision(
     for h, row in got.items():
         for c in METRIC_COLUMNS:
             assert float(row[c]) == float(want[h][c]), (h, c)
+
+
+def test_sharded_flush_staging_read_partition_prunes(spark, tmp_path):
+    """100 TB gate for the staging re-read: staging is partitioned by
+    (_batch_id, hour_epoch_ms), so the touched-hours filter must reach the
+    scan as a PARTITION filter — per-batch flush cost is O(touched hours'
+    partials), never a rescan of everything staged."""
+    staging = str(tmp_path / "staging")
+    store = str(tmp_path / "metrics")
+    flush = foreach_batch_sharded_flush(staging, metrics_path=store)
+    h1 = int(datetime(2024, 5, 1, 7, 0, tzinfo=timezone.utc).timestamp() * 1000)
+    h2 = h1 + 3_600_000
+    flush(
+        spark.createDataFrame(
+            [_partial(h1, 0, 1, [1], 1), _partial(h2, 0, 1, [2], 1)],
+            schema=SHARD_PARTIAL_SCHEMA,
+        ),
+        0,
+    )
+    plan = (
+        spark.read.parquet(staging)
+        .where(F.col("hour_epoch_ms").isin([h1]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    m = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert m and "hour_epoch_ms" in m[0], plan[:1500]
