@@ -26,6 +26,7 @@ idempotent transaction ids — the Delta/Iceberg-semantics backend.
 
 from __future__ import annotations
 
+import os
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
@@ -285,8 +286,10 @@ def foreach_batch_sharded_flush(
     lets the touched-hours re-read PARTITION-PRUNE (plan-gated) — per-batch
     flush cost is O(touched hours' partials), not O(everything staged), so
     a long-running stream stays linear instead of re-scanning its whole
-    history every trigger. Expire old staging partitions like any
-    checkpoint directory. For hot-hour session sets ≥~10^5 ids pass
+    history every trigger. Retention: staged partials for a CLOSED hour
+    are dead weight — ``prune_sharded_staging`` deletes them under the
+    provably-safe watermark rule (the turnkey pipeline auto-prunes after
+    every completed invocation). For hot-hour session sets ≥~10^5 ids pass
     ``two_stage_sessions=True`` (see ``merge_sharded_hourly_partials``)."""
     if (table is None) != (execute_many is None):
         raise ValueError("table and execute_many must be passed together")
@@ -334,6 +337,97 @@ def foreach_batch_sharded_flush(
                 execute_many(sql, rows)
 
     return fn
+
+
+def staging_prune_watermark_ms(progress) -> int:
+    """Prune threshold from a completed run's FINAL progress: the
+    watermark that (committed) batch EXECUTED with.
+
+    Progress reports are emitted for completed — hence committed — batches
+    only, and ``eventTime.watermark`` carries the watermark the trigger
+    ran with (captured at trigger start), not the value the batch's data
+    advanced it to. That distinction is load-bearing for the prune rule
+    (see ``prune_sharded_staging``) and is pinned measured, not assumed:
+    tests/test_round13_ops.py::test_staging_prune_progress_invariant_measured
+    checks every (progress, staged-partial) pair of a real multi-batch
+    sharded run. Accepts a dict or a ``StreamingQueryProgress``; returns 0
+    (prune no-op) when there is no progress or no watermark yet."""
+    from datetime import datetime, timezone
+
+    if progress is None:
+        return 0
+    et = getattr(progress, "eventTime", None)
+    if et is None and isinstance(progress, dict):
+        et = progress.get("eventTime")
+    wm = (et or {}).get("watermark")
+    if not wm:
+        return 0
+    for fmt in ("%Y-%m-%dT%H:%M:%S.%fZ", "%Y-%m-%dT%H:%M:%SZ"):
+        try:
+            dt = datetime.strptime(wm, fmt).replace(tzinfo=timezone.utc)
+            return int(dt.timestamp() * 1000)
+        except ValueError:
+            continue
+    return 0
+
+
+def prune_sharded_staging(staging_path: str, closed_before_ms: int) -> list[str]:
+    """Retention for the sharded flush's staging store: delete the
+    ``(_batch_id, hour_epoch_ms)`` partials of every hour that can never
+    be touched again, so a long-running stream's staging footprint tracks
+    the OPEN hours (≈ horizon × shards rows), not its whole history.
+
+    The safe-prune rule is derived from the eviction mechanics, not a TTL
+    guess. A ``(hour, shard)`` state row's event-time timeout is always
+    exactly the hour end: the watermark late-filter bounds every update's
+    current watermark strictly below ``hour_end``, so
+    ``max(hour_end, watermark+1ms)`` (runner.py's timeout line) collapses
+    to ``hour_end``. Spark fires event-time timeouts in the first batch
+    EXECUTED with watermark strictly past them. Therefore once any batch
+    has COMMITTED having run with watermark ``W``, every hour with
+    ``hour_end < W`` has (a) evicted ALL its shards into staging no later
+    than that batch, (b) had its final re-merge flushed durably by that
+    batch's ``foreach_batch_sharded_flush``, and (c) — because any later
+    event for it would be watermark-late-filtered and any pending timeout
+    would already have fired — no future batch that can touch it. Its
+    staged partials are unreachable; deleting them cannot change any
+    future merge. Hours at or past ``W`` keep every partial: their
+    remaining shards may evict in a later batch (or a later catch-up
+    invocation — timeouts deferred past an un-run trailing no-data batch
+    fire after the next run's first in-run watermark advance), and that
+    batch's re-merge must still see the early shards.
+
+    Pass the RUN watermark of a committed batch — in practice
+    ``staging_prune_watermark_ms()`` of the final progress returned by
+    ``run_stream_foreach_batch`` (the turnkey pipeline does this
+    automatically). The deletion itself is hour-partition ``rmtree`` on
+    the local filesystem (the same local-checkpoint assumption the
+    pipeline documents); emptied ``_batch_id=`` directories are removed
+    too. Returns the deleted partition paths (relative), for logs/tests."""
+    import shutil
+
+    removed: list[str] = []
+    if closed_before_ms <= 0 or not os.path.isdir(staging_path):
+        return removed
+    for bdir in sorted(os.listdir(staging_path)):
+        bpath = os.path.join(staging_path, bdir)
+        if not (bdir.startswith("_batch_id=") and os.path.isdir(bpath)):
+            continue
+        for hdir in sorted(os.listdir(bpath)):
+            if not hdir.startswith("hour_epoch_ms="):
+                continue
+            try:
+                hour_ms = int(hdir.split("=", 1)[1])
+            except ValueError:
+                continue
+            # strict: an hour whose end EQUALS the watermark has not fired
+            # (timeouts fire strictly past), so it stays
+            if hour_ms + 3_600_000 < closed_before_ms:
+                shutil.rmtree(os.path.join(bpath, hdir))
+                removed.append(f"{bdir}/{hdir}")
+        if not any(e.startswith("hour_epoch_ms=") for e in os.listdir(bpath)):
+            shutil.rmtree(bpath)
+    return removed
 
 
 def jdbc_upsert_statement(

@@ -906,6 +906,13 @@ def run_stream_foreach_batch(
     return LAST_STREAM_PROGRESS
 
 
+#: Relative staging partitions deleted by the last
+#: ``run_hourly_pipeline_dispatched`` call's post-run retention pass
+#: (None before any call / when pruning was skipped; [] when nothing was
+#: closed). Same SEQUENTIAL-ONLY contract as ``LAST_STREAM_PROGRESS``.
+LAST_STAGING_PRUNED: list | None = None
+
+
 def run_hourly_pipeline_dispatched(
     spark: SparkSession,
     events: DataFrame,
@@ -918,6 +925,7 @@ def run_hourly_pipeline_dispatched(
     probe_df: DataFrame | None = None,
     shards: int | None = None,
     two_stage_sessions: bool | None = None,
+    prune_staging: bool = True,
 ) -> dict:
     """The full turnkey pipeline: density dispatch -> exact bounded/sharded
     stateful stream -> DURABLE idempotent parquet hour store, one call.
@@ -930,8 +938,13 @@ def run_hourly_pipeline_dispatched(
 
     ``staging_path`` holds the sharded variant's partial store (defaults
     to ``<metrics_path>_staging``); unused — and not created — on the
-    bounded arm. Returns the decision dict (also in
-    ``LAST_HOURLY_DISPATCH``).
+    bounded arm. After a completed sharded invocation the staging store is
+    auto-PRUNED (``prune_staging=True``): partials of hours strictly
+    behind the final committed batch's executed watermark are deleted
+    under ``sinks.prune_sharded_staging``'s provably-safe closure rule, so
+    staging tracks the open hours instead of the stream's history (the
+    deleted paths land in ``LAST_STAGING_PRUNED``). Returns the decision
+    dict (also in ``LAST_HOURLY_DISPATCH``).
 
     The decision is PINNED in the checkpoint (``<checkpoint>/dispatch.json``,
     written on first run, loaded on every later run): Spark already pins
@@ -985,12 +998,13 @@ def run_hourly_pipeline_dispatched(
         os.makedirs(checkpoint, exist_ok=True)
         with open(pin_path, "w") as f:
             _json.dump(decision, f)
+    staging = staging_path or f"{metrics_path}_staging"
     if decision["variant"] == "sharded":
         stream = hourly_metrics_stateful_sharded_stream(
             events, horizon=horizon, shards=decision["shards"]
         )
         fn = foreach_batch_sharded_flush(
-            staging_path or f"{metrics_path}_staging",
+            staging,
             metrics_path=metrics_path,
             two_stage_sessions=decision["two_stage_sessions"],
         )
@@ -999,7 +1013,7 @@ def run_hourly_pipeline_dispatched(
             events, horizon=horizon
         ).drop("update_seq")
         fn = foreach_batch_upsert(metrics_path)
-    run_stream_foreach_batch(
+    progress = run_stream_foreach_batch(
         spark,
         stream,
         fn,
@@ -1007,6 +1021,17 @@ def run_hourly_pipeline_dispatched(
         mode="append",
         state_partitions=decision["state_partitions"],
     )
+    global LAST_STAGING_PRUNED
+    LAST_STAGING_PRUNED = None
+    if decision["variant"] == "sharded" and prune_staging:
+        from ..sources.sinks import (
+            prune_sharded_staging,
+            staging_prune_watermark_ms,
+        )
+
+        LAST_STAGING_PRUNED = prune_sharded_staging(
+            staging, staging_prune_watermark_ms(progress)
+        )
     LAST_HOURLY_DISPATCH = decision
     return decision
 

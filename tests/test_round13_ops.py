@@ -625,3 +625,245 @@ def test_sharded_flush_staging_read_partition_prunes(spark, tmp_path):
     )
     m = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert m and "hour_epoch_ms" in m[0], plan[:1500]
+
+
+# ---------------------------------------------------------------------------
+# Staging retention: prune_sharded_staging + the measured watermark rule
+# ---------------------------------------------------------------------------
+def test_prune_sharded_staging_rule(spark, tmp_path):
+    """Unit rule: hours STRICTLY behind the threshold are deleted across
+    every batch directory, the boundary hour (hour_end == threshold —
+    Spark fires event-time timeouts strictly past the watermark, so it has
+    NOT fired) and open hours keep every partial, emptied _batch_id dirs
+    are removed, and the surviving store still reads and re-merges exactly
+    what it did before the prune."""
+    from energy_data_stream_processing_spark.sources.sinks import (
+        prune_sharded_staging,
+    )
+
+    staging = str(tmp_path / "staging")
+    store = str(tmp_path / "metrics")
+    flush = foreach_batch_sharded_flush(staging, metrics_path=store)
+    h1 = int(datetime(2024, 5, 1, 7, 0, tzinfo=timezone.utc).timestamp() * 1000)
+    h2, h3 = h1 + 3_600_000, h1 + 7_200_000
+    _df = lambda rows: spark.createDataFrame(rows, schema=SHARD_PARTIAL_SCHEMA)
+    flush(_df([_partial(h1, 0, 2, [1, 2], 3), _partial(h2, 0, 1, [5], 1)]), 0)
+    flush(_df([_partial(h1, 1, 1, [9], 2), _partial(h3, 0, 1, [7], 4)]), 1)
+    flush(_df([_partial(h1, 2, 1, [4], 1)]), 2)  # a batch touching ONLY h1
+
+    def merged_snapshot():
+        live = spark.read.parquet(staging).where(
+            F.col("hour_epoch_ms").isin([h2, h3])
+        )
+        return sorted(
+            (int(r["hour"].timestamp()), *(float(r[c]) for c in METRIC_COLUMNS))
+            for r in merge_sharded_hourly_partials(live).collect()
+        )
+
+    before = merged_snapshot()
+
+    # threshold = h2's hour END: h1 is strictly closed, h2 is the boundary
+    removed = prune_sharded_staging(staging, h2 + 3_600_000)
+    assert sorted(removed) == [
+        "_batch_id=0/hour_epoch_ms=%d" % h1,
+        "_batch_id=1/hour_epoch_ms=%d" % h1,
+        "_batch_id=2/hour_epoch_ms=%d" % h1,
+    ]
+    assert not os.path.exists(f"{staging}/_batch_id=2")  # emptied dir gone
+    left = spark.read.parquet(staging)
+    assert {r["hour_epoch_ms"] for r in left.select("hour_epoch_ms").collect()} == {
+        h2,
+        h3,
+    }
+    assert merged_snapshot() == before  # retained hours re-merge unchanged
+
+    # no-ops: zero threshold, missing dir, nothing newly closed
+    assert prune_sharded_staging(staging, 0) == []
+    assert prune_sharded_staging(str(tmp_path / "nope"), 10**15) == []
+    assert prune_sharded_staging(staging, h2 + 3_600_000) == []
+
+
+def test_staging_prune_watermark_ms_parsing():
+    from energy_data_stream_processing_spark.sources.sinks import (
+        staging_prune_watermark_ms,
+    )
+
+    assert staging_prune_watermark_ms(None) == 0
+    assert staging_prune_watermark_ms({}) == 0
+    assert staging_prune_watermark_ms({"eventTime": {}}) == 0
+    p = {"eventTime": {"watermark": "2024-05-01T09:30:00.250Z"}}
+    want = int(
+        datetime(2024, 5, 1, 9, 30, 0, 250000, tzinfo=timezone.utc).timestamp()
+        * 1000
+    )
+    assert staging_prune_watermark_ms(p) == want
+    p2 = {"eventTime": {"watermark": "2024-05-01T09:30:00Z"}}
+    assert staging_prune_watermark_ms(p2) == want - 250
+    # epoch start (no watermark yet) maps to 0 -> prune no-op
+    assert (
+        staging_prune_watermark_ms(
+            {"eventTime": {"watermark": "1970-01-01T00:00:00.000Z"}}
+        )
+        == 0
+    )
+
+
+def test_staging_prune_progress_invariant_measured(spark, sf_dir, tmp_path):
+    """The prune rule's load-bearing assumption, MEASURED on a real
+    multi-batch sharded run: a committed batch's reported
+    ``eventTime.watermark`` is the watermark that batch EXECUTED with, so
+    every hour strictly behind it has already evicted ALL its shards —
+    no staged partial for such an hour may carry a LATER batch id. If
+    Spark instead reported the post-batch (advanced) watermark, the
+    straddling evictions that fire one batch later would violate this on
+    exactly the chunked replay below, and the prune rule would be unsafe."""
+    from energy_data_stream_processing_spark.sources.sinks import (
+        staging_prune_watermark_ms,
+    )
+    from energy_data_stream_processing_spark.streaming.runner import (
+        hourly_metrics_stateful_sharded_stream,
+    )
+
+    src = ascending_time_chunks(spark, sf_dir, 4)
+    append_watermark_sentinel(spark, sf_dir, src)
+    ev = energy_events_stream(
+        spark, sf_dir, source_dir=src, max_files_per_trigger=1
+    )
+    staging = str(tmp_path / "staging")
+    store = str(tmp_path / "metrics")
+    q = (
+        hourly_metrics_stateful_sharded_stream(ev, shards=4)
+        .writeStream.foreachBatch(
+            foreach_batch_sharded_flush(staging, metrics_path=store)
+        )
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progresses = [
+        (p["batchId"], staging_prune_watermark_ms(p)) for p in q.recentProgress
+    ]
+    staged = (
+        spark.read.parquet(staging)
+        .select("_batch_id", "hour_epoch_ms")
+        .distinct()
+        .collect()
+    )
+    assert len(progresses) >= 4 and staged
+    violations = [
+        (int(r["_batch_id"]), r["hour_epoch_ms"], pb, wm)
+        for (pb, wm) in progresses
+        for r in staged
+        if r["hour_epoch_ms"] + 3_600_000 < wm and int(r["_batch_id"]) > pb
+    ]
+    assert violations == [], violations[:5]
+    # the rule really bites on this corpus: the final executed watermark
+    # (sentinel-advanced) strictly closes staged hours
+    final_wm = max(wm for _, wm in progresses)
+    assert any(r["hour_epoch_ms"] + 3_600_000 < final_wm for r in staged)
+
+
+def test_pipeline_sharded_prune_keeps_cross_invocation_merge_exact(
+    spark, sf_dir, tmp_path
+):
+    """Auto-prune (the pipeline default) across catch-up invocations must
+    never break the straddle re-merge: invocation 1 lands its hours and
+    prunes the strictly-closed ones; invocation 2 brings newer files with
+    the same checkpoint, fires any deferred evictions (whose re-merge
+    needs the RETAINED partials), and the durable store still equals the
+    batch aggregate on every hour and metric. Afterwards no staged hour
+    behind the final executed watermark survives."""
+    import shutil
+
+    from energy_data_stream_processing_spark.streaming import runner
+
+    full = ascending_time_chunks(spark, sf_dir, 3)
+    mx = append_watermark_sentinel(spark, sf_dir, full)
+    live = str(tmp_path / "live")
+    os.makedirs(live)
+    t0 = 1_000_000_000
+    for i, f in enumerate(
+        (
+            "chunk_0.parquet",
+            "chunk_1.parquet",
+            "chunk_2.parquet",
+            "chunk_z_sentinel.parquet",
+        )
+    ):
+        shutil.copy(f"{full}/{f}", f"{tmp_path}/{f}")
+        os.utime(f"{tmp_path}/{f}", (t0 + i, t0 + i))
+
+    def arrive(*names):
+        for f in names:
+            shutil.move(f"{tmp_path}/{f}", f"{live}/{f}")
+
+    arrive("chunk_0.parquet", "chunk_1.parquet")
+    store, ckpt = str(tmp_path / "metrics"), str(tmp_path / "ckpt")
+    staging = f"{store}_staging"
+    ev1 = energy_events_stream(
+        spark, sf_dir, source_dir=live, max_files_per_trigger=1
+    )
+    d1 = runner.run_hourly_pipeline_dispatched(
+        spark, ev1, metrics_path=store, checkpoint=ckpt,
+        peak_hour_distinct=150_000, shards=8,
+    )
+    assert d1["variant"] == "sharded"
+    pruned1 = list(runner.LAST_STAGING_PRUNED or [])
+
+    arrive("chunk_2.parquet", "chunk_z_sentinel.parquet")
+    ev2 = energy_events_stream(
+        spark, sf_dir, source_dir=live, max_files_per_trigger=1
+    )
+    d2 = runner.run_hourly_pipeline_dispatched(
+        spark, ev2, metrics_path=store, checkpoint=ckpt
+    )
+    assert d2 == d1  # pinned decision, prune changes nothing about it
+    pruned2 = list(runner.LAST_STAGING_PRUNED or [])
+    assert pruned1 or pruned2  # retention actually fired somewhere
+
+    got = {
+        int(r["hour"].timestamp()): r.asDict()
+        for r in read_hourly_metrics_parquet(spark, store)
+        .where(F.col("hour") < mx + timedelta(days=30))
+        .collect()
+    }
+    want = {
+        int(r["hour"].timestamp()): r.asDict()
+        for r in hourly_business_metrics(energy_events(spark, sf_dir)).collect()
+    }
+    # completeness floor (same contract as the bounded catch-up test):
+    # every hour behind the watermark built from chunk_2 must have landed
+    from energy_data_stream_processing_spark.sources.adapter import (
+        normalize_event_ts,
+    )
+
+    c2_max = (
+        normalize_event_ts(spark.read.parquet(f"{live}/chunk_2.parquet"))
+        .select(F.max("ts"))
+        .first()[0]
+    )
+    wm_floor = int(c2_max.timestamp()) - 2 * 3600
+    required = {h for h in want if h + 3600 <= wm_floor}
+    assert required and required <= set(got) <= set(want)
+    for h, row in got.items():
+        for c in METRIC_COLUMNS:
+            assert float(row[c]) == float(want[h][c]), (h, c)
+
+    # nothing strictly behind the final executed watermark survives staging
+    from energy_data_stream_processing_spark.sources.sinks import (
+        staging_prune_watermark_ms,
+    )
+
+    final_wm = staging_prune_watermark_ms(runner.LAST_STREAM_PROGRESS)
+    assert final_wm > 0
+    survivors = [
+        (b, h)
+        for b in os.listdir(staging)
+        if b.startswith("_batch_id=")
+        for h in os.listdir(os.path.join(staging, b))
+        if h.startswith("hour_epoch_ms=")
+        and int(h.split("=", 1)[1]) + 3_600_000 < final_wm
+    ]
+    assert survivors == []
