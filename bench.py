@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -72,11 +73,17 @@ def _committed_baseline_ratios(sf: float) -> tuple[dict[str, float], str]:
     try:
         with open(p) as f:
             base = json.load(f)
-    except (OSError, ValueError):
+        if not isinstance(base, dict):
+            return {}, ""
+        if abs(float(base.get("sf", -1.0)) - sf) > 1e-9:
+            return {}, ""
+        ratios = base.get("warm_queries_per_canary") or {}
+        if not isinstance(ratios, dict):
+            return {}, ""
+        return ratios, str(base.get("label", ""))
+    except (OSError, ValueError, TypeError):
+        # best-effort gate: a malformed baseline is ignored, never fatal
         return {}, ""
-    if abs(float(base.get("sf", -1.0)) - sf) > 1e-9:
-        return {}, ""
-    return base.get("warm_queries_per_canary") or {}, str(base.get("label", ""))
 
 
 def main() -> None:
@@ -266,7 +273,7 @@ def main() -> None:
             if prev_ratios.get(name, 0) > 0 and now > 0
         }
         alerts = {}
-        med = sorted(rel.values())[len(rel) // 2] if rel else 1.0
+        med = statistics.median(rel.values()) if rel else 1.0
         for name, rr in rel.items():
             now = result["warm_queries_per_canary"][name]
             norm = rr / med

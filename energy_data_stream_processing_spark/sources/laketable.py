@@ -537,6 +537,8 @@ def foreach_batch_lake_merge(
     silently rewinding it; ``adopt_existing(log_dir)`` is the explicit
     recovery for that case."""
 
+    legacy_checked = {"done": False}
+
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         # foreachBatch runs driver-side, so the closure can carry a live
         # coordinator handle (log_store) across batches — required for
@@ -547,7 +549,30 @@ def foreach_batch_lake_merge(
             # injective tz-proof key (label + epoch): the wall label alone
             # merges a DST fall-back's two instants onto one row under a
             # non-UTC session tz — see sinks.hour_partition_key
-            from .sinks import hour_partition_key
+            from .sinks import _refuse_legacy_hour_keys, hour_partition_key
+
+            if not legacy_checked["done"]:
+                # one-time per query: a table whose existing rows still
+                # carry the legacy label-only key would never MERGE-match
+                # the new key — every hour would silently land twice
+                if table.latest_version() >= 0:
+                    existing = table.read(batch_df.sparkSession)
+                    if "hour_key" in existing.columns:
+                        keys = [
+                            r[0]
+                            for r in existing.select("hour_key")
+                            .distinct()
+                            .collect()
+                        ]
+                        _refuse_legacy_hour_keys(
+                            sorted(
+                                k
+                                for k in keys
+                                if k and len(str(k).split("-")) == 4
+                            ),
+                            path,
+                        )
+                legacy_checked["done"] = True
 
             df = df.withColumn("hour_key", hour_partition_key())
         # (app_id, batchId) pair -> the snapshot records one latest-version

@@ -107,12 +107,45 @@ def hour_partition_key():
     collision fixed in rounds 11-12. The epoch suffix keeps the two
     instants in distinct partitions in every session tz; readers are
     unaffected (they drop ``hour_key``), but stores written with the old
-    label-only key should be rewritten once before mixed use (a relabeled
-    key would otherwise land the same hour under two partition values).
+    label-only key must be rewritten once before mixed use — a relabeled
+    key would otherwise land the same hour under two partition values and
+    readers would silently see DOUBLE rows. ``upsert_hourly_metrics_parquet``
+    and ``foreach_batch_lake_merge`` refuse to write into a store holding
+    legacy keys; ``migrate_hour_store_keys`` is the one-time rewrite.
     """
     return F.concat_ws(
         "-", F.date_format("hour", "yyyy-MM-dd-HH"), F.col("hour").cast("long")
     )
+
+
+def legacy_hour_key_values(path: str) -> list[str]:
+    """Partition values written by the pre-injective label-only hour key
+    (``yyyy-MM-dd-HH``, no epoch suffix). Non-empty means the store
+    predates ``hour_partition_key`` and must be migrated before any new
+    write — mixing formats lands one hour under TWO partition values and
+    readers silently double it. One local listdir (the store is
+    hours-sized; the same local-filesystem assumption the checkpoints
+    document)."""
+    import re
+
+    if not os.path.isdir(path):
+        return []
+    legacy = re.compile(r"^hour_key=\d{4}-\d{2}-\d{2}-\d{2}$")
+    return sorted(
+        d.split("=", 1)[1] for d in os.listdir(path) if legacy.match(d)
+    )
+
+
+def _refuse_legacy_hour_keys(found: list, store: str) -> None:
+    if found:
+        raise ValueError(
+            f"{store} holds {len(found)} hour partition(s) under the legacy "
+            "label-only hour_key (e.g. "
+            f"{found[0]!r}); writing the epoch-suffixed key next to them "
+            "would duplicate those hours for every reader. Run "
+            "sinks.migrate_hour_store_keys(spark, path) once (parquet "
+            "stores) or rewrite the lake table's key column, then retry."
+        )
 
 
 def upsert_hourly_metrics_parquet(spark: SparkSession, metrics: DataFrame, path: str) -> None:
@@ -120,8 +153,12 @@ def upsert_hourly_metrics_parquet(spark: SparkSession, metrics: DataFrame, path:
 
     Dynamic partition overwrite on the hour partition: only hours present in
     ``metrics`` are rewritten; other hours' files are untouched. Safe to call
-    from ``foreachBatch`` on every trigger.
+    from ``foreachBatch`` on every trigger. Refuses to write into a store
+    still keyed by the legacy label-only ``hour_key`` (see
+    ``legacy_hour_key_values`` — mixed keys double hours silently;
+    ``migrate_hour_store_keys`` is the one-time fix).
     """
+    _refuse_legacy_hour_keys(legacy_hour_key_values(path), path)
     with _conf_override(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
         (
             metrics.withColumn("hour_key", hour_partition_key())
@@ -129,6 +166,41 @@ def upsert_hourly_metrics_parquet(spark: SparkSession, metrics: DataFrame, path:
             .partitionBy("hour_key")
             .parquet(path)
         )
+
+
+def migrate_hour_store_keys(spark: SparkSession, path: str) -> int:
+    """One-time rewrite of a metrics store from the legacy label-only
+    ``hour_key`` to the injective label+epoch key. Stages the full rewrite
+    NEXT TO the store (reading and overwriting the same path in one job is
+    undefined), verifies the staged row count equals the source, then
+    swaps directories — the store is hours-sized, so the full rewrite is
+    trivial. Returns the number of rows rewritten. No-op (0) when the
+    store does not exist or already uses the new key everywhere."""
+    import shutil
+
+    if not legacy_hour_key_values(path):
+        return 0
+    tmp = path.rstrip("/") + "_keymigration"
+    shutil.rmtree(tmp, ignore_errors=True)
+    src = spark.read.parquet(path).drop("hour_key")
+    n_src = src.count()
+    (
+        src.withColumn("hour_key", hour_partition_key())
+        .write.mode("overwrite")
+        .partitionBy("hour_key")
+        .parquet(tmp)
+    )
+    n_tmp = spark.read.parquet(tmp).count()
+    if n_tmp != n_src:
+        raise RuntimeError(
+            f"staged rewrite row count {n_tmp} != source {n_src}; "
+            f"leaving {path} untouched (staged copy kept at {tmp})"
+        )
+    old = path.rstrip("/") + "_keymigration_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_tmp
 
 
 def read_hourly_metrics_parquet(spark: SparkSession, path: str) -> DataFrame:

@@ -906,6 +906,18 @@ def run_stream_foreach_batch(
     return LAST_STREAM_PROGRESS
 
 
+def _write_dispatch_pin(pin_path: str, decision: dict) -> None:
+    """Atomic pin write: a crash mid-write must not leave a truncated
+    dispatch.json that breaks every later invocation — stage to a temp
+    name in the same directory and os.replace (atomic on POSIX)."""
+    import json as _json
+
+    tmp = pin_path + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(decision, f)
+    os.replace(tmp, pin_path)
+
+
 #: Relative staging partitions deleted by the last
 #: ``run_hourly_pipeline_dispatched`` call's post-run retention pass
 #: (None before any call / when pruning was skipped; [] when nothing was
@@ -985,8 +997,40 @@ def run_hourly_pipeline_dispatched(
     LAST_HOURLY_DISPATCH = None
     pin_path = os.path.join(checkpoint, "dispatch.json")
     if os.path.exists(pin_path):
-        with open(pin_path) as f:
-            decision = _json.load(f)
+        try:
+            with open(pin_path) as f:
+                decision = _json.load(f)
+        except ValueError as e:
+            raise ValueError(
+                f"corrupt dispatch pin at {pin_path} ({e}); the checkpoint's "
+                "state layout is unknown — restore the file from the first "
+                "run's decision, or retire the whole checkpoint to re-decide"
+            ) from e
+        # explicit STATE-BOUND arguments must not silently lose to the pin:
+        # a variant or shard-count flip on an existing checkpoint would
+        # fail later with an opaque state-schema error, so refuse here
+        # with the real story instead
+        conflicts = [
+            (k, v, decision.get(k))
+            for k, v in (("variant", variant), ("shards", shards))
+            if v not in (None, "auto") and v != decision.get(k)
+        ]
+        if conflicts:
+            raise ValueError(
+                "dispatch is pinned in the checkpoint and the explicit "
+                f"arguments conflict with it: {conflicts} (requested vs "
+                "pinned). Spark pins the state layout at first query start "
+                "— retire the checkpoint (and staging) to re-decide."
+            )
+        if (
+            two_stage_sessions is not None
+            and decision["variant"] == "sharded"
+            and two_stage_sessions != decision.get("two_stage_sessions")
+        ):
+            # merge-layout knob only (value-identical forms, not
+            # state-bound) — honor the override and re-pin it
+            decision["two_stage_sessions"] = two_stage_sessions
+            _write_dispatch_pin(pin_path, decision)
     else:
         decision = decide_hourly_variant(
             variant=variant,
@@ -996,8 +1040,7 @@ def run_hourly_pipeline_dispatched(
             two_stage_sessions=two_stage_sessions,
         )
         os.makedirs(checkpoint, exist_ok=True)
-        with open(pin_path, "w") as f:
-            _json.dump(decision, f)
+        _write_dispatch_pin(pin_path, decision)
     staging = staging_path or f"{metrics_path}_staging"
     if decision["variant"] == "sharded":
         stream = hourly_metrics_stateful_sharded_stream(

@@ -867,3 +867,171 @@ def test_pipeline_sharded_prune_keeps_cross_invocation_merge_exact(
         and int(h.split("=", 1)[1]) + 3_600_000 < final_wm
     ]
     assert survivors == []
+
+
+# ---------------------------------------------------------------------------
+# Review fixes: legacy hour_key guard/migration, pin conflicts, bench math
+# ---------------------------------------------------------------------------
+def test_legacy_hour_key_guard_and_migration(spark, tmp_path):
+    """A store written under the pre-injective label-only hour_key must be
+    REFUSED by the upsert (mixed keys double hours for every reader) and
+    rewritten once by migrate_hour_store_keys, after which the upsert
+    works and readers see exactly one row per hour — never two."""
+    from energy_data_stream_processing_spark.sources.sinks import (
+        legacy_hour_key_values,
+        migrate_hour_store_keys,
+    )
+
+    store = str(tmp_path / "metrics")
+    hours = [
+        datetime(2024, 5, 1, 7, 0, tzinfo=timezone.utc),
+        datetime(2024, 5, 1, 8, 0, tzinfo=timezone.utc),
+    ]
+    rows = [
+        (h.replace(tzinfo=None), *[float(i + 1)] * len(METRIC_COLUMNS))
+        for i, h in enumerate(hours)
+    ]
+    legacy = spark.createDataFrame(
+        rows, schema=["hour", *METRIC_COLUMNS]
+    ).withColumn("hour_key", F.date_format("hour", "yyyy-MM-dd-HH"))
+    legacy.write.mode("overwrite").partitionBy("hour_key").parquet(store)
+    assert legacy_hour_key_values(store) == ["2024-05-01-07", "2024-05-01-08"]
+
+    fresh = spark.createDataFrame(
+        [rows[0][:1] + tuple(9.0 for _ in METRIC_COLUMNS)],
+        schema=["hour", *METRIC_COLUMNS],
+    )
+    with pytest.raises(ValueError, match="legacy label-only hour_key"):
+        upsert_hourly_metrics_parquet(spark, fresh, store)
+
+    n = migrate_hour_store_keys(spark, store)
+    assert n == 2
+    assert legacy_hour_key_values(store) == []
+    assert migrate_hour_store_keys(spark, store) == 0  # idempotent no-op
+    assert migrate_hour_store_keys(spark, str(tmp_path / "absent")) == 0
+
+    # post-migration upsert overwrites IN PLACE: one row per hour, updated
+    upsert_hourly_metrics_parquet(spark, fresh, store)
+    got = read_hourly_metrics_parquet(spark, store).collect()
+    assert sorted(r["hour"] for r in got) == [h.replace(tzinfo=None) for h in hours]
+    by_hour = {r["hour"]: r for r in got}
+    assert float(by_hour[hours[0].replace(tzinfo=None)][METRIC_COLUMNS[0]]) == 9.0
+    assert float(by_hour[hours[1].replace(tzinfo=None)][METRIC_COLUMNS[0]]) == 2.0
+
+
+def test_lake_merge_refuses_legacy_hour_keys(spark, tmp_path):
+    """The lake-table twin of the same hazard: a MERGE keyed by the new
+    epoch-suffixed hour_key would never match rows stored under the legacy
+    label-only key — every hour would land twice. The streaming lake sink
+    must refuse the table instead."""
+    from energy_data_stream_processing_spark.sources.laketable import (
+        LakeTable,
+        foreach_batch_lake_merge,
+    )
+
+    path = str(tmp_path / "lake")
+    h = datetime(2024, 5, 1, 7, 0)
+    legacy = spark.createDataFrame(
+        [(h, *[1.0] * len(METRIC_COLUMNS), "2024-05-01-07")],
+        schema=["hour", *METRIC_COLUMNS, "hour_key"],
+    )
+    LakeTable(path).merge_upsert(spark, legacy, "hour_key")
+
+    fn = foreach_batch_lake_merge(path)
+    fresh = spark.createDataFrame(
+        [(h, *[2.0] * len(METRIC_COLUMNS))], schema=["hour", *METRIC_COLUMNS]
+    )
+    with pytest.raises(ValueError, match="legacy label-only hour_key"):
+        fn(fresh, 0)
+    # a NEW-format table passes the same one-time check
+    path2 = str(tmp_path / "lake2")
+    fn2 = foreach_batch_lake_merge(path2)
+    fn2(fresh, 0)
+    fn2(fresh, 1)
+    assert LakeTable(path2).read(spark).count() == 1
+
+
+def test_dispatch_pin_conflicts_and_atomic_write(spark, tmp_path):
+    """Explicit state-bound arguments must not silently lose to the pinned
+    decision (a variant/shard flip on live state would fail later with an
+    opaque state-schema error — refuse up front with the real story), a
+    truncated pin must fail with a clear message instead of a bare
+    JSONDecodeError, and the merge-side two_stage_sessions knob (value-
+    identical forms, not state-bound) is honored and re-pinned."""
+    import json
+
+    from energy_data_stream_processing_spark.streaming import runner
+
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(ckpt)
+    pin = {
+        "variant": "sharded", "peak_hour_distinct": 150_000,
+        "shards": 16, "state_partitions": 16, "two_stage_sessions": True,
+    }
+    with open(f"{ckpt}/dispatch.json", "w") as f:
+        json.dump(pin, f)
+
+    with pytest.raises(ValueError, match="pinned"):
+        runner.run_hourly_pipeline_dispatched(
+            spark, None, metrics_path=str(tmp_path / "m"),
+            checkpoint=ckpt, variant="bounded",
+        )
+    with pytest.raises(ValueError, match="pinned"):
+        runner.run_hourly_pipeline_dispatched(
+            spark, None, metrics_path=str(tmp_path / "m"),
+            checkpoint=ckpt, shards=32,
+        )
+
+    # two_stage_sessions is merge-side only: the override re-pins, and the
+    # streaming run proceeds (it fails below only because events=None —
+    # the pin on disk must already carry the new value by then)
+    with pytest.raises(AttributeError):
+        runner.run_hourly_pipeline_dispatched(
+            spark, None, metrics_path=str(tmp_path / "m"),
+            checkpoint=ckpt, two_stage_sessions=False,
+        )
+    with open(f"{ckpt}/dispatch.json") as f:
+        assert json.load(f)["two_stage_sessions"] is False
+
+    with open(f"{ckpt}/dispatch.json", "w") as f:
+        f.write('{"variant": "shar')  # crash-truncated pin
+    with pytest.raises(ValueError, match="corrupt dispatch pin"):
+        runner.run_hourly_pipeline_dispatched(
+            spark, None, metrics_path=str(tmp_path / "m"), checkpoint=ckpt
+        )
+
+    # atomic writer: no .tmp residue, loadable json
+    runner._write_dispatch_pin(f"{ckpt}/dispatch.json", pin)
+    assert not os.path.exists(f"{ckpt}/dispatch.json.tmp")
+    with open(f"{ckpt}/dispatch.json") as f:
+        assert json.load(f) == pin
+
+
+def test_bench_gate_median_and_baseline_robustness(tmp_path, monkeypatch):
+    """The renormalization divisor is a true median (even-count sets
+    average the two middles — the upper-middle pick skewed every norm and
+    the reported median_ratio_shift), and a malformed committed baseline
+    is IGNORED by the reader, never fatal to the bench run."""
+    import statistics
+
+    import bench
+
+    # even-count median: 10x 0.9 and 10x 1.1 must renormalize around 1.0
+    rel = [0.9] * 10 + [1.1] * 10
+    assert statistics.median(rel) == pytest.approx(1.0)
+
+    p = os.path.join(os.path.dirname(bench.__file__), "bench_canary_baseline.json")
+    orig = open(p).read() if os.path.exists(p) else None
+    try:
+        for bad in ("[]", '{"sf": null}', '{"sf": {}}',
+                    '{"sf": 0.1, "warm_queries_per_canary": [1, 2]}',
+                    "not json at all"):
+            with open(p, "w") as f:
+                f.write(bad)
+            assert bench._committed_baseline_ratios(0.1) == ({}, "")
+    finally:
+        if orig is None:
+            os.remove(p)
+        else:
+            with open(p, "w") as f:
+                f.write(orig)
