@@ -319,6 +319,7 @@ def foreach_batch_sharded_flush(
     execute_many=None,
     metrics_path: str | None = None,
     two_stage_sessions: bool = False,
+    prune_closed: bool = True,
 ):
     """foreachBatch body completing the sharded hot-hour pipeline (round-12
     verdict item 1): per-(hour, shard) raw partials from
@@ -359,10 +360,21 @@ def foreach_batch_sharded_flush(
     flush cost is O(touched hours' partials), not O(everything staged), so
     a long-running stream stays linear instead of re-scanning its whole
     history every trigger. Retention: staged partials for a CLOSED hour
-    are dead weight — ``prune_sharded_staging`` deletes them under the
-    provably-safe watermark rule (the turnkey pipeline auto-prunes after
-    every completed invocation). For hot-hour session sets ≥~10^5 ids pass
-    ``two_stage_sessions=True`` (see ``merge_sharded_hourly_partials``)."""
+    are dead weight — two complementary prune paths keep staging bounded
+    at ≈ open hours × shards rows. (1) ``prune_closed=True`` (default)
+    prunes IN-BATCH after each flush: every touched hour proves the batch
+    executed with watermark past its end, so any staged hour ending at or
+    before the NEWEST touched end either evicted in an earlier committed
+    batch (final, flushed, unreachable) or would itself be in this batch's
+    touched set — except the batch's own touched hours, which a
+    crash-replay of this batch still re-merges and therefore must be kept
+    (``keep_hours``). This is what bounds a CONTINUOUS stream, whose run
+    never "completes". (2) The turnkey pipeline additionally runs
+    ``prune_sharded_staging`` with the final committed watermark after
+    each availableNow invocation, catching the tail the in-batch rule's
+    touched-derived threshold cannot see. For hot-hour session sets
+    ≥~10^5 ids pass ``two_stage_sessions=True`` (see
+    ``merge_sharded_hourly_partials``)."""
     if (table is None) != (execute_many is None):
         raise ValueError("table and execute_many must be passed together")
     if metrics_path is None and table is None:
@@ -407,6 +419,14 @@ def foreach_batch_sharded_flush(
             rows = collect_hour_bound_rows(merged)
             if rows:
                 execute_many(sql, rows)
+        if prune_closed:
+            # every touched hour T proves this batch executed with
+            # watermark > hour_end(T); see the docstring's closure rule
+            prune_sharded_staging(
+                staging_path,
+                max(touched) + 3_600_000,
+                keep_hours=set(touched),
+            )
 
     return fn
 
@@ -443,7 +463,11 @@ def staging_prune_watermark_ms(progress) -> int:
     return 0
 
 
-def prune_sharded_staging(staging_path: str, closed_before_ms: int) -> list[str]:
+def prune_sharded_staging(
+    staging_path: str,
+    closed_before_ms: int,
+    keep_hours: set[int] | None = None,
+) -> list[str]:
     """Retention for the sharded flush's staging store: delete the
     ``(_batch_id, hour_epoch_ms)`` partials of every hour that can never
     be touched again, so a long-running stream's staging footprint tracks
@@ -472,10 +496,14 @@ def prune_sharded_staging(staging_path: str, closed_before_ms: int) -> list[str]
     Pass the RUN watermark of a committed batch — in practice
     ``staging_prune_watermark_ms()`` of the final progress returned by
     ``run_stream_foreach_batch`` (the turnkey pipeline does this
-    automatically). The deletion itself is hour-partition ``rmtree`` on
-    the local filesystem (the same local-checkpoint assumption the
-    pipeline documents); emptied ``_batch_id=`` directories are removed
-    too. Returns the deleted partition paths (relative), for logs/tests."""
+    automatically). ``keep_hours`` exempts specific hours regardless of
+    the threshold — the in-batch prune path uses it for the current
+    batch's own touched hours, whose partials a crash-replay of that
+    (not-yet-committed) batch still re-merges. The deletion itself is
+    hour-partition ``rmtree`` on the local filesystem (the same
+    local-checkpoint assumption the pipeline documents); emptied
+    ``_batch_id=`` directories are removed too. Returns the deleted
+    partition paths (relative), for logs/tests."""
     import shutil
 
     removed: list[str] = []
@@ -494,7 +522,9 @@ def prune_sharded_staging(staging_path: str, closed_before_ms: int) -> list[str]
                 continue
             # strict: an hour whose end EQUALS the watermark has not fired
             # (timeouts fire strictly past), so it stays
-            if hour_ms + 3_600_000 < closed_before_ms:
+            if hour_ms + 3_600_000 < closed_before_ms and (
+                keep_hours is None or hour_ms not in keep_hours
+            ):
                 shutil.rmtree(os.path.join(bpath, hdir))
                 removed.append(f"{bdir}/{hdir}")
         if not any(e.startswith("hour_epoch_ms=") for e in os.listdir(bpath)):

@@ -643,7 +643,12 @@ def test_prune_sharded_staging_rule(spark, tmp_path):
 
     staging = str(tmp_path / "staging")
     store = str(tmp_path / "metrics")
-    flush = foreach_batch_sharded_flush(staging, metrics_path=store)
+    # prune_closed off: this test drives prune_sharded_staging EXPLICITLY
+    # over synthetic batches (whose touched sets don't follow real
+    # eviction order, so the in-batch rule would fire early)
+    flush = foreach_batch_sharded_flush(
+        staging, metrics_path=store, prune_closed=False
+    )
     h1 = int(datetime(2024, 5, 1, 7, 0, tzinfo=timezone.utc).timestamp() * 1000)
     h2, h3 = h1 + 3_600_000, h1 + 7_200_000
     _df = lambda rows: spark.createDataFrame(rows, schema=SHARD_PARTIAL_SCHEMA)
@@ -734,7 +739,11 @@ def test_staging_prune_progress_invariant_measured(spark, sf_dir, tmp_path):
     q = (
         hourly_metrics_stateful_sharded_stream(ev, shards=4)
         .writeStream.foreachBatch(
-            foreach_batch_sharded_flush(staging, metrics_path=store)
+            # prune_closed off: the invariant must see the FULL staged
+            # history — every (batch, hour) pair ever written
+            foreach_batch_sharded_flush(
+                staging, metrics_path=store, prune_closed=False
+            )
         )
         .outputMode("append")
         .option("checkpointLocation", str(tmp_path / "ckpt"))
@@ -1035,3 +1044,64 @@ def test_bench_gate_median_and_baseline_robustness(tmp_path, monkeypatch):
         else:
             with open(p, "w") as f:
                 f.write(orig)
+
+
+def test_in_batch_prune_bounds_continuous_staging(spark, tmp_path):
+    """The continuous-stream retention path (prune_closed=True, the
+    default): each flush prunes staged hours STRICTLY older than the
+    batch's newest touched hour — every touched hour proves the batch
+    executed with watermark past its end, so an older untouched hour
+    evicted fully in an earlier committed batch — while KEEPING the
+    batch's own touched hours (a crash-replay of the uncommitted batch
+    still re-merges them). Straddling partials from pruned-around batches
+    must still produce exact full-hour rows, and replaying the pruning
+    batch is idempotent."""
+    staging = str(tmp_path / "staging")
+    store = str(tmp_path / "metrics")
+    flush = foreach_batch_sharded_flush(staging, metrics_path=store)
+    h1 = int(datetime(2024, 5, 1, 7, 0, tzinfo=timezone.utc).timestamp() * 1000)
+    h2, h3, h4 = (h1 + k * 3_600_000 for k in (1, 2, 3))
+    _df = lambda rows: spark.createDataFrame(rows, schema=SHARD_PARTIAL_SCHEMA)
+
+    def staged_hours():
+        out = set()
+        for b in os.listdir(staging):
+            if b.startswith("_batch_id="):
+                for h in os.listdir(os.path.join(staging, b)):
+                    if h.startswith("hour_epoch_ms="):
+                        out.add(int(h.split("=", 1)[1]))
+        return out
+
+    # batch 0: h1 fully evicts; h2's shard 0 evicts early (straddle start)
+    flush(_df([_partial(h1, 0, 1, [1], 5), _partial(h2, 0, 1, [2], 3)]), 0)
+    assert staged_hours() == {h1, h2}  # nothing older than max touched
+
+    # batch 1: h2's last shard + h3 -> h1 (older, untouched) pruned;
+    # h2 kept although older than h3 (touched THIS batch)
+    flush(_df([_partial(h2, 1, 2, [7, 8], 4), _partial(h3, 0, 1, [9], 1)]), 1)
+    assert staged_hours() == {h2, h3}
+    # the straddle re-merge saw batch 0's h2 partial (pre-prune-keep)
+    rows = {
+        int(r["hour"].timestamp()) * 1000: r
+        for r in read_hourly_metrics_parquet(spark, store).collect()
+    }
+    assert rows[h2]["total_logins"] == 7 and rows[h2]["active_customers"] == 3
+    assert rows[h1]["total_logins"] == 5  # pruned hour's flushed row persists
+
+    # replay of the pruning batch: idempotent, store and staging unchanged
+    flush(_df([_partial(h2, 1, 2, [7, 8], 4), _partial(h3, 0, 1, [9], 1)]), 1)
+    assert staged_hours() == {h2, h3}
+    rows2 = {
+        int(r["hour"].timestamp()) * 1000: r
+        for r in read_hourly_metrics_parquet(spark, store).collect()
+    }
+    assert rows2[h2]["total_logins"] == 7 and rows2[h1]["total_logins"] == 5
+
+    # batch 2: h4 alone -> h2 and h3 both age out; staging tracks the head
+    flush(_df([_partial(h4, 0, 1, [4], 2)]), 2)
+    assert staged_hours() == {h4}
+    final = {
+        int(r["hour"].timestamp()) * 1000: r["total_logins"]
+        for r in read_hourly_metrics_parquet(spark, store).collect()
+    }
+    assert final == {h1: 5, h2: 7, h3: 1, h4: 2}
