@@ -80,6 +80,13 @@ def _committed_baseline_ratios(sf: float) -> tuple[dict[str, float], str]:
         ratios = base.get("warm_queries_per_canary") or {}
         if not isinstance(ratios, dict):
             return {}, ""
+        # value-level validation too: a single non-numeric/bool entry must
+        # be dropped, not crash main()'s `> 0` comparisons later
+        ratios = {
+            k: float(v)
+            for k, v in ratios.items()
+            if isinstance(v, (int, float)) and not isinstance(v, bool)
+        }
         return ratios, str(base.get("label", ""))
     except (OSError, ValueError, TypeError):
         # best-effort gate: a malformed baseline is ignored, never fatal

@@ -558,19 +558,19 @@ def foreach_batch_lake_merge(
                 if table.latest_version() >= 0:
                     existing = table.read(batch_df.sparkSession)
                     if "hour_key" in existing.columns:
-                        keys = [
-                            r[0]
-                            for r in existing.select("hour_key")
+                        # filter SPARK-side: only offenders (normally
+                        # zero) reach the driver, not every key the
+                        # table has ever stored
+                        legacy = (
+                            existing.select("hour_key")
+                            .where(
+                                F.size(F.split(F.col("hour_key"), "-")) == 4
+                            )
                             .distinct()
                             .collect()
-                        ]
+                        )
                         _refuse_legacy_hour_keys(
-                            sorted(
-                                k
-                                for k in keys
-                                if k and len(str(k).split("-")) == 4
-                            ),
-                            path,
+                            sorted(r[0] for r in legacy), path
                         )
                 legacy_checked["done"] = True
 

@@ -156,8 +156,18 @@ def upsert_hourly_metrics_parquet(spark: SparkSession, metrics: DataFrame, path:
     from ``foreachBatch`` on every trigger. Refuses to write into a store
     still keyed by the legacy label-only ``hour_key`` (see
     ``legacy_hour_key_values`` — mixed keys double hours silently;
-    ``migrate_hour_store_keys`` is the one-time fix).
+    ``migrate_hour_store_keys`` is the one-time fix). Also refuses when a
+    crashed migration's ``_keymigration_old`` sibling exists — the store
+    may be sitting at that name, and writing a fresh one here would
+    silently restart history from empty.
     """
+    if os.path.isdir(_migration_old_dir(path)):
+        raise ValueError(
+            f"crashed key migration detected ({_migration_old_dir(path)} "
+            f"exists); {path} may be the empty/missing half of an "
+            "interrupted swap — recover per migrate_hour_store_keys before "
+            "writing"
+        )
     _refuse_legacy_hour_keys(legacy_hour_key_values(path), path)
     with _conf_override(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
         (
@@ -168,6 +178,10 @@ def upsert_hourly_metrics_parquet(spark: SparkSession, metrics: DataFrame, path:
         )
 
 
+def _migration_old_dir(path: str) -> str:
+    return path.rstrip("/") + "_keymigration_old"
+
+
 def migrate_hour_store_keys(spark: SparkSession, path: str) -> int:
     """One-time rewrite of a metrics store from the legacy label-only
     ``hour_key`` to the injective label+epoch key. Stages the full rewrite
@@ -175,14 +189,42 @@ def migrate_hour_store_keys(spark: SparkSession, path: str) -> int:
     undefined), verifies the staged row count equals the source, then
     swaps directories — the store is hours-sized, so the full rewrite is
     trivial. Returns the number of rows rewritten. No-op (0) when the
-    store does not exist or already uses the new key everywhere."""
+    store does not exist or already uses the new key everywhere.
+
+    Refuses two states it cannot repair: (a) a leftover
+    ``<path>_keymigration_old`` directory — the swap is two renames, so a
+    crash between them leaves the store AT the old name (restore it by
+    renaming back); treating that as "no store" would silently restart
+    history from empty; (b) a store already holding the SAME hour under
+    both key formats — rewriting would land both rows in one partition
+    and bless exactly the duplication the legacy guard exists to prevent;
+    the operator must pick the surviving row first."""
     import shutil
 
+    old = _migration_old_dir(path)
+    if os.path.isdir(old):
+        raise RuntimeError(
+            f"a previous key migration left {old} behind (crash between "
+            f"swap renames). If {path} is missing, the store IS that "
+            "directory — restore it with os.rename(old, path); if both "
+            "exist, verify and delete the leftover. Refusing to guess."
+        )
     if not legacy_hour_key_values(path):
         return 0
     tmp = path.rstrip("/") + "_keymigration"
     shutil.rmtree(tmp, ignore_errors=True)
     src = spark.read.parquet(path).drop("hour_key")
+    dup = (
+        src.groupBy("hour").count().where(F.col("count") > 1).limit(5).collect()
+    )
+    if dup:
+        raise RuntimeError(
+            "store already holds duplicated hours across key formats "
+            f"(e.g. {[str(r['hour']) for r in dup]}); a blind rewrite "
+            "would merge both rows into one partition and hide the "
+            "duplication — deduplicate (pick the correct row per hour) "
+            "before migrating"
+        )
     n_src = src.count()
     (
         src.withColumn("hour_key", hour_partition_key())
@@ -196,7 +238,6 @@ def migrate_hour_store_keys(spark: SparkSession, path: str) -> int:
             f"staged rewrite row count {n_tmp} != source {n_src}; "
             f"leaving {path} untouched (staged copy kept at {tmp})"
         )
-    old = path.rstrip("/") + "_keymigration_old"
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
@@ -369,7 +410,13 @@ def foreach_batch_sharded_flush(
     touched set — except the batch's own touched hours, which a
     crash-replay of this batch still re-merges and therefore must be kept
     (``keep_hours``). This is what bounds a CONTINUOUS stream, whose run
-    never "completes". (2) The turnkey pipeline additionally runs
+    never "completes". The rule assumes batches arrive in REAL EVICTION
+    ORDER — guaranteed when the input is
+    ``hourly_metrics_stateful_sharded_stream`` (the watermark fires all of
+    an hour's due timeouts in one batch and late-filters everything
+    after) — so a harness replaying synthetic partials out of that order
+    must pass ``prune_closed=False`` or earlier straddle partials get
+    pruned mid-hour. (2) The turnkey pipeline additionally runs
     ``prune_sharded_staging`` with the final committed watermark after
     each availableNow invocation, catching the tail the in-batch rule's
     touched-derived threshold cannot see. For hot-hour session sets

@@ -1000,6 +1000,8 @@ def run_hourly_pipeline_dispatched(
         try:
             with open(pin_path) as f:
                 decision = _json.load(f)
+            if not isinstance(decision, dict) or "variant" not in decision:
+                raise ValueError(f"not a decision dict: {decision!r:.80}")
         except ValueError as e:
             raise ValueError(
                 f"corrupt dispatch pin at {pin_path} ({e}); the checkpoint's "
@@ -1009,11 +1011,17 @@ def run_hourly_pipeline_dispatched(
         # explicit STATE-BOUND arguments must not silently lose to the pin:
         # a variant or shard-count flip on an existing checkpoint would
         # fail later with an opaque state-schema error, so refuse here
-        # with the real story instead
+        # with the real story instead. ``shards`` is only state-bound on
+        # the sharded arm — on a bounded pin it is as meaningless as it
+        # was on the first (deciding) run, so repeating the ORIGINAL
+        # arguments (e.g. variant='auto' + shards=16 that decided
+        # bounded) must not start raising on invocation two
         conflicts = [
             (k, v, decision.get(k))
             for k, v in (("variant", variant), ("shards", shards))
-            if v not in (None, "auto") and v != decision.get(k)
+            if v not in (None, "auto")
+            and v != decision.get(k)
+            and not (k == "shards" and decision.get("variant") != "sharded")
         ]
         if conflicts:
             raise ValueError(

@@ -991,6 +991,34 @@ def test_dispatch_pin_conflicts_and_atomic_write(spark, tmp_path):
             checkpoint=ckpt, shards=32,
         )
 
+    # repeating the ORIGINAL arguments against a BOUNDED pin must not
+    # conflict: shards is meaningless on the bounded arm (exactly as it
+    # was on the first, deciding run) — the scheduled catch-up pattern
+    # re-sends the same call every time
+    ckpt_b = str(tmp_path / "ckpt_bounded")
+    os.makedirs(ckpt_b)
+    with open(f"{ckpt_b}/dispatch.json", "w") as f:
+        json.dump(
+            {"variant": "bounded", "peak_hour_distinct": 100, "shards": None,
+             "state_partitions": 8, "two_stage_sessions": False}, f,
+        )
+    with pytest.raises(AttributeError):  # reaches streaming: no conflict
+        runner.run_hourly_pipeline_dispatched(
+            spark, None, metrics_path=str(tmp_path / "m"),
+            checkpoint=ckpt_b, peak_hour_distinct=100, shards=16,
+        )
+
+    # valid-JSON wrong-shape pins get the curated message, not a bare
+    # AttributeError/KeyError
+    for bad_shape in ("[]", "{}", '"sharded"'):
+        with open(f"{ckpt_b}/dispatch.json", "w") as f:
+            f.write(bad_shape)
+        with pytest.raises(ValueError, match="corrupt dispatch pin"):
+            runner.run_hourly_pipeline_dispatched(
+                spark, None, metrics_path=str(tmp_path / "m"),
+                checkpoint=ckpt_b,
+            )
+
     # two_stage_sessions is merge-side only: the override re-pins, and the
     # streaming run proceeds (it fails below only because events=None —
     # the pin on disk must already carry the new value by then)
@@ -1105,3 +1133,67 @@ def test_in_batch_prune_bounds_continuous_staging(spark, tmp_path):
         for r in read_hourly_metrics_parquet(spark, store).collect()
     }
     assert final == {h1: 5, h2: 7, h3: 1, h4: 2}
+
+
+def test_migration_refuses_crashed_swap_and_duplicated_hours(spark, tmp_path):
+    """The migration's two unrepairable states must be refused, not
+    guessed at: a leftover _keymigration_old directory means a crash
+    between the swap renames (the store may BE that directory — a rerun
+    returning 0 would silently restart history from empty), and a store
+    already holding one hour under BOTH key formats would have its
+    duplication blessed by a blind rewrite. The upsert guard also refuses
+    to write while the crash marker exists."""
+    from energy_data_stream_processing_spark.sources.sinks import (
+        migrate_hour_store_keys,
+    )
+
+    store = str(tmp_path / "metrics")
+    h = datetime(2024, 5, 1, 7, 0)
+    df = spark.createDataFrame(
+        [(h, *[1.0] * len(METRIC_COLUMNS))], schema=["hour", *METRIC_COLUMNS]
+    )
+
+    # crash marker: refuse both migration and writes
+    os.makedirs(f"{store}_keymigration_old")
+    with pytest.raises(RuntimeError, match="previous key migration"):
+        migrate_hour_store_keys(spark, store)
+    with pytest.raises(ValueError, match="crashed key migration"):
+        upsert_hourly_metrics_parquet(spark, df, store)
+    os.rmdir(f"{store}_keymigration_old")
+
+    # mixed-format duplication: same hour under legacy AND new key
+    legacy_row = df.withColumn("hour_key", F.date_format("hour", "yyyy-MM-dd-HH"))
+    legacy_row.write.mode("overwrite").partitionBy("hour_key").parquet(store)
+    from energy_data_stream_processing_spark.sources.sinks import (
+        hour_partition_key,
+    )
+
+    df.withColumn("hour_key", hour_partition_key()).write.mode(
+        "append"
+    ).partitionBy("hour_key").parquet(store)
+    with pytest.raises(RuntimeError, match="duplicated hours"):
+        migrate_hour_store_keys(spark, store)
+
+
+def test_bench_baseline_reader_drops_non_numeric_ratios(tmp_path):
+    """Value-level malformation (a string/null/bool ratio) is dropped by
+    the reader instead of crashing main()'s `> 0` comparisons later."""
+    import bench
+
+    p = os.path.join(os.path.dirname(bench.__file__), "bench_canary_baseline.json")
+    orig = open(p).read() if os.path.exists(p) else None
+    try:
+        with open(p, "w") as f:
+            f.write(
+                '{"sf": 0.1, "label": "x", "warm_queries_per_canary": '
+                '{"good": 1.2, "bad_str": "1.2", "bad_null": null, '
+                '"bad_bool": true}}'
+            )
+        ratios, label = bench._committed_baseline_ratios(0.1)
+        assert ratios == {"good": 1.2} and label == "x"
+    finally:
+        if orig is None:
+            os.remove(p)
+        else:
+            with open(p, "w") as f:
+                f.write(orig)
