@@ -88,8 +88,9 @@ def _committed_baseline_ratios(sf: float) -> tuple[dict[str, float], str]:
             if isinstance(v, (int, float)) and not isinstance(v, bool)
         }
         return ratios, str(base.get("label", ""))
-    except (OSError, ValueError, TypeError):
+    except (OSError, ValueError, TypeError, OverflowError):
         # best-effort gate: a malformed baseline is ignored, never fatal
+        # (OverflowError: float() of an absurd JSON bigint ratio)
         return {}, ""
 
 

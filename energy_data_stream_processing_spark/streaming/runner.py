@@ -1000,8 +1000,11 @@ def run_hourly_pipeline_dispatched(
         try:
             with open(pin_path) as f:
                 decision = _json.load(f)
-            if not isinstance(decision, dict) or "variant" not in decision:
-                raise ValueError(f"not a decision dict: {decision!r:.80}")
+            required = {"variant", "state_partitions"}
+            if isinstance(decision, dict) and decision.get("variant") == "sharded":
+                required |= {"shards", "two_stage_sessions"}
+            if not isinstance(decision, dict) or required - set(decision):
+                raise ValueError(f"not a full decision dict: {decision!r:.80}")
         except ValueError as e:
             raise ValueError(
                 f"corrupt dispatch pin at {pin_path} ({e}); the checkpoint's "

@@ -121,6 +121,7 @@ def main() -> int:
             f"{len(mismatch)} value mismatches"
         )
         assert not mismatch, mismatch[:3]
+        assert not missing, missing[:3]  # completeness, not just value match
 
     off, on = results["prune_off"], results["prune_on"]
     print(

@@ -1197,3 +1197,36 @@ def test_bench_baseline_reader_drops_non_numeric_ratios(tmp_path):
         else:
             with open(p, "w") as f:
                 f.write(orig)
+
+
+def test_dispatch_pin_requires_full_decision_shape(spark, tmp_path):
+    """A hand-restored pin holding only {'variant': 'sharded'} must get the
+    curated corrupt-pin message up front, not a bare KeyError when the
+    sharded arm later reads shards/state_partitions/two_stage_sessions."""
+    import json
+
+    from energy_data_stream_processing_spark.streaming import runner
+
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(ckpt)
+    for partial_pin in (
+        {"variant": "sharded"},
+        {"variant": "sharded", "shards": 8},
+        {"variant": "bounded"},
+    ):
+        with open(f"{ckpt}/dispatch.json", "w") as f:
+            json.dump(partial_pin, f)
+        with pytest.raises(ValueError, match="corrupt dispatch pin"):
+            runner.run_hourly_pipeline_dispatched(
+                spark, None, metrics_path=str(tmp_path / "m"), checkpoint=ckpt
+            )
+    # a COMPLETE bounded pin still loads (fails later only on events=None)
+    with open(f"{ckpt}/dispatch.json", "w") as f:
+        json.dump(
+            {"variant": "bounded", "peak_hour_distinct": 1, "shards": None,
+             "state_partitions": 8, "two_stage_sessions": False}, f,
+        )
+    with pytest.raises(AttributeError):
+        runner.run_hourly_pipeline_dispatched(
+            spark, None, metrics_path=str(tmp_path / "m"), checkpoint=ckpt
+        )
