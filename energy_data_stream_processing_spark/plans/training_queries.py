@@ -25,6 +25,9 @@ from ..operators.dedup import (
 )
 from ..operators.multimodal import decode_media, media_meta, media_table, sample_frames
 from ..operators.similarity import (
+    _DOT as _SIM_DOT,
+    _NORM as _SIM_NORM,
+    _as_double as _sim_as_double,
     cosine_topk,
     hard_negatives,
     ivf_topk,
@@ -651,6 +654,97 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(_docs(spark, sf_dir), max_hamming=8)
 
 
+@register(
+    "dedup_minhash_lsh_audit",
+    # In-band exactness audit (round-13 verdict item 3): the full MinHash->
+    # banding->verify pipeline runs against the declarative exact-Jaccard
+    # pair set at the 0.5 operating gate, where the 16x2 banding finds
+    # every exact pair on the gate corpora (the empirical fact pinned by
+    # tests/test_round6_ops.py::test_lsh_oracle_full_recall_guard) and the
+    # exact verification stage guarantees no false positives by
+    # construction. DuckDB twins the EXACT side and asserts the law: every
+    # audited pair is in BOTH sets. A missed pair surfaces as
+    # in_lsh=false, a false positive as an extra row — either way a
+    # row-count/hash mismatch the driver catches.
+    oracle=f"""WITH {_NGRAM_PAIRS_CTES}
+SELECT doc_a, doc_b, jaccard, TRUE AS in_lsh, TRUE AS in_exact
+FROM jpairs WHERE jaccard >= 0.5""",
+    doc="Driver-checkable audit of the MinHash-LSH dedup path "
+    "(operators/dedup.py::minhash_lsh_pairs): full-outer join of the LSH "
+    "pipeline's verified pairs against exact inverted-index Jaccard pairs "
+    "at the 0.5 gate, emitting membership flags for both sides. The LSH "
+    "jaccard values are exact (candidate-local verification over the same "
+    "distinct-shingle sets), so matched rows agree bit-exactly. Scale: "
+    "both sides are near-linear (banded buckets / inverted shingle "
+    "index); the audit join is pair-set-sized.",
+)
+def q_dedup_minhash_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    lsh = minhash_lsh_pairs(docs, threshold=0.5).select(
+        "doc_a", "doc_b", F.col("jaccard").alias("j_lsh")
+    )
+    exact = ngram_jaccard_pairs(docs, threshold=0.5).select(
+        "doc_a", "doc_b", F.col("jaccard").alias("j_exact")
+    )
+    return (
+        exact.join(lsh, ["doc_a", "doc_b"], "full_outer")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce("j_exact", "j_lsh").alias("jaccard"),
+            F.col("j_lsh").isNotNull().alias("in_lsh"),
+            F.col("j_exact").isNotNull().alias("in_exact"),
+        )
+    )
+
+
+#: Planted-duplicate id offset for the SimHash audit — far above any real
+#: doc_id so planted ids never collide with corpus ids.
+_SIMHASH_PLANT_OFFSET = 1_000_000
+
+
+@register(
+    "dedup_simhash_audit",
+    # SimHash signatures are xxhash64-based (no DuckDB twin), but the
+    # pipeline's hamming-0 law IS oracle-checkable: identical text =>
+    # identical token hashes => identical simhash, and the 4x16-bit band
+    # blocking is pigeonhole-complete for hamming <= 3, so an exact
+    # duplicate MUST surface as a hamming-0 pair. The gate corpora carry
+    # no exact dups at sf0.01, so the audit PLANTS them in-band: re-id'd
+    # copies of the first 40 docs, fed through the real signature/banding/
+    # verify pipeline. The oracle enumerates the planted pairs with the
+    # law values (hamming=0, found=true); a signature nondeterminism or a
+    # banding bug flips found/hamming and fails the hash check.
+    oracle=f"""
+SELECT doc_id AS doc_a, doc_id + {_SIMHASH_PLANT_OFFSET} AS doc_b,
+       CAST(0 AS INTEGER) AS hamming, TRUE AS found
+FROM documents WHERE doc_id < 40""",
+    doc="Driver-checkable audit of the SimHash near-dup path "
+    "(operators/dedup.py::simhash_pairs): plant exact copies of the first "
+    "40 documents under offset ids, run the full simhash pipeline over "
+    "the augmented corpus, and semi-join the planted pairs — each must be "
+    "found at hamming 0 (identical tokens => identical signature; band "
+    "blocking is complete at hamming 0). Scale: plants are a constant-"
+    "size augmentation; the pipeline cost profile is unchanged.",
+)
+def q_dedup_simhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    plants = docs.where(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + F.lit(_SIMHASH_PLANT_OFFSET)).alias("doc_id"), "text"
+    )
+    pairs = simhash_pairs(docs.unionByName(plants), max_hamming=8)
+    planted = docs.where(F.col("doc_id") < 40).select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + F.lit(_SIMHASH_PLANT_OFFSET)).alias("doc_b"),
+    )
+    return planted.join(pairs, ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        F.coalesce("hamming", F.lit(-1)).alias("hamming"),
+        F.col("hamming").isNotNull().alias("found"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------
@@ -969,6 +1063,135 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(_emb(spark, sf_dir), num_queries=20, k=5)
+
+
+# Exact-side CTE shared by the two ANN audit oracles: brute-force cosine
+# top-5 with rank (the same frame embedding_cosine_topk twins).
+_ANN_EXACT_CTE = f"""base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 20),
+exact AS (
+  SELECT query_id, vec_id, rank FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY
+        {_DDOT.format(a="qv", b="v")} / ({_DNORM.format(a="qv")} * {_DNORM.format(a="v")}) DESC,
+        vec_id) AS rank
+    FROM base, q WHERE vec_id <> query_id
+  ) WHERE rank <= 5
+)"""
+
+
+def _ann_audit_oracle(retriever: str) -> str:
+    return f"""
+WITH {_ANN_EXACT_CTE}
+SELECT '{retriever}' AS retriever,
+  cast(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+  cast(max(rank) AS INTEGER) AS k,
+  cast(count(*) AS BIGINT) AS n_exact,
+  TRUE AS recall_ge_floor,
+  TRUE AS cosine_verified,
+  TRUE AS ranks_valid
+FROM exact
+"""
+
+
+def _ann_audit(
+    spark: SparkSession, sf_dir: str, retriever: str, fn, floor: float
+) -> DataFrame:
+    """Shared in-band recall@k-vs-exact audit (round-13 verdict item 3):
+    Spark computes BOTH retrievals plus three audit laws —
+    (a) recall@5 vs exact brute-force >= the pinned floor (measured
+    deterministic recall at the gate corpora: LSH 0.64-0.72, IVF
+    0.86-0.93 across sf0.001/0.01/0.1; floors 0.5/0.7 leave margin),
+    (b) every reported cosine equals the independently recomputed exact
+    cosine for that (query, neighbor) pair, and (c) per-query rank
+    contract (<= k rows, ranks dense from 1, cosine non-increasing with
+    vec_id tiebreak). DuckDB twins the exact side's cardinalities and
+    pins the law booleans: a recall regression, a cosine corruption, or a
+    rank-contract break flips a boolean and fails the driver hash check.
+    Scale: all audited frames are query-panel-sized (100 rows)."""
+    emb = _emb(spark, sf_dir)
+    exact = cosine_topk(emb, num_queries=20, k=5)
+    approx = fn(emb, num_queries=20, k=5)
+    hit = exact.join(
+        approx.select("query_id", "neighbor_id", F.lit(1).alias("hit")),
+        ["query_id", "neighbor_id"],
+        "left",
+    ).agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.max("rank").cast("int").alias("k"),
+        F.count(F.lit(1)).alias("n_exact"),
+        (
+            F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1)) >= F.lit(floor)
+        ).alias("recall_ge_floor"),
+    )
+    # (b) independent cosine recompute over the approx rows (same fold as
+    # the exact operator, so equality is bitwise; 1e-9 absorbs nothing).
+    base = emb.select("vec_id", _sim_as_double("embedding").alias("v"))
+    qv = base.select(F.col("vec_id").alias("query_id"), F.col("v").alias("q"))
+    recos = F.expr(
+        _SIM_DOT.format(a="q", b="v")
+        + " / (" + _SIM_NORM.format(a="q") + " * " + _SIM_NORM.format(a="v") + ")"
+    )
+    cchk = (
+        approx.join(base.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .join(qv, "query_id")
+        .select((F.abs(F.col("cosine") - recos) < 1e-9).alias("ok"))
+        .agg(F.min("ok").alias("cosine_verified"))
+    )
+    # (c) rank contract per query on the approx side.
+    rchk = (
+        approx.groupBy("query_id")
+        .agg(
+            (
+                (F.count(F.lit(1)) <= 5)
+                & (F.min("rank") == 1)
+                & (F.max("rank") == F.count(F.lit(1)))
+                & (F.countDistinct("rank") == F.count(F.lit(1)))
+                & (
+                    F.min_by("cosine", "rank")
+                    >= F.max_by("cosine", "rank") - F.lit(1e-12)
+                )
+            ).alias("ok")
+        )
+        .agg(F.min("ok").alias("ranks_valid"))
+    )
+    return (
+        hit.crossJoin(cchk)
+        .crossJoin(rchk)
+        .select(
+            F.lit(retriever).alias("retriever"),
+            "n_queries", "k", "n_exact",
+            "recall_ge_floor", "cosine_verified", "ranks_valid",
+        )
+    )
+
+
+@register(
+    "ann_lsh_recall_audit",
+    oracle=_ann_audit_oracle("lsh"),
+    doc="Driver-checkable audit of the hyperplane-LSH ANN path "
+    "(operators/similarity.py::lsh_topk): recall@5 vs exact brute-force "
+    "cosine >= 0.5 (measured 0.64-0.72 on the gate corpora), reported "
+    "cosines bitwise-equal to an independent recompute, per-query rank "
+    "contract — one hash-checkable row whose exact-side cardinalities "
+    "DuckDB computes independently.",
+)
+def q_ann_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_audit(spark, sf_dir, "lsh", lsh_topk, floor=0.5)
+
+
+@register(
+    "ann_ivf_recall_audit",
+    oracle=_ann_audit_oracle("ivf"),
+    doc="Driver-checkable audit of the IVF ANN path "
+    "(operators/similarity.py::ivf_topk): recall@5 vs exact brute-force "
+    "cosine >= 0.7 (measured 0.86-0.93 on the gate corpora), reported "
+    "cosines bitwise-equal to an independent recompute, per-query rank "
+    "contract — one hash-checkable row whose exact-side cardinalities "
+    "DuckDB computes independently.",
+)
+def q_ann_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_audit(spark, sf_dir, "ivf", ivf_topk, floor=0.7)
 
 
 @register(
