@@ -26,94 +26,79 @@ def entry(spark: SparkSession) -> DataFrame:
     return q.builder(spark, "/root/testdata/sf0.001")
 
 
-# Round-13 gate ordering. The driver checks a ~50-entry prefix of
-# queries(). No catalog entry's builder changed this round (round-12
-# verdict: integration seams only — the sharded flush and the density
-# dispatch live in sinks.py/runner.py behind the catalog surface), so the
-# changed head is EMPTY and the full window rotates the stalest-evidence
-# cohort: the 42 entries whose latest driver evidence is r9, then the
-# next-stalest by name, truncated to EXACTLY 50 (the driver samples a
-# ~50-entry prefix, so anything past 50 silently gets no evidence).
-#
-# GENERATED — do not hand-edit: regenerate with
-#   python scripts/gen_gate_prefix.py --max-round <horizon> \
-#       --changed <entries changed this round>
-# and verified by `gen_gate_prefix.py --check`, which recomputes the list
-# from _GATE_CHANGED + CORRECTNESS_r*.json evidence age UP TO the
-# committed _GATE_EVIDENCE_MAX_ROUND horizon and diffs it
-# (tests/test_round8_ops.py, tests/test_round10_ops.py). Entries without
-# an oracle (engine-internal sketches, by design) sort LAST in
-# _ordered_names so the sampled prefix is 100% hash-checkable.
+# Round-14 gate ordering: this round's changed/new entries first (the 4
+# audit twins), then the stalest-evidence cohort (r10, then r11 by name),
+# truncated to the driver's ~50-entry sampled prefix. GENERATED — do not
+# hand-edit; regenerate with
+#   python scripts/gen_gate_prefix.py --max-round <horizon> --changed <...>
+# and verified by `gen_gate_prefix.py --check` from _GATE_CHANGED +
+# CORRECTNESS_r*.json evidence age up to _GATE_EVIDENCE_MAX_ROUND (the
+# pinned horizon: later driver artifacts are ignored so mid-round artifact
+# drops can't redden the check). Oracle-less entries sort LAST in
+# _ordered_names so the sampled prefix stays 100% hash-checkable.
 
-#: Evidence horizon this rotation was generated from (round-9 verdict
-#: item 1): CORRECTNESS_r*.json artifacts from LATER rounds are ignored by
-#: the regeneration check, so the driver dropping this round's artifact
-#: after our last commit cannot redden the suite. The round workflow bumps
-#: this together with the regenerated prefix.
-_GATE_EVIDENCE_MAX_ROUND = 12
+_GATE_EVIDENCE_MAX_ROUND = 13
 
-# The round's changed/new entries — the declared input to the generator,
-# kept small by policy (a bloated changed set would crowd out rotation).
-_GATE_CHANGED: list[str] = []
-
-_GATE_PREFIX = [
-    "consumption_payment_regression",
-    "corpus_curation_pipeline",
-    "cross_source_dup_matrix",
-    "customer_rfm_scores",
-    "customer_view_prefilter",
-    "customer_view_twophase",
-    "data_outage_report",
-    "dedup_ngram_containment",
-    "distinct_channels",
-    "dup_rate_by_source",
-    "embedding_dim_profile",
-    "embedding_norm_outliers",
-    "events_profile",
-    "funnel_conversion_latency",
-    "hour_of_week_seasonality",
-    "hourly_business_metrics_twophase",
-    "inter_event_gap_profile",
-    "k_anonymity_audit",
-    "kfold_assignment",
-    "lang_id_confusion",
-    "last_touch_attribution",
-    "line_dedup_audit",
-    "load_duration_curve",
-    "markov_stationary_distribution",
-    "mixture_temperature_sample",
-    "ngram_novelty_curve",
-    "ops_events_rate",
-    "ops_latency_p95",
-    "range_join_tariff_periods",
-    "revenue_pareto_concentration",
-    "revenue_reconciliation",
-    "seasonal_anomaly_zscore",
-    "session_type_cooccurrence",
-    "streaming_asof_enrichment",
-    "streaming_user_sessions",
-    "streaming_wau_growth",
-    "tariff_migration_matrix",
-    "tariff_revenue_attribution",
-    "unigram_surprisal_filter",
-    "vintage_drift_psi",
-    "weekly_active_users_growth",
-    "weighted_reservoir_sample",
-    "ann_recall_eval",
-    "approx_percentile_audit",
-    "bm25_search",
-    "brand_quantity_revenue",
-    "changelog_compaction",
-    "collocation_pmi",
-    "copurchase_pairs",
-    "cross_source_contamination",
+_GATE_CHANGED: list[str] = [
+    "dedup_minhash_lsh_audit",
+    "dedup_simhash_audit",
+    "ann_lsh_recall_audit",
+    "ann_ivf_recall_audit",
+    "streaming_hourly_native_audit",
 ]
 
-# Round-tagged alias (kept for older tests); all code reads _GATE_PREFIX
-# (the stable name the generator checks).
-_FRESH_R8 = _GATE_PREFIX
-_FRESH_R9 = _GATE_PREFIX
-_FRESH_R10 = _GATE_PREFIX
+_GATE_PREFIX = [
+    "dedup_minhash_lsh_audit",
+    "dedup_simhash_audit",
+    "ann_lsh_recall_audit",
+    "ann_ivf_recall_audit",
+    "streaming_hourly_native_audit",
+    "customer_order_distribution",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "doc_chunk_audit",
+    "doc_fingerprints",
+    "dominant_part_suppliers",
+    "embedding_gram_matrix",
+    "embedding_quantization_audit",
+    "embedding_similar_pairs",
+    "event_grouping_sets",
+    "forecast_revenue_change",
+    "greedy_sequence_packing",
+    "hard_negative_mining",
+    "hourly_event_pivot",
+    "important_parts_value_share",
+    "key_skew_profile",
+    "label_centroids",
+    "lang_id",
+    "lapsed_buyers_except",
+    "large_volume_customers",
+    "linestatus_priority_counts",
+    "local_supplier_volume",
+    "market_share",
+    "multimodal_phash_dedup",
+    "nation_product_profit",
+    "nation_revenue_share",
+    "ngram_decontamination",
+    "order_priority_check",
+    "parts_never_ordered",
+    "pii_redaction_audit",
+    "price_bucket_histogram",
+    "pricing_summary",
+    "promo_revenue",
+    "regional_cheapest_supplier",
+    "repetition_profile",
+    "retained_buyers_intersect",
+    "streaming_timeout_sessions",
+    "zipf_vocab_fit",
+    "zorder_layout_audit",
+    "ab_test_segments",
+    "ann_ivf_incremental",
+    "approx_distinct_profile",
+    "boilerplate_windows",
+    "bpe_merge_induction",
+    "business_kpis_growth",
+]
 
 
 def _ordered_names() -> list[str]:

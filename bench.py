@@ -1,9 +1,14 @@
 """Benchmark runner — driver contract.
 
 Runs the catalog's headline queries on ``$SPARK_GRAFT_SF_DIR`` (default
-/root/testdata/sf0.1) with ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
-line: ``{"metric": ..., "value": total_sec, "unit": "sec", "queries":
-{name: sec, ...}, "sf": ...}``.
+/root/testdata/sf0.1) with ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+COMPACT JSON line (<= 1,800 chars — the driver stores a 2,000-char stdout
+tail): ``{"metric": ..., "value": total_sec, "unit": "sec", "queries":
+{name: sec, ...}, "sf": ..., "canary": ..., "wq_per_canary": ...,
+"gate": ..., "rungs_sec": ..., "rungs_per_canary": ...}``. The full
+result — per-rung per-query timings, ladder reps, curation stage deltas,
+rung metadata — is written to ``BENCH_DETAIL.json`` alongside and
+committed each round.
 
 Each query is materialized with the noop sink (full execution, no driver-side
 collect bottleneck). First timing includes Spark plan + scan; that is the
@@ -397,6 +402,75 @@ def main() -> None:
 
             shutil.rmtree(src, ignore_errors=True)
 
+            # Sharded-arm turnkey rung (round-13 verdict item 4): the
+            # dispatched pipeline's HOT-HOUR path — planted single-hour
+            # density (hot_hour_shard_probe.py's layout: every event folded
+            # into one event-time hour, sub-hour offsets preserved), driven
+            # through run_hourly_pipeline_dispatched with the REAL durable
+            # sinks (batch-id staging + touched-hour re-merge + watermark
+            # retention), so a regression in the staged flush shows up in
+            # the tracked numbers, not only in tests. The variant is pinned
+            # 'sharded' because the rung tracks the sharded PHYSICAL path:
+            # the gate corpus peaks at ~1.5k distinct customers/hour, far
+            # under the 50k auto-dispatch threshold, so auto would
+            # (correctly) pick bounded here — the dispatch decision itself
+            # is oracle-gated in tests/test_round13_ops.py. Base-sf events
+            # (not the 10x ladder) keep the rung's wall bounded; the hot
+            # fold, not raw volume, is what the sharded arm exists for.
+            # Generation time excluded. SPARK_GRAFT_STREAM_REPLAY=0 skips.
+            import tempfile
+
+            from energy_data_stream_processing_spark.sources.adapter import (
+                normalize_event_ts,
+            )
+            from energy_data_stream_processing_spark.streaming.runner import (
+                run_hourly_pipeline_dispatched,
+            )
+
+            hot_epoch_us = 1_699_999_200 * 1_000_000  # hour-aligned anchor
+            hot_dir = _scaled_dir(sf_dir, "events")
+            (
+                normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+                .withColumn(
+                    "ts",
+                    F.timestamp_micros(
+                        F.lit(hot_epoch_us)
+                        + F.unix_micros("ts") % F.lit(3_600_000_000)
+                    ),
+                )
+                .write.mode("overwrite")
+                .parquet(f"{hot_dir}/events.parquet")
+            )
+            hot_src = ascending_time_chunks(spark, hot_dir, replay_chunks)
+            append_watermark_sentinel(spark, hot_dir, hot_src)
+            hot_ev = energy_events_stream(
+                spark, hot_dir, source_dir=hot_src, max_files_per_trigger=1
+            )
+            work = tempfile.mkdtemp(prefix="bench-sharded-replay-")
+            _TMP_DIRS.append(work)
+            t0 = time.perf_counter()
+            run_hourly_pipeline_dispatched(
+                spark,
+                hot_ev,
+                metrics_path=f"{work}/hours",
+                checkpoint=f"{work}/ckpt",
+                variant="sharded",
+                shards=32,
+                horizon="2 hours",
+            )
+            result["streaming_replay_sharded_sec"] = round(
+                time.perf_counter() - t0, 3
+            )
+            result["streaming_replay_sharded"] = {
+                "variant": "sharded",
+                "layout": "hot_hour",
+                "chunks": replay_chunks,
+                "shards": 32,
+                "scale_x": 1,
+                "see": "SCALE.md §4.4, sinks.foreach_batch_sharded_flush",
+            }
+            shutil.rmtree(hot_src, ignore_errors=True)
+
         # 100x density rung (round-8 verdict item 3): the three
         # customer_view plans head-to-head at sf10-equivalent per-customer
         # event density, where the 10x run showed the single-shuffle plan's
@@ -521,7 +595,73 @@ def main() -> None:
             result["curation_ladder_sec"] = round(time.perf_counter() - t0, 3)
             result["curation_ladder_scale_x"] = 10
 
-    print(json.dumps(result))
+    # ------------------------------------------------------------------
+    # Emit (round-13 verdict item 1). The driver records a 2,000-char
+    # stdout TAIL; the full result grew past 3,000 chars in round 11 and
+    # the driver's BENCH artifact has been parsed:null since. So: the FULL
+    # result goes to a committed sidecar (BENCH_DETAIL.json — per-query
+    # cold times, ladder reps, curation stage deltas, rung metadata), and
+    # stdout gets ONE compact line <= 1,800 chars carrying the driver
+    # contract (metric/value/unit/queries/sf) plus the cross-round signal
+    # set: warm totals, the frozen canary, per-query canary-normalized
+    # warm ratios, the canary-ratio gate, and every rung total BOTH raw
+    # and canary-normalized (round-13 verdict item 5: rung comparisons
+    # across rounds divide by the canary, same as the per-query ratios).
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+
+    rungs_sec = {
+        short: result[key]
+        for short, key in (
+            ("ladder", "ladder"),
+            ("ladder100", "ladder100"),
+            ("replay", "streaming_replay_sec"),
+            ("replay_sharded", "streaming_replay_sharded_sec"),
+            ("curation", "curation_pipeline_sec"),
+            ("curation_ladder", "curation_ladder_sec"),
+        )
+        if key in result
+    }
+    for short in ("ladder", "ladder100"):
+        if short in rungs_sec:
+            rungs_sec[short] = rungs_sec[short]["value"]
+    cw = canary["warm"]
+    gate = result.get("canary_ratio_alerts", {})
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "sec",
+        "sf": sf,
+        "queries": timings,
+        "warm_value": result["warm_value"],
+        "canary": {"cold": canary["cold"], "warm": cw},
+        "wq_per_canary": result["warm_queries_per_canary"],
+        "gate": {
+            "median_ratio_shift": gate.get("median_ratio_shift"),
+            "alerts": gate.get("alerts", {}),
+            "vs": gate.get("vs", ""),
+        },
+        "rungs_sec": rungs_sec,
+        "rungs_per_canary": {
+            k: round(v / cw, 2) for k, v in rungs_sec.items()
+        },
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    # Fit guard: shed the least essential layers until the line is safely
+    # inside the driver's tail window (never expected to trigger at the
+    # current catalog size — ~1,650 chars measured — but a 21st headline
+    # query must degrade the line, not kill the artifact for 3 rounds).
+    for victim in ("gate", "wq_per_canary", "rungs_per_canary"):
+        if len(line) <= 1800:
+            break
+        compact.pop(victim, None)
+        compact["dropped"] = compact.get("dropped", []) + [victim]
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

@@ -552,26 +552,40 @@ def foreach_batch_lake_merge(
             from .sinks import _refuse_legacy_hour_keys, hour_partition_key
 
             if not legacy_checked["done"]:
-                # one-time per query: a table whose existing rows still
-                # carry the legacy label-only key would never MERGE-match
-                # the new key — every hour would silently land twice
-                if table.latest_version() >= 0:
-                    existing = table.read(batch_df.sparkSession)
-                    if "hour_key" in existing.columns:
-                        # filter SPARK-side: only offenders (normally
-                        # zero) reach the driver, not every key the
-                        # table has ever stored
-                        legacy = (
-                            existing.select("hour_key")
-                            .where(
-                                F.size(F.split(F.col("hour_key"), "-")) == 4
+                # one-time per TABLE (not per query start): a table whose
+                # existing rows still carry the legacy label-only key
+                # would never MERGE-match the new key — every hour would
+                # silently land twice. A clean scan persists a marker in
+                # the table's log dir so query RESTARTS skip the re-scan
+                # — the property is monotone (all keys v2 + every writer
+                # emits v2 keys => stays true), so the marker never goes
+                # stale; hand-editing legacy keys back INTO the table is
+                # the only way to invalidate it, and that surgery must
+                # delete the marker too. Written outside the commit
+                # protocol deliberately: it is a verification memo, not
+                # table state, and losing it only costs one re-scan.
+                marker = os.path.join(table.log_dir, "_hour_keys_v2_verified")
+                if not os.path.exists(marker):
+                    v = table.latest_version()
+                    if v >= 0:
+                        existing = table.read(batch_df.sparkSession)
+                        if "hour_key" in existing.columns:
+                            # filter SPARK-side: only offenders (normally
+                            # zero) reach the driver, not every key the
+                            # table has ever stored
+                            legacy = (
+                                existing.select("hour_key")
+                                .where(
+                                    F.size(F.split(F.col("hour_key"), "-")) == 4
+                                )
+                                .distinct()
+                                .collect()
                             )
-                            .distinct()
-                            .collect()
-                        )
-                        _refuse_legacy_hour_keys(
-                            sorted(r[0] for r in legacy), path
-                        )
+                            _refuse_legacy_hour_keys(
+                                sorted(r[0] for r in legacy), path
+                            )
+                    with open(marker, "w") as mf:
+                        mf.write(f"verified at table version {v}\n")
                 legacy_checked["done"] = True
 
             df = df.withColumn("hour_key", hour_partition_key())

@@ -118,6 +118,26 @@ def hour_partition_key():
     )
 
 
+def _require_local_store(path: str) -> None:
+    """The hour-store safety guards (legacy-key refusal, crashed-migration
+    detection) inspect the store with local ``os`` calls. For a
+    scheme-qualified path (``s3://``, ``hdfs://``, even ``file://``) those
+    calls silently see "no directory" and the guards would NO-OP — the
+    mixed-key double-row hazard they exist to prevent would go unchecked
+    while the parquet write itself proceeded. Fail loudly instead: the
+    local-filesystem assumption is documented, and a remote store needs
+    these guards reimplemented through that filesystem's API before the
+    write can be trusted."""
+    if "://" in path.split("?", 1)[0]:
+        raise ValueError(
+            f"hour store path {path!r} is scheme-qualified; the legacy-key "
+            "and crashed-migration guards only inspect LOCAL paths (os.\n"
+            "listdir), so a non-local store would skip them silently. Use "
+            "a local path, or port the guards to the store's filesystem "
+            "API first."
+        )
+
+
 def legacy_hour_key_values(path: str) -> list[str]:
     """Partition values written by the pre-injective label-only hour key
     (``yyyy-MM-dd-HH``, no epoch suffix). Non-empty means the store
@@ -125,9 +145,11 @@ def legacy_hour_key_values(path: str) -> list[str]:
     write — mixing formats lands one hour under TWO partition values and
     readers silently double it. One local listdir (the store is
     hours-sized; the same local-filesystem assumption the checkpoints
-    document)."""
+    document); scheme-qualified paths are refused rather than silently
+    unguarded (``_require_local_store``)."""
     import re
 
+    _require_local_store(path)
     if not os.path.isdir(path):
         return []
     legacy = re.compile(r"^hour_key=\d{4}-\d{2}-\d{2}-\d{2}$")
@@ -201,13 +223,24 @@ def migrate_hour_store_keys(spark: SparkSession, path: str) -> int:
     the operator must pick the surviving row first."""
     import shutil
 
+    _require_local_store(path)
     old = _migration_old_dir(path)
     if os.path.isdir(old):
+        # Two distinguishable states, two different recoveries — naming
+        # the wrong one invites an operator to clobber the migrated store
+        # with the stale copy, so diagnose before suggesting anything.
+        if os.path.isdir(path):
+            raise RuntimeError(
+                f"both {path} and {old} exist: the migration swap "
+                f"COMPLETED and {old} is the stale pre-migration copy "
+                "left by a failed post-swap cleanup. Verify the store "
+                f"reads correctly, then delete {old}. Do NOT rename the "
+                "old copy back over the store — it is the outdated half."
+            )
         raise RuntimeError(
-            f"a previous key migration left {old} behind (crash between "
-            f"swap renames). If {path} is missing, the store IS that "
-            "directory — restore it with os.rename(old, path); if both "
-            "exist, verify and delete the leftover. Refusing to guess."
+            f"{path} is missing and {old} exists: a crash hit between "
+            f"the swap renames, so the store IS {old}. Restore it with "
+            f"os.rename({old!r}, {path!r}) and re-run the migration."
         )
     if not legacy_hour_key_values(path):
         return 0
@@ -240,7 +273,23 @@ def migrate_hour_store_keys(spark: SparkSession, path: str) -> int:
         )
     os.rename(path, old)
     os.rename(tmp, path)
-    shutil.rmtree(old)
+    # best-effort cleanup with one retry: a partial rmtree here is only
+    # cosmetic (the swap is complete), but a leftover triggers the
+    # both-exist refusal above on the NEXT write — so try twice and warn
+    # with the precise recovery instead of failing a finished migration
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(old):
+        shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(old):
+        import warnings
+
+        warnings.warn(
+            f"key migration succeeded but the stale copy at {old} could "
+            "not be fully deleted; remove it manually or the next write "
+            "will refuse (both-exist guard)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return n_tmp
 
 
@@ -360,7 +409,7 @@ def foreach_batch_sharded_flush(
     execute_many=None,
     metrics_path: str | None = None,
     two_stage_sessions: bool = False,
-    prune_closed: bool = True,
+    prune_closed: bool = False,
 ):
     """foreachBatch body completing the sharded hot-hour pipeline (round-12
     verdict item 1): per-(hour, shard) raw partials from
@@ -402,7 +451,13 @@ def foreach_batch_sharded_flush(
     a long-running stream stays linear instead of re-scanning its whole
     history every trigger. Retention: staged partials for a CLOSED hour
     are dead weight — two complementary prune paths keep staging bounded
-    at ≈ open hours × shards rows. (1) ``prune_closed=True`` (default)
+    at ≈ open hours × shards rows. (1) ``prune_closed=True`` — OPT-IN on
+    this standalone function (default False: in-batch pruning silently
+    DELETES mid-hour partials when a harness replays synthetic partials
+    out of real eviction order, and silent data deletion must not be the
+    default posture of a public seam); the turnkey
+    ``run_hourly_pipeline_dispatched`` passes True, where the input
+    stream's eviction-order guarantee is structural. When enabled it
     prunes IN-BATCH after each flush: every touched hour proves the batch
     executed with watermark past its end, so any staged hour ending at or
     before the NEWEST touched end either evicted in an earlier committed
@@ -415,7 +470,7 @@ def foreach_batch_sharded_flush(
     ``hourly_metrics_stateful_sharded_stream`` (the watermark fires all of
     an hour's due timeouts in one batch and late-filters everything
     after) — so a harness replaying synthetic partials out of that order
-    must pass ``prune_closed=False`` or earlier straddle partials get
+    must keep the False default or earlier straddle partials get
     pruned mid-hour. (2) The turnkey pipeline additionally runs
     ``prune_sharded_staging`` with the final committed watermark after
     each availableNow invocation, catching the tail the in-batch rule's

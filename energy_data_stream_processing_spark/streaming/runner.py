@@ -1061,6 +1061,11 @@ def run_hourly_pipeline_dispatched(
             staging,
             metrics_path=metrics_path,
             two_stage_sessions=decision["two_stage_sessions"],
+            # in-batch retention is safe HERE because the input is the
+            # sharded stateful stream, whose eviction order is structural;
+            # the standalone seam defaults to False (silent mid-hour
+            # deletion must be opted into, not stumbled into)
+            prune_closed=True,
         )
     else:
         stream = hourly_metrics_stateful_bounded_stream(
@@ -1138,6 +1143,74 @@ def q_streaming_hourly_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_streaming_hourly_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = energy_events_stream(spark, sf_dir)
     return run_stream_to_table(spark, hourly_metrics_native_stream(ev))
+
+
+@register(
+    "streaming_hourly_native_audit",
+    # The native path's EXACT columns (counters, decimal-exact sums cast to
+    # double) must equal the batch aggregation bit-for-bit, and its HLL
+    # approx-distincts must sit inside an absolute-or-relative error band
+    # vs the exact batch distincts: |approx - exact| <= greatest(5,
+    # 0.15*exact) — HLL++ at the default 5% rsd is relative for large
+    # cardinalities and ±few for sparse ones, and the measured worst cases
+    # on the gate corpora (abs 13 at exact 112; abs 2 at small counts)
+    # sit well inside both arms. DuckDB twins the exact columns and pins
+    # the band booleans; a native-aggregation regression (lost rows, wrong
+    # filter, broken sketch) breaks equality or flips a boolean.
+    oracle=f"""
+WITH energy_events AS ({ENERGY_EVENTS_SQL}),
+b AS (
+  SELECT date_trunc('hour', event_time) AS hour,
+    count(CASE WHEN event_type = 'tariff_switch' THEN 1 END) AS tariff_switches,
+    count(CASE WHEN event_type = 'incentive_claim' THEN 1 END) AS incentive_claims,
+    count(CASE WHEN event_type = 'user_login' THEN 1 END) AS total_logins,
+    coalesce(cast(sum(CASE WHEN event_type = 'tariff_switch' THEN payment_amount END) AS DOUBLE), 0.0) AS total_switch_revenue,
+    coalesce(cast(sum(CASE WHEN event_type = 'energy_consumed' THEN energy_consumed END) AS DOUBLE), 0.0) AS total_energy_consumed,
+    coalesce(cast(sum(CASE WHEN event_type = 'bill_payment' THEN payment_amount END) AS DOUBLE), 0.0) AS total_payments
+  FROM energy_events GROUP BY 1
+)
+SELECT hour, tariff_switches, incentive_claims, total_logins,
+  total_switch_revenue, total_energy_consumed, total_payments,
+  TRUE AS active_customers_ok, TRUE AS new_sessions_ok
+FROM b
+""",
+    doc="Driver-checkable audit of the native watermarked-window streaming "
+    "path (hourly_metrics_native_stream): full-outer join against the "
+    "exact batch hourly aggregation — exact columns flow through from "
+    "the STREAM (equality with the batch-side oracle is the law; a "
+    "missing or extra hour breaks the row set), HLL approx-distincts "
+    "must sit within greatest(5, 0.15*exact) of the exact distincts. "
+    "Completes the round-14 audit-twin set: all five formerly rows-only "
+    "entries now have a hash-checkable driver gate.",
+)
+def q_streaming_hourly_native_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.hourly import hourly_business_metrics
+    from ..sources.adapter import energy_events
+
+    ev = energy_events_stream(spark, sf_dir)
+    nat = run_stream_to_table(spark, hourly_metrics_native_stream(ev))
+    ex = hourly_business_metrics(energy_events(spark, sf_dir)).select(
+        "hour",
+        F.col("active_customers").alias("_ac"),
+        F.col("new_sessions").alias("_ns"),
+    )
+    def _band(approx: str, exact: str):
+        return (
+            F.abs(F.col(approx) - F.col(exact))
+            <= F.greatest(F.lit(5.0), F.lit(0.15) * F.col(exact))
+        )
+
+    return nat.join(ex, "hour", "full_outer").select(
+        "hour",
+        "tariff_switches",
+        "incentive_claims",
+        "total_logins",
+        "total_switch_revenue",
+        "total_energy_consumed",
+        "total_payments",
+        _band("active_customers_approx", "_ac").alias("active_customers_ok"),
+        _band("new_sessions_approx", "_ns").alias("new_sessions_ok"),
+    )
 
 
 def append_watermark_sentinel(spark: SparkSession, sf_dir: str, src: str):

@@ -933,6 +933,7 @@ def test_sharded_flush_kill_and_resume_dst_live(pg, spark, tmp_path):
         ckpt = str(tmp_path / "ckpt")
         inner = foreach_batch_sharded_flush(
             str(tmp_path / "staging"),
+            prune_closed=True,
             table="sharded_flush",
             execute_many=lambda sql, rows: pg.sql(
                 "SET TIME ZONE 'America/New_York';\n" + _prepared(sql, rows)

@@ -118,7 +118,8 @@ def test_sharded_flush_cross_batch_straddle_and_replay(spark, tmp_path):
             pg_table[r[0]] = dict(zip(METRIC_COLUMNS, r[1:]))  # full-row replace
 
     flush = foreach_batch_sharded_flush(
-        staging, table="m", execute_many=execute_many, metrics_path=store
+        staging, table="m", execute_many=execute_many, metrics_path=store,
+        prune_closed=True,
     )
     h = int(datetime(2024, 5, 1, 7, 0, tzinfo=timezone.utc).timestamp() * 1000)
     b0 = spark.createDataFrame(
@@ -183,7 +184,9 @@ def test_sharded_flush_kill_and_resume_equals_batch(spark, sf_dir, tmp_path):
     staging = str(tmp_path / "staging")
     store = str(tmp_path / "metrics")
     ckpt = str(tmp_path / "ckpt")
-    inner = foreach_batch_sharded_flush(staging, metrics_path=store)
+    inner = foreach_batch_sharded_flush(
+        staging, metrics_path=store, prune_closed=True
+    )
 
     def start(crash_after: int | None):
         calls: list[int] = []
@@ -606,7 +609,9 @@ def test_sharded_flush_staging_read_partition_prunes(spark, tmp_path):
     partials), never a rescan of everything staged."""
     staging = str(tmp_path / "staging")
     store = str(tmp_path / "metrics")
-    flush = foreach_batch_sharded_flush(staging, metrics_path=store)
+    flush = foreach_batch_sharded_flush(
+        staging, metrics_path=store, prune_closed=True
+    )
     h1 = int(datetime(2024, 5, 1, 7, 0, tzinfo=timezone.utc).timestamp() * 1000)
     h2 = h1 + 3_600_000
     flush(
@@ -1086,7 +1091,9 @@ def test_in_batch_prune_bounds_continuous_staging(spark, tmp_path):
     batch is idempotent."""
     staging = str(tmp_path / "staging")
     store = str(tmp_path / "metrics")
-    flush = foreach_batch_sharded_flush(staging, metrics_path=store)
+    flush = foreach_batch_sharded_flush(
+        staging, metrics_path=store, prune_closed=True
+    )
     h1 = int(datetime(2024, 5, 1, 7, 0, tzinfo=timezone.utc).timestamp() * 1000)
     h2, h3, h4 = (h1 + k * 3_600_000 for k in (1, 2, 3))
     _df = lambda rows: spark.createDataFrame(rows, schema=SHARD_PARTIAL_SCHEMA)
@@ -1153,9 +1160,10 @@ def test_migration_refuses_crashed_swap_and_duplicated_hours(spark, tmp_path):
         [(h, *[1.0] * len(METRIC_COLUMNS))], schema=["hour", *METRIC_COLUMNS]
     )
 
-    # crash marker: refuse both migration and writes
+    # crash marker with the store missing: the mid-swap state — the store
+    # IS the old directory; the refusal must say to restore it
     os.makedirs(f"{store}_keymigration_old")
-    with pytest.raises(RuntimeError, match="previous key migration"):
+    with pytest.raises(RuntimeError, match="store IS"):
         migrate_hour_store_keys(spark, store)
     with pytest.raises(ValueError, match="crashed key migration"):
         upsert_hourly_metrics_parquet(spark, df, store)

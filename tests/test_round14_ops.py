@@ -163,3 +163,177 @@ def test_ann_audit_catches_recall_collapse(spark, sf_dir):
     assert r["cosine_verified"]
     # bottom-k ranks ascend by cosine, so the non-increasing law flips too
     assert not r["ranks_valid"]
+
+
+# --------------------------------------------------------------------------
+# Round-14 advisory hardening: store-guard locality, migration swap
+# diagnosis, prune_closed opt-in, lake legacy-scan marker
+# --------------------------------------------------------------------------
+def test_store_guards_refuse_scheme_qualified_paths(spark):
+    """The legacy-key / crashed-migration guards inspect stores with local
+    os calls; a scheme-qualified path used to make them silently no-op.
+    They must refuse loudly instead — on the read guard, the migration,
+    and the write path that depends on both."""
+    from datetime import datetime
+
+    from energy_data_stream_processing_spark.sources.sinks import (
+        METRIC_COLUMNS,
+        legacy_hour_key_values,
+        migrate_hour_store_keys,
+        upsert_hourly_metrics_parquet,
+    )
+
+    for bad in ("s3://bucket/metrics", "hdfs://nn:8020/m", "file:///tmp/m"):
+        with pytest.raises(ValueError, match="scheme-qualified"):
+            legacy_hour_key_values(bad)
+        with pytest.raises(ValueError, match="scheme-qualified"):
+            migrate_hour_store_keys(spark, bad)
+    df = spark.createDataFrame(
+        [(datetime(2024, 5, 1, 7, 0), *[1.0] * len(METRIC_COLUMNS))],
+        schema=["hour", *METRIC_COLUMNS],
+    )
+    with pytest.raises(ValueError, match="scheme-qualified"):
+        upsert_hourly_metrics_parquet(spark, df, "s3://bucket/metrics")
+
+
+def test_migration_refusal_distinguishes_completed_from_mid_swap(spark, tmp_path):
+    """Both-exist (swap completed, stale leftover) and path-missing
+    (crash mid-swap) are different states with OPPOSITE recoveries; the
+    refusal must name the right one — the old single message suggested a
+    rename that would clobber a migrated store with the stale copy."""
+    import os
+
+    from energy_data_stream_processing_spark.sources.sinks import (
+        migrate_hour_store_keys,
+    )
+
+    store = str(tmp_path / "metrics")
+    old = f"{store}_keymigration_old"
+
+    os.makedirs(old)
+    with pytest.raises(RuntimeError, match="store IS"):
+        migrate_hour_store_keys(spark, store)
+
+    os.makedirs(store)
+    with pytest.raises(RuntimeError, match="stale pre-migration copy"):
+        migrate_hour_store_keys(spark, store)
+
+
+def test_sharded_flush_default_keeps_staged_partials(spark, tmp_path):
+    """prune_closed now defaults to False on the standalone seam: a
+    harness replaying synthetic partials out of eviction order must not
+    lose mid-hour staging silently. The turnkey pipeline opts in
+    explicitly (runner passes prune_closed=True)."""
+    import inspect
+    import os
+    from datetime import datetime, timezone
+
+    from energy_data_stream_processing_spark.sources.sinks import (
+        foreach_batch_sharded_flush,
+    )
+    from tests.test_round13_ops import SHARD_PARTIAL_SCHEMA, _partial
+
+    sig = inspect.signature(foreach_batch_sharded_flush)
+    assert sig.parameters["prune_closed"].default is False
+
+    staging = str(tmp_path / "staging")
+    store = str(tmp_path / "metrics")
+    flush = foreach_batch_sharded_flush(staging, metrics_path=store)
+    h1 = int(datetime(2024, 5, 1, 7, 0, tzinfo=timezone.utc).timestamp() * 1000)
+    h2 = h1 + 3_600_000
+    flush(
+        spark.createDataFrame([_partial(h1, 0, 1, [1], 1)], schema=SHARD_PARTIAL_SCHEMA),
+        0,
+    )
+    flush(
+        spark.createDataFrame([_partial(h2, 0, 1, [2], 1)], schema=SHARD_PARTIAL_SCHEMA),
+        1,
+    )
+    staged = {
+        int(d.split("=")[1])
+        for b in os.listdir(staging)
+        if b.startswith("_batch_id=")
+        for d in os.listdir(os.path.join(staging, b))
+        if d.startswith("hour_epoch_ms=")
+    }
+    assert staged == {h1, h2}, "default must keep the closed hour staged"
+
+
+def test_lake_merge_persists_legacy_scan_marker(spark, tmp_path):
+    """A clean legacy-key scan writes a marker in the table log so query
+    restarts skip the full-table re-scan; a pre-existing legacy-keyed
+    table is still refused (and writes no marker)."""
+    import os
+    from datetime import datetime
+
+    from energy_data_stream_processing_spark.sources.laketable import (
+        LakeTable,
+        foreach_batch_lake_merge,
+    )
+    from energy_data_stream_processing_spark.sources.sinks import METRIC_COLUMNS
+
+    path = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [(datetime(2024, 5, 1, 7, 0), *[1.0] * len(METRIC_COLUMNS))],
+        schema=["hour", *METRIC_COLUMNS],
+    )
+    fn = foreach_batch_lake_merge(path, key_col="hour_key")
+    fn(df, 0)
+    marker = os.path.join(path, "_log", "_hour_keys_v2_verified")
+    assert os.path.exists(marker)
+    assert "verified at table version" in open(marker).read()
+
+    # restart (fresh closure): merge proceeds with the marker in place
+    fn2 = foreach_batch_lake_merge(path, key_col="hour_key")
+    fn2(df, 1)
+
+    # a legacy-keyed table without the marker is still refused
+    bad = str(tmp_path / "lake_legacy")
+    t = LakeTable(bad)
+    legacy_df = df.withColumn("hour_key", F.date_format("hour", "yyyy-MM-dd-HH"))
+    t.merge_upsert(spark, legacy_df, "hour_key")
+    fn3 = foreach_batch_lake_merge(bad, key_col="hour_key")
+    with pytest.raises(ValueError, match="legacy"):
+        fn3(df, 0)
+    assert not os.path.exists(os.path.join(bad, "_log", "_hour_keys_v2_verified"))
+
+
+# --------------------------------------------------------------------------
+# streaming_hourly_native_audit (the fifth formerly-rows-only entry)
+# --------------------------------------------------------------------------
+def test_native_audit_laws_hold(spark, sf_dir):
+    rows = _q("streaming_hourly_native_audit").builder(spark, sf_dir).collect()
+    assert len(rows) > 100  # one row per hour, non-vacuous
+    for r in rows:
+        assert r["active_customers_ok"] and r["new_sessions_ok"], r["hour"]
+        assert r["tariff_switches"] is not None  # full-outer join matched
+
+
+def test_native_audit_band_flips_on_sketch_drift(spark, sf_dir):
+    """Sensitivity: widening the approx distincts beyond the band (the
+    shape of a broken HLL merge) must flip the _ok booleans."""
+    from energy_data_stream_processing_spark.operators.hourly import (
+        hourly_business_metrics,
+    )
+    from energy_data_stream_processing_spark.sources.adapter import energy_events
+    from energy_data_stream_processing_spark.streaming.runner import (
+        energy_events_stream,
+        hourly_metrics_native_stream,
+        run_stream_to_table,
+    )
+
+    ev = energy_events_stream(spark, sf_dir)
+    nat = run_stream_to_table(
+        spark, hourly_metrics_native_stream(ev)
+    ).withColumn(
+        "active_customers_approx",
+        F.col("active_customers_approx") * 2 + 10,
+    )
+    ex = hourly_business_metrics(energy_events(spark, sf_dir)).select(
+        "hour", F.col("active_customers").alias("_ac")
+    )
+    bad = nat.join(ex, "hour").where(
+        F.abs(F.col("active_customers_approx") - F.col("_ac"))
+        > F.greatest(F.lit(5.0), F.lit(0.15) * F.col("_ac"))
+    )
+    assert bad.count() > 0

@@ -6,7 +6,7 @@
 - self-gate dtype-parity negative probes: NaN-vs-NULL float columns and
   Decimal-vs-float dtype mixing must FAIL the self-check the way the
   driver's canonicalizer would (verdict item 4);
-- gate-prefix generator: the committed ``_FRESH_R8`` list must equal the
+- gate-prefix generator: the committed ``_GATE_PREFIX`` list must equal the
   list scripts/gen_gate_prefix.py computes from the CORRECTNESS_r*.json
   evidence history (verdict item 8).
 """
