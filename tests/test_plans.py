@@ -667,3 +667,33 @@ def test_bpe_induction_stays_jvm_side(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "MapInPandas" not in plan
+
+
+# Round-14 audit twins: the audits compose the sketch pipeline with its
+# exact side, so their plans must keep the sketch's kernel discipline.
+def test_minhash_audit_single_signature_kernel(spark, sf_dir):
+    """The audit's LSH side must keep the bucket-groupBy formulation: ONE
+    ArrowEvalPython node (the signature kernel). A regression to the
+    (band, bucket) self-join form recomputes the kernel per join side —
+    measured ~2x the whole query (operators/dedup.py docstring)."""
+    plan = _plan(spark, sf_dir, "dedup_minhash_lsh_audit")
+    assert "BatchEvalPython" not in plan
+    assert plan.count("ArrowEvalPython") == 1, (
+        "signature kernel must run exactly once"
+    )
+
+
+def test_simhash_audit_stays_jvm_side(spark, sf_dir):
+    """SimHash (zip_with sign-accumulation) and the planted-pair join are
+    pure JVM expressions — the audit must introduce no Python."""
+    plan = _plan(spark, sf_dir, "dedup_simhash_audit")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["ann_lsh_recall_audit", "ann_ivf_recall_audit"]
+)
+def test_ann_audit_never_row_at_a_time(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan  # the bucket/cell kernels, vectorized
