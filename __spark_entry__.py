@@ -45,6 +45,7 @@ _GATE_CHANGED: list[str] = [
     "ann_lsh_recall_audit",
     "ann_ivf_recall_audit",
     "streaming_hourly_native_audit",
+    "split_leakage_audit",
 ]
 
 _GATE_PREFIX = [
@@ -53,6 +54,7 @@ _GATE_PREFIX = [
     "ann_lsh_recall_audit",
     "ann_ivf_recall_audit",
     "streaming_hourly_native_audit",
+    "split_leakage_audit",
     "customer_order_distribution",
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -97,7 +99,6 @@ _GATE_PREFIX = [
     "approx_distinct_profile",
     "boilerplate_windows",
     "bpe_merge_induction",
-    "business_kpis_growth",
 ]
 
 

@@ -698,6 +698,69 @@ def q_dedup_minhash_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "split_leakage_audit",
+    # Same md5-prefix bucketing as train_val_test_split (DuckDB twin
+    # _duck_bucket_tq), same exact-Jaccard pair CTE as the dedup entries:
+    # the oracle recomputes split assignment AND the >=0.5 near-dup graph
+    # independently, so both the split rule and the leak accounting are
+    # value-gated.
+    oracle=f"""
+WITH {_NGRAM_PAIRS_CTES},
+sp AS (
+  SELECT doc_id,
+    CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT doc_id, {_duck_bucket_tq('doc_id')} % 10 AS b FROM documents)
+)
+SELECT split_lo, split_hi, n_pairs, (split_lo <> split_hi) AS is_leak FROM (
+  SELECT least(sa.split, sb.split) AS split_lo,
+         greatest(sa.split, sb.split) AS split_hi,
+         count(*) AS n_pairs
+  FROM jpairs p
+  JOIN sp sa ON sa.doc_id = p.doc_a
+  JOIN sp sb ON sb.doc_id = p.doc_b
+  WHERE p.jaccard >= 0.5
+  GROUP BY 1, 2
+)""",
+    doc="Split-leakage audit — the eval-integrity check a training split "
+    "needs before anyone trusts a benchmark number: every near-duplicate "
+    "pair (exact word-3-gram Jaccard >= 0.5, the same graph the dedup "
+    "entries verify) classified by the split pair it straddles under the "
+    "deterministic hash split of train_val_test_split. A cross-split row "
+    "(is_leak) means an eval document has a near-copy in train — the "
+    "contamination n-gram decontamination exists to remove. Scale: the "
+    "pair graph is the near-linear LSH/inverted-index path; the split "
+    "join ships (doc_id, split) pairs only, and the output is bounded by "
+    "the 6 split-pair classes.",
+)
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sampling_queries import hash_bucket
+
+    docs = _docs(spark, sf_dir)
+    b = hash_bucket(F.col("doc_id")) % 10
+    sp = docs.select(
+        "doc_id",
+        F.when(b <= 7, "train").when(b == 8, "val").otherwise("test").alias("split"),
+    )
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    return (
+        pairs.join(
+            sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("_sa")),
+            "doc_a",
+        )
+        .join(
+            sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("_sb")),
+            "doc_b",
+        )
+        .groupBy(
+            F.least("_sa", "_sb").alias("split_lo"),
+            F.greatest("_sa", "_sb").alias("split_hi"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn("is_leak", F.col("split_lo") != F.col("split_hi"))
+    )
+
+
 #: Planted-duplicate id offset for the SimHash audit — far above any real
 #: doc_id so planted ids never collide with corpus ids.
 _SIMHASH_PLANT_OFFSET = 1_000_000

@@ -337,3 +337,37 @@ def test_native_audit_band_flips_on_sketch_drift(spark, sf_dir):
         > F.greatest(F.lit(5.0), F.lit(0.15) * F.col("_ac"))
     )
     assert bad.count() > 0
+
+
+# --------------------------------------------------------------------------
+# split_leakage_audit
+# --------------------------------------------------------------------------
+def test_split_leakage_audit_matches_python_fold(spark, sf_dir):
+    """Independent ground truth: collect the >=0.5 pair graph and the
+    split rule's inputs and refold the class counts in plain Python."""
+    import hashlib
+
+    from energy_data_stream_processing_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from energy_data_stream_processing_spark.sources.adapter import load_table
+
+    def split_of(doc_id: int) -> str:
+        b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 10
+        return "train" if b <= 7 else ("val" if b == 8 else "test")
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert pairs, "corpus must carry near-dups for the audit to bite"
+    expect: dict = {}
+    for r in pairs:
+        lo, hi = sorted((split_of(r["doc_a"]), split_of(r["doc_b"])))
+        expect[(lo, hi)] = expect.get((lo, hi), 0) + 1
+
+    got = {
+        (r["split_lo"], r["split_hi"]): (r["n_pairs"], r["is_leak"])
+        for r in _q("split_leakage_audit").builder(spark, sf_dir).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == expect
+    for (lo, hi), (_, leak) in got.items():
+        assert leak == (lo != hi)
