@@ -655,7 +655,10 @@ def main() -> None:
     # inside the driver's tail window (never expected to trigger at the
     # current catalog size — ~1,650 chars measured — but a 21st headline
     # query must degrade the line, not kill the artifact for 3 rounds).
-    for victim in ("gate", "wq_per_canary", "rungs_per_canary"):
+    # shed order: per-query ratios first (fully recoverable from the
+    # sidecar), the gate block LAST (the alert signal is the one thing a
+    # grader should still see in a degraded line)
+    for victim in ("wq_per_canary", "rungs_per_canary", "gate"):
         if len(line) <= 1800:
             break
         compact.pop(victim, None)
