@@ -26,8 +26,9 @@ def entry(spark: SparkSession) -> DataFrame:
     return q.builder(spark, "/root/testdata/sf0.001")
 
 
-# Round-14 gate ordering: this round's changed/new entries first (the 4
-# audit twins), then the stalest-evidence cohort (r10, then r11 by name),
+# Round-14 gate ordering: this round's changed/new entries first (the 6
+# new entries: 5 sketch audit twins + split_leakage_audit), then the
+# stalest-evidence cohort (r10, then r11 by name),
 # truncated to the driver's ~50-entry sampled prefix. GENERATED — do not
 # hand-edit; regenerate with
 #   python scripts/gen_gate_prefix.py --max-round <horizon> --changed <...>

@@ -1201,19 +1201,31 @@ def _ann_audit(
         .select((F.abs(F.col("cosine") - recos) < 1e-9).alias("ok"))
         .agg(F.min("ok").alias("cosine_verified"))
     )
-    # (c) rank contract per query on the approx side.
+    # (c) rank contract per query on the approx side: ranks dense from 1,
+    # <= k rows, and the FULL ordering law row by row — cosine strictly
+    # decreasing along ranks, with ascending neighbor_id breaking exact
+    # cosine ties (a lag-window check over every adjacent pair, not just
+    # the endpoints, so a middle-rank swap or tiebreak break flips it).
+    from pyspark.sql import Window
+
+    w_r = Window.partitionBy("query_id").orderBy("rank")
+    prev_c = F.lag("cosine").over(w_r)
+    prev_n = F.lag("neighbor_id").over(w_r)
+    row_ok = (
+        prev_c.isNull()
+        | (prev_c > F.col("cosine"))
+        | ((prev_c == F.col("cosine")) & (prev_n < F.col("neighbor_id")))
+    )
     rchk = (
-        approx.groupBy("query_id")
+        approx.select("query_id", "rank", row_ok.alias("row_ok"))
+        .groupBy("query_id")
         .agg(
             (
                 (F.count(F.lit(1)) <= 5)
                 & (F.min("rank") == 1)
                 & (F.max("rank") == F.count(F.lit(1)))
                 & (F.countDistinct("rank") == F.count(F.lit(1)))
-                & (
-                    F.min_by("cosine", "rank")
-                    >= F.max_by("cosine", "rank") - F.lit(1e-12)
-                )
+                & F.min("row_ok")
             ).alias("ok")
         )
         .agg(F.min("ok").alias("ranks_valid"))

@@ -584,8 +584,16 @@ def foreach_batch_lake_merge(
                             _refuse_legacy_hour_keys(
                                 sorted(r[0] for r in legacy), path
                             )
-                    with open(marker, "w") as mf:
-                        mf.write(f"verified at table version {v}\n")
+                        # only a scan that actually SAW table data may
+                        # persist the memo. v == -1 can mean "fresh
+                        # table" OR "fresh CoordinatedLogStore pointed at
+                        # an existing table" (the adopt_existing recovery
+                        # case) — marking on that stale view would skip
+                        # the legacy scan forever on a table that was
+                        # never checked. A fresh table simply earns its
+                        # marker on the first post-commit restart's scan.
+                        with open(marker, "w") as mf:
+                            mf.write(f"verified at table version {v}\n")
                 legacy_checked["done"] = True
 
             df = df.withColumn("hour_key", hour_partition_key())

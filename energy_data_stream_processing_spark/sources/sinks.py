@@ -131,8 +131,8 @@ def _require_local_store(path: str) -> None:
     if "://" in path.split("?", 1)[0]:
         raise ValueError(
             f"hour store path {path!r} is scheme-qualified; the legacy-key "
-            "and crashed-migration guards only inspect LOCAL paths (os.\n"
-            "listdir), so a non-local store would skip them silently. Use "
+            "and crashed-migration guards only inspect LOCAL paths "
+            "(os.listdir), so a non-local store would skip them silently. Use "
             "a local path, or port the guards to the store's filesystem "
             "API first."
         )

@@ -280,21 +280,29 @@ def test_lake_merge_persists_legacy_scan_marker(spark, tmp_path):
     fn = foreach_batch_lake_merge(path, key_col="hour_key")
     fn(df, 0)
     marker = os.path.join(path, "_log", "_hour_keys_v2_verified")
-    assert os.path.exists(marker)
-    assert "verified at table version" in open(marker).read()
+    # a FRESH table must NOT earn the marker: latest_version() == -1 is
+    # also what a stale CoordinatedLogStore reports for an EXISTING table
+    # (the adopt_existing recovery case), and marking that view would
+    # disable the legacy scan on a table that was never checked
+    assert not os.path.exists(marker)
 
-    # restart (fresh closure): merge proceeds with the marker in place
+    # restart (fresh closure): the scan now sees real data, passes, and
+    # persists the memo; a further restart skips the re-scan
     fn2 = foreach_batch_lake_merge(path, key_col="hour_key")
     fn2(df, 1)
+    assert os.path.exists(marker)
+    assert "verified at table version" in open(marker).read()
+    fn3 = foreach_batch_lake_merge(path, key_col="hour_key")
+    fn3(df, 2)
 
     # a legacy-keyed table without the marker is still refused
     bad = str(tmp_path / "lake_legacy")
     t = LakeTable(bad)
     legacy_df = df.withColumn("hour_key", F.date_format("hour", "yyyy-MM-dd-HH"))
     t.merge_upsert(spark, legacy_df, "hour_key")
-    fn3 = foreach_batch_lake_merge(bad, key_col="hour_key")
+    fn_bad = foreach_batch_lake_merge(bad, key_col="hour_key")
     with pytest.raises(ValueError, match="legacy"):
-        fn3(df, 0)
+        fn_bad(df, 0)
     assert not os.path.exists(os.path.join(bad, "_log", "_hour_keys_v2_verified"))
 
 
@@ -371,3 +379,24 @@ def test_split_leakage_audit_matches_python_fold(spark, sf_dir):
     assert {k: v[0] for k, v in got.items()} == expect
     for (lo, hi), (_, leak) in got.items():
         assert leak == (lo != hi)
+
+
+def test_ann_audit_catches_middle_rank_swap(spark, sf_dir):
+    """The rank law is a full adjacent-pair check, not an endpoint probe:
+    swapping ranks 2 and 3 (endpoints untouched) must flip ranks_valid —
+    via the cosine ordering when they differ, via the neighbor-id
+    tiebreak when they tie bitwise."""
+    from energy_data_stream_processing_spark.operators.similarity import lsh_topk
+
+    def mid_swap(emb, num_queries, k):
+        df = lsh_topk(emb, num_queries=num_queries, k=k)
+        return df.withColumn(
+            "rank",
+            F.when(F.col("rank") == 2, 3)
+            .when(F.col("rank") == 3, 2)
+            .otherwise(F.col("rank")),
+        )
+
+    r = _ann_audit(spark, sf_dir, "lsh", mid_swap, floor=0.5).collect()[0]
+    assert not r["ranks_valid"]
+    assert r["cosine_verified"] and r["recall_ge_floor"]  # only order broke
