@@ -610,24 +610,21 @@ def build_dedup_index(
     OWN signatures (narrow, linear in the increment) and (b) shuffle-join
     its band codes against the stored band frame. The store is
     corpus-sized but narrow (ints only, no text)."""
-    from ..sources.sinks import _conf_override
+    from ..sources.sinks import overwrite_partitions
 
     sigs = minhash_signatures(docs, num_perm)
     bands_df = _band_frame(sigs, num_perm, bands)
     sh = with_shingles(docs, hashed=True)
-    with _conf_override(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
-        (
-            bands_df.withColumn("_increment_id", F.lit(str(increment_id)))
-            .write.mode("overwrite")
-            .partitionBy("_increment_id")
-            .parquet(f"{index_path}/bands")
-        )
-        (
-            sh.withColumn("_increment_id", F.lit(str(increment_id)))
-            .write.mode("overwrite")
-            .partitionBy("_increment_id")
-            .parquet(f"{index_path}/shingles")
-        )
+    overwrite_partitions(
+        bands_df.withColumn("_increment_id", F.lit(str(increment_id))),
+        f"{index_path}/bands",
+        "_increment_id",
+    )
+    overwrite_partitions(
+        sh.withColumn("_increment_id", F.lit(str(increment_id))),
+        f"{index_path}/shingles",
+        "_increment_id",
+    )
 
 
 def dedup_increment(

@@ -68,7 +68,7 @@ def scd2_init_store(spark, store_path: str, switches: DataFrame) -> None:
 def scd2_apply_increment(spark, store_path: str, increment: DataFrame) -> None:
     """Fold a batch of (possibly late) switch events into the stored
     dimension, rewriting only the buckets that contain affected customers."""
-    from ..sources.sinks import _conf_override
+    from ..sources.sinks import overwrite_partitions
 
     buckets = [
         r["b"]
@@ -91,5 +91,4 @@ def scd2_apply_increment(spark, store_path: str, increment: DataFrame) -> None:
     # Truncate lineage before overwriting the path the plan reads from —
     # same staged-commit hazard compact_small_files guards against.
     rebuilt = scd2_build(all_sw).localCheckpoint(eager=True)
-    with _conf_override(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
-        rebuilt.write.mode("overwrite").partitionBy("_cbucket").parquet(store_path)
+    overwrite_partitions(rebuilt, store_path, "_cbucket")

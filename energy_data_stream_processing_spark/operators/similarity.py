@@ -385,7 +385,7 @@ def refresh_ivf_incremental(
     replayed increment rewrites exactly its own files, so the index is
     idempotent under at-least-once delivery (same mechanics as
     refresh_hourly_incremental / foreach_batch_raw_append)."""
-    from ..sources.sinks import _conf_override
+    from ..sources.sinks import overwrite_partitions
 
     C = _load_ivf_centroids(spark, index_path)
     assigned = increment.select(
@@ -393,13 +393,12 @@ def refresh_ivf_incremental(
         "embedding",
         _cell_assign_udf(C)(F.col("embedding")).alias("cell"),
     )
-    with _conf_override(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
-        (
-            assigned.withColumn("_increment_id", F.lit(str(increment_id)))
-            .write.mode("overwrite")
-            .partitionBy("_increment_id", "cell")
-            .parquet(f"{index_path}/cells")
-        )
+    overwrite_partitions(
+        assigned.withColumn("_increment_id", F.lit(str(increment_id))),
+        f"{index_path}/cells",
+        "_increment_id",
+        "cell",
+    )
 
 
 def ivf_index_topk(

@@ -54,6 +54,27 @@ def _conf_override(spark: SparkSession, key: str, value: str):
             spark.conf.set(key, prev)
 
 
+def overwrite_partitions(df: DataFrame, path: str, *cols: str) -> None:
+    """Dynamic-partition overwrite expressed as a WRITER option, not a
+    session-conf mutation. The previous `_conf_override(spark, "spark.sql.
+    sources.partitionOverwriteMode", "dynamic")` pattern mutated SHARED
+    session state non-atomically: two concurrent foreachBatch sinks on one
+    SparkSession could race one query's window closed (prev captured as
+    'dynamic' → leak) or, worse, race a mode('overwrite') write into STATIC
+    mode — a full-table overwrite that deletes every partition not in that
+    micro-batch. The writer-level option is scoped to this one write and
+    touches no shared state. Also the single home for the idempotent
+    replay-key mechanic (withColumn(lit id) + overwrite own partitions)
+    that the raw append, the sharded staging landing, and the incremental
+    refresh all share."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*cols)
+        .parquet(path)
+    )
+
+
 def write_quarantine(invalid: DataFrame, path: str) -> None:
     """Dead-letter sink: reason + raw envelope as JSON lines (S8)."""
     invalid.write.mode("append").json(path)
@@ -112,9 +133,22 @@ def hour_partition_key():
     readers would silently see DOUBLE rows. ``upsert_hourly_metrics_parquet``
     and ``foreach_batch_lake_merge`` refuse to write into a store holding
     legacy keys; ``migrate_hour_store_keys`` is the one-time rewrite.
+
+    The LABEL half renders in UTC, not the session tz (round 14): a
+    session-tz label makes the key itself session-dependent — a store
+    written under tz A and upserted under tz B would land the same instant
+    under two (label, epoch) values, silently doubling hours in a way the
+    legacy-key guard cannot see (both match the new format). UTC labels
+    make the key canonical across sessions; the epoch suffix alone already
+    carried injectivity.
     """
     return F.concat_ws(
-        "-", F.date_format("hour", "yyyy-MM-dd-HH"), F.col("hour").cast("long")
+        "-",
+        F.date_format(
+            F.convert_timezone(None, F.lit("UTC"), F.col("hour")),
+            "yyyy-MM-dd-HH",
+        ),
+        F.col("hour").cast("long"),
     )
 
 
@@ -191,13 +225,9 @@ def upsert_hourly_metrics_parquet(spark: SparkSession, metrics: DataFrame, path:
             "writing"
         )
     _refuse_legacy_hour_keys(legacy_hour_key_values(path), path)
-    with _conf_override(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
-        (
-            metrics.withColumn("hour_key", hour_partition_key())
-            .write.mode("overwrite")
-            .partitionBy("hour_key")
-            .parquet(path)
-        )
+    overwrite_partitions(
+        metrics.withColumn("hour_key", hour_partition_key()), path, "hour_key"
+    )
 
 
 def _migration_old_dir(path: str) -> str:
@@ -224,6 +254,11 @@ def migrate_hour_store_keys(spark: SparkSession, path: str) -> int:
     import shutil
 
     _require_local_store(path)
+    # normalize once: tmp/old are derived via rstrip("/"), and os.rename
+    # with a trailing-slash TARGET fails ENOENT on Linux — which would
+    # crash between the two swap renames and manufacture the exact
+    # crashed-migration state this function refuses
+    path = path.rstrip("/")
     old = _migration_old_dir(path)
     if os.path.isdir(old):
         # Two distinguishable states, two different recoveries — naming
@@ -492,15 +527,12 @@ def foreach_batch_sharded_flush(
         # touched-hour probe) — persist so the state plan runs once
         batch_df.persist()
         try:
-            with _conf_override(
-                spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
-            ):
-                (
-                    batch_df.withColumn("_batch_id", F.lit(batch_id))
-                    .write.mode("overwrite")
-                    .partitionBy("_batch_id", "hour_epoch_ms")
-                    .parquet(staging_path)
-                )
+            overwrite_partitions(
+                batch_df.withColumn("_batch_id", F.lit(batch_id)),
+                staging_path,
+                "_batch_id",
+                "hour_epoch_ms",
+            )
             touched = [
                 r["hour_epoch_ms"]
                 for r in batch_df.select("hour_epoch_ms").distinct().collect()
@@ -805,14 +837,9 @@ def foreach_batch_raw_append(path: str):
     """
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        with _conf_override(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
-            (
-                batch_df.withColumn("_batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("_batch_id")
-                .parquet(path)
-            )
+        overwrite_partitions(
+            batch_df.withColumn("_batch_id", F.lit(batch_id)), path, "_batch_id"
+        )
 
     return fn
 
@@ -830,6 +857,36 @@ def write_bucketed(df: DataFrame, table: str, key: str, buckets: int = 8) -> Non
         .format("parquet")
         .saveAsTable(table)
     )
+
+
+def _refuse_mixed_raw_layout(raw_path: str, increment_id) -> None:
+    """The raw store has two valid layouts — plain ``event_date=`` (append
+    path) and ``_increment_id=.../event_date=`` (replay-idempotent path) —
+    and parquet cannot read a root that mixes them ('Conflicting directory
+    structures'). Refuse the write that would CREATE the mix, naming the
+    layouts, instead of corrupting the store and failing on the next read.
+    Best-effort local check (same posture as the hour-store guards);
+    scheme-qualified raw paths skip it — the read-side error still fires,
+    just later."""
+    if "://" in raw_path.split("?", 1)[0] or not os.path.isdir(raw_path):
+        return
+    entries = os.listdir(raw_path)
+    has_plain = any(e.startswith("event_date=") for e in entries)
+    has_keyed = any(e.startswith("_increment_id=") for e in entries)
+    if increment_id is None and has_keyed:
+        raise ValueError(
+            f"{raw_path} is keyed by _increment_id; appending a plain "
+            "event_date layout next to it would make the store unreadable "
+            "(conflicting partition depths). Pass increment_id, or use a "
+            "separate store for un-keyed appends."
+        )
+    if increment_id is not None and has_plain:
+        raise ValueError(
+            f"{raw_path} holds a plain event_date layout; landing an "
+            "_increment_id-keyed increment next to it would make the store "
+            "unreadable (conflicting partition depths). Use increment_id="
+            "None here, or start a fresh keyed store."
+        )
 
 
 def refresh_hourly_incremental(
@@ -867,28 +924,44 @@ def refresh_hourly_incremental(
     """
     from ..operators.hourly import hourly_business_metrics
 
-    if increment_id is None:
-        write_raw_events_parquet(increment, raw_path)
-    else:
-        with _conf_override(
-            spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        ):
-            (
+    _refuse_mixed_raw_layout(raw_path, increment_id)
+    # two actions over the increment (raw landing + touched-hour probe) —
+    # persist so the caller's lineage (often a transformed micro-batch)
+    # runs once, and the landed rows and the probed hours cannot diverge
+    # under a nondeterministic upstream
+    increment.persist()
+    try:
+        if increment_id is None:
+            write_raw_events_parquet(increment, raw_path)
+        else:
+            overwrite_partitions(
                 increment.withColumn("_increment_id", F.lit(increment_id))
-                .withColumn("event_date", F.to_date("event_time"))
-                .write.mode("overwrite")
-                .partitionBy("_increment_id", "event_date")
-                .parquet(raw_path)
+                .withColumn("event_date", F.to_date("event_time")),
+                raw_path,
+                "_increment_id",
+                "event_date",
             )
-    touched = [
-        r["h"]
-        for r in increment.select(
-            F.date_trunc("hour", F.col("event_time")).alias("h")
-        ).distinct().collect()
-    ]
+        # touched days are derived SPARK-SIDE (to_date in the session tz,
+        # the same expression that keyed the event_date partitions).
+        # Calling .date() on collected timestamps renders through the
+        # DRIVER's local tz — under driver tz != session tz that filtered
+        # the raw read to the wrong partitions and hours silently never
+        # refreshed. The touched HOURS themselves round-trip safely (the
+        # collect->isin conversion is symmetric through the driver tz).
+        trunc = (
+            increment.select(
+                F.date_trunc("hour", F.col("event_time")).alias("h"),
+                F.to_date("event_time").cast("string").alias("d"),
+            )
+            .distinct()
+            .collect()
+        )
+    finally:
+        increment.unpersist()
+    touched = [r["h"] for r in trunc]
     if not touched:
         return []
-    days = sorted({h.date().isoformat() for h in touched})
+    days = sorted({r["d"] for r in trunc})
     raw = spark.read.parquet(raw_path).where(F.col("event_date").isin(days))
     recomputed = hourly_business_metrics(raw).where(
         F.col("hour").isin(touched)
@@ -936,18 +1009,27 @@ def compact_raw_store(
     )
     if not touched:
         return []
+    # layout-aware rewrite: an _increment_id-keyed store (the
+    # refresh_hourly_incremental landing) must be rewritten under BOTH
+    # partition columns — compacting it flat under event_date alone would
+    # write a second directory depth next to the keyed one, duplicating
+    # every compacted row and making the root unreadable. The dynamic
+    # overwrite then replaces exactly the (increment, day) leaves the
+    # filter selected.
+    df = spark.read.parquet(path)
+    if "event_date" not in df.columns:
+        raise ValueError(
+            f"{path} has no event_date partition column — compact_raw_store "
+            "supports the date-partitioned raw layouts (plain or "
+            "_increment_id-keyed), not batch-id-only stores"
+        )
+    part_cols = [c for c in ("_increment_id", "event_date") if c in df.columns]
     compacted = (
-        spark.read.parquet(path)
-        .where(F.col("event_date").cast("string").isin(touched))
-        .repartition("event_date")
+        df.where(F.col("event_date").cast("string").isin(touched))
+        .repartition(*part_cols)
         .localCheckpoint(eager=True)
     )
-    with _conf_override(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
-        (
-            compacted.write.mode("overwrite")
-            .partitionBy("event_date")
-            .parquet(path)
-        )
+    overwrite_partitions(compacted, path, *part_cols)
     return touched
 
 
@@ -971,6 +1053,12 @@ def backfill_hourly_range(
     raw = spark.read.parquet(raw_path).where(
         F.col("event_date").between(date_lo, date_hi)
     )
-    recomputed = hourly_business_metrics(raw)
-    upsert_hourly_metrics_parquet(spark, recomputed, store_path)
-    return recomputed.count()
+    # persist around the two actions (store write + returned count): the
+    # count would otherwise re-run the whole raw scan + aggregation,
+    # doubling every backfill
+    recomputed = hourly_business_metrics(raw).persist()
+    try:
+        upsert_hourly_metrics_parquet(spark, recomputed, store_path)
+        return recomputed.count()
+    finally:
+        recomputed.unpersist()

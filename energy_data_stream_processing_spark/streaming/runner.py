@@ -57,7 +57,7 @@ from pyspark.sql.types import (
 
 from ..operators.hourly import METRIC_COLUMNS
 from ..sources.adapter import ENERGY_EVENTS_SQL, load_table, normalize_event_ts
-from ..sources.sinks import _conf_override
+from ..sources.sinks import _conf_override, overwrite_partitions
 from ..plans.catalog import register
 
 OUTPUT_SCHEMA = StructType(
@@ -1945,13 +1945,11 @@ def q_streaming_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             prior = None
         if prior is not None:
             inc = inc.join(prior.select("fp"), "fp", "left_anti")
-        with _conf_override(s, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
-            (
-                inc.withColumn("_batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("_batch_id")
-                .parquet(kept_dir)
-            )
+        overwrite_partitions(
+            inc.withColumn("_batch_id", F.lit(batch_id)),
+            kept_dir,
+            "_batch_id",
+        )
 
     q = (
         spark.readStream.schema(schema)
@@ -2011,14 +2009,11 @@ def q_streaming_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFram
         keyed = base.withColumn("k", F.log(u) / F.col("n_tokens").cast("double"))
         w = Window.partitionBy("lang").orderBy(F.col("k").desc(), "doc_id")
         top = keyed.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= 5)
-        with _conf_override(s, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
-            (
-                top.drop("_rn")
-                .withColumn("_batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("_batch_id")
-                .parquet(store)
-            )
+        overwrite_partitions(
+            top.drop("_rn").withColumn("_batch_id", F.lit(batch_id)),
+            store,
+            "_batch_id",
+        )
 
     q = (
         spark.readStream.schema(schema)
@@ -2089,13 +2084,11 @@ def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
         found = dedup_increment(
             s, idx, batch_df, increment_id=f"b{batch_id}", threshold=0.5
         )
-        with _conf_override(s, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
-            (
-                found.withColumn("_batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("_batch_id")
-                .parquet(pairs_dir)
-            )
+        overwrite_partitions(
+            found.withColumn("_batch_id", F.lit(batch_id)),
+            pairs_dir,
+            "_batch_id",
+        )
 
     q = (
         spark.readStream.schema(schema)
@@ -2229,13 +2222,11 @@ def q_streaming_asof_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("customer_id", "event_time")
             .agg(F.max_by("tariff_type", "event_id").alias("active_tariff"))
         )
-        with _conf_override(s, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
-            (
-                sw.withColumn("_batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("_batch_id")
-                .parquet(sw_dir)
-            )
+        overwrite_partitions(
+            sw.withColumn("_batch_id", F.lit(batch_id)),
+            sw_dir,
+            "_batch_id",
+        )
         readings = en.where(F.col("event_type") == "energy_consumed").select(
             "event_id",
             "customer_id",
@@ -2249,13 +2240,11 @@ def q_streaming_asof_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
             readings, store, key="customer_id", ts="event_time",
             value_cols=["active_tariff"],
         )
-        with _conf_override(s, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
-            (
-                enriched.withColumn("_batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("_batch_id")
-                .parquet(out_dir)
-            )
+        overwrite_partitions(
+            enriched.withColumn("_batch_id", F.lit(batch_id)),
+            out_dir,
+            "_batch_id",
+        )
 
     q = (
         spark.readStream.schema(schema)
@@ -2311,13 +2300,11 @@ def q_streaming_wau_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         inc = pairs.join(counts, "week").select(
             "week", "user_id", "events"
         )
-        with _conf_override(s, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
-            (
-                inc.withColumn("_batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("_batch_id")
-                .parquet(store)
-            )
+        overwrite_partitions(
+            inc.withColumn("_batch_id", F.lit(batch_id)),
+            store,
+            "_batch_id",
+        )
 
     q = (
         spark.readStream.schema(schema)

@@ -400,3 +400,146 @@ def test_ann_audit_catches_middle_rank_swap(spark, sf_dir):
     r = _ann_audit(spark, sf_dir, "lsh", mid_swap, floor=0.5).collect()[0]
     assert not r["ranks_valid"]
     assert r["cosine_verified"] and r["recall_ge_floor"]  # only order broke
+
+
+# --------------------------------------------------------------------------
+# Deep-review hardening: raw-store layout guard, layout-aware compaction,
+# writer-scoped dynamic overwrite, canonical hour_key label
+# --------------------------------------------------------------------------
+def test_refresh_refuses_mixed_raw_layout(spark, tmp_path, sf_dir):
+    """Landing a plain event_date layout next to an _increment_id-keyed
+    store (or vice versa) makes the root unreadable — the write that would
+    CREATE the mix must refuse, not corrupt."""
+    from energy_data_stream_processing_spark.sources.adapter import energy_events
+    from energy_data_stream_processing_spark.sources.sinks import (
+        refresh_hourly_incremental,
+    )
+
+    ev = energy_events(spark, sf_dir).limit(50)
+    raw = str(tmp_path / "raw")
+    store = str(tmp_path / "metrics")
+    refresh_hourly_incremental(spark, raw, store, ev, increment_id="b0")
+    with pytest.raises(ValueError, match="keyed by _increment_id"):
+        refresh_hourly_incremental(spark, raw, store, ev, increment_id=None)
+
+    raw2 = str(tmp_path / "raw2")
+    refresh_hourly_incremental(spark, raw2, store, ev, increment_id=None)
+    with pytest.raises(ValueError, match="plain event_date layout"):
+        refresh_hourly_incremental(spark, raw2, store, ev, increment_id="b1")
+
+
+def test_compact_preserves_increment_keyed_layout(spark, tmp_path, sf_dir):
+    """Compacting an _increment_id-keyed raw store must rewrite under BOTH
+    partition columns: row counts hold and the root stays readable."""
+    from energy_data_stream_processing_spark.sources.adapter import energy_events
+    from energy_data_stream_processing_spark.sources.sinks import (
+        compact_raw_store,
+        refresh_hourly_incremental,
+    )
+
+    ev = energy_events(spark, sf_dir).limit(200)
+    raw = str(tmp_path / "raw")
+    store = str(tmp_path / "metrics")
+    # two increments -> >1 file per touched day
+    refresh_hourly_incremental(spark, raw, store, ev.limit(100), increment_id="b0")
+    refresh_hourly_incremental(
+        spark, raw, store, ev.subtract(ev.limit(100)), increment_id="b1"
+    )
+    before = spark.read.parquet(raw).count()
+    touched = compact_raw_store(spark, raw, max_files_per_partition=1)
+    assert touched, "multi-increment days should compact"
+    after_df = spark.read.parquet(raw)
+    assert after_df.count() == before
+    assert "_increment_id" in after_df.columns  # layout preserved
+
+
+def test_compact_refuses_batch_id_only_store(spark, tmp_path):
+    from energy_data_stream_processing_spark.sources.sinks import (
+        compact_raw_store,
+        foreach_batch_raw_append,
+    )
+
+    path = str(tmp_path / "rawb")
+    foreach_batch_raw_append(path)(spark.range(5), 0)
+    with pytest.raises(Exception, match="event_date"):
+        compact_raw_store(spark, path)
+
+
+def test_overwrite_partitions_is_writer_scoped(spark, tmp_path):
+    """The dynamic overwrite must come from the WRITER option, with the
+    session conf left in static mode — the shared-conf mutation raced
+    concurrent foreachBatch sinks into full-table overwrites."""
+    from energy_data_stream_processing_spark.sources.sinks import (
+        overwrite_partitions,
+    )
+
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode").upper()
+        == "STATIC"
+    )
+    d = str(tmp_path / "t")
+    spark.range(4).withColumn("p", F.col("id") % 2).write.partitionBy(
+        "p"
+    ).parquet(d)
+    overwrite_partitions(
+        spark.range(1).withColumn("p", F.lit(0)), d, "p"
+    )
+    rows = sorted((r["p"], r["id"]) for r in spark.read.parquet(d).collect())
+    assert rows == [(0, 0), (1, 1), (1, 3)]  # p=1 survived
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode").upper()
+        == "STATIC"
+    )
+
+
+def test_migration_tolerates_trailing_slash(spark, tmp_path):
+    from energy_data_stream_processing_spark.sources.sinks import (
+        METRIC_COLUMNS,
+        hour_partition_key,
+        migrate_hour_store_keys,
+    )
+    from datetime import datetime
+
+    store = str(tmp_path / "metrics")
+    df = spark.createDataFrame(
+        [(datetime(2024, 5, 1, 7, 0), *[1.0] * len(METRIC_COLUMNS))],
+        schema=["hour", *METRIC_COLUMNS],
+    )
+    df.withColumn(
+        "hour_key", F.date_format("hour", "yyyy-MM-dd-HH")
+    ).write.partitionBy("hour_key").parquet(store)
+    assert migrate_hour_store_keys(spark, store + "/") == 1
+    assert spark.read.parquet(store).count() == 1
+
+
+def test_hour_key_label_is_session_tz_invariant(spark, tmp_path):
+    """The key label renders in UTC regardless of session tz: a store
+    written under one tz and upserted under another must keep ONE
+    partition per instant (a session-tz label silently doubled hours in a
+    way the legacy guard cannot see)."""
+    from datetime import datetime, timezone
+
+    from energy_data_stream_processing_spark.sources.sinks import (
+        METRIC_COLUMNS,
+        read_hourly_metrics_parquet,
+        upsert_hourly_metrics_parquet,
+    )
+
+    h = datetime(2024, 11, 3, 5, 0, tzinfo=timezone.utc).replace(tzinfo=None)
+    df = spark.createDataFrame(
+        [(h, *[1.0] * len(METRIC_COLUMNS))], schema=["hour", *METRIC_COLUMNS]
+    )
+    store = str(tmp_path / "metrics")
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        upsert_hourly_metrics_parquet(spark, df, store)
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        upsert_hourly_metrics_parquet(spark, df, store)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    import os
+
+    keys = [d for d in os.listdir(store) if d.startswith("hour_key=")]
+    assert len(keys) == 1, keys
+    assert read_hourly_metrics_parquet(spark, store).count() == 1
