@@ -119,8 +119,8 @@ def read_raw_events_parquet(
 def hour_partition_key():
     """Injective, tz-proof partition/merge key for the hour upserts.
 
-    The session-tz wall label (human-readable for store ops) plus the
-    instant's epoch seconds. The label ALONE is not injective: under a
+    A UTC wall label (human-readable for store ops) plus the instant's
+    epoch seconds. A wall label ALONE is not injective: under a
     non-UTC session tz a DST fall-back's two instants render as the SAME
     wall hour, so a later flush touching only one instant would
     dynamic-overwrite (or MERGE-replace) the other instant's row away —
