@@ -68,20 +68,37 @@ FROM events
 
 
 def normalize_event_ts(df: DataFrame) -> DataFrame:
-    """Normalize ``events.ts`` to session-zone TIMESTAMP across testdata vintages.
+    """Normalize ``events.ts`` to an instant-exact TIMESTAMP across testdata
+    vintages, independent of the session timezone.
 
     The driver has shipped ``ts`` as parquet TIMESTAMP(NANOS) (read as
     nanos-since-epoch long under ``nanosAsLong`` — truncate to micros with
     integer ``div``; double division would lose precision at ~1.7e18) and as
-    TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ — cast, identity under the UTC
-    session zone). Both land on the same micros-precision timestamp DuckDB
-    sees, so oracle comparisons are vintage-independent.
+    TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ whose WALL fields are the UTC
+    wall). The NTZ branch used to be a plain ``cast('timestamp')`` — correct
+    only under a UTC session zone: any other zone re-interpreted the UTC
+    wall as local wall, shifting every instant by the zone offset (and a
+    zone-aware re-render would still collapse DST fall-back ambiguity). The
+    wall fields are therefore converted to epoch micros ARITHMETICALLY
+    (days × 86.4e9 + in-day micros), which is exact for every wall
+    including the ambiguous ones and never consults the session zone. Both
+    branches land on the same micros-precision instants DuckDB sees, so
+    oracle comparisons are vintage- and session-tz-independent.
     """
     ts_type = df.schema["ts"].dataType.simpleString()
     if ts_type == "bigint":
         return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     if ts_type != "timestamp":
-        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df.withColumn(
+            "ts",
+            F.expr(
+                "timestamp_micros("
+                "unix_date(cast(ts AS DATE)) * 86400000000L"
+                " + hour(ts) * 3600000000L"
+                " + minute(ts) * 60000000L"
+                " + cast(extract(SECOND FROM ts) * 1000000 AS BIGINT))"
+            ),
+        )
     return df
 
 

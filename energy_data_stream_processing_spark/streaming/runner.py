@@ -46,9 +46,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
-    IntegerType,
     LongType,
-    Row,
     StringType,
     StructField,
     StructType,
@@ -56,7 +54,7 @@ from pyspark.sql.types import (
 )
 
 from ..operators.hourly import METRIC_COLUMNS
-from ..sources.adapter import ENERGY_EVENTS_SQL, load_table, normalize_event_ts
+from ..sources.adapter import ENERGY_EVENTS_SQL, normalize_event_ts
 from ..sources.sinks import _conf_override, overwrite_partitions
 from ..plans.catalog import register
 
@@ -211,6 +209,16 @@ def hourly_metrics_native_stream(events: DataFrame, watermark: str = "24 hours")
     )
 
 
+#: State sentinel for "no energy rows seen yet". The batch oracle's
+#: coalesce(max(energy), 0) floors ONLY when no energy rows exist; a
+#: 0-seeded max() would also floor a genuinely negative peak (meter
+#: corrections / exports), silently diverging from the oracle. The
+#: sentinel loses max() to any real milli value and renders as 0.0 at
+#: emission; it flows through shard partials so the downstream merge
+#: keeps the same rule.
+PEAK_NONE_MILLI = -(1 << 62)
+
+
 def _stateful_update_fn(final_only: bool = False, shard_partial: bool = False):
     """Closure (pickled by value — workers never import this package).
 
@@ -287,7 +295,9 @@ def _stateful_update_fn(final_only: bool = False, shard_partial: bool = False):
                         "total_logins": tl,
                         "total_energy_consumed": energy_total,
                         "avg_consumption_per_customer": r2(energy_total / n_cust) if n_cust else 0.0,
-                        "peak_hour_usage": pk / 1000.0,
+                        "peak_hour_usage": (
+                            pk / 1000.0 if pk != PEAK_NONE_MILLI else 0.0
+                        ),
                         "total_payments": payments,
                         "payment_events": pe,
                         "avg_payment_amount": r2(payments / pe) if pe else 0.0,
@@ -338,7 +348,8 @@ def _stateful_update_fn(final_only: bool = False, shard_partial: bool = False):
             (ts, src, ic, icc, gs, tl, em, pk, pc, pe, customers, sessions, seq) = state.get
             cust, sess = set(customers), set(sessions)
         else:
-            ts = src = ic = icc = gs = tl = em = pk = pc = pe = seq = 0
+            ts = src = ic = icc = gs = tl = em = pc = pe = seq = 0
+            pk = PEAK_NONE_MILLI
             cust, sess = set(), set()
         seq += 1
 
@@ -620,7 +631,9 @@ def merge_sharded_hourly_partials(
         F.when(F.col("n_cust") > 0, r2(energy_total / F.col("n_cust")))
         .otherwise(F.lit(0.0))
         .alias("avg_consumption_per_customer"),
-        (F.col("pk") / F.lit(1000.0)).alias("peak_hour_usage"),
+        F.when(F.col("pk") != F.lit(PEAK_NONE_MILLI), F.col("pk") / F.lit(1000.0))
+        .otherwise(F.lit(0.0))
+        .alias("peak_hour_usage"),
         payments.alias("total_payments"),
         F.col("pe").alias("payment_events"),
         F.when(F.col("pe") > 0, r2(payments / F.col("pe")))
@@ -1140,9 +1153,26 @@ def q_streaming_hourly_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Built-in watermarked window aggregation (approx distincts) — the "
     "idiomatic native streaming path.",
 )
-def q_streaming_hourly_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _native_hourly_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the native windowed stream and collapse the update-mode memory
+    sink to one FINAL row per hour. The single-file availableNow source
+    emits each hour once, but a multi-batch split (maxFilesPerTrigger, a
+    multi-file dir) re-emits touched windows per batch with stale partial
+    counts — the same defensive dedup the exact stateful twin applies.
+    Update-mode emissions of one window are CUMULATIVE, so every column is
+    non-decreasing across re-emissions (counters/sums monotonically grow;
+    the HLL register maxima behind the approx distincts only grow) and
+    max-per-hour selects the final emission without needing a batch-order
+    column the memory sink does not provide."""
     ev = energy_events_stream(spark, sf_dir)
-    return run_stream_to_table(spark, hourly_metrics_native_stream(ev))
+    out = run_stream_to_table(spark, hourly_metrics_native_stream(ev))
+    return out.groupBy("hour").agg(
+        *[F.max(c).alias(c) for c in out.columns if c != "hour"]
+    )
+
+
+def q_streaming_hourly_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _native_hourly_final(spark, sf_dir)
 
 
 @register(
@@ -1187,8 +1217,7 @@ def q_streaming_hourly_native_audit(spark: SparkSession, sf_dir: str) -> DataFra
     from ..operators.hourly import hourly_business_metrics
     from ..sources.adapter import energy_events
 
-    ev = energy_events_stream(spark, sf_dir)
-    nat = run_stream_to_table(spark, hourly_metrics_native_stream(ev))
+    nat = _native_hourly_final(spark, sf_dir)
     ex = hourly_business_metrics(energy_events(spark, sf_dir)).select(
         "hour",
         F.col("active_customers").alias("_ac"),
@@ -1400,7 +1429,11 @@ def running_user_totals_stream(raw_events: DataFrame) -> DataFrame:
             for pdf in rows:
                 n += len(pdf)
                 # values are exact 2-decimal doubles -> cents are exact ints
-                cents += int((pdf["value"] * 100).round().astype("int64").sum())
+                # dropna BEFORE the int cast: a null value is a legal
+                # nullable-double row the oracle's sum() skips; NaN would
+                # crash astype(int64)
+                v = (pdf["value"] * 100).round().dropna()
+                cents += int(v.astype("int64").sum())
             self._state.update((n, cents))
             yield pd.DataFrame(
                 {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
@@ -1449,7 +1482,9 @@ def running_user_totals_stream_groupstate(raw_events: DataFrame) -> DataFrame:
         for pdf in pdfs:
             n += len(pdf)
             # values are exact 2-decimal doubles -> cents are exact ints
-            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+            # dropna BEFORE the int cast: see the transformWithState twin
+            v = (pdf["value"] * 100).round().dropna()
+            cents += int(v.astype("int64").sum())
         state.update((n, cents))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
@@ -1712,8 +1747,8 @@ def sessionize_timeout_stream(events: DataFrame, gap_minutes: int = 30) -> DataF
     out_schema = StructType(
         [
             StructField("user_id", LongType(), True),
-            StructField("session_start", TimestampType(), True),
-            StructField("session_end", TimestampType(), True),
+            StructField("session_start_us", LongType(), True),
+            StructField("session_end_us", LongType(), True),
             StructField("n_events", LongType(), True),
         ]
     )
@@ -1726,7 +1761,8 @@ def sessionize_timeout_stream(events: DataFrame, gap_minutes: int = 30) -> DataF
     )
 
     return (
-        events.withWatermark("ts", "1 hour")
+        events.withColumn("ts_us", F.unix_micros("ts"))
+        .withWatermark("ts", "1 hour")
         .groupBy("user_id")
         .applyInPandasWithState(
             _session_update_fn(gap_minutes * 60),
@@ -1734,6 +1770,14 @@ def sessionize_timeout_stream(events: DataFrame, gap_minutes: int = 30) -> DataF
             stateStructType=state_schema,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+        # epoch longs cross the Python boundary; the public timestamps are
+        # rendered JVM-side, immune to the session tz
+        .select(
+            "user_id",
+            F.timestamp_micros("session_start_us").alias("session_start"),
+            F.timestamp_micros("session_end_us").alias("session_end"),
+            "n_events",
         )
     )
 
@@ -1752,8 +1796,8 @@ def _session_update_fn(gap_sec: int):
             return pd.DataFrame(
                 {
                     "user_id": [key[0]] * len(counts),
-                    "session_start": pd.to_datetime(starts, unit="us"),
-                    "session_end": pd.to_datetime(ends, unit="us"),
+                    "session_start_us": np.asarray(starts, np.int64),
+                    "session_end_us": np.asarray(ends, np.int64),
                     "n_events": counts,
                 }
             )
@@ -1764,7 +1808,15 @@ def _session_update_fn(gap_sec: int):
             yield rows([start_us], [end_us], [n])
             return
 
-        chunks = [pdf["ts"].astype("int64").to_numpy() // 1000 for pdf in pdfs if len(pdf)]
+        # ts_us is TRUE epoch micros computed JVM-side (unix_micros) — the
+        # tz-proof key discipline the hourly paths adopted in rounds 10-11.
+        # The Arrow-rendered timestamp column is session-tz WALL time: wall
+        # micros fed to setTimeoutTimestamp sit a whole tz-offset away from
+        # the epoch watermark (first batch dies under a negative offset,
+        # silent late evictions under a positive one), and wall gaps lie
+        # across DST transitions. Outputs are epoch longs for the same
+        # reason; the wrapper renders them with timestamp_micros JVM-side.
+        chunks = [pdf["ts_us"].to_numpy(np.int64) for pdf in pdfs if len(pdf)]
         arr = np.sort(np.concatenate(chunks)) if chunks else np.empty(0, np.int64)
         if state.exists:
             start_us, end_us, n = state.get
@@ -1812,8 +1864,11 @@ def _session_update_fn(gap_sec: int):
         if n:
             state.update((start_us, end_us, n))
             state.setTimeoutTimestamp(end_us // 1000 + gap_sec * 1000)
-        elif state.exists:
-            state.update((start_us, end_us, n))
+        # n == 0 with existing state is unreachable: stored state always
+        # carries n >= 1 (update only runs under `if n`), and a carried
+        # session's count can only grow — the old `elif state.exists`
+        # re-store would have leaked the key forever (no timeout
+        # re-registration); removed rather than kept as dead armor.
 
     return update
 

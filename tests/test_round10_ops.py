@@ -227,15 +227,30 @@ def _run_session_update(fn, carried, chunks_us):
     import pandas as pd
 
     state = _FakeGroupState(tuple(carried) if carried else None)
+    # both input forms: the shipped fn consumes ts_us (true epoch micros,
+    # the round-14 tz-proofing), the retired reference consumes the ts
+    # datetime column — same instants either way
     pdfs = [
-        pd.DataFrame({"ts": pd.to_datetime(c, unit="us")}) for c in chunks_us
+        pd.DataFrame(
+            {"ts": pd.to_datetime(c, unit="us"), "ts_us": list(c)}
+        )
+        for c in chunks_us
     ]
     out = []
     for odf in fn((7,), iter(pdfs), state):
         for r in odf.itertuples(index=False):
-            out.append(
-                (r.session_start.value // 1000, r.session_end.value // 1000, r.n_events)
-            )
+            if hasattr(r, "session_start_us"):
+                out.append(
+                    (int(r.session_start_us), int(r.session_end_us), r.n_events)
+                )
+            else:
+                out.append(
+                    (
+                        r.session_start.value // 1000,
+                        r.session_end.value // 1000,
+                        r.n_events,
+                    )
+                )
     return sorted(out), (state.get or None)
 
 
