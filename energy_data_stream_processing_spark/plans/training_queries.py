@@ -1162,9 +1162,8 @@ def _ann_audit(
 ) -> DataFrame:
     """Shared in-band recall@k-vs-exact audit (round-13 verdict item 3):
     Spark computes BOTH retrievals plus three audit laws —
-    (a) recall@5 vs exact brute-force >= the pinned floor (measured
-    deterministic recall at the gate corpora: LSH 0.64-0.72, IVF
-    0.86-0.93 across sf0.001/0.01/0.1; floors 0.5/0.7 leave margin),
+    (a) recall@5 vs exact brute-force >= the pinned floor (the floors and
+    their measured margins live together in plans/audit_constants.py),
     (b) every reported cosine equals the independently recomputed exact
     cosine for that (query, neighbor) pair, and (c) per-query rank
     contract (<= k rows, ranks dense from 1, cosine non-increasing with
@@ -1252,7 +1251,9 @@ def _ann_audit(
     "DuckDB computes independently.",
 )
 def q_ann_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _ann_audit(spark, sf_dir, "lsh", lsh_topk, floor=0.5)
+    from .audit_constants import ANN_LSH_RECALL_FLOOR
+
+    return _ann_audit(spark, sf_dir, "lsh", lsh_topk, floor=ANN_LSH_RECALL_FLOOR)
 
 
 @register(
@@ -1266,7 +1267,9 @@ def q_ann_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "DuckDB computes independently.",
 )
 def q_ann_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _ann_audit(spark, sf_dir, "ivf", ivf_topk, floor=0.7)
+    from .audit_constants import ANN_IVF_RECALL_FLOOR
+
+    return _ann_audit(spark, sf_dir, "ivf", ivf_topk, floor=ANN_IVF_RECALL_FLOOR)
 
 
 @register(

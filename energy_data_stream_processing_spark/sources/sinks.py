@@ -134,21 +134,31 @@ def hour_partition_key():
     and ``foreach_batch_lake_merge`` refuse to write into a store holding
     legacy keys; ``migrate_hour_store_keys`` is the one-time rewrite.
 
-    The LABEL half renders in UTC, not the session tz (round 14): a
-    session-tz label makes the key itself session-dependent — a store
-    written under tz A and upserted under tz B would land the same instant
-    under two (label, epoch) values, silently doubling hours in a way the
-    legacy-key guard cannot see (both match the new format). UTC labels
-    make the key canonical across sessions; the epoch suffix alone already
-    carried injectivity.
+    The LABEL half is derived ARITHMETICALLY from the epoch (round 15), not
+    via any wall-clock rendering: the round-14 attempt used
+    ``convert_timezone(None, 'UTC', hour)``, but that call takes
+    TIMESTAMP_NTZ, so the TIMESTAMP input was first implicitly rendered as a
+    *session-tz wall* — and for a DST fall-back's second (repeated) wall
+    hour the wall→UTC re-conversion picks the earlier offset, labeling
+    epoch 1730613600 (2024-11-03 06:00 UTC, the second 1 AM in New York) as
+    ``...-06`` under UTC but ``...-05`` under America/New_York. One
+    instant, two keys: a store written under one session tz and upserted
+    under another silently doubles that hour — the exact hazard the label
+    exists to avoid. ``cast(hour AS long)`` → epoch seconds is
+    tz-independent, and ``date_from_unix_date`` + integer div/mod recover
+    the UTC calendar parts without consulting any timezone (same technique
+    as ``normalize_event_ts``). Pinned across session tzs on the ambiguous
+    overlap instant itself in
+    tests/test_round15_ops.py::test_hour_key_canonical_on_dst_overlap_instant.
     """
+    epoch = F.col("hour").cast("long")
+    sec_of_day = F.pmod(epoch, F.lit(86400))
+    day_num = ((epoch - sec_of_day) / F.lit(86400)).cast("int")
     return F.concat_ws(
         "-",
-        F.date_format(
-            F.convert_timezone(None, F.lit("UTC"), F.col("hour")),
-            "yyyy-MM-dd-HH",
-        ),
-        F.col("hour").cast("long"),
+        F.date_from_unix_date(day_num).cast("string"),
+        F.lpad((sec_of_day / F.lit(3600)).cast("int").cast("string"), 2, "0"),
+        epoch.cast("string"),
     )
 
 
@@ -993,22 +1003,28 @@ def compact_raw_store(
     """Compact oversplit date partitions of the raw store in place.
 
     Only partitions whose file count exceeds ``max_files_per_partition``
-    are rewritten: their rows re-shuffle by event_date (one writer task per
-    day -> one file per day), lineage is truncated with an eager
-    localCheckpoint so the dynamic-partition overwrite can target the same
-    path being read, and untouched partitions' files are left byte-for-byte
-    alone. Contract (standard lakehouse compaction): run it between ingest
-    cycles — replaying a pre-compaction batch id after compaction would
-    re-append, exactly as in any checkpoint/compact design.
+    are rewritten: their rows re-shuffle by the layout's partition columns
+    (one writer task owns each leaf -> one file per leaf), lineage is
+    truncated with an eager localCheckpoint so the dynamic-partition
+    overwrite can target the same path being read, and untouched
+    partitions' files are left byte-for-byte alone. Contract (standard
+    lakehouse compaction): run it between ingest cycles — replaying a
+    pre-compaction batch id after compaction would re-append, exactly as in
+    any checkpoint/compact design.
+
+    The threshold is judged PER LEAF DIRECTORY, which for an
+    ``_increment_id``-keyed store is ``(_increment_id, event_date)``, not
+    the day: a keyed day with N increments legitimately holds >= N files
+    forever (the keyed rewrite preserves the increment dirs), so a per-day
+    count vs ``max_files_per_partition=1`` would flag those days on every
+    invocation and the compactor would re-rewrite the same already-compact
+    leaves each cycle — never converging (r14 advice). Per-leaf counting
+    converges: after one rewrite every leaf holds one file and the store
+    stops tripping the threshold
+    (tests/test_round15_ops.py::test_compact_keyed_store_converges).
 
     Returns the list of compacted event_date values.
     """
-    audit = small_files_audit(spark, path).collect()
-    touched = sorted(
-        str(r["event_date"]) for r in audit if r["n_files"] > max_files_per_partition
-    )
-    if not touched:
-        return []
     # layout-aware rewrite: an _increment_id-keyed store (the
     # refresh_hourly_incremental landing) must be rewritten under BOTH
     # partition columns — compacting it flat under event_date alone would
@@ -1024,6 +1040,21 @@ def compact_raw_store(
             "_increment_id-keyed), not batch-id-only stores"
         )
     part_cols = [c for c in ("_increment_id", "event_date") if c in df.columns]
+    leaf_audit = (
+        df.select(*part_cols, F.input_file_name().alias("_file"))
+        .groupBy(*part_cols)
+        .agg(F.count_distinct("_file").alias("n_files"))
+        .collect()
+    )
+    touched = sorted(
+        {
+            str(r["event_date"])
+            for r in leaf_audit
+            if r["n_files"] > max_files_per_partition
+        }
+    )
+    if not touched:
+        return []
     compacted = (
         df.where(F.col("event_date").cast("string").isin(touched))
         .repartition(*part_cols)

@@ -170,7 +170,9 @@ def energy_events_stream(
     return spark.sql(ENERGY_EVENTS_SQL.replace("FROM events", f"FROM {view}"))
 
 
-def hourly_metrics_native_stream(events: DataFrame, watermark: str = "24 hours") -> DataFrame:
+def hourly_metrics_native_stream(
+    events: DataFrame, watermark: str = "24 hours", with_emit_ordinal: bool = False
+) -> DataFrame:
     """Built-in watermarked window aggregation (the idiomatic default).
 
     Exact for counters/sums; distincts are HLL approximations — at 100 TB
@@ -179,10 +181,20 @@ def hourly_metrics_native_stream(events: DataFrame, watermark: str = "24 hours")
     bounds BOTH late-data acceptance and state size (windows older than
     the watermark evict — measured in
     tests/test_round9_ops.py::test_watermark_eviction_bounds_window_state).
+
+    ``with_emit_ordinal=True`` appends ``_rows_total`` — the window's
+    cumulative row count. Update mode re-emits a window only when NEW rows
+    fold into it, so the count strictly increases across a window's
+    emissions: it is the per-window emission ordinal the memory sink does
+    not otherwise provide, which ``collapse_native_updates`` needs to keep
+    the LAST (final) emission without assuming sums are monotone.
     """
     t = F.col("event_type")
     pay = F.col("payment_amount")
     energy = F.col("energy_consumed")
+    ordinal = (
+        [F.count(F.lit(1)).alias("_rows_total")] if with_emit_ordinal else []
+    )
     return (
         events.withWatermark("event_time", watermark)
         .groupBy(F.window("event_time", "1 hour"))
@@ -203,9 +215,38 @@ def hourly_metrics_native_stream(events: DataFrame, watermark: str = "24 hours")
             F.coalesce(F.sum(F.when(t == "bill_payment", pay)).cast("double"), F.lit(0.0)).alias(
                 "total_payments"
             ),
+            *ordinal,
         )
         .select(F.col("window.start").alias("hour"), "*")
         .drop("window")
+    )
+
+
+def collapse_native_updates(out: DataFrame) -> DataFrame:
+    """Collapse the native stream's update-mode memory sink to one FINAL row
+    per hour, ordered by the ``_rows_total`` emission ordinal.
+
+    Each update-mode re-emission of a window is CUMULATIVE, and a window
+    re-emits only when new rows folded into it, so its cumulative row count
+    strictly increases across emissions — ``max_by`` on it keeps the last
+    emission WHOLESALE. The round-14 collapse took per-column ``max()`` on
+    the stated ground that every column is non-decreasing; that holds for
+    counters and HLL register maxima but NOT for sums once a negative
+    value (meter corrections / exports — the ``PEAK_NONE_MILLI`` rationale)
+    arrives in a later micro-batch: the cumulative sum DECREASES and
+    ``max()`` keeps the stale earlier partial, under exactly the
+    multi-batch split the dedup exists to defend against (r14 verdict
+    item 2; regression pinned in tests/test_round15_ops.py::
+    test_native_collapse_keeps_last_emission_under_negative_values).
+    """
+    cols = [c for c in out.columns if c not in ("hour", "_rows_total")]
+    fin = F.max_by(
+        F.struct(*[F.col(c) for c in cols]), F.col("_rows_total")
+    ).alias("_fin")
+    return (
+        out.groupBy("hour")
+        .agg(fin)
+        .select("hour", *[F.col(f"_fin.{c}").alias(c) for c in cols])
     )
 
 
@@ -1159,16 +1200,14 @@ def _native_hourly_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     emits each hour once, but a multi-batch split (maxFilesPerTrigger, a
     multi-file dir) re-emits touched windows per batch with stale partial
     counts — the same defensive dedup the exact stateful twin applies.
-    Update-mode emissions of one window are CUMULATIVE, so every column is
-    non-decreasing across re-emissions (counters/sums monotonically grow;
-    the HLL register maxima behind the approx distincts only grow) and
-    max-per-hour selects the final emission without needing a batch-order
-    column the memory sink does not provide."""
+    The collapse keeps each hour's LAST emission via the ``_rows_total``
+    ordinal (``collapse_native_updates``); the earlier per-column ``max()``
+    silently assumed monotone sums, which negative values break."""
     ev = energy_events_stream(spark, sf_dir)
-    out = run_stream_to_table(spark, hourly_metrics_native_stream(ev))
-    return out.groupBy("hour").agg(
-        *[F.max(c).alias(c) for c in out.columns if c != "hour"]
+    out = run_stream_to_table(
+        spark, hourly_metrics_native_stream(ev, with_emit_ordinal=True)
     )
+    return collapse_native_updates(out)
 
 
 def q_streaming_hourly_native(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1181,7 +1220,8 @@ def q_streaming_hourly_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     # double) must equal the batch aggregation bit-for-bit, and its HLL
     # approx-distincts must sit inside an absolute-or-relative error band
     # vs the exact batch distincts: |approx - exact| <= greatest(5,
-    # 0.15*exact) — HLL++ at the default 5% rsd is relative for large
+    # 0.15*exact) (the audited band constants + measured-margin table live
+    # in plans/audit_constants.py) — HLL++ at the default 5% rsd is relative for large
     # cardinalities and ±few for sparse ones, and the measured worst cases
     # on the gate corpora (abs 13 at exact 112; abs 2 at small counts)
     # sit well inside both arms. DuckDB twins the exact columns and pins
@@ -1223,11 +1263,10 @@ def q_streaming_hourly_native_audit(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("active_customers").alias("_ac"),
         F.col("new_sessions").alias("_ns"),
     )
+    from ..plans.audit_constants import hll_band_ok
+
     def _band(approx: str, exact: str):
-        return (
-            F.abs(F.col(approx) - F.col(exact))
-            <= F.greatest(F.lit(5.0), F.lit(0.15) * F.col(exact))
-        )
+        return hll_band_ok(F.col(approx), F.col(exact))
 
     return nat.join(ex, "hour", "full_outer").select(
         "hour",
@@ -1451,6 +1490,31 @@ def running_user_totals_stream(raw_events: DataFrame) -> DataFrame:
     )
 
 
+def _running_totals_update_fn():
+    """Module-level factory for the GroupState running-totals update fn
+    (closure pickled by value), so tests can drive the PRODUCTION merge
+    directly with a fake GroupState — the round-14 null-value test
+    re-implemented the dropna arithmetic inline and would not have caught a
+    regression reverting the fix (r14 advice)."""
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # values are exact 2-decimal doubles -> cents are exact ints
+            # dropna BEFORE the int cast: see the transformWithState twin
+            v = (pdf["value"] * 100).round().dropna()
+            cents += int(v.astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+        )
+
+    return update
+
+
 def running_user_totals_stream_groupstate(raw_events: DataFrame) -> DataFrame:
     """Protobuf-free twin of ``running_user_totals_stream``: identical
     per-user running (count, cents) state kept through the older GroupState
@@ -1475,26 +1539,11 @@ def running_user_totals_stream_groupstate(raw_events: DataFrame) -> DataFrame:
         ]
     )
 
-    def update(key, pdfs, state):
-        import pandas as pd
-
-        n, cents = state.get if state.exists else (0, 0)
-        for pdf in pdfs:
-            n += len(pdf)
-            # values are exact 2-decimal doubles -> cents are exact ints
-            # dropna BEFORE the int cast: see the transformWithState twin
-            v = (pdf["value"] * 100).round().dropna()
-            cents += int(v.astype("int64").sum())
-        state.update((n, cents))
-        yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
-        )
-
     return (
         raw_events.select("user_id", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
-            update,
+            _running_totals_update_fn(),
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="update",

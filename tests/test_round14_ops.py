@@ -440,10 +440,15 @@ def test_compact_preserves_increment_keyed_layout(spark, tmp_path, sf_dir):
     ev = energy_events(spark, sf_dir).limit(200)
     raw = str(tmp_path / "raw")
     store = str(tmp_path / "metrics")
-    # two increments -> >1 file per touched day
-    refresh_hourly_incremental(spark, raw, store, ev.limit(100), increment_id="b0")
+    # repartition(4) -> up to 4 files per (increment, day) LEAF. (Round 15:
+    # the audit is per leaf, not per day — N increments on one day is the
+    # keyed layout's steady state, not an oversplit — so the increments
+    # must genuinely oversplit their own leaves for compaction to trigger.)
     refresh_hourly_incremental(
-        spark, raw, store, ev.subtract(ev.limit(100)), increment_id="b1"
+        spark, raw, store, ev.limit(100).repartition(4), increment_id="b0"
+    )
+    refresh_hourly_incremental(
+        spark, raw, store, ev.subtract(ev.limit(100)).repartition(4), increment_id="b1"
     )
     before = spark.read.parquet(raw).count()
     touched = compact_raw_store(spark, raw, max_files_per_partition=1)
@@ -632,27 +637,29 @@ def test_peak_hour_usage_not_floored_for_negative_energy(spark):
 def test_running_totals_skip_null_values(spark):
     """A null value row must not crash the cents accumulation (NaN ->
     astype(int64) raised) and must contribute count but not cents, the
-    batch oracle's semantics."""
+    batch oracle's semantics. Drives the PRODUCTION update fn (the r14
+    version of this test re-implemented the arithmetic inline and could
+    not catch a dropna regression — r14 advice)."""
     import pandas as pd
 
     from energy_data_stream_processing_spark.streaming.runner import (
-        running_user_totals_stream_groupstate,
+        _running_totals_update_fn,
     )
     from tests.test_round10_ops import _FakeGroupState
 
-    # drive the GroupState flavor's update fn directly
-    import inspect
-
-    src = None
-    # reconstruct through the wrapper: grab the inner update via a probe
-    captured = {}
-
-    class Probe:
-        def __init__(self):
-            pass
-
-    # simpler: replicate the documented law through the public stream on a
-    # tiny in-memory batch is heavy; instead exercise the arithmetic:
+    fn = _running_totals_update_fn()
+    state = _FakeGroupState(None)
     pdf = pd.DataFrame({"value": [1.25, None, 2.75]})
-    v = (pdf["value"] * 100).round().dropna()
-    assert int(v.astype("int64").sum()) == 400
+    out = list(fn((7,), iter([pdf]), state))
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    # count includes the null row; cents skip it (oracle sum() semantics)
+    assert (row["user_id"], row["n_events"], row["total_cents"]) == (7, 3, 400)
+    assert state.get == (3, 400)
+
+    # second batch merges into existing state, nulls still skipped
+    out2 = list(
+        fn((7,), iter([pd.DataFrame({"value": [None, 0.50]})]), state)
+    )
+    assert out2[0].iloc[0]["total_cents"] == 450
+    assert out2[0].iloc[0]["n_events"] == 5
