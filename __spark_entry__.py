@@ -26,9 +26,10 @@ def entry(spark: SparkSession) -> DataFrame:
     return q.builder(spark, "/root/testdata/sf0.001")
 
 
-# Round-14 gate ordering: this round's changed/new entries first (the 6
-# new entries: 5 sketch audit twins + split_leakage_audit), then the
-# stalest-evidence cohort (r10, then r11 by name),
+# Round-15 gate ordering: this round's changed entries first (the native-
+# collapse rework's audit, the running-totals update-fn extraction, and the
+# two ANN audits rewired to plans/audit_constants.py), then the
+# stalest-evidence cohort (r11 by name),
 # truncated to the driver's ~50-entry sampled prefix. GENERATED — do not
 # hand-edit; regenerate with
 #   python scripts/gen_gate_prefix.py --max-round <horizon> --changed <...>
@@ -38,68 +39,66 @@ def entry(spark: SparkSession) -> DataFrame:
 # drops can't redden the check). Oracle-less entries sort LAST in
 # _ordered_names so the sampled prefix stays 100% hash-checkable.
 
-_GATE_EVIDENCE_MAX_ROUND = 13
+_GATE_EVIDENCE_MAX_ROUND = 14
 
 _GATE_CHANGED: list[str] = [
-    "dedup_minhash_lsh_audit",
-    "dedup_simhash_audit",
+    "streaming_hourly_native_audit",
+    "streaming_running_totals",
     "ann_lsh_recall_audit",
     "ann_ivf_recall_audit",
-    "streaming_hourly_native_audit",
-    "split_leakage_audit",
 ]
 
 _GATE_PREFIX = [
-    "dedup_minhash_lsh_audit",
-    "dedup_simhash_audit",
+    "streaming_hourly_native_audit",
+    "streaming_running_totals",
     "ann_lsh_recall_audit",
     "ann_ivf_recall_audit",
-    "streaming_hourly_native_audit",
-    "split_leakage_audit",
-    "customer_order_distribution",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "doc_chunk_audit",
-    "doc_fingerprints",
-    "dominant_part_suppliers",
-    "embedding_gram_matrix",
-    "embedding_quantization_audit",
-    "embedding_similar_pairs",
-    "event_grouping_sets",
-    "forecast_revenue_change",
-    "greedy_sequence_packing",
-    "hard_negative_mining",
-    "hourly_event_pivot",
-    "important_parts_value_share",
-    "key_skew_profile",
-    "label_centroids",
-    "lang_id",
-    "lapsed_buyers_except",
-    "large_volume_customers",
-    "linestatus_priority_counts",
-    "local_supplier_volume",
-    "market_share",
-    "multimodal_phash_dedup",
-    "nation_product_profit",
-    "nation_revenue_share",
-    "ngram_decontamination",
-    "order_priority_check",
-    "parts_never_ordered",
-    "pii_redaction_audit",
-    "price_bucket_histogram",
-    "pricing_summary",
-    "promo_revenue",
-    "regional_cheapest_supplier",
-    "repetition_profile",
-    "retained_buyers_intersect",
-    "streaming_timeout_sessions",
-    "zipf_vocab_fit",
-    "zorder_layout_audit",
-    "ab_test_segments",
-    "ann_ivf_incremental",
-    "approx_distinct_profile",
-    "boilerplate_windows",
-    "bpe_merge_induction",
+    "business_kpis_growth",
+    "channel_performance",
+    "channel_tariff_contingency",
+    "churned_customers",
+    "customer_view",
+    "dedup_cluster_keep_best",
+    "dedup_components",
+    "dedup_impact_report",
+    "dedup_substring_windows",
+    "embedding_cosine_topk",
+    "epoch_shuffle_assignment",
+    "knn_label_consistency",
+    "retention_cohorts",
+    "retrieval_rbo_eval",
+    "returned_items",
+    "revenue_rollup",
+    "rolling_7d_active_users",
+    "semantic_dedup_keep",
+    "semantic_dedup_lsh",
+    "shipping_priority",
+    "small_quantity_revenue",
+    "sole_blame_suppliers",
+    "streaming_corpus_curation",
+    "streaming_dedup_replay",
+    "streaming_hourly_type_topk",
+    "streaming_scd2_maintenance",
+    "streaming_sliding_event_rate",
+    "streaming_view_purchase_attribution",
+    "streaming_weighted_reservoir",
+    "strict_service_orders",
+    "supplier_part_variety",
+    "text_quality",
+    "tfidf_top_terms",
+    "token_stats_by_lang",
+    "top_customer_revenue",
+    "top_customer_revenue_salted",
+    "top_supplier",
+    "top_value_days_per_user",
+    "trailing_window_burst",
+    "value_percentiles_by_type",
+    "volume_shipping",
+    "wealthy_inactive_customers",
+    "asof_active_tariff",
+    "asof_forward_next_switch",
+    "asof_tolerance_tariff",
+    "burstiness_index",
 ]
 
 

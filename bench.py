@@ -469,6 +469,58 @@ def main() -> None:
                 "scale_x": 1,
                 "see": "SCALE.md §4.4, sinks.foreach_batch_sharded_flush",
             }
+            # Sharding-WINS rung (round-14 verdict item 3): the rung above
+            # tracks the sharded arm's COST at a density where sharding is
+            # pure overhead (~1.5k distinct customers/hour — the regression
+            # tripwire for the staged flush); this one pins the arm's
+            # BENEFIT, the crossover the 50k dispatch threshold is built
+            # on. Same hot-hour fold and chunk replay, but customer
+            # cardinality lifted past the threshold with an xxhash64 remap
+            # of event_id onto 120k buckets (~68k occupied at sf0.1's 100k
+            # events — the adapter's 4-char id pad caps REAL ids at 10k,
+            # far under any genuinely hot hour). BOTH variants run the
+            # full durable pipeline on identical input: the bounded arm's
+            # single state row is a ~68k-id set re-serialized by ONE task
+            # per micro-batch, which is exactly what sharding divides.
+            # shards left to the engine's own sizing rule via
+            # peak_hour_distinct (8 per 100k ids, floor 8).
+            hot_arms = {}
+            for hot_variant in ("sharded", "bounded"):
+                hot_ev_dense = energy_events_stream(
+                    spark, hot_dir, source_dir=hot_src, max_files_per_trigger=1
+                ).withColumn(
+                    "customer_id",
+                    F.concat(
+                        F.lit("C"),
+                        F.pmod(F.xxhash64("event_id"), F.lit(120_000)).cast(
+                            "string"
+                        ),
+                    ),
+                )
+                hot_work = tempfile.mkdtemp(prefix=f"bench-hot-{hot_variant}-")
+                _TMP_DIRS.append(hot_work)
+                t0 = time.perf_counter()
+                run_hourly_pipeline_dispatched(
+                    spark,
+                    hot_ev_dense,
+                    metrics_path=f"{hot_work}/hours",
+                    checkpoint=f"{hot_work}/ckpt",
+                    variant=hot_variant,
+                    peak_hour_distinct=68_000,
+                    horizon="2 hours",
+                )
+                hot_arms[hot_variant] = round(time.perf_counter() - t0, 3)
+            result["replay_sharded_hot"] = {
+                "layout": "hot_hour_remapped_ids",
+                "id_buckets": 120_000,
+                "chunks": replay_chunks,
+                "sharded_sec": hot_arms["sharded"],
+                "bounded_sec": hot_arms["bounded"],
+                "bounded_over_sharded": round(
+                    hot_arms["bounded"] / hot_arms["sharded"], 3
+                ),
+                "see": "SCALE.md §4.4 crossover",
+            }
             shutil.rmtree(hot_src, ignore_errors=True)
 
         # 100x density rung (round-8 verdict item 3): the three
@@ -486,19 +538,23 @@ def main() -> None:
                 .write.mode("overwrite")
                 .parquet(f"{ladder100_dir}/events.parquet")
             )
-            # Medians of 3 INTERLEAVED reps (round-12 verdict item 5): two
-            # r12 single shots read 21.1 s vs 37.2 s for this same rung —
-            # a single-shot number that noisy in a tracked artifact invites
+            # Medians of 5 INTERLEAVED reps (round-12 verdict item 5,
+            # widened to 5 by round-14 verdict item 5: medians-of-3 still
+            # admitted [31.7, 18.5, 14.5]-style spreads — the first rep
+            # pays one-time scan/codegen warmup AND any VM stall, and with
+            # 3 reps one more stall drags the median). Two r12 single
+            # shots read 21.1 s vs 37.2 s for this same rung — a
+            # single-shot number that noisy in a tracked artifact invites
             # false regression hunts. Interleaving (A,B,C, A,B,C, ...)
-            # spreads any transient VM stall across all three plans instead
-            # of poisoning one, and the median drops it entirely.
+            # spreads any transient VM stall across all three plans
+            # instead of poisoning one; a 5-rep median survives two.
             l100_names = (
                 "customer_view",
                 "customer_view_twophase",
                 "customer_view_prefilter",
             )
             l100_reps: dict[str, list[float]] = {n: [] for n in l100_names}
-            for _rep in range(3):
+            for _rep in range(5):
                 for name in l100_names:
                     t0 = time.perf_counter()
                     kw = {"variant": "single"} if name == "customer_view" else {}
@@ -513,7 +569,7 @@ def main() -> None:
                 "value": round(sum(l100.values()), 3),
                 "queries": l100,
                 "reps": l100_reps,
-                "stat": "median_of_3_interleaved",
+                "stat": "median_of_5_interleaved",
             }
 
     # Composed LLM-corpus curation pipeline (non-headline): quality ->
@@ -620,6 +676,7 @@ def main() -> None:
             ("ladder100", "ladder100"),
             ("replay", "streaming_replay_sec"),
             ("replay_sharded", "streaming_replay_sharded_sec"),
+            ("replay_hot", "replay_sharded_hot"),
             ("curation", "curation_pipeline_sec"),
             ("curation_ladder", "curation_ladder_sec"),
         )
@@ -628,6 +685,15 @@ def main() -> None:
     for short in ("ladder", "ladder100"):
         if short in rungs_sec:
             rungs_sec[short] = rungs_sec[short]["value"]
+    hot_win = None
+    if "replay_hot" in rungs_sec:
+        # compact line carries the sharded arm's seconds (canary-comparable
+        # across rounds) plus ONE ratio — bounded/sharded on identical
+        # input, >1 means sharding WINS; the full two-arm dict is in the
+        # sidecar under replay_sharded_hot.
+        hot = rungs_sec["replay_hot"]
+        rungs_sec["replay_hot"] = hot["sharded_sec"]
+        hot_win = hot["bounded_over_sharded"]
     cw = canary["warm"]
     gate = result.get("canary_ratio_alerts", {})
     compact = {
@@ -650,6 +716,8 @@ def main() -> None:
         },
         "detail": "BENCH_DETAIL.json",
     }
+    if hot_win is not None:
+        compact["hot_win"] = hot_win
     line = json.dumps(compact, separators=(",", ":"))
     # Fit guard: shed the least essential layers until the line is safely
     # inside the driver's tail window (never expected to trigger at the
