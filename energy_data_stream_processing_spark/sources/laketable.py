@@ -572,17 +572,43 @@ def foreach_batch_lake_merge(
                         if "hour_key" in existing.columns:
                             # filter SPARK-side: only offenders (normally
                             # zero) reach the driver, not every key the
-                            # table has ever stored
+                            # table has ever stored. Two offender classes:
+                            # legacy label-only keys (4 dash-parts), and
+                            # new-format keys whose label half disagrees
+                            # with their epoch half (the round-14
+                            # session-tz DST residue) — each would stop
+                            # MERGE-matching the canonical key and double
+                            # its hour.
+                            from .sinks import (
+                                _canonical_hour_key_for_epoch,
+                                _refuse_mismatched_hour_keys,
+                            )
+
+                            parts = F.split(F.col("hour_key"), "-")
+                            # try_cast: a non-numeric tail must read as
+                            # "not this format" (null), not an ANSI cast
+                            # error killing the scan
+                            epoch = F.expr(
+                                "try_cast(element_at(split(hour_key, '-'),"
+                                " -1) AS long)"
+                            )
+                            keys = existing.select("hour_key").distinct()
                             legacy = (
-                                existing.select("hour_key")
-                                .where(
-                                    F.size(F.split(F.col("hour_key"), "-")) == 4
-                                )
-                                .distinct()
-                                .collect()
+                                keys.where(F.size(parts) == 4).collect()
                             )
                             _refuse_legacy_hour_keys(
                                 sorted(r[0] for r in legacy), path
+                            )
+                            mismatched = keys.where(
+                                (F.size(parts) == 5)
+                                & epoch.isNotNull()
+                                & (
+                                    F.col("hour_key")
+                                    != _canonical_hour_key_for_epoch(epoch)
+                                )
+                            ).collect()
+                            _refuse_mismatched_hour_keys(
+                                sorted(r[0] for r in mismatched), path
                             )
                         # only a scan that actually SAW table data may
                         # persist the memo. v == -1 can mean "fresh

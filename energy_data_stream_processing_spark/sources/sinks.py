@@ -151,14 +151,21 @@ def hour_partition_key():
     overlap instant itself in
     tests/test_round15_ops.py::test_hour_key_canonical_on_dst_overlap_instant.
     """
-    epoch = F.col("hour").cast("long")
-    sec_of_day = F.pmod(epoch, F.lit(86400))
-    day_num = ((epoch - sec_of_day) / F.lit(86400)).cast("int")
+    return _canonical_hour_key_for_epoch(F.col("hour").cast("long"))
+
+
+def _canonical_hour_key_for_epoch(epoch_col):
+    """The canonical ``<utc-label>-<epoch>`` key for an epoch-seconds
+    column — shared by ``hour_partition_key`` (writing) and the
+    mismatched-key guards (auditing: because the epoch is IN the key, a
+    wrongly-labeled key is detectable from the key alone)."""
+    sec_of_day = F.pmod(epoch_col, F.lit(86400))
+    day_num = ((epoch_col - sec_of_day) / F.lit(86400)).cast("int")
     return F.concat_ws(
         "-",
         F.date_from_unix_date(day_num).cast("string"),
         F.lpad((sec_of_day / F.lit(3600)).cast("int").cast("string"), 2, "0"),
-        epoch.cast("string"),
+        epoch_col.cast("string"),
     )
 
 
@@ -214,6 +221,55 @@ def _refuse_legacy_hour_keys(found: list, store: str) -> None:
         )
 
 
+def mismatched_hour_key_values(path: str) -> list[str]:
+    """New-format keys whose LABEL half disagrees with their epoch half.
+
+    The residue of the round-14 label expression: ``convert_timezone(None,
+    'UTC', hour)`` implicitly rendered the instant as a session-tz wall
+    first, so a store written under a non-UTC session at a DST fall-back
+    overlap keyed epoch 1730613600 as ``2024-11-03-05-1730613600`` (the
+    arithmetic UTC label is ``...-06-...``). Writing the canonical key
+    next to such a key lands ONE instant under TWO partition values —
+    the doubling the injective key exists to prevent — and unlike the
+    legacy (label-only) case it is silent: both keys match the new
+    format. Because the epoch is in the key, the bad label is detectable
+    from the directory name alone; ``migrate_hour_store_keys`` rewrites
+    these the same way it rewrites legacy keys. (Keys that match neither
+    format — e.g. a negative pre-1970 epoch's double dash — are ignored
+    here, as everywhere in these guards.)"""
+    import re
+    from datetime import datetime, timezone
+
+    _require_local_store(path)
+    if not os.path.isdir(path):
+        return []
+    pat = re.compile(r"^hour_key=(\d{4}-\d{2}-\d{2}-\d{2})-(\d+)$")
+    bad = []
+    for d in os.listdir(path):
+        m = pat.match(d)
+        if not m:
+            continue
+        label, epoch = m.group(1), int(m.group(2))
+        want = datetime.fromtimestamp(epoch, tz=timezone.utc).strftime(
+            "%Y-%m-%d-%H"
+        )
+        if label != want:
+            bad.append(d.split("=", 1)[1])
+    return sorted(bad)
+
+
+def _refuse_mismatched_hour_keys(found: list, store: str) -> None:
+    if found:
+        raise ValueError(
+            f"{store} holds {len(found)} hour partition(s) whose key label "
+            f"disagrees with its epoch (e.g. {found[0]!r} — written by the "
+            "round-14 session-tz-sensitive label at a DST overlap instant); "
+            "writing the canonical key next to them would silently double "
+            "those hours. Run sinks.migrate_hour_store_keys(spark, path) "
+            "once, then retry."
+        )
+
+
 def upsert_hourly_metrics_parquet(spark: SparkSession, metrics: DataFrame, path: str) -> None:
     """Idempotent per-hour upsert into a parquet table.
 
@@ -235,6 +291,7 @@ def upsert_hourly_metrics_parquet(spark: SparkSession, metrics: DataFrame, path:
             "writing"
         )
     _refuse_legacy_hour_keys(legacy_hour_key_values(path), path)
+    _refuse_mismatched_hour_keys(mismatched_hour_key_values(path), path)
     overwrite_partitions(
         metrics.withColumn("hour_key", hour_partition_key()), path, "hour_key"
     )
@@ -251,7 +308,10 @@ def migrate_hour_store_keys(spark: SparkSession, path: str) -> int:
     undefined), verifies the staged row count equals the source, then
     swaps directories — the store is hours-sized, so the full rewrite is
     trivial. Returns the number of rows rewritten. No-op (0) when the
-    store does not exist or already uses the new key everywhere.
+    store does not exist or already uses the CANONICAL new key everywhere
+    (label-epoch-MISMATCHED new-format keys — the round-14 DST residue,
+    see ``mismatched_hour_key_values`` — trigger the rewrite too; the
+    rewrite recomputes every key arithmetically from ``hour``).
 
     Refuses two states it cannot repair: (a) a leftover
     ``<path>_keymigration_old`` directory — the swap is two renames, so a
@@ -287,7 +347,9 @@ def migrate_hour_store_keys(spark: SparkSession, path: str) -> int:
             f"the swap renames, so the store IS {old}. Restore it with "
             f"os.rename({old!r}, {path!r}) and re-run the migration."
         )
-    if not legacy_hour_key_values(path):
+    if not legacy_hour_key_values(path) and not mismatched_hour_key_values(
+        path
+    ):
         return 0
     tmp = path.rstrip("/") + "_keymigration"
     shutil.rmtree(tmp, ignore_errors=True)

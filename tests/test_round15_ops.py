@@ -240,3 +240,89 @@ def test_compact_plain_store_behavior_unchanged(spark, tmp_path, sf_dir):
     assert compact_raw_store(spark, raw, max_files_per_partition=1)
     assert spark.read.parquet(raw).count() == before
     assert compact_raw_store(spark, raw, max_files_per_partition=1) == []
+
+
+# --------------------------------------------------------------------------
+# 4. label/epoch-mismatched hour keys (the r14 DST residue) are detected
+# --------------------------------------------------------------------------
+def test_mismatched_hour_key_refused_and_migrated(spark, tmp_path):
+    """A store written by the r14 convert_timezone label under a non-UTC
+    session at the DST overlap holds '2024-11-03-05-1730613600' for an
+    instant whose canonical key is '...-06-...'. Upserting the canonical
+    key next to it would silently double the hour (both keys match the
+    new format, so the legacy guard can't see it); the mismatch guard
+    must refuse, and migrate_hour_store_keys must rewrite the store to
+    the canonical key (it recomputes every key from `hour`)."""
+    import pytest
+
+    from energy_data_stream_processing_spark.operators.hourly import (
+        METRIC_COLUMNS,
+    )
+    from energy_data_stream_processing_spark.sources.sinks import (
+        migrate_hour_store_keys,
+        mismatched_hour_key_values,
+        read_hourly_metrics_parquet,
+        upsert_hourly_metrics_parquet,
+    )
+
+    store = str(tmp_path / "metrics")
+    df = spark.sql(
+        f"SELECT timestamp_seconds({DST_OVERLAP_EPOCH}) AS hour"
+    ).select("hour", *[F.lit(1.0).alias(c) for c in METRIC_COLUMNS])
+    # plant the r14-buggy key directly (the buggy expression is gone)
+    (
+        df.withColumn(
+            "hour_key", F.lit(f"2024-11-03-05-{DST_OVERLAP_EPOCH}")
+        )
+        .write.partitionBy("hour_key")
+        .parquet(store)
+    )
+    assert mismatched_hour_key_values(store) == [
+        f"2024-11-03-05-{DST_OVERLAP_EPOCH}"
+    ]
+    with pytest.raises(ValueError, match="disagrees with its epoch"):
+        upsert_hourly_metrics_parquet(spark, df, store)
+
+    assert migrate_hour_store_keys(spark, store) == 1
+    assert mismatched_hour_key_values(store) == []
+    dirs = [d for d in os.listdir(store) if d.startswith("hour_key=")]
+    assert dirs == [f"hour_key=2024-11-03-06-{DST_OVERLAP_EPOCH}"]
+
+    # the store is writable again, and the upsert replaces (not doubles)
+    upsert_hourly_metrics_parquet(spark, df, store)
+    assert read_hourly_metrics_parquet(spark, store).count() == 1
+
+
+def test_lake_merge_refuses_mismatched_hour_key(spark, tmp_path):
+    """The lake MERGE path has the same exposure: an existing row under a
+    mismatched key never MERGE-matches the canonical key, doubling the
+    hour. The one-time key scan must refuse it (spark-side filter, same
+    seam as the legacy scan)."""
+    import pytest
+
+    from energy_data_stream_processing_spark.operators.hourly import (
+        METRIC_COLUMNS,
+    )
+    from energy_data_stream_processing_spark.sources.laketable import (
+        LakeTable,
+        foreach_batch_lake_merge,
+    )
+
+    df = spark.sql(
+        f"SELECT timestamp_seconds({DST_OVERLAP_EPOCH}) AS hour"
+    ).select("hour", *[F.lit(1.0).alias(c) for c in METRIC_COLUMNS])
+    bad = str(tmp_path / "lake_mismatch")
+    t = LakeTable(bad)
+    t.merge_upsert(
+        spark,
+        df.withColumn(
+            "hour_key", F.lit(f"2024-11-03-05-{DST_OVERLAP_EPOCH}")
+        ),
+        "hour_key",
+    )
+    fn = foreach_batch_lake_merge(bad, key_col="hour_key")
+    with pytest.raises(ValueError, match="disagrees with its epoch"):
+        fn(df, 0)
+    assert not os.path.exists(
+        os.path.join(bad, "_log", "_hour_keys_v2_verified")
+    )
