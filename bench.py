@@ -99,6 +99,42 @@ def _committed_baseline_ratios(sf: float) -> tuple[dict[str, float], str]:
         return {}, ""
 
 
+# VM-drift canary (round-11 verdict item 4). A FROZEN synthetic plan —
+# deterministic spark.range data, NO table reads, and the plan inside
+# must NEVER change across rounds — timed cold (first run after the
+# warmups) and warm (median of reps). Because the plan is constant, any
+# cross-round movement in canary_sec is the MACHINE, not the engine:
+# per-query drift diagnosis divides by the canary instead of the prose
+# triangulation rounds 10-11 needed. The shape deliberately spans the
+# hot paths the catalog leans on: codegen expressions (sha2), Expand +
+# two-phase distinct agg, decimal sums, a shuffle, and a global sort.
+# Module-level and importable (round 15) so replicate tooling
+# (scripts/cosine_warm_replicate.py) times the SAME denominator instead
+# of a copy that could drift.
+def frozen_canary_run(spark) -> float:
+    t0 = time.perf_counter()
+    (
+        spark.range(0, 3_000_000)
+        .select(
+            (F.col("id") % 9973).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("h"),
+            (F.col("id") % 997).cast("decimal(12,2)").alias("amt"),
+        )
+        .groupBy("k")
+        .agg(
+            F.count_distinct("h").alias("nh"),
+            F.sum("amt").alias("s"),
+            F.max("h").alias("mx"),
+        )
+        .orderBy(F.desc("s"), "k")
+        .limit(100)
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -185,38 +221,8 @@ def main() -> None:
 
     spark.range(32).select(_noop("id")).write.format("noop").mode("overwrite").save()
 
-    # ------------------------------------------------------------------
-    # VM-drift canary (round-11 verdict item 4). A FROZEN synthetic plan —
-    # deterministic spark.range data, NO table reads, and this code block
-    # must NEVER change across rounds — timed cold (first run after the
-    # warmups) and warm (second run). Because the plan is constant, any
-    # cross-round movement in canary_sec is the MACHINE, not the engine:
-    # per-query drift diagnosis divides by the canary instead of the prose
-    # triangulation rounds 10-11 needed. The shape deliberately spans the
-    # hot paths the catalog leans on: codegen expressions (sha2), Expand +
-    # two-phase distinct agg, decimal sums, a shuffle, and a global sort.
     def _canary_run() -> float:
-        t0 = time.perf_counter()
-        (
-            spark.range(0, 3_000_000)
-            .select(
-                (F.col("id") % 9973).alias("k"),
-                F.sha2(F.col("id").cast("string"), 256).alias("h"),
-                (F.col("id") % 997).cast("decimal(12,2)").alias("amt"),
-            )
-            .groupBy("k")
-            .agg(
-                F.count_distinct("h").alias("nh"),
-                F.sum("amt").alias("s"),
-                F.max("h").alias("mx"),
-            )
-            .orderBy(F.desc("s"), "k")
-            .limit(100)
-            .write.format("noop")
-            .mode("overwrite")
-            .save()
-        )
-        return round(time.perf_counter() - t0, 3)
+        return frozen_canary_run(spark)
 
     # warm = median of 3 reps: the canary is the DENOMINATOR of every
     # ratio below, so its own single-run variance (~±20% observed between
@@ -754,8 +760,11 @@ def main() -> None:
     if alerts_full:
         top = sorted(
             alerts_full.items(),
+            # rel_vs_median is rounded to 2dp and a ~200x-faster query can
+            # round to 0.0 while still alerting — clamp before inverting
             key=lambda kv: max(
-                kv[1]["rel_vs_median"], 1.0 / kv[1]["rel_vs_median"]
+                max(kv[1]["rel_vs_median"], 1e-6),
+                1.0 / max(kv[1]["rel_vs_median"], 1e-6),
             ),
             reverse=True,
         )

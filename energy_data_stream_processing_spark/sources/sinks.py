@@ -250,9 +250,21 @@ def mismatched_hour_key_values(path: str) -> list[str]:
         if not m:
             continue
         label, epoch = m.group(1), int(m.group(2))
-        want = datetime.fromtimestamp(epoch, tz=timezone.utc).strftime(
-            "%Y-%m-%d-%H"
-        )
+        try:
+            want = datetime.fromtimestamp(epoch, tz=timezone.utc).strftime(
+                "%Y-%m-%d-%H"
+            )
+        except (OverflowError, OSError, ValueError):
+            # a regex-conforming key whose epoch is outside datetime range
+            # (e.g. a 14-digit epoch) was never written by any of our
+            # writers, and a 4-digit label cannot agree with it — classify
+            # as mismatched so the write REFUSES loudly instead of this
+            # guard crashing every subsequent upsert with an unrelated
+            # 'year out of range' traceback (readers would silently
+            # include such a partition's rows, so staying quiet about it
+            # is the worst option)
+            bad.append(d.split("=", 1)[1])
+            continue
         if label != want:
             bad.append(d.split("=", 1)[1])
     return sorted(bad)
@@ -1108,22 +1120,27 @@ def compact_raw_store(
         .agg(F.count_distinct("_file").alias("n_files"))
         .collect()
     )
-    touched = sorted(
-        {
-            str(r["event_date"])
-            for r in leaf_audit
-            if r["n_files"] > max_files_per_partition
-        }
-    )
-    if not touched:
+    offenders = [
+        tuple(str(r[c]) for c in part_cols)
+        for r in leaf_audit
+        if r["n_files"] > max_files_per_partition
+    ]
+    if not offenders:
         return []
+    # rewrite ONLY the offending leaves: a keyed day's already-compact
+    # sibling leaf (another increment, one file) must keep its files
+    # byte-for-byte — a day-level filter would churn it through the
+    # dynamic overwrite on every sibling's compaction
+    leaf_key = F.concat_ws(
+        "\x00", *[F.col(c).cast("string") for c in part_cols]
+    )
     compacted = (
-        df.where(F.col("event_date").cast("string").isin(touched))
+        df.where(leaf_key.isin(["\x00".join(o) for o in offenders]))
         .repartition(*part_cols)
         .localCheckpoint(eager=True)
     )
     overwrite_partitions(compacted, path, *part_cols)
-    return touched
+    return sorted({o[-1] for o in offenders})
 
 
 def backfill_hourly_range(

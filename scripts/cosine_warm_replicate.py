@@ -22,8 +22,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import functions as F
-
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
@@ -42,28 +40,11 @@ def main() -> None:
         return round(time.perf_counter() - t0, 3)
 
     def run_canary() -> float:
-        # bench.py's frozen canary plan, verbatim — the shared denominator
-        t0 = time.perf_counter()
-        (
-            spark.range(0, 3_000_000)
-            .select(
-                (F.col("id") % 9973).alias("k"),
-                F.sha2(F.col("id").cast("string"), 256).alias("h"),
-                (F.col("id") % 997).cast("decimal(12,2)").alias("amt"),
-            )
-            .groupBy("k")
-            .agg(
-                F.count_distinct("h").alias("nh"),
-                F.sum("amt").alias("s"),
-                F.max("h").alias("mx"),
-            )
-            .orderBy(F.desc("s"), "k")
-            .limit(100)
-            .write.format("noop")
-            .mode("overwrite")
-            .save()
-        )
-        return round(time.perf_counter() - t0, 3)
+        # bench.py's frozen canary, IMPORTED — one denominator, no copy
+        # that could silently drift from the tracked ratios
+        from bench import frozen_canary_run
+
+        return frozen_canary_run(spark)
 
     # one discarded warm-up each (scan/codegen/Arrow pool)
     run_canary()

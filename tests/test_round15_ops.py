@@ -326,3 +326,75 @@ def test_lake_merge_refuses_mismatched_hour_key(spark, tmp_path):
     assert not os.path.exists(
         os.path.join(bad, "_log", "_hour_keys_v2_verified")
     )
+
+
+def test_mismatch_guard_survives_unrepresentable_epoch(spark, tmp_path):
+    """A regex-conforming key whose epoch is outside datetime range (junk
+    or foreign directory) must be REFUSED as mismatched, not crash every
+    subsequent upsert with a 'year out of range' traceback (self-review):
+    readers would silently include such a partition's rows, so the guard
+    has to speak up, and the upsert path calls it on every write."""
+    import pytest
+
+    from energy_data_stream_processing_spark.operators.hourly import (
+        METRIC_COLUMNS,
+    )
+    from energy_data_stream_processing_spark.sources.sinks import (
+        mismatched_hour_key_values,
+        upsert_hourly_metrics_parquet,
+    )
+
+    store = str(tmp_path / "metrics")
+    df = spark.sql(
+        f"SELECT timestamp_seconds({DST_OVERLAP_EPOCH}) AS hour"
+    ).select("hour", *[F.lit(1.0).alias(c) for c in METRIC_COLUMNS])
+    junk = "2024-11-03-06-99999999999999"
+    df.withColumn("hour_key", F.lit(junk)).write.partitionBy(
+        "hour_key"
+    ).parquet(store)
+    assert mismatched_hour_key_values(store) == [junk]  # no crash
+    with pytest.raises(ValueError, match="disagrees with its epoch"):
+        upsert_hourly_metrics_parquet(spark, df, store)
+
+
+def test_compact_rewrites_only_offending_leaves(spark, tmp_path, sf_dir):
+    """A keyed day's already-compact sibling leaf must keep its files
+    byte-for-byte when ANOTHER increment's leaf on the same day compacts
+    (self-review: the day-level rewrite filter churned siblings through
+    the dynamic overwrite on every compaction)."""
+    import glob
+
+    from energy_data_stream_processing_spark.sources.adapter import (
+        energy_events,
+    )
+    from energy_data_stream_processing_spark.sources.sinks import (
+        compact_raw_store,
+        refresh_hourly_incremental,
+    )
+
+    ev = energy_events(spark, sf_dir).limit(120)
+    raw = str(tmp_path / "raw")
+    store = str(tmp_path / "metrics")
+    # b0: compact (1 file per leaf); b1: oversplit (up to 4 files per leaf)
+    refresh_hourly_incremental(
+        spark, raw, store, ev.limit(60).coalesce(1), increment_id="b0"
+    )
+    refresh_hourly_incremental(
+        spark,
+        raw,
+        store,
+        ev.subtract(ev.limit(60)).repartition(4),
+        increment_id="b1",
+    )
+    before_b0 = {
+        p: os.stat(p).st_mtime_ns
+        for p in glob.glob(f"{raw}/_increment_id=b0/**/*.parquet", recursive=True)
+    }
+    assert before_b0
+    touched = compact_raw_store(spark, raw, max_files_per_partition=1)
+    assert touched  # b1's oversplit leaves compacted
+    after_b0 = {
+        p: os.stat(p).st_mtime_ns
+        for p in glob.glob(f"{raw}/_increment_id=b0/**/*.parquet", recursive=True)
+    }
+    assert after_b0 == before_b0  # sibling leaves untouched byte-for-byte
