@@ -1055,11 +1055,15 @@ def refresh_hourly_incremental(
 
 
 def small_files_audit(spark: SparkSession, path: str) -> DataFrame:
-    """Per-partition file/row statistics for the date-partitioned raw store —
+    """Per-DAY file/row statistics for the date-partitioned raw store —
     the small-files signal every parquet lakehouse compacts on (each
     micro-batch append lands at least one file per touched day; thousands of
     tiny files turn scan planning and footer reads into the bottleneck long
-    before data volume does)."""
+    before data volume does). Observability surface: note that
+    ``compact_raw_store`` decides with its own PER-LEAF audit (round 15) —
+    an ``_increment_id``-keyed day legitimately holds one file per
+    increment, so this per-day count alone cannot distinguish "oversplit"
+    from "N compact increments"."""
     # input_file_name() is nondeterministic to the analyzer — project it to
     # a plain column before aggregating over it
     df = spark.read.parquet(path).select(

@@ -398,3 +398,52 @@ def test_compact_rewrites_only_offending_leaves(spark, tmp_path, sf_dir):
         for p in glob.glob(f"{raw}/_increment_id=b0/**/*.parquet", recursive=True)
     }
     assert after_b0 == before_b0  # sibling leaves untouched byte-for-byte
+
+
+def test_migration_fixes_legacy_and_mismatched_keys_in_one_pass(
+    spark, tmp_path
+):
+    """A store holding BOTH key pathologies on different hours — a legacy
+    label-only key and an r14 label/epoch-mismatched key — migrates in one
+    pass to canonical keys (the rewrite recomputes every key from `hour`,
+    so the trigger set is the only thing that distinguishes them)."""
+    from datetime import datetime
+
+    from energy_data_stream_processing_spark.operators.hourly import (
+        METRIC_COLUMNS,
+    )
+    from energy_data_stream_processing_spark.sources.sinks import (
+        legacy_hour_key_values,
+        migrate_hour_store_keys,
+        mismatched_hour_key_values,
+        read_hourly_metrics_parquet,
+    )
+
+    store = str(tmp_path / "metrics")
+    legacy_row = spark.createDataFrame(
+        [(datetime(2024, 5, 1, 7, 0), *[1.0] * len(METRIC_COLUMNS))],
+        schema=["hour", *METRIC_COLUMNS],
+    ).withColumn("hour_key", F.date_format("hour", "yyyy-MM-dd-HH"))
+    mismatched_row = (
+        spark.sql(f"SELECT timestamp_seconds({DST_OVERLAP_EPOCH}) AS hour")
+        .select("hour", *[F.lit(2.0).alias(c) for c in METRIC_COLUMNS])
+        .withColumn(
+            "hour_key", F.lit(f"2024-11-03-05-{DST_OVERLAP_EPOCH}")
+        )
+    )
+    legacy_row.write.partitionBy("hour_key").parquet(store)
+    mismatched_row.write.mode("append").partitionBy("hour_key").parquet(
+        store
+    )
+    assert legacy_hour_key_values(store)
+    assert mismatched_hour_key_values(store)
+
+    assert migrate_hour_store_keys(spark, store) == 2
+    assert legacy_hour_key_values(store) == []
+    assert mismatched_hour_key_values(store) == []
+    assert read_hourly_metrics_parquet(spark, store).count() == 2
+    dirs = sorted(
+        d for d in os.listdir(store) if d.startswith("hour_key=")
+    )
+    assert f"hour_key=2024-11-03-06-{DST_OVERLAP_EPOCH}" in dirs
+    assert len(dirs) == 2
