@@ -567,48 +567,100 @@ def foreach_batch_lake_merge(
                 marker = os.path.join(table.log_dir, "_hour_keys_v2_verified")
                 if not os.path.exists(marker):
                     v = table.latest_version()
-                    if v >= 0:
+                    # a committed snapshot can hold ZERO files (batch 0
+                    # carried no rows): table.read() would raise "table is
+                    # empty" here and every restart would crash-loop on
+                    # the guard before any data could merge. Skip the scan
+                    # — there are no keys to verify — and do NOT mark
+                    # (zero files proves nothing about versions a stale
+                    # coordinator view can't see).
+                    has_files = v >= 0 and any(
+                        ps for ps in table.snapshot(v)["files"].values()
+                    )
+                    if has_files:
                         existing = table.read(batch_df.sparkSession)
                         if "hour_key" in existing.columns:
                             # filter SPARK-side: only offenders (normally
                             # zero) reach the driver, not every key the
-                            # table has ever stored. Two offender classes:
-                            # legacy label-only keys (4 dash-parts), and
-                            # new-format keys whose label half disagrees
-                            # with their epoch half (the round-14
-                            # session-tz DST residue) — each would stop
+                            # table has ever stored — ONE job classifying
+                            # both offender classes: legacy label-only
+                            # keys (4 dash-parts), and full-format keys
+                            # whose label half disagrees with their epoch
+                            # half (the round-14 session-tz DST residue)
+                            # or whose numeric epoch cannot represent an
+                            # instant at all — each would stop
                             # MERGE-matching the canonical key and double
-                            # its hour.
+                            # its hour (mirrors
+                            # sinks.mismatched_hour_key_values, including
+                            # its refuse-on-unrepresentable-epoch branch).
                             from .sinks import (
                                 _canonical_hour_key_for_epoch,
                                 _refuse_mismatched_hour_keys,
                             )
 
                             parts = F.split(F.col("hour_key"), "-")
-                            # try_cast: a non-numeric tail must read as
-                            # "not this format" (null), not an ANSI cast
+                            fmt = F.col("hour_key").rlike(
+                                r"^\d{4}-\d{2}-\d{2}-\d{2}-\d+$"
+                            )
+                            # try_cast: a 20+-digit tail must read as
+                            # null (unrepresentable), not an ANSI cast
                             # error killing the scan
                             epoch = F.expr(
                                 "try_cast(element_at(split(hour_key, '-'),"
                                 " -1) AS long)"
                             )
-                            keys = existing.select("hour_key").distinct()
-                            legacy = (
-                                keys.where(F.size(parts) == 4).collect()
+                            # guard the canonical recompute behind a
+                            # datetime-range check: its day arithmetic
+                            # casts to int, which under ANSI (the Spark 4
+                            # default) would CAST_OVERFLOW on a 16-19
+                            # digit epoch that DOES fit a long. CASE WHEN
+                            # evaluates lazily per row, so out-of-range
+                            # epochs never reach the cast — they are
+                            # refused via ~bounded instead (an absurd
+                            # epoch was never written by any of our
+                            # writers, and readers would silently include
+                            # its partition's rows).
+                            bounded = epoch.isNotNull() & epoch.between(
+                                -62_135_596_800, 253_402_300_799
+                            )
+                            canonical = F.when(
+                                bounded, _canonical_hour_key_for_epoch(epoch)
+                            )
+                            is_legacy = F.size(parts) == 4
+                            is_mismatched = fmt & (
+                                ~F.coalesce(bounded, F.lit(False))
+                                | (F.col("hour_key") != canonical)
+                            )
+                            flagged = (
+                                existing.select("hour_key")
+                                .distinct()
+                                .select(
+                                    "hour_key",
+                                    is_legacy.alias("_legacy"),
+                                    F.coalesce(
+                                        is_mismatched, F.lit(False)
+                                    ).alias("_mismatched"),
+                                )
+                                .where(
+                                    F.col("_legacy") | F.col("_mismatched")
+                                )
+                                .collect()
                             )
                             _refuse_legacy_hour_keys(
-                                sorted(r[0] for r in legacy), path
+                                sorted(
+                                    r["hour_key"]
+                                    for r in flagged
+                                    if r["_legacy"]
+                                ),
+                                path,
                             )
-                            mismatched = keys.where(
-                                (F.size(parts) == 5)
-                                & epoch.isNotNull()
-                                & (
-                                    F.col("hour_key")
-                                    != _canonical_hour_key_for_epoch(epoch)
-                                )
-                            ).collect()
                             _refuse_mismatched_hour_keys(
-                                sorted(r[0] for r in mismatched), path
+                                sorted(
+                                    r["hour_key"]
+                                    for r in flagged
+                                    if r["_mismatched"]
+                                ),
+                                path,
                             )
                         # only a scan that actually SAW table data may
                         # persist the memo. v == -1 can mean "fresh

@@ -275,10 +275,12 @@ def _refuse_mismatched_hour_keys(found: list, store: str) -> None:
         raise ValueError(
             f"{store} holds {len(found)} hour partition(s) whose key label "
             f"disagrees with its epoch (e.g. {found[0]!r} — written by the "
-            "round-14 session-tz-sensitive label at a DST overlap instant); "
-            "writing the canonical key next to them would silently double "
-            "those hours. Run sinks.migrate_hour_store_keys(spark, path) "
-            "once, then retry."
+            "round-14 session-tz-sensitive label at a DST overlap instant, "
+            "or a corrupt epoch no writer produces); writing the canonical "
+            "key next to them would silently double those hours. Run "
+            "sinks.migrate_hour_store_keys(spark, path) once (parquet "
+            "stores) or rewrite the lake table's hour_key column from its "
+            "hour column, then retry."
         )
 
 

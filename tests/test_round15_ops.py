@@ -447,3 +447,78 @@ def test_migration_fixes_legacy_and_mismatched_keys_in_one_pass(
     )
     assert f"hour_key=2024-11-03-06-{DST_OVERLAP_EPOCH}" in dirs
     assert len(dirs) == 2
+
+
+# --------------------------------------------------------------------------
+# 5. lake-side key-scan robustness (deep review of laketable.py)
+# --------------------------------------------------------------------------
+def test_lake_merge_survives_empty_first_batch(spark, tmp_path):
+    """Batch 0 with zero rows commits a zero-file snapshot; a RESTART's key
+    scan used to table.read() that snapshot, raise 'lake table is empty',
+    and crash-loop every later batch before data could ever merge. The
+    scan must skip (nothing to verify) without writing the verified
+    marker, and the first real batch must merge."""
+    from energy_data_stream_processing_spark.operators.hourly import (
+        METRIC_COLUMNS,
+    )
+    from energy_data_stream_processing_spark.sources.laketable import (
+        LakeTable,
+        foreach_batch_lake_merge,
+    )
+
+    df = spark.sql(
+        f"SELECT timestamp_seconds({DST_OVERLAP_EPOCH}) AS hour"
+    ).select("hour", *[F.lit(1.0).alias(c) for c in METRIC_COLUMNS])
+    path = str(tmp_path / "lake_empty0")
+    fn = foreach_batch_lake_merge(path, key_col="hour_key")
+    fn(df.where(F.lit(False)), 0)  # empty batch 0 commits zero files
+
+    # restart (fresh closure, marker absent): must NOT crash on the scan
+    fn2 = foreach_batch_lake_merge(path, key_col="hour_key")
+    fn2(df, 1)
+    assert LakeTable(path).read(spark).count() == 1
+    # the zero-file scan must not have earned the marker; the data-bearing
+    # one may on the NEXT restart
+    fn3 = foreach_batch_lake_merge(path, key_col="hour_key")
+    fn3(df, 2)
+    marker = os.path.join(path, "_log", "_hour_keys_v2_verified")
+    assert os.path.exists(marker)
+
+
+def test_lake_scan_refuses_unrepresentable_epochs_without_crashing(
+    spark, tmp_path
+):
+    """Two corrupt-epoch classes, both format-conforming: a 16-19 digit
+    epoch FITS a long but overflowed the canonical recompute's int cast
+    under ANSI (CAST_OVERFLOW killed the scan); a 20+ digit epoch nulls
+    the try_cast and used to slip through silently — and then the marker
+    suppressed every future re-scan while readers double-counted the
+    partition. Both must now surface as the loud mismatch refusal."""
+    import pytest
+
+    from energy_data_stream_processing_spark.operators.hourly import (
+        METRIC_COLUMNS,
+    )
+    from energy_data_stream_processing_spark.sources.laketable import (
+        LakeTable,
+        foreach_batch_lake_merge,
+    )
+
+    df = spark.sql(
+        f"SELECT timestamp_seconds({DST_OVERLAP_EPOCH}) AS hour"
+    ).select("hour", *[F.lit(1.0).alias(c) for c in METRIC_COLUMNS])
+    for tag, junk in (
+        ("long_overflow_int", "2024-01-01-00-999999999999999999"),
+        ("beyond_long", "2024-01-01-00-99999999999999999999"),
+    ):
+        path = str(tmp_path / f"lake_{tag}")
+        t = LakeTable(path)
+        t.merge_upsert(
+            spark, df.withColumn("hour_key", F.lit(junk)), "hour_key"
+        )
+        fn = foreach_batch_lake_merge(path, key_col="hour_key")
+        with pytest.raises(ValueError, match="disagrees with its epoch"):
+            fn(df, 0)
+        assert not os.path.exists(
+            os.path.join(path, "_log", "_hour_keys_v2_verified")
+        ), tag
