@@ -26,10 +26,9 @@ def entry(spark: SparkSession) -> DataFrame:
     return q.builder(spark, "/root/testdata/sf0.001")
 
 
-# Round-15 gate ordering: this round's changed entries first (the native-
-# collapse rework's audit, the running-totals update-fn extraction, and the
-# two ANN audits rewired to plans/audit_constants.py), then the
-# stalest-evidence cohort (r11 by name),
+# Round-16 gate ordering: this round's changed entry first (the new
+# lake-table hour-key-migration audit), then the
+# stalest-evidence cohort (r12 by name),
 # truncated to the driver's ~50-entry sampled prefix. GENERATED — do not
 # hand-edit; regenerate with
 #   python scripts/gen_gate_prefix.py --max-round <horizon> --changed <...>
@@ -39,66 +38,63 @@ def entry(spark: SparkSession) -> DataFrame:
 # drops can't redden the check). Oracle-less entries sort LAST in
 # _ordered_names so the sampled prefix stays 100% hash-checkable.
 
-_GATE_EVIDENCE_MAX_ROUND = 14
+_GATE_EVIDENCE_MAX_ROUND = 15
 
 _GATE_CHANGED: list[str] = [
-    "streaming_hourly_native_audit",
-    "streaming_running_totals",
-    "ann_lsh_recall_audit",
-    "ann_ivf_recall_audit",
+    "lake_hour_key_migration_audit",
 ]
 
 _GATE_PREFIX = [
-    "streaming_hourly_native_audit",
-    "streaming_running_totals",
-    "ann_lsh_recall_audit",
-    "ann_ivf_recall_audit",
-    "business_kpis_growth",
-    "channel_performance",
-    "channel_tariff_contingency",
-    "churned_customers",
-    "customer_view",
-    "dedup_cluster_keep_best",
-    "dedup_components",
-    "dedup_impact_report",
-    "dedup_substring_windows",
-    "embedding_cosine_topk",
-    "epoch_shuffle_assignment",
-    "knn_label_consistency",
-    "retention_cohorts",
-    "retrieval_rbo_eval",
-    "returned_items",
-    "revenue_rollup",
-    "rolling_7d_active_users",
-    "semantic_dedup_keep",
-    "semantic_dedup_lsh",
-    "shipping_priority",
-    "small_quantity_revenue",
-    "sole_blame_suppliers",
-    "streaming_corpus_curation",
-    "streaming_dedup_replay",
-    "streaming_hourly_type_topk",
-    "streaming_scd2_maintenance",
-    "streaming_sliding_event_rate",
-    "streaming_view_purchase_attribution",
-    "streaming_weighted_reservoir",
-    "strict_service_orders",
-    "supplier_part_variety",
-    "text_quality",
-    "tfidf_top_terms",
-    "token_stats_by_lang",
-    "top_customer_revenue",
-    "top_customer_revenue_salted",
-    "top_supplier",
-    "top_value_days_per_user",
-    "trailing_window_burst",
-    "value_percentiles_by_type",
-    "volume_shipping",
-    "wealthy_inactive_customers",
-    "asof_active_tariff",
-    "asof_forward_next_switch",
-    "asof_tolerance_tariff",
-    "burstiness_index",
+    "lake_hour_key_migration_audit",
+    "cohort_ltv_curves",
+    "customer_activity_funnel",
+    "daily_energy_summary",
+    "dedup_incremental_minhash",
+    "demand_elasticity",
+    "distinct_tariff_types",
+    "energy_rollup_cascade",
+    "engagement_funnel",
+    "event_transitions",
+    "event_type_hour_cube",
+    "fk_integrity_audit",
+    "green_adoption",
+    "heavy_hitters_tokens",
+    "hourly_anomaly_zscore",
+    "hourly_business_metrics",
+    "hourly_gap_fill",
+    "ingest_validation_summary",
+    "label_cap_sample",
+    "length_band_filter",
+    "multimodal_decode_stub",
+    "multimodal_frame_sample",
+    "multimodal_meta",
+    "ordered_event_funnel",
+    "peak_concurrency",
+    "peak_load_management",
+    "pricing_insights",
+    "props_numeric_profile",
+    "revenue_overview",
+    "robust_outliers_mad",
+    "rolling_24h_metrics",
+    "scd2_incremental_apply",
+    "scd2_tariff_history",
+    "sequence_packing_audit",
+    "session_pattern_match",
+    "session_summary",
+    "stratified_sample_summary",
+    "streaming_hourly_bounded",
+    "streaming_hourly_metrics",
+    "streaming_incremental_dedup",
+    "time_weighted_value",
+    "total_energy_trend",
+    "train_val_test_split",
+    "user_activity_islands",
+    "user_sessions",
+    "user_value_tiers",
+    "vocab_topk",
+    "ann_recall_eval",
+    "approx_percentile_audit",
+    "bm25_search",
 ]
 
 

@@ -561,11 +561,27 @@ def main() -> None:
             hot_med = {
                 k: sorted(v)[len(v) // 2] for k, v in hot_reps.items()
             }
+            # what the batch-aware auto rule (round-16) would pick at each
+            # measured pole — recorded so a rule/threshold drift that
+            # stops matching the measured crossover is visible in the
+            # sidecar next to the numbers it must predict
+            from energy_data_stream_processing_spark.streaming.runner import (
+                decide_hourly_variant,
+            )
+
             result["replay_sharded_hot"] = {
                 "layout": "hot_hour_remapped_ids",
                 "id_buckets": 120_000,
                 "scale_x": 10,
                 "chunks": replay_chunks,
+                "auto_rule_base_sf": decide_hourly_variant(
+                    peak_hour_distinct=68_000,
+                    expected_rows_per_trigger=12_500,
+                )["variant"],
+                "auto_rule_hot10": decide_hourly_variant(
+                    peak_hour_distinct=120_000,
+                    expected_rows_per_trigger=125_000,
+                )["variant"],
                 "sharded_sec": hot_med["sharded"],
                 "bounded_sec": hot_med["bounded"],
                 "reps": hot_reps,
@@ -723,6 +739,22 @@ def main() -> None:
     with open(detail_path, "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
 
+    print(compact_line(result))
+    spark.stop()
+
+
+def compact_line(result: dict) -> str:
+    """Render the one-line stdout contract from the full result dict.
+
+    Module-level (round-15 verdict item 6) so the ≤1,800-char budget and
+    the shed order are UNIT-TESTABLE against synthetic worst-case inputs
+    (tests/test_bench_compact_line.py) instead of relying on hand-checks
+    of noisy live runs — the r15 overflow that shed ``wq_per_canary`` was
+    caught by eye, and nothing failed CI when a new field pushed a
+    5-alert run over budget."""
+    timings = result["queries"]
+    canary = result["canary_sec"]
+    sf = result["sf"]
     rungs_sec = {
         short: result[key]
         for short, key in (
@@ -815,8 +847,7 @@ def main() -> None:
         compact.pop(victim, None)
         compact["dropped"] = compact.get("dropped", []) + [victim]
         line = json.dumps(compact, separators=(",", ":"))
-    print(line)
-    spark.stop()
+    return line
 
 
 if __name__ == "__main__":

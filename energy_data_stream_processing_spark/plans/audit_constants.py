@@ -8,7 +8,12 @@ the evidence that justifies it.
 
 Measured-margin table (gate corpora /root/testdata/sf{0.001,0.01,0.1},
 deterministic seeds; re-measure when a retriever/sketch implementation
-changes and update BOTH columns if the margin thins):
+changes and update BOTH columns if the margin thins — one command since
+round 16: ``python scripts/audit_margins.py`` recomputes every row from
+the same audit frames and exits non-zero if any floor stops clearing;
+r16 re-run across all three corpora: LSH 0.64-0.72, IVF 0.86-0.93, HLL
+worst abs 13 at exact 144 (rel 0.090, band 21.6) — all inside the
+recorded bands):
 
 | constant             | gate law                         | measured on gate corpora        |
 |----------------------|----------------------------------|---------------------------------|

@@ -132,7 +132,17 @@ def hour_partition_key():
     key would otherwise land the same hour under two partition values and
     readers would silently see DOUBLE rows. ``upsert_hourly_metrics_parquet``
     and ``foreach_batch_lake_merge`` refuse to write into a store holding
-    legacy keys; ``migrate_hour_store_keys`` is the one-time rewrite.
+    legacy keys; ``migrate_hour_store_keys`` (parquet) and
+    ``laketable.migrate_lake_hour_keys`` (lake) are the one-time rewrites.
+
+    NEGATIVE epochs are refused at write time (round-16 advice): a
+    pre-1970 hour in this post-2024 event domain indicates corrupt input
+    (a zeroed timestamp, a seconds/millis confusion gone negative), and
+    the key it would render (``1969-12-31-23--3600``) used to be
+    invisible to the legacy/mismatched guards — writable but
+    unverifiable. The refusal is a lazily-evaluated CASE WHEN branch
+    (``raise_error`` fires only on offending rows), so the hot path cost
+    is one comparison.
 
     The LABEL half is derived ARITHMETICALLY from the epoch (round 15), not
     via any wall-clock rendering: the round-14 attempt used
@@ -151,7 +161,22 @@ def hour_partition_key():
     overlap instant itself in
     tests/test_round15_ops.py::test_hour_key_canonical_on_dst_overlap_instant.
     """
-    return _canonical_hour_key_for_epoch(F.col("hour").cast("long"))
+    epoch = F.col("hour").cast("long")
+    return F.when(
+        epoch < 0,
+        F.raise_error(
+            F.concat(
+                F.lit("hour_partition_key: negative epoch ("),
+                epoch.cast("string"),
+                F.lit(
+                    " s, pre-1970) — the event domain is post-2024, so a "
+                    "negative hour is corrupt input (zeroed or "
+                    "sign-flipped timestamp); fix the upstream rows "
+                    "instead of keying them"
+                ),
+            )
+        ).cast("string"),
+    ).otherwise(_canonical_hour_key_for_epoch(epoch))
 
 
 def _canonical_hour_key_for_epoch(epoch_col):
@@ -217,7 +242,8 @@ def _refuse_legacy_hour_keys(found: list, store: str) -> None:
             f"{found[0]!r}); writing the epoch-suffixed key next to them "
             "would duplicate those hours for every reader. Run "
             "sinks.migrate_hour_store_keys(spark, path) once (parquet "
-            "stores) or rewrite the lake table's key column, then retry."
+            "stores) or laketable.migrate_lake_hour_keys(spark, path) "
+            "(lake tables), then retry."
         )
 
 
@@ -234,22 +260,32 @@ def mismatched_hour_key_values(path: str) -> list[str]:
     legacy (label-only) case it is silent: both keys match the new
     format. Because the epoch is in the key, the bad label is detectable
     from the directory name alone; ``migrate_hour_store_keys`` rewrites
-    these the same way it rewrites legacy keys. (Keys that match neither
-    format — e.g. a negative pre-1970 epoch's double dash — are ignored
-    here, as everywhere in these guards.)"""
+    these the same way it rewrites legacy keys.
+
+    The comparison is WHOLE-KEY, not label-only (round-16 advice): the
+    canonical key is rebuilt from the parsed epoch and compared against
+    the raw directory value, so a format-conforming key whose tail is a
+    non-canonical rendering of the right epoch (a zero-padded
+    ``...-0001730613600``) is flagged too — such a key never matches the
+    canonical key's partition value, so an upsert would silently leave a
+    duplicate partition for its hour, the exact hazard this guard refuses.
+    The tail accepts an optional sign so a foreign store's pre-1970 key
+    (``1969-12-31-23--3600`` — our writers now refuse negatives at write
+    time, see ``hour_partition_key``) is VERIFIED like any other key
+    instead of being invisible to every guard."""
     import re
     from datetime import datetime, timezone
 
     _require_local_store(path)
     if not os.path.isdir(path):
         return []
-    pat = re.compile(r"^hour_key=(\d{4}-\d{2}-\d{2}-\d{2})-(\d+)$")
+    pat = re.compile(r"^hour_key=\d{4}-\d{2}-\d{2}-\d{2}-(-?\d+)$")
     bad = []
     for d in os.listdir(path):
         m = pat.match(d)
         if not m:
             continue
-        label, epoch = m.group(1), int(m.group(2))
+        raw, epoch = d.split("=", 1)[1], int(m.group(1))
         try:
             want = datetime.fromtimestamp(epoch, tz=timezone.utc).strftime(
                 "%Y-%m-%d-%H"
@@ -263,10 +299,10 @@ def mismatched_hour_key_values(path: str) -> list[str]:
             # 'year out of range' traceback (readers would silently
             # include such a partition's rows, so staying quiet about it
             # is the worst option)
-            bad.append(d.split("=", 1)[1])
+            bad.append(raw)
             continue
-        if label != want:
-            bad.append(d.split("=", 1)[1])
+        if raw != f"{want}-{epoch}":
+            bad.append(raw)
     return sorted(bad)
 
 
@@ -279,8 +315,8 @@ def _refuse_mismatched_hour_keys(found: list, store: str) -> None:
             "or a corrupt epoch no writer produces); writing the canonical "
             "key next to them would silently double those hours. Run "
             "sinks.migrate_hour_store_keys(spark, path) once (parquet "
-            "stores) or rewrite the lake table's hour_key column from its "
-            "hour column, then retry."
+            "stores) or laketable.migrate_lake_hour_keys(spark, path) "
+            "(lake tables), then retry."
         )
 
 

@@ -770,6 +770,23 @@ def run_stream_to_table(
 #: break up.
 HOT_HOUR_SHARD_THRESHOLD = 50_000
 
+#: Batch-aware crossover for the TURNKEY pipeline (round-15 verdict item
+#: 4): the bounded arm's cost driver is one python worker absorbing the
+#: hot key's whole micro-batch serially plus its cardinality-sized state
+#: row, so the win sharding buys scales with rows-per-trigger ×
+#: cardinality — a PRODUCT, not cardinality alone. Measured poles at
+#: sf0.1 (SCALE.md §4.4, medians of 3 interleaved reps per arm): the
+#: arms TIE (bounded/sharded 0.98) at ~68k ids × 12.5k rows/trigger
+#: (product 8.5e8 — the sharded arm's staged flush eats the state win at
+#: small batches) and sharding WINS 1.47× at 120k ids × 125k
+#: rows/trigger (product 1.5e10). 4e9 is the geometric midpoint of the
+#: two measured products, rounded. The rule applies only when the caller
+#: can state expected rows-per-trigger; with it unknown the dispatch
+#: falls back to the cardinality-only rule (the pre-r16 behavior — at
+#: ≥50k ids sharding is never the measured-loss arm, only sometimes a
+#: tie, so cardinality-only stays the safe default).
+HOT_HOUR_SHARD_MIN_PRODUCT = 4_000_000_000
+
 #: Shard sizing rule (SCALE.md §4.4 rule of thumb, quantized): 8 shards
 #: per 100k hot-hour distinct ids — floor 8 so every HOURS state
 #: partition owns work, cap 64 (= 8 partitions x 8) past which the §4.3
@@ -817,6 +834,7 @@ def run_hourly_stream_dispatched(
     probe_df: DataFrame | None = None,
     shards: int | None = None,
     two_stage_sessions: bool | None = None,
+    expected_rows_per_trigger: int | None = None,
 ) -> DataFrame:
     """Density-dispatched exact bounded hourly stream (round-12 verdict
     item 2): run the BOUNDED twin at normal per-hour key density, the
@@ -831,6 +849,11 @@ def run_hourly_stream_dispatched(
       via ``estimate_peak_hour_distinct_customers``; ≥
       ``HOT_HOUR_SHARD_THRESHOLD`` takes sharded with
       ``shard_count_for(peak)`` shards (override with ``shards``).
+      When ``expected_rows_per_trigger`` is also given, the rule is
+      batch-aware: sharding additionally requires the cardinality ×
+      rows-per-trigger product to clear ``HOT_HOUR_SHARD_MIN_PRODUCT``
+      (below it the measured arms tie and bounded is cheaper to operate
+      — see the constant's docstring and SCALE.md §4.4).
     - ``variant="bounded"`` / ``"sharded"`` are the explicit opt-outs.
     - sharded state partitions scale with the live-key multiplication
       (hours x shards; §4.3's sizing rule), bounded keeps
@@ -850,6 +873,7 @@ def run_hourly_stream_dispatched(
         probe_df=probe_df,
         shards=shards,
         two_stage_sessions=two_stage_sessions,
+        expected_rows_per_trigger=expected_rows_per_trigger,
     )
     if decision["variant"] == "sharded":
         out = run_stream_to_table(
@@ -881,11 +905,22 @@ def decide_hourly_variant(
     probe_df: DataFrame | None = None,
     shards: int | None = None,
     two_stage_sessions: bool | None = None,
+    expected_rows_per_trigger: int | None = None,
 ) -> dict:
     """The dispatch DECISION, factored out so the memory-sink runner and
     the durable pipeline share one rule (see run_hourly_stream_dispatched
     for the semantics). Returns {variant, peak_hour_distinct, shards,
-    state_partitions, two_stage_sessions}."""
+    state_partitions, two_stage_sessions, expected_rows_per_trigger}.
+
+    ``expected_rows_per_trigger`` makes the auto rule BATCH-AWARE
+    (round-15 verdict item 4): at hot cardinality, sharding is taken only
+    when ``peak_hour_distinct × expected_rows_per_trigger`` clears
+    ``HOT_HOUR_SHARD_MIN_PRODUCT`` — below it the staged flush eats the
+    state win and the measured arms tie, so bounded (no staging store, no
+    re-merge) is the cheaper-to-operate choice. Pass the feed's typical
+    rows per micro-batch (file sources: rows per file ×
+    maxFilesPerTrigger; rate/kafka: rows-per-second × trigger interval);
+    omit it to keep the cardinality-only rule."""
     if variant == "auto":
         if peak_hour_distinct is None:
             if probe_df is None:
@@ -895,14 +930,20 @@ def decide_hourly_variant(
                     "probed eagerly"
                 )
             peak_hour_distinct = estimate_peak_hour_distinct_customers(probe_df)
-        variant = (
-            "sharded"
-            if peak_hour_distinct >= HOT_HOUR_SHARD_THRESHOLD
-            else "bounded"
-        )
+        hot = peak_hour_distinct >= HOT_HOUR_SHARD_THRESHOLD
+        if hot and expected_rows_per_trigger is not None:
+            hot = (
+                peak_hour_distinct * expected_rows_per_trigger
+                >= HOT_HOUR_SHARD_MIN_PRODUCT
+            )
+        variant = "sharded" if hot else "bounded"
     if variant not in ("bounded", "sharded"):
         raise ValueError(f"unknown variant: {variant}")
-    decision: dict = {"variant": variant, "peak_hour_distinct": peak_hour_distinct}
+    decision: dict = {
+        "variant": variant,
+        "peak_hour_distinct": peak_hour_distinct,
+        "expected_rows_per_trigger": expected_rows_per_trigger,
+    }
     if variant == "sharded":
         n_shards = shards if shards is not None else shard_count_for(
             peak_hour_distinct or 0
@@ -991,6 +1032,7 @@ def run_hourly_pipeline_dispatched(
     probe_df: DataFrame | None = None,
     shards: int | None = None,
     two_stage_sessions: bool | None = None,
+    expected_rows_per_trigger: int | None = None,
     prune_staging: bool = True,
 ) -> dict:
     """The full turnkey pipeline: density dispatch -> exact bounded/sharded
@@ -1103,6 +1145,7 @@ def run_hourly_pipeline_dispatched(
             probe_df=probe_df,
             shards=shards,
             two_stage_sessions=two_stage_sessions,
+            expected_rows_per_trigger=expected_rows_per_trigger,
         )
         os.makedirs(checkpoint, exist_ok=True)
         _write_dispatch_pin(pin_path, decision)
@@ -2448,3 +2491,110 @@ def q_streaming_wau_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wau_growth_pct"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Lake hour-key migration audit (round 16)
+# --------------------------------------------------------------------------
+LAKE_MIGRATION_AUDIT_ORACLE = (
+    f"WITH energy_events AS ({ENERGY_EVENTS_SQL}),\n"
+    "h AS (SELECT DISTINCT date_trunc('hour', event_time) AS hour\n"
+    "      FROM energy_events ORDER BY hour LIMIT 24),\n"
+    "c AS (SELECT hour, CAST(epoch(hour) AS BIGINT) AS e FROM h)\n"
+    "SELECT hour,\n"
+    "  CASE (e // 3600) % 3 WHEN 0 THEN 'legacy'\n"
+    "                       WHEN 1 THEN 'mismatched'\n"
+    "                       ELSE 'clean' END AS offender_class,\n"
+    "  strftime(hour, '%Y-%m-%d-%H') || '-' || CAST(e AS VARCHAR)\n"
+    "    AS migrated_key,\n"
+    "  CAST(e % 1000 AS DOUBLE) AS val,\n"
+    "  (SELECT CAST(count(*) AS BIGINT) FROM c WHERE (e // 3600) % 3 < 2)\n"
+    "    AS n_rewritten\n"
+    "FROM c"
+)
+
+
+@register(
+    "lake_hour_key_migration_audit",
+    oracle=LAKE_MIGRATION_AUDIT_ORACLE,
+    doc="End-to-end audit of laketable.migrate_lake_hour_keys (round-15 "
+    "verdict item 2): a 24-hour panel from the real events table lands in "
+    "a transactional LakeTable with each hour's key deliberately written "
+    "in one of the three formats the guards classify — legacy label-only, "
+    "label/epoch-MISMATCHED (label shifted +1h, the shape of the r14 DST "
+    "residue), or canonical — chosen by epoch-hour mod 3 so the oracle "
+    "derives the same classes arithmetically. One migration call must "
+    "rewrite exactly the offenders (n_rewritten pinned per row), after "
+    "which EVERY key read back equals the canonical label+epoch key the "
+    "oracle recomputes in SQL (whole-string equality — the same contract "
+    "the write guards enforce) with row values preserved. Everything is "
+    "tz-proof epoch arithmetic on both sides; no wall-clock rendering.",
+)
+def q_lake_hour_key_migration_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+
+    from ..sources.adapter import energy_events
+    from ..sources.laketable import LakeTable, migrate_lake_hour_keys
+    from ..sources.sinks import _canonical_hour_key_for_epoch
+
+    hours = (
+        energy_events(spark, sf_dir)
+        .select(F.date_trunc("hour", "event_time").alias("hour"))
+        .distinct()
+        .orderBy("hour")
+        .limit(24)
+    )
+    epoch = F.col("hour").cast("long")
+    cls = F.pmod((epoch / F.lit(3600)).cast("long"), F.lit(3))
+    canon = _canonical_hour_key_for_epoch(epoch)
+    lbl = F.regexp_extract(canon, r"^(\d{4}-\d{2}-\d{2}-\d{2})", 1)
+    lbl_shift = F.regexp_extract(
+        _canonical_hour_key_for_epoch(epoch + F.lit(3600)),
+        r"^(\d{4}-\d{2}-\d{2}-\d{2})",
+        1,
+    )
+    seeded_key = (
+        F.when(cls == 0, lbl)
+        .when(cls == 1, F.concat_ws("-", lbl_shift, epoch.cast("string")))
+        .otherwise(canon)
+    )
+    offender_class = (
+        F.when(cls == 0, F.lit("legacy"))
+        .when(cls == 1, F.lit("mismatched"))
+        .otherwise(F.lit("clean"))
+    )
+    root = tempfile.mkdtemp(prefix="lake-keymigration-audit-")
+    try:
+        table = LakeTable(f"{root}/lake")
+        table.merge_upsert(
+            spark,
+            hours.select(
+                "hour",
+                seeded_key.alias("hour_key"),
+                (epoch % 1000).cast("double").alias("val"),
+            ),
+            "hour_key",
+        )
+        n = migrate_lake_hour_keys(spark, f"{root}/lake")
+        after = table.read(spark)
+        # stage before the tmp store vanishes (catalog.stage_result keeps
+        # the materialization distributed)
+        from ..plans.catalog import stage_result
+
+        return stage_result(
+            spark,
+            after.select(
+                "hour",
+                offender_class.alias("offender_class"),
+                # read-back key: equality with the oracle's recomputed
+                # canonical key IS the audited law
+                F.col("hour_key").alias("migrated_key"),
+                "val",
+                F.lit(int(n)).cast("long").alias("n_rewritten"),
+            ),
+            "lake_hour_key_migration_audit",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

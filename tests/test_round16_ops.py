@@ -1,0 +1,354 @@
+"""Round-16 regressions: the r15 verdict/advice items.
+
+1. ``mismatched_hour_key_values`` compares the WHOLE canonical key, not
+   just the label — a zero-padded epoch tail passed the parquet guard but
+   never matched the canonical partition value (silent duplicate hour).
+2. Negative epochs are refused at WRITE time by ``hour_partition_key``
+   (pre-1970 hours are corrupt input in this post-2024 domain), and
+   foreign stores' signed-tail keys are now VERIFIABLE by both the
+   parquet and lake guards instead of invisible.
+3. ``laketable.migrate_lake_hour_keys`` — the lake twin of
+   ``migrate_hour_store_keys``: one committed version rewriting every
+   legacy/mismatched key canonically from ``hour``.
+4. The hot-hour dispatch is batch-aware: sharding is taken when the
+   measured rows-per-trigger x cardinality product clears the crossover,
+   not on cardinality alone (SCALE.md §4.4 — the arms TIE at 68k ids
+   with 12.5k-row batches and sharding wins 1.47x only at 125k-row
+   batches).
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+#: 2024-11-03 06:00:00 UTC (the DST fall-back overlap instant reused from
+#: the round-15 suite — any post-2024 hour would do here).
+EPOCH = 1730613600
+
+
+def _metrics_df(spark, epoch=EPOCH, fill=1.0):
+    from energy_data_stream_processing_spark.operators.hourly import (
+        METRIC_COLUMNS,
+    )
+
+    return spark.sql(f"SELECT timestamp_seconds({epoch}) AS hour").select(
+        "hour", *[F.lit(fill).alias(c) for c in METRIC_COLUMNS]
+    )
+
+
+# --------------------------------------------------------------------------
+# 1. whole-key mismatch guard (zero-padded epoch tail)
+# --------------------------------------------------------------------------
+def test_mismatched_guard_flags_zero_padded_epoch_tail(spark, tmp_path):
+    """'2024-11-03-06-0001730613600' has the RIGHT label and the RIGHT
+    epoch, but the tail is not the canonical rendering — the key never
+    matches the canonical partition value, so an upsert would leave a
+    silent duplicate partition for the hour. The guard must flag it
+    (r15 advice: the label-only compare passed it), the upsert must
+    refuse, and the migration must repair it."""
+    from energy_data_stream_processing_spark.sources.sinks import (
+        migrate_hour_store_keys,
+        mismatched_hour_key_values,
+        upsert_hourly_metrics_parquet,
+    )
+
+    store = str(tmp_path / "metrics")
+    df = _metrics_df(spark)
+    padded = f"2024-11-03-06-000{EPOCH}"
+    df.withColumn("hour_key", F.lit(padded)).write.partitionBy(
+        "hour_key"
+    ).parquet(store)
+    assert mismatched_hour_key_values(store) == [padded]
+    with pytest.raises(ValueError, match="disagrees with its epoch"):
+        upsert_hourly_metrics_parquet(spark, df, store)
+
+    assert migrate_hour_store_keys(spark, store) == 1
+    assert mismatched_hour_key_values(store) == []
+    assert os.path.isdir(
+        os.path.join(store, f"hour_key=2024-11-03-06-{EPOCH}")
+    )
+
+
+# --------------------------------------------------------------------------
+# 2. negative epochs: refused at write, verifiable when foreign
+# --------------------------------------------------------------------------
+def test_negative_epoch_refused_at_write(spark, tmp_path):
+    """A pre-1970 hour used to key as '1969-12-31-23--3600' — a format no
+    guard could see (writable but unverifiable, r15 advice). The write
+    path must now refuse it loudly; sane hours in the same frame are
+    unaffected (the raise is a lazy CASE WHEN branch)."""
+    from energy_data_stream_processing_spark.sources.sinks import (
+        hour_partition_key,
+        upsert_hourly_metrics_parquet,
+    )
+
+    bad = _metrics_df(spark, epoch=-3600)
+    with pytest.raises(Exception, match="negative epoch"):
+        bad.select(hour_partition_key().alias("k")).collect()
+    with pytest.raises(Exception, match="negative epoch"):
+        upsert_hourly_metrics_parquet(
+            spark, bad, str(tmp_path / "neg_store")
+        )
+    # sane rows still key fine through the same expression
+    ok = _metrics_df(spark).select(hour_partition_key().alias("k")).first()
+    assert ok["k"] == f"2024-11-03-06-{EPOCH}"
+
+
+def test_signed_tail_foreign_keys_are_verifiable(spark, tmp_path):
+    """A FOREIGN store holding negative-epoch keys (our writers now refuse
+    them) must be checkable: a self-consistent '1969-12-31-23--3600' is
+    clean (injective, readers unaffected), while a label-mismatched
+    '1970-01-01-05--3600' is flagged — previously both were invisible to
+    every guard."""
+    from energy_data_stream_processing_spark.sources.sinks import (
+        mismatched_hour_key_values,
+    )
+
+    store = str(tmp_path / "foreign")
+    df = _metrics_df(spark)
+    for key in ("1969-12-31-23--3600", "1970-01-01-05--3600"):
+        df.withColumn("hour_key", F.lit(key)).write.mode(
+            "append"
+        ).partitionBy("hour_key").parquet(store)
+    assert mismatched_hour_key_values(store) == ["1970-01-01-05--3600"]
+
+
+# --------------------------------------------------------------------------
+# 3. lake-table hour-key migration (r15 verdict item 2)
+# --------------------------------------------------------------------------
+def test_lake_migration_fixes_legacy_and_mismatched_keys_in_one_pass(
+    spark, tmp_path
+):
+    """The lake twin of the parquet one-pass migration: a table holding a
+    legacy label-only key, an r14 label/epoch-mismatched key AND a clean
+    canonical key migrates in one committed version — offenders rewritten
+    canonically from `hour`, the clean row's files untouched, the merge
+    guard green afterwards, and the pre-migration version still readable
+    with the old keys (the commit is a new version, not a rewrite)."""
+    from energy_data_stream_processing_spark.sources.laketable import (
+        LakeTable,
+        foreach_batch_lake_merge,
+        migrate_lake_hour_keys,
+    )
+    from energy_data_stream_processing_spark.sources.sinks import (
+        hour_partition_key,
+    )
+
+    path = str(tmp_path / "lake")
+    t = LakeTable(path)
+    legacy = _metrics_df(
+        spark, epoch=1714546800, fill=1.0  # 2024-05-01 07:00 UTC
+    ).withColumn("hour_key", F.lit("2024-05-01-07"))
+    mismatched = _metrics_df(spark, fill=2.0).withColumn(
+        "hour_key", F.lit(f"2024-11-03-05-{EPOCH}")
+    )
+    clean = _metrics_df(
+        spark, epoch=1714550400, fill=3.0  # 2024-05-01 08:00 UTC
+    ).withColumn("hour_key", hour_partition_key())
+    for df in (legacy, mismatched, clean):
+        t.merge_upsert(spark, df, "hour_key")
+    v_before = t.latest_version()
+
+    assert migrate_lake_hour_keys(spark, path) == 2
+
+    assert t.latest_version() == v_before + 1
+    keys = set(t.snapshot()["files"])
+    assert keys == {
+        "2024-05-01-07-1714546800",
+        f"2024-11-03-06-{EPOCH}",
+        "2024-05-01-08-1714550400",
+    }, keys
+    after = t.read(spark)
+    assert after.count() == 3
+    # time travel: the pre-migration version still shows the old keys
+    old_keys = {
+        r["hour_key"]
+        for r in t.read(spark, version=v_before)
+        .select("hour_key")
+        .collect()
+    }
+    assert "2024-05-01-07" in old_keys
+
+    # the restart scan marker was earned; a fresh merge closure proceeds
+    assert os.path.exists(
+        os.path.join(path, "_log", "_hour_keys_v2_verified")
+    )
+    fn = foreach_batch_lake_merge(path, key_col="hour_key")
+    fn(_metrics_df(spark, fill=9.0).drop("hour_key"), 0)
+    assert (
+        t.read(spark)
+        .where(F.col("hour_key") == f"2024-11-03-06-{EPOCH}")
+        .first()["total_energy_consumed"]
+        == 9.0
+    )
+
+
+def test_lake_migration_refuses_duplicated_hours(spark, tmp_path):
+    """An hour already stored under BOTH key formats is unrepairable by a
+    blind rewrite (both rows would land under one key, blessing the exact
+    duplication the guards refuse) — same contract as the parquet
+    migration."""
+    from energy_data_stream_processing_spark.sources.laketable import (
+        LakeTable,
+        migrate_lake_hour_keys,
+    )
+    from energy_data_stream_processing_spark.sources.sinks import (
+        hour_partition_key,
+    )
+
+    path = str(tmp_path / "lake_dup")
+    t = LakeTable(path)
+    t.merge_upsert(
+        spark,
+        _metrics_df(spark).withColumn("hour_key", F.lit("2024-11-03-06")),
+        "hour_key",
+    )
+    t.merge_upsert(
+        spark,
+        _metrics_df(spark, fill=2.0).withColumn(
+            "hour_key", hour_partition_key()
+        ),
+        "hour_key",
+    )
+    with pytest.raises(RuntimeError, match="duplicated hours"):
+        migrate_lake_hour_keys(spark, path)
+    # nothing committed: both keys still present
+    assert len(t.snapshot()["files"]) == 2
+
+
+def test_lake_migration_noop_on_clean_table_earns_marker(spark, tmp_path):
+    """A table already canonical everywhere returns 0 AND memoizes the
+    clean scan (the migration's classifier IS the guard's scan), so the
+    next stream restart skips re-reading the table."""
+    from energy_data_stream_processing_spark.sources.laketable import (
+        LakeTable,
+        migrate_lake_hour_keys,
+    )
+    from energy_data_stream_processing_spark.sources.sinks import (
+        hour_partition_key,
+    )
+
+    path = str(tmp_path / "lake_clean")
+    t = LakeTable(path)
+    v0 = t.merge_upsert(
+        spark,
+        _metrics_df(spark).withColumn("hour_key", hour_partition_key()),
+        "hour_key",
+    )
+    assert migrate_lake_hour_keys(spark, path) == 0
+    assert t.latest_version() == v0  # no empty commit
+    assert os.path.exists(
+        os.path.join(path, "_log", "_hour_keys_v2_verified")
+    )
+
+
+def test_refusal_messages_point_at_lake_migration(spark, tmp_path):
+    """The guards' recovery instructions must name the new op (r15 verdict
+    item 2 'done' criterion) — an operator hitting the refusal on a lake
+    store should be told the one-command repair, not 'rewrite by hand'."""
+    from energy_data_stream_processing_spark.sources.laketable import (
+        LakeTable,
+        foreach_batch_lake_merge,
+    )
+
+    path = str(tmp_path / "lake_legacy")
+    t = LakeTable(path)
+    t.merge_upsert(
+        spark,
+        _metrics_df(spark).withColumn("hour_key", F.lit("2024-11-03-06")),
+        "hour_key",
+    )
+    fn = foreach_batch_lake_merge(path, key_col="hour_key")
+    with pytest.raises(ValueError, match="migrate_lake_hour_keys"):
+        fn(_metrics_df(spark).drop("hour_key"), 0)
+
+
+# --------------------------------------------------------------------------
+# 4. batch-aware hot-hour dispatch (r15 verdict item 4)
+# --------------------------------------------------------------------------
+def test_dispatch_batch_aware_product_rule():
+    """The rule must reproduce the bench's measured poles (SCALE.md §4.4):
+    at ~68k ids x 12.5k rows/trigger the arms TIE (0.98) — bounded is the
+    cheaper-to-operate pick; at 120k ids x 125k rows/trigger sharding
+    wins 1.47x — sharded. With rows-per-trigger unknown, the pre-r16
+    cardinality-only rule stands (conservative, never the measured-loss
+    arm at >=50k ids), and the 50k cardinality floor still gates
+    everything (the only sub-50k measurement shows sharding LOSING
+    1.1-1.35x regardless of batch size)."""
+    from energy_data_stream_processing_spark.streaming.runner import (
+        HOT_HOUR_SHARD_MIN_PRODUCT,
+        HOT_HOUR_SHARD_THRESHOLD,
+        decide_hourly_variant,
+    )
+
+    # the two measured bench poles (replay_sharded_hot)
+    tie = decide_hourly_variant(
+        peak_hour_distinct=68_000, expected_rows_per_trigger=12_500
+    )
+    assert tie["variant"] == "bounded"
+    assert tie["expected_rows_per_trigger"] == 12_500
+    win = decide_hourly_variant(
+        peak_hour_distinct=120_000, expected_rows_per_trigger=125_000
+    )
+    assert win["variant"] == "sharded"
+    # rows-per-trigger unknown: cardinality-only fallback unchanged
+    assert (
+        decide_hourly_variant(peak_hour_distinct=68_000)["variant"]
+        == "sharded"
+    )
+    # cardinality floor holds even at huge batches (measured loss <50k)
+    assert (
+        decide_hourly_variant(
+            peak_hour_distinct=1_500, expected_rows_per_trigger=10_000_000
+        )["variant"]
+        == "bounded"
+    )
+    # the threshold really sits between the measured products
+    assert 68_000 * 12_500 < HOT_HOUR_SHARD_MIN_PRODUCT < 120_000 * 125_000
+    assert 68_000 >= HOT_HOUR_SHARD_THRESHOLD
+
+
+def test_dispatch_pin_roundtrips_batch_awareness(spark, tmp_path, sf_dir):
+    """The pipeline pins the batch-aware decision: invocation 1 decides
+    bounded AT hot cardinality because the product is under the
+    crossover; invocation 2 (same checkpoint, no probe args) loads the
+    identical decision instead of re-deciding or raising."""
+    from energy_data_stream_processing_spark.sources.adapter import (
+        energy_events,
+    )
+    from energy_data_stream_processing_spark.streaming import runner
+    from energy_data_stream_processing_spark.streaming.runner import (
+        ascending_time_chunks,
+        energy_events_stream,
+    )
+
+    src = ascending_time_chunks(spark, sf_dir, 2)
+    store, ckpt = str(tmp_path / "metrics"), str(tmp_path / "ckpt")
+    ev1 = energy_events_stream(
+        spark, sf_dir, source_dir=src, max_files_per_trigger=1
+    )
+    d1 = runner.run_hourly_pipeline_dispatched(
+        spark,
+        ev1,
+        metrics_path=store,
+        checkpoint=ckpt,
+        peak_hour_distinct=68_000,
+        expected_rows_per_trigger=12_500,
+    )
+    assert d1["variant"] == "bounded"
+    assert d1["expected_rows_per_trigger"] == 12_500
+
+    ev2 = energy_events_stream(
+        spark, sf_dir, source_dir=src, max_files_per_trigger=1
+    )
+    d2 = runner.run_hourly_pipeline_dispatched(
+        spark, ev2, metrics_path=store, checkpoint=ckpt
+    )
+    assert d2 == d1
+    import shutil
+
+    shutil.rmtree(src, ignore_errors=True)
