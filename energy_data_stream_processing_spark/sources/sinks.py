@@ -287,8 +287,14 @@ def mismatched_hour_key_values(path: str) -> list[str]:
             continue
         raw, epoch = d.split("=", 1)[1], int(m.group(1))
         try:
-            want = datetime.fromtimestamp(epoch, tz=timezone.utc).strftime(
-                "%Y-%m-%d-%H"
+            # explicit field padding, not strftime: glibc's %Y renders
+            # year 1 as "1", not the canonical "0001", so strftime would
+            # false-flag a canonical pre-year-1000 foreign key that the
+            # lake-side classifier (Spark's date cast, always padded)
+            # accepts — the twins must agree on the whole domain
+            ts = datetime.fromtimestamp(epoch, tz=timezone.utc)
+            want = (
+                f"{ts.year:04d}-{ts.month:02d}-{ts.day:02d}-{ts.hour:02d}"
             )
         except (OverflowError, OSError, ValueError):
             # a regex-conforming key whose epoch is outside datetime range
