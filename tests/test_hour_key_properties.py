@@ -198,3 +198,69 @@ def test_lake_migration_is_idempotent_and_guard_clean(spark, tmp_path):
 
     n2 = migrate_lake_hour_keys(spark, path)
     assert n2 == 0
+
+
+def test_parquet_guard_flags_exactly_the_perturbed_keys(tmp_path):
+    """The parquet-store twin of the lake classifier property: for ANY
+    epoch and ANY perturbation, ``mismatched_hour_key_values`` over a
+    directory of ``hour_key=...`` partitions flags exactly the perturbed
+    keys — including the pre-year-1000 canonical keys whose strftime
+    rendering used to false-flag them (the r16 padding fix). Pure
+    filesystem, no Spark: this is the guard the upsert path runs on
+    every write."""
+    import os
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from energy_data_stream_processing_spark.sources.sinks import (
+        mismatched_hour_key_values,
+    )
+
+    margin = 3 * 86_400
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(
+                    min_value=EPOCH_LO + margin, max_value=EPOCH_HI - margin
+                ),
+                st.one_of(
+                    st.just(0),
+                    st.integers(min_value=-72, max_value=72).filter(
+                        lambda s: s != 0
+                    ),
+                    st.just("pad"),
+                ),
+            ),
+            min_size=1,
+            max_size=25,
+        ),
+        st.integers(min_value=0, max_value=10**6),
+    )
+    def prop(cases, nonce):
+        store = tmp_path / f"store-{nonce}"
+        store.mkdir(exist_ok=True)
+        for d in os.listdir(store):
+            os.rmdir(store / d)
+        expect_bad = set()
+        for epoch, kind in cases:
+            if kind == "pad":
+                sign = "-" if epoch < 0 else ""
+                key = f"{_python_utc_label(epoch)}-{sign}000{abs(epoch)}"
+                expect_bad.add(key)
+            elif kind == 0:
+                key = _python_utc_key(epoch)
+            else:
+                key = f"{_python_utc_label(epoch + kind * 3600)}-{epoch}"
+                if key != _python_utc_key(epoch):
+                    expect_bad.add(key)
+            os.makedirs(store / f"hour_key={key}", exist_ok=True)
+        got = set(mismatched_hour_key_values(str(store)))
+        assert got == expect_bad, (
+            f"flagged-but-canonical: {sorted(got - expect_bad)}; "
+            f"missed: {sorted(expect_bad - got)}"
+        )
+
+    prop()
