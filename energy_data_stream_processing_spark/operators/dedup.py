@@ -139,8 +139,20 @@ def _ngram_pair_counts(docs: DataFrame, max_df: int | None = None) -> DataFrame:
     groupBy, array-side (i < j) pair generation, then a pair-key count —
     yields (doc_a, doc_b, na, nb, common). Both shuffles are map-side
     combinable; the similarity metric is a post-hoc projection, so adding a
-    new metric costs zero additional shuffles."""
-    sh = with_shingles(docs)
+    new metric costs zero additional shuffles.
+
+    Round 16 (guide §2.3, narrower shuffle keys): the shingle is an
+    INTERNAL bucket key only — no output column carries it — so the index
+    is built over ``xxhash64`` int64 shingles (``with_shingles
+    hashed=True``) instead of the concatenated 3-word strings: no string
+    assembly in the scan stage, 8-byte fixed-width group/shuffle keys, and
+    int compares in the bucket sort. Same rationale as ``exact_dedup``'s
+    md5 fingerprint and the LSH verify stage (already hashed): a cross-doc
+    collision (~2^-64 per shingle pair; multi-arg xxhash64 seeds each
+    argument with the previous hash, so word-boundary shifts cannot alias)
+    would only nudge one pair's ``common`` count. At extreme corpus sizes
+    swap in a 128-bit fingerprint if even that is unacceptable."""
+    sh = with_shingles(docs, hashed=True)
     exploded = (
         sh.select("doc_id", F.size("sh").alias("n"), F.explode_outer("sh").alias("shingle"))
         .where(F.col("shingle").isNotNull())
@@ -229,6 +241,11 @@ def substring_window_pairs(
     like hot shingles; at 100 TB run with a stride >1 on the first pass
     and re-verify candidates at stride 1.
     """
+    # Round 16 (guide §2.3): the window text is an internal bucket key only
+    # (the output carries doc pairs + counts), so index xxhash64 fingerprints
+    # of the windows, not the 40-char strings — fixed-width int64 dedup/
+    # shuffle/group keys instead of 40-byte strings (same trade as
+    # _ngram_pair_counts; collisions ~2^-64 per window pair).
     wins = docs.select(
         "doc_id",
         F.expr(
@@ -236,7 +253,7 @@ def substring_window_pairs(
             CASE WHEN length(text) >= {window}
                  THEN array_distinct(transform(
                         sequence(1, length(text) - {window - 1}),
-                        i -> substring(text, i, {window})))
+                        i -> xxhash64(substring(text, i, {window}))))
                  ELSE array()
             END
             """
@@ -368,6 +385,14 @@ def _verify_pairs_exact(
         )
         if n_pairs <= broadcast_limit:
             cand_ids = F.broadcast(cand_ids)
+    # Round 16 NOTE: a semi-join prefilter of ``sh`` on candidate member
+    # ids (to push the regex split + hashing down to colliding docs only)
+    # was tried and REVERTED: the member-id subtree does NOT share the
+    # candidate pipeline's exchange (one side broadcasts, the other
+    # shuffles distinct ids — different shapes, no ReusedExchange), so the
+    # whole candidate pipeline — including the Arrow signature kernel on
+    # the minhash path — executed twice, the exact regression
+    # tests/test_plans.py::test_minhash_audit_single_signature_kernel pins.
     per_pair = (
         sh.join(cand_ids, "doc_id")
         .groupBy("doc_a", "doc_b")

@@ -24,10 +24,80 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-# Left-fold dot product over double arrays; mirrored by list_reduce in the
-# DuckDB oracle so both engines sum in the same order.
-_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0 AS DOUBLE), (acc, x) -> acc + x)"
-_NORM = "sqrt(aggregate(transform({a}, x -> x * x), cast(0 AS DOUBLE), (acc, x) -> acc + x))"
+# Embedding dimensionality is a corpus constant (the DuckDB oracle twins
+# hard-code it too: generate_series(1, 64) in training_queries._DDOT).
+DIM = 64
+
+
+def _unrolled_sum(terms: list[str]) -> str:
+    """Left-associated sum with an explicit 0.0 start: ``((0.0 + t1) + t2)
+    + ...`` — the EXACT addition order of the ``aggregate`` left fold it
+    replaces (IEEE addition is order-sensitive; association is pinned so
+    results stay bit-identical to the DuckDB ``list_reduce`` twins, which
+    the round-15-green gates already proved equal to the fold form).
+
+    Why unrolled (round 16, guide §4.1): higher-order functions
+    (``aggregate``/``zip_with``/``transform``) are CodegenFallback in
+    Spark — every element runs through interpreted expression eval with
+    per-element lambda-variable binding. A fixed-width unrolled sum
+    compiles into straight-line double arithmetic inside WholeStageCodegen
+    (measured in OPTIMIZATION_r16.md), and elements index the raw array
+    directly, so no intermediate zipped/squared array is built per row.
+    The width is pinned by the caller (the corpus is fixed-dim, exactly
+    as the oracles' ``generate_series(1, 64)`` assumes); rows whose array
+    is shorter than ``dim`` raise INVALID_ARRAY_INDEX under ANSI mode
+    (Spark 4 default) where the old fold silently summed a prefix — a
+    ragged corpus now fails loudly instead of scoring wrong, and callers
+    scoring truncated frames pass the matching ``dim`` (catalog:
+    ann_recall_eval / retrieval_rbo_eval pass dim=16)."""
+    out = "cast(0 AS DOUBLE)"
+    for t in terms:
+        out = f"({out} + {t})"
+    return out
+
+
+def _elem(a: str, i: int, cast: bool) -> str:
+    return f"cast({a}[{i}] AS DOUBLE)" if cast else f"{a}[{i}]"
+
+
+def dot_expr(a: str, b: str, dim: int = DIM, cast: bool = False) -> str:
+    """Bit-exact unrolled twin of the previous left-fold ``aggregate`` dot
+    product. ``a``/``b`` must be SIMPLE array column names (element access
+    is repeated ``dim`` times — never splice a computed expression here).
+    ``cast=True`` casts each element float->double inline, replacing the
+    interpreted ``transform(col, x -> cast(x AS DOUBLE))`` projection with
+    codegen'd per-element casts (same values: cast-then-multiply in the
+    same order)."""
+    return _unrolled_sum(
+        [f"({_elem(a, i, cast)} * {_elem(b, i, cast)})" for i in range(dim)]
+    )
+
+
+def norm_expr(a: str, dim: int = DIM, cast: bool = False) -> str:
+    """Bit-exact unrolled twin of the previous left-fold L2 norm."""
+    return (
+        "sqrt("
+        + _unrolled_sum([f"({_elem(a, i, cast)} * {_elem(a, i, cast)})" for i in range(dim)])
+        + ")"
+    )
+
+
+def cosine_expr(q: str, v: str, dim: int = DIM, cast: bool = False) -> str:
+    """dot(q, v) / (norm(q) * norm(v)) — the shared scoring expression."""
+    return (
+        dot_expr(q, v, dim, cast)
+        + " / ("
+        + norm_expr(q, dim, cast)
+        + " * "
+        + norm_expr(v, dim, cast)
+        + ")"
+    )
+
+
+# Legacy format-string forms kept for call sites that splice PLAIN column
+# names (never computed expressions); semantics identical to the helpers.
+_DOT = dot_expr("{a}", "{b}")
+_NORM = norm_expr("{a}")
 
 
 def _as_double(col: str) -> F.Column:
@@ -35,18 +105,30 @@ def _as_double(col: str) -> F.Column:
 
 
 def cosine_topk(
-    embeddings: DataFrame, num_queries: int = 20, k: int = 5
+    embeddings: DataFrame, num_queries: int = 20, k: int = 5, dim: int = DIM
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each of the first ``num_queries``
-    vectors (self-matches excluded)."""
-    base = embeddings.select("vec_id", _as_double("embedding").alias("v"))
-    queries = base.where(F.col("vec_id") < num_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+    vectors (self-matches excluded). ``dim`` pins the unrolled scoring
+    width (pass it for non-64-dim frames, e.g. the truncated retriever).
+
+    Round 16: each side's L2 norm is computed ONCE per vector BELOW the
+    join (the join boundary stops CollapseProject from inlining it back
+    into the per-pair projection), so the pair stage evaluates only the
+    dot product — norms went from |pairs|x2 evaluations to |corpus| +
+    |queries|. ``cosine = dot / (nq * nv)`` divides the identical norm
+    values in the identical order, so results stay bit-exact."""
+    base = embeddings.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        F.expr(norm_expr("embedding", dim, cast=True)).alias("nv"),
+    )
+    queries = embeddings.where(F.col("vec_id") < num_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q"),
+        F.expr(norm_expr("embedding", dim, cast=True)).alias("nq"),
     )
     joined = base.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
-    cos = F.expr(
-        _DOT.format(a="q", b="v") + " / (" + _NORM.format(a="q") + " * " + _NORM.format(a="v") + ")"
-    )
+    cos = F.expr(dot_expr("q", "v", dim, cast=True)) / (F.col("nq") * F.col("nv"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
         joined.select("query_id", "vec_id", cos.alias("cosine"))
@@ -60,18 +142,17 @@ def similar_pairs(embeddings: DataFrame, threshold: float = 0.35, max_id: int = 
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine >= t)
     over a bounded id range — the all-pairs verification form."""
     base = embeddings.where(F.col("vec_id") < max_id).select(
-        "vec_id", _as_double("embedding").alias("v")
+        "vec_id",
+        F.col("embedding").alias("v"),
+        F.expr(norm_expr("embedding", cast=True)).alias("nrm"),
     )
-    a = base.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = base.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    cos = F.expr(
-        _DOT.format(a="va", b="vb")
-        + " / ("
-        + _NORM.format(a="va")
-        + " * "
-        + _NORM.format(a="vb")
-        + ")"
+    a = base.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
     )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    cos = F.expr(dot_expr("va", "vb", cast=True)) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cos.alias("cosine"))
@@ -126,17 +207,23 @@ def bucket_codes_udf(tables: int = 8, bits: int = 4, dim: int = 64):
 
 
 def _verified_pairs_topk(
-    embeddings: DataFrame, pairs: DataFrame, num_queries: int, k: int
+    embeddings: DataFrame, pairs: DataFrame, num_queries: int, k: int, dim: int = DIM
 ) -> DataFrame:
     """Shared ANN verification: join candidate (query_id, vec_id) id-pairs
-    back to their vectors, compute exact cosine, keep top-k per query."""
-    base = embeddings.select("vec_id", _as_double("embedding").alias("v"))
-    queries = base.where(F.col("vec_id") < num_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+    back to their vectors, compute exact cosine, keep top-k per query.
+    Norms are computed once per vector below the joins (round 16), so the
+    per-candidate work is the dot product only — same values, bit-exact."""
+    base = embeddings.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        F.expr(norm_expr("embedding", dim, cast=True)).alias("nv"),
     )
-    cos = F.expr(
-        _DOT.format(a="q", b="v") + " / (" + _NORM.format(a="q") + " * " + _NORM.format(a="v") + ")"
+    queries = embeddings.where(F.col("vec_id") < num_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q"),
+        F.expr(norm_expr("embedding", dim, cast=True)).alias("nq"),
     )
+    cos = F.expr(dot_expr("q", "v", dim, cast=True)) / (F.col("nq") * F.col("nv"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
         pairs.join(base, "vec_id")
@@ -319,16 +406,20 @@ def hard_negatives(embeddings: DataFrame, num_queries: int = 50, k: int = 3) -> 
     same-label rows are skipped before any arithmetic. At 100 TB swap the
     exact scan for lsh_topk candidates and keep this ranking stage as-is.
     """
-    base = embeddings.select("vec_id", "label", _as_double("embedding").alias("v"))
-    queries = base.where(F.col("vec_id") < num_queries).select(
+    base = embeddings.select(
+        "vec_id",
+        "label",
+        F.col("embedding").alias("v"),
+        F.expr(norm_expr("embedding", cast=True)).alias("nv"),
+    )
+    queries = embeddings.where(F.col("vec_id") < num_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("query_label"),
-        F.col("v").alias("q"),
+        F.col("embedding").alias("q"),
+        F.expr(norm_expr("embedding", cast=True)).alias("nq"),
     )
     joined = base.join(F.broadcast(queries), F.col("label") != F.col("query_label"))
-    cos = F.expr(
-        _DOT.format(a="q", b="v") + " / (" + _NORM.format(a="q") + " * " + _NORM.format(a="v") + ")"
-    )
+    cos = F.expr(dot_expr("q", "v", cast=True)) / (F.col("nq") * F.col("nv"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
         joined.select("query_id", "query_label", "vec_id", "label", cos.alias("cosine"))
@@ -419,10 +510,12 @@ def ivf_index_topk(
     corpus = (
         spark.read.parquet(f"{index_path}/cells")
         .where(F.col("cell").isin([int(c) for c in probed]))
-        .select("vec_id", "cell", _as_double("embedding").alias("v"))
+        .select("vec_id", "cell", F.col("embedding").alias("v"))
     )
     qvec = queries.select(
-        "query_id", _as_double("embedding").alias("q")
+        "query_id",
+        F.col("embedding").alias("q"),
+        F.expr(norm_expr("embedding", cast=True)).alias("nq"),
     )
     pairs = (
         corpus.join(F.broadcast(qcells), "cell")
@@ -430,8 +523,10 @@ def ivf_index_topk(
         .select("query_id", "vec_id", "v")
         .distinct()
     )
-    cos = F.expr(
-        _DOT.format(a="q", b="v") + " / (" + _NORM.format(a="q") + " * " + _NORM.format(a="v") + ")"
+    # nv after the distinct (per surviving candidate row, once each); nq
+    # rides the broadcast — the division order matches the fold form
+    cos = F.expr(dot_expr("q", "v", cast=True)) / (
+        F.col("nq") * F.expr(norm_expr("v", cast=True))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (

@@ -167,8 +167,15 @@ def ngram_shingle_index(docs: DataFrame, n: int = 5) -> DataFrame:
     primitive behind decontamination and the curation pipeline (single
     definition so the shingle width/normalization can't drift between the
     oracle-gated entry and its composition sites). Same explode_outer +
-    null-filter shape as dedup._shingle_index (see the plan note there)."""
-    elem = "concat(" + ", ' ', ".join(f"_w[i+{j}]" for j in range(n)) + ")"
+    null-filter shape as dedup._shingle_index (see the plan note there).
+
+    Round 16 (guide §2.3): every consumer treats the shingle as an opaque
+    equi-join key (decontamination joins train x eval on it and outputs doc
+    ids only), so the index carries ``xxhash64`` int64 shingles instead of
+    concatenated n-word strings — no string assembly at scan, fixed-width
+    join/shuffle keys (multi-arg xxhash64 chains per-argument seeds, so
+    word-boundary shifts cannot alias; collisions ~2^-64 per key pair)."""
+    elem = f"xxhash64({', '.join(f'_w[i+{j}]' for j in range(n))})"
     return (
         docs.select("doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("_w"))
         .select(

@@ -931,7 +931,7 @@ def q_retrieval_rbo_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = cosine_topk(emb, num_queries=20, k=5).select(
         "query_id", F.col("neighbor_id").alias("nid"), F.col("rank").alias("ra")
     )
-    approx = cosine_topk(truncated, num_queries=20, k=5).select(
+    approx = cosine_topk(truncated, num_queries=20, k=5, dim=16).select(
         "query_id", F.col("neighbor_id").alias("nid"), F.col("rank").alias("rb")
     )
     w_expr = F.expr(_RBO_CASE_SQL)
@@ -2585,7 +2585,7 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = cosine_topk(emb, num_queries=20, k=5).select(
         "query_id", F.col("neighbor_id").alias("nid")
     )
-    approx = cosine_topk(truncated, num_queries=20, k=5).select(
+    approx = cosine_topk(truncated, num_queries=20, k=5, dim=16).select(
         "query_id", F.col("neighbor_id").alias("nid"), F.lit(1).alias("hit")
     )
     joined = exact.join(approx, ["query_id", "nid"], "left")
@@ -3052,13 +3052,15 @@ ORDER BY n.vec_id
     "the scalars broadcast back (approx_percentile is the 100 TB swap).",
 )
 def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import _NORM
+    from ..operators.similarity import norm_expr
 
     emb = _emb(spark, sf_dir)
     norms = emb.select(
         "vec_id",
         "label",
-        F.expr(_NORM.format(a="transform(embedding, x -> cast(x AS DOUBLE))")).alias("l2"),
+        # unrolled per-element cast (round 16): same left-fold order and
+        # values as the old transform+aggregate form, but codegen'd
+        F.expr(norm_expr("embedding", cast=True)).alias("l2"),
     )
     med = norms.agg(F.expr("percentile(l2, 0.5)").alias("m"))
     with_m = norms.join(F.broadcast(med))

@@ -45,10 +45,22 @@ def _driver_java_options(run_dir: str) -> str:
                             base = parts[1].strip()
             except OSError:
                 pass
-    flag = f"-Dderby.system.home={run_dir}"
-    if flag in base.split():
-        return base
-    return f"{base} {flag}".strip()
+    flags = [f"-Dderby.system.home={run_dir}"]
+    # Round 16 (guide §4.1/§7): HotSpot refuses to JIT-compile methods over
+    # 8,000 bytecode bytes (DontCompileHugeMethods, on by default), and the
+    # engine's wide codegen'd expressions — the 64-term unrolled dot/norm
+    # sums in operators/similarity.py, the 15-aggregate hourly expression
+    # tree — generate exactly such methods, which then run as INTERPRETED
+    # bytecode (measured 14x on the brute-force cosine stage: 7.25 s -> 0.52
+    # s per 1M-row dot pass, OPTIMIZATION_r16.md). Standard Spark deployment
+    # tuning for generated code; scale-independent (per-row cost, not a
+    # local-mode artifact). On a cluster set the same flag in
+    # spark.executor.extraJavaOptions; in local mode driver == executor.
+    if "DontCompileHugeMethods" not in base:  # a deployment's explicit
+        flags.append("-XX:-DontCompileHugeMethods")  # choice wins
+    parts = base.split()
+    add = [f for f in flags if f not in parts]
+    return f"{base} {' '.join(add)}".strip()
 
 
 def get_spark(app_name: str = "energy-spark", shuffle_partitions: int | None = None) -> SparkSession:

@@ -26,6 +26,8 @@ codegen'd, predicate/column pruning pushes through it into the parquet scan.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -102,13 +104,68 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+#: Per-(session, dataset-snapshot) memo of LAZY table/adapter frames — plan
+#: objects, never data or results: every action on a memoized frame still
+#: scans the parquet inputs (round 16, guide §7.3). Re-resolving the same
+#: parquet source per builder call (schema inference + DataSource
+#: resolution + SQL re-parse for the adapter projection) measured
+#: 250-500 ms of pure driver time per catalog builder — paid once per
+#: query per bench pass — while a real deployment resolves a table
+#: reference through the catalog once. Keyed by session identity
+#: (applicationId AND the live SparkSession object id — local-mode
+#: applicationIds are 'local-<millis>' and can collide across processes/
+#: restarts) plus the dataset's file fingerprint (name, size, mtime_ns),
+#: so a dataset rewritten in place re-resolves instead of serving a stale
+#: schema — the same invalidation contract as the customer_view density
+#: probe's _DENSITY_CACHE (round 10).
+_FRAME_CACHE: dict[tuple, DataFrame] = {}
+
+
+def clear_frame_cache() -> None:
+    """Drop all memoized table frames (tests that need immediate
+    re-resolution without relying on the mtime fingerprint)."""
+    _FRAME_CACHE.clear()
+
+
+def _table_fingerprint(sf_dir: str, name: str):
+    """(file, size, mtime_ns) snapshot id of one parquet table — a
+    driver-local listing, no Spark job (mirrors energy_queries.
+    _events_fingerprint; on a cluster this is the table's snapshot id)."""
+    p = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(p):
+            return tuple(
+                (f, s.st_size, s.st_mtime_ns)
+                for f in sorted(os.listdir(p))
+                if f.endswith(".parquet")
+                for s in (os.stat(os.path.join(p, f)),)
+            )
+        s = os.stat(p)
+        return (s.st_size, s.st_mtime_ns)
+    except OSError:
+        return None
+
+
+def _session_key(spark: SparkSession) -> tuple:
+    return (spark.sparkContext.applicationId, id(spark))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver parquet table and register it as a temp view."""
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = normalize_event_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
-    else:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read one driver parquet table and register it as a temp view.
+
+    The lazy frame is memoized per (session, dataset snapshot); the temp
+    view is (re-)registered on every call so view semantics — last load
+    wins — are unchanged."""
+    key = (*_session_key(spark), os.path.realpath(sf_dir), name,
+           _table_fingerprint(sf_dir, name))
+    df = _FRAME_CACHE.get(key)
+    if df is None:
+        if name == "events":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = normalize_event_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+        else:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _FRAME_CACHE[key] = df
     df.createOrReplaceTempView(name)
     return df
 
@@ -119,10 +176,18 @@ def energy_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     The raw DataFrame is passed as a parameterized ``spark.sql`` argument
     (not resolved via the global temp view) so concurrently-built plans over
     different sf_dirs can never cross-contaminate. Also registered as temp
-    view ``energy_events`` for ad-hoc SQL use.
+    view ``energy_events`` for ad-hoc SQL use. The adapter frame (a pure
+    lazy projection) is memoized alongside the raw table (see
+    ``_FRAME_CACHE``) — the ~100 ms ENERGY_EVENTS_SQL re-parse per builder
+    call was pure driver overhead.
     """
     raw = load_table(spark, sf_dir, "events")
-    df = spark.sql(ENERGY_EVENTS_SQL.replace("FROM events", "FROM {events}"), events=raw)
+    key = (*_session_key(spark), os.path.realpath(sf_dir), "energy_events",
+           _table_fingerprint(sf_dir, "events"))
+    df = _FRAME_CACHE.get(key)
+    if df is None:
+        df = spark.sql(ENERGY_EVENTS_SQL.replace("FROM events", "FROM {events}"), events=raw)
+        _FRAME_CACHE[key] = df
     df.createOrReplaceTempView("energy_events")
     return df
 

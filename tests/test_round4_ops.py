@@ -296,7 +296,9 @@ def test_ann_recall_eval_floor(spark, sf_dir):
         exact.setdefault(r.query_id, set()).add(r.neighbor_id)
     truncated = emb.withColumn("embedding", F.slice("embedding", 1, 16))
     approx = {}
-    for r in cosine_topk(truncated, num_queries=20, k=5).collect():
+    # dim=16 pins the unrolled scoring width to the truncated retriever
+    # (round 16; matches the catalog entry's own call)
+    for r in cosine_topk(truncated, num_queries=20, k=5, dim=16).collect():
         approx.setdefault(r.query_id, set()).add(r.neighbor_id)
     for r in rows:
         want = len(exact[r.query_id] & approx.get(r.query_id, set())) / 5

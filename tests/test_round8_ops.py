@@ -58,7 +58,24 @@ def test_driver_java_options_bare_default(monkeypatch):
     monkeypatch.delenv("SPARK_DRIVER_EXTRA_JAVA_OPTIONS", raising=False)
     monkeypatch.delenv("SPARK_CONF_DIR", raising=False)
     monkeypatch.delenv("SPARK_HOME", raising=False)
-    assert _driver_java_options("/x") == "-Dderby.system.home=/x"
+    # round 16: the wide-codegen JIT flag is appended by default (see
+    # session.py _driver_java_options; a deployment's explicit
+    # DontCompileHugeMethods choice wins and suppresses it)
+    assert _driver_java_options("/x") == (
+        "-Dderby.system.home=/x -XX:-DontCompileHugeMethods"
+    )
+    assert _driver_java_options("/x") == _driver_java_options("/x")
+
+
+def test_driver_java_options_respects_explicit_jit_choice(monkeypatch):
+    from energy_data_stream_processing_spark.session import _driver_java_options
+
+    monkeypatch.setenv(
+        "SPARK_DRIVER_EXTRA_JAVA_OPTIONS", "-XX:+DontCompileHugeMethods"
+    )
+    out = _driver_java_options("/x")
+    assert "-XX:-DontCompileHugeMethods" not in out
+    assert out.startswith("-XX:+DontCompileHugeMethods")
 
 
 # ---------------------------------------------------------------------------
