@@ -15,6 +15,8 @@ registry.
 
 from __future__ import annotations
 
+import functools
+import os
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -32,12 +34,102 @@ class CatalogQuery:
 
 _REGISTRY: dict[str, CatalogQuery] = {}
 
+# ---------------------------------------------------------------------------
+# Plan memo (round 16, guide §7.3 "driver is doing something single-threaded").
+#
+# Profiling showed builder() plan construction — thousands of py4j socket
+# round trips per call (2,633 for business_kpis_growth = 0.63 s measured) —
+# is 25–50% of several headline timings, paid again on EVERY repeat call.
+# A real deployment resolves a repeated query through a plan cache (prepared
+# statements); this memo is exactly that: the UNEXECUTED DataFrame (a lazy
+# logical plan) keyed by (session identity, dataset realpath + file
+# fingerprint, query name). It stores NO results, NO data, NO cached tables:
+# every action on a memoized frame still scans the parquet inputs in full.
+# Invalidation mirrors sources.adapter._FRAME_CACHE: any (name, size,
+# mtime_ns) change in the dataset directory re-builds.
+#
+# Only builders PROVEN pure-plan may be listed in _PLAN_MEMO_NAMES — i.e.
+# a warm build runs ZERO Spark jobs and writes nothing (measured via
+# DAGScheduler job ids; see OPTIMIZATION_r16.md). Builders with build-time
+# work (ann_ivf_topk's k-means training job, the stage_result entries, the
+# freqItems sketch) must NEVER be added: memoizing those would skip real
+# per-run computation, which the bench/oracle contract forbids.
+# ---------------------------------------------------------------------------
+_PLAN_MEMO: dict[tuple, DataFrame] = {}
+
+_PLAN_MEMO_NAMES = frozenset(
+    {
+        "hourly_business_metrics",
+        "rolling_24h_metrics",
+        "customer_view",
+        "business_kpis_growth",
+        "pricing_insights",
+        "user_sessions",
+        "pricing_summary",
+        "top_customer_revenue",
+        "shipping_priority",
+        "revenue_rollup",
+        "value_percentiles_by_type",
+        "hourly_event_pivot",
+        "local_supplier_volume",
+        "forecast_revenue_change",
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "embedding_cosine_topk",
+        "ann_lsh_topk",
+        # ann_ivf_topk deliberately absent: one training job per build.
+    }
+)
+
+
+def clear_plan_memo() -> None:
+    """Drop all memoized plans (tests needing immediate re-resolution)."""
+    _PLAN_MEMO.clear()
+
+
+def _plan_memo_key(spark: SparkSession, sf_dir: str, name: str):
+    sfr = os.path.realpath(sf_dir)
+    try:
+        fp = tuple(
+            sorted(
+                (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+                for e in os.scandir(sfr)
+                if e.name.endswith(".parquet")
+            )
+        )
+    except OSError:
+        return None
+    return (spark.sparkContext.applicationId, id(spark), sfr, name, fp)
+
+
+def _with_plan_memo(
+    name: str, fn: Callable[[SparkSession, str], DataFrame]
+) -> Callable[[SparkSession, str], DataFrame]:
+    @functools.wraps(fn)
+    def build(spark: SparkSession, sf_dir: str, *args, **kwargs) -> DataFrame:
+        if args or kwargs:
+            # parameterized build (e.g. the Grafana t_lo/t_hi timeFilter):
+            # not the driver/bench call shape — never memoized
+            return fn(spark, sf_dir, *args, **kwargs)
+        key = _plan_memo_key(spark, sf_dir, name)
+        if key is None:
+            return fn(spark, sf_dir)
+        df = _PLAN_MEMO.get(key)
+        if df is None:
+            df = fn(spark, sf_dir)
+            _PLAN_MEMO[key] = df
+        return df
+
+    return build
+
 
 def register(
     name: str, oracle: str | None = None, headline: bool = False, doc: str = ""
 ) -> Callable:
     def deco(fn: Callable[[SparkSession, str], DataFrame]) -> Callable:
-        _REGISTRY[name] = CatalogQuery(name=name, builder=fn, oracle=oracle, headline=headline, doc=doc)
+        builder = _with_plan_memo(name, fn) if name in _PLAN_MEMO_NAMES else fn
+        _REGISTRY[name] = CatalogQuery(name=name, builder=builder, oracle=oracle, headline=headline, doc=doc)
         return fn
 
     return deco

@@ -352,3 +352,72 @@ def test_dispatch_pin_roundtrips_batch_awareness(spark, tmp_path, sf_dir):
     import shutil
 
     shutil.rmtree(src, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Round-16 optimization: the catalog plan memo (plans/catalog.py).
+# The memo stores UNEXECUTED logical plans only; its safety contract is
+# (a) every listed builder is pure-plan — a warm build runs ZERO Spark
+# jobs (else memoization would skip real per-run computation), (b) repeat
+# calls return the identical plan object, (c) parameterized calls bypass
+# it, (d) a dataset rewrite invalidates it, and (e) execution of a
+# memoized frame still scans the parquet inputs.
+# ---------------------------------------------------------------------------
+def test_plan_memo_entries_are_pure_plan(spark, sf_dir):
+    from energy_data_stream_processing_spark.plans.catalog import (
+        _PLAN_MEMO_NAMES,
+        all_queries,
+        clear_plan_memo,
+    )
+
+    qs = all_queries()
+    clear_plan_memo()
+    sc = spark.sparkContext
+    for name in sorted(_PLAN_MEMO_NAMES):
+        assert name in qs, f"memo list names unregistered entry {name}"
+        qs[name].builder(spark, sf_dir)  # cold: may run schema/probe jobs
+    clear_plan_memo()  # force a REAL (non-memo) warm rebuild below
+
+    def last_job():
+        ids = sc.statusTracker().getJobIdsForGroup(None)
+        return max(ids) if ids else -1
+
+    for name in sorted(_PLAN_MEMO_NAMES):
+        before = last_job()
+        df = qs[name].builder(spark, sf_dir)
+        assert last_job() == before, (
+            f"{name} ran a Spark job during a warm build — eager builders "
+            "must not be plan-memoized"
+        )
+        # repeat call returns the identical memoized plan object
+        assert qs[name].builder(spark, sf_dir) is df
+        # the memoized plan still reads from the parquet inputs
+        assert "Scan parquet" in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_plan_memo_bypasses_parameterized_calls(spark, sf_dir):
+    from energy_data_stream_processing_spark.plans.catalog import all_queries
+
+    q = all_queries()["rolling_24h_metrics"]
+    a = q.builder(spark, sf_dir)
+    b = q.builder(spark, sf_dir, t_lo=None, t_hi=None)
+    assert b is not a  # kwargs path must never serve (or poison) the memo
+    assert q.builder(spark, sf_dir) is a
+
+
+def test_plan_memo_invalidates_on_dataset_rewrite(spark, sf_dir, tmp_path):
+    import shutil
+
+    from energy_data_stream_processing_spark.plans.catalog import all_queries
+
+    d = tmp_path / "ds"
+    shutil.copytree(sf_dir, d)
+    q = all_queries()["dedup_exact"]
+    a = q.builder(spark, str(d))
+    assert q.builder(spark, str(d)) is a
+    # rewrite one input in place -> fingerprint changes -> rebuilt
+    doc = d / "documents.parquet"
+    payload = doc.read_bytes()
+    doc.write_bytes(payload)
+    os.utime(doc, ns=(1, 1))
+    assert q.builder(spark, str(d)) is not a
