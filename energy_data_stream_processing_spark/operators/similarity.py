@@ -111,24 +111,22 @@ def cosine_topk(
     vectors (self-matches excluded). ``dim`` pins the unrolled scoring
     width (pass it for non-64-dim frames, e.g. the truncated retriever).
 
-    Round 16: each side's L2 norm is computed ONCE per vector BELOW the
-    join (the join boundary stops CollapseProject from inlining it back
-    into the per-pair projection), so the pair stage evaluates only the
-    dot product — norms went from |pairs|x2 evaluations to |corpus| +
-    |queries|. ``cosine = dot / (nq * nv)`` divides the identical norm
-    values in the identical order, so results stay bit-exact."""
-    base = embeddings.select(
-        "vec_id",
-        F.col("embedding").alias("v"),
-        F.expr(norm_expr("embedding", dim, cast=True)).alias("nv"),
-    )
+    Round 16 NOTE (measured, counterintuitive): norms are recomputed PER
+    PAIR in the top projection, not hoisted below the join. Hoisting each
+    side's norm (|corpus|+|queries| evals instead of 2x|pairs|) measured
+    2x SLOWER at sf0.1 (interleaved medians 1.31 s vs 0.67 s): the huge
+    unrolled-SQRT projection fused below the BroadcastNestedLoopJoin
+    pushes the whole fused codegen method past the JVM method limit and
+    the entire span (join + dot projection) drops out of compiled
+    codegen. Per-pair keeps the scan->join span trivial and the scoring
+    projection its own compiled span. Results are bit-identical either
+    way (same values divided in the same order; verified empirically)."""
+    base = embeddings.select("vec_id", F.col("embedding").alias("v"))
     queries = embeddings.where(F.col("vec_id") < num_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q"),
-        F.expr(norm_expr("embedding", dim, cast=True)).alias("nq"),
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
     )
     joined = base.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
-    cos = F.expr(dot_expr("q", "v", dim, cast=True)) / (F.col("nq") * F.col("nv"))
+    cos = F.expr(cosine_expr("q", "v", dim, cast=True))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
         joined.select("query_id", "vec_id", cos.alias("cosine"))
@@ -140,19 +138,15 @@ def cosine_topk(
 
 def similar_pairs(embeddings: DataFrame, threshold: float = 0.35, max_id: int = 300) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine >= t)
-    over a bounded id range — the all-pairs verification form."""
+    over a bounded id range — the all-pairs verification form. Norms are
+    per-pair (see cosine_topk's round-16 NOTE: hoisting them below the
+    join knocks the fused span out of compiled codegen)."""
     base = embeddings.where(F.col("vec_id") < max_id).select(
-        "vec_id",
-        F.col("embedding").alias("v"),
-        F.expr(norm_expr("embedding", cast=True)).alias("nrm"),
+        "vec_id", F.col("embedding").alias("v")
     )
-    a = base.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
-    )
-    b = base.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
-    )
-    cos = F.expr(dot_expr("va", "vb", cast=True)) / (F.col("na") * F.col("nb"))
+    a = base.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = base.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    cos = F.expr(cosine_expr("va", "vb", cast=True))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cos.alias("cosine"))
@@ -211,19 +205,15 @@ def _verified_pairs_topk(
 ) -> DataFrame:
     """Shared ANN verification: join candidate (query_id, vec_id) id-pairs
     back to their vectors, compute exact cosine, keep top-k per query.
-    Norms are computed once per vector below the joins (round 16), so the
-    per-candidate work is the dot product only — same values, bit-exact."""
-    base = embeddings.select(
-        "vec_id",
-        F.col("embedding").alias("v"),
-        F.expr(norm_expr("embedding", dim, cast=True)).alias("nv"),
-    )
+    Norms are per-pair (see cosine_topk's round-16 NOTE: the hoisted-norm
+    projection below a join measured slower by knocking the fused codegen
+    span off the compiled path; candidate counts here are small, so the
+    redundant per-pair norm arithmetic is noise)."""
+    base = embeddings.select("vec_id", F.col("embedding").alias("v"))
     queries = embeddings.where(F.col("vec_id") < num_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q"),
-        F.expr(norm_expr("embedding", dim, cast=True)).alias("nq"),
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
     )
-    cos = F.expr(dot_expr("q", "v", dim, cast=True)) / (F.col("nq") * F.col("nv"))
+    cos = F.expr(cosine_expr("q", "v", dim, cast=True))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
         pairs.join(base, "vec_id")
@@ -406,20 +396,14 @@ def hard_negatives(embeddings: DataFrame, num_queries: int = 50, k: int = 3) -> 
     same-label rows are skipped before any arithmetic. At 100 TB swap the
     exact scan for lsh_topk candidates and keep this ranking stage as-is.
     """
-    base = embeddings.select(
-        "vec_id",
-        "label",
-        F.col("embedding").alias("v"),
-        F.expr(norm_expr("embedding", cast=True)).alias("nv"),
-    )
+    base = embeddings.select("vec_id", "label", F.col("embedding").alias("v"))
     queries = embeddings.where(F.col("vec_id") < num_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("query_label"),
         F.col("embedding").alias("q"),
-        F.expr(norm_expr("embedding", cast=True)).alias("nq"),
     )
     joined = base.join(F.broadcast(queries), F.col("label") != F.col("query_label"))
-    cos = F.expr(dot_expr("q", "v", cast=True)) / (F.col("nq") * F.col("nv"))
+    cos = F.expr(cosine_expr("q", "v", cast=True))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
         joined.select("query_id", "query_label", "vec_id", "label", cos.alias("cosine"))
