@@ -23,3 +23,18 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(autouse=True)
+def _fresh_plan_memo():
+    """Clear the catalog plan memo BETWEEN tests (round 16). The memo
+    returns the same Dataset object on a warm build; once some test has
+    executed it, later plan-shape assertions would read its finalized
+    adaptive plan (isFinalPlan=true renders Exchanges inside query
+    stages), and dispatch tests expecting a probe would be served the
+    memoized plan instead. Within-test memo behavior (what the memo
+    tests pin) is unaffected."""
+    from energy_data_stream_processing_spark.plans.catalog import clear_plan_memo
+
+    clear_plan_memo()
+    yield
