@@ -165,7 +165,18 @@ def _ngram_pair_counts(docs: DataFrame, max_df: int | None = None) -> DataFrame:
             .select("shingle")
         )
         exploded = exploded.join(hot, "shingle", "left_anti")
-    buckets = exploded.groupBy("shingle").agg(
+    # Round 16 (guide §2.2): pin the bucket exchange's width. The pair-gen
+    # projection above this groupBy is QUADRATIC per bucket row, but AQE
+    # coalesces the exchange by shuffle BYTES (2.7 MB at sf0.1 -> 2
+    # partitions), serializing the most expensive stage of the query onto 2
+    # cores (measured: bucket stage 1.7 s on 2 tasks = 80% of warm
+    # execution). An explicit hash repartition on the same key the groupBy
+    # needs (so NO extra exchange is added — the aggregation reuses this
+    # partitioning) is exempt from AQE coalescing; its width comes from
+    # spark.sql.shuffle.partitions, the deployment's scale knob (cores
+    # locally, thousands on a cluster), not a hard-coded constant.
+    n_parts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    buckets = exploded.repartition(n_parts, "shingle").groupBy("shingle").agg(
         F.array_sort(
             F.collect_list(F.struct(F.col("doc_id"), F.col("n")))
         ).alias("ds")
