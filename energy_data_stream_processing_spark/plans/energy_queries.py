@@ -39,7 +39,6 @@ def _hourly(
     t_lo=None,
     t_hi=None,
     slack: str = "INTERVAL 1 HOUR",
-    rebalance: bool = False,
 ) -> DataFrame:
     """Hourly metrics, optionally sliced to a panel time range.
 
@@ -52,14 +51,13 @@ def _hourly(
     panel predicate is still applied post-build by ``_grafana_window``;
     window panels must NOT use this (full-history semantics).
     """
-    # rebalance (round 16) is opt-in per consumer: the FULL 15-metric
-    # aggregation (hourly_business_metrics, rolling_24h) keeps the
-    # distinct-expand and pays ~5 us/row in the scan stage, which one
-    # layout-rebalance shuffle of the pruned events columns beats; the
-    # single-metric Grafana panels prune the aggregation down to almost
-    # nothing, so for them the same shuffle would EXCEED their whole
-    # budget (their round-9 shuffle gates flagged exactly that).
-    ev = energy_events(spark, sf_dir, rebalance=rebalance)
+    # NOT rebalanced (round 16, measured): with -XX:-DontCompileHugeMethods
+    # live the 15-aggregate partial runs ~5 interleaved warm reps at 0.71 s
+    # median WITHOUT the layout rebalance vs 0.98 s WITH it — the wide agg
+    # compiles to cheap straight-line code, so one extra events shuffle
+    # costs more than the single-task partial it parallelizes (and the
+    # pruned Grafana panels' round-9 shuffle gates flagged the same).
+    ev = energy_events(spark, sf_dir)
     if t_lo is not None:
         ev = ev.where(F.col("event_time") >= F.lit(t_lo))
     if t_hi is not None:
@@ -129,7 +127,7 @@ def _grafana_window(df: DataFrame, time_col: str, t_lo, t_hi) -> DataFrame:
     doc="Consumer's hourly aggregator as one groupBy (consumer/consumer.py:240-293).",
 )
 def q_hourly_business_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _hourly(spark, sf_dir, rebalance=True)
+    return _hourly(spark, sf_dir)
 
 
 @register(
@@ -140,7 +138,7 @@ def q_hourly_business_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "100 TB plan, sharing the one-phase oracle as a result-identity proof.",
 )
 def q_hourly_business_metrics_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return hourly_business_metrics_two_phase(energy_events(spark, sf_dir, rebalance=True))
+    return hourly_business_metrics_two_phase(energy_events(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------
@@ -162,7 +160,7 @@ WINDOW w AS (ORDER BY hour ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
     doc="Rolling 24h trailing averages (database/schema.sql:64-78, Q12).",
 )
 def q_rolling_24h(spark: SparkSession, sf_dir: str, t_lo=None, t_hi=None) -> DataFrame:
-    hm = _hourly(spark, sf_dir, rebalance=True)
+    hm = _hourly(spark, sf_dir)
     # Scale note: a global ORDER BY hour window is single-partition; at 100 TB
     # the hourly table is still only ~8.8k rows/year post-aggregation, so this
     # is fine — the heavy lifting happened in the partial agg upstream.
@@ -210,7 +208,7 @@ def q_daily_energy_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one-column max over raw events, and the 7-day hour filter (a predicate
     # on a function of the group key) moves below the wide hourly
     # aggregation, which then runs over the one-week slice only.
-    ev = energy_events(spark, sf_dir, rebalance=True)
+    ev = energy_events(spark, sf_dir)
     tmax = ev.agg(F.date_trunc("hour", F.max("event_time")).alias("tmax"))
     sliced = ev.join(F.broadcast(tmax)).where(
         F.date_trunc("hour", F.col("event_time")) > F.col("tmax") - F.expr("INTERVAL 7 DAYS")
@@ -289,7 +287,7 @@ def q_customer_view(
     variant: str = "auto",
     events_per_customer: float | None = None,
 ) -> DataFrame:
-    ev = energy_events(spark, sf_dir, rebalance=True)
+    ev = energy_events(spark, sf_dir)
     if variant == "auto" and events_per_customer is None:
         # Memoized per dataset SNAPSHOT: the scan probe is an EAGER job,
         # and this builder is called from plan-shape tests and the bench's
@@ -568,7 +566,7 @@ def customer_view_from_events(ev: DataFrame) -> DataFrame:
     "(33.9 s) never reproduced and is retired.",
 )
 def q_customer_view_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return customer_view_two_phase(energy_events(spark, sf_dir, rebalance=True))
+    return customer_view_two_phase(energy_events(spark, sf_dir))
 
 
 def customer_view_two_phase(ev: DataFrame) -> DataFrame:
@@ -657,7 +655,7 @@ def customer_view_two_phase(ev: DataFrame) -> DataFrame:
     "customer_view's oracle as a result-identity proof.",
 )
 def q_customer_view_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return customer_view_prefiltered(energy_events(spark, sf_dir, rebalance=True))
+    return customer_view_prefiltered(energy_events(spark, sf_dir))
 
 
 def customer_view_prefiltered(ev: DataFrame) -> DataFrame:
@@ -807,7 +805,7 @@ def q_business_kpis_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     #     wide aggregation — at 100 TB the expensive distinct-expand agg runs
     #     over a two-week slice instead of the full history, and the tmax max
     #     itself partition-prunes to the newest event_date partitions.
-    ev = energy_events(spark, sf_dir, rebalance=True)
+    ev = energy_events(spark, sf_dir)
     tmax = ev.agg(F.date_trunc("hour", F.max("event_time")).alias("tmax"))
     sliced = ev.join(F.broadcast(tmax)).where(
         F.date_trunc("hour", F.col("event_time")) > F.col("tmax") - F.expr("INTERVAL 14 DAYS")

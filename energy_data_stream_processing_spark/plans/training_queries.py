@@ -75,10 +75,17 @@ def _docs(
     spark: SparkSession, sf_dir: str, rebalance: bool = False
 ) -> DataFrame:
     """``rebalance=True`` opts a builder into the adapter's layout-adaptive
-    scan repartition (round 16) — reserved for pipelines whose per-row
-    work dwarfs one shuffle of the raw text (the minhash/simhash signature
-    kernels, the shingle explode); every opt-in stays within its committed
-    round-9 shuffle-volume budget."""
+    scan repartition (round 16) — reserved for pipelines whose measured
+    per-row scan-stage work dwarfs one shuffle of the raw text. A/B at
+    sf0.1 (idle, 4-5 warm reps each, JIT flag live) kept exactly four:
+    substring/boilerplate windows (3.3/3.6 s -> 0.92/0.80 s) and
+    simhash + its audit (1.84 -> 0.91, 2.1 -> 1.25 s) — the per-window
+    substring explode and the token-hash sign-accumulation are the
+    expression classes heavy enough to pay. The ngram- and minhash-family
+    builders measured FASTER WITHOUT it (their heavy stages are already
+    parallel after the shingle-bucket repartition / Arrow batching), as
+    did every events aggregation, so they stay plain. Every opt-in stays
+    within its committed round-9 shuffle-volume budget."""
     return load_table(spark, sf_dir, "documents", rebalance=rebalance)
 
 
@@ -268,7 +275,7 @@ jpairs AS (
     doc="Exact word-3-gram Jaccard near-dup pairs via inverted shingle index.",
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(_docs(spark, sf_dir, rebalance=True), threshold=0.015)
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.015)
 
 
 _CONTAINMENT_CTES = """tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tok FROM documents),
@@ -312,7 +319,7 @@ cpairs AS (
 def q_dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import ngram_containment_pairs
 
-    return ngram_containment_pairs(_docs(spark, sf_dir, rebalance=True), threshold=0.08)
+    return ngram_containment_pairs(_docs(spark, sf_dir), threshold=0.08)
 
 
 def _bpe_oracle(n_merges: int) -> str:
@@ -649,7 +656,7 @@ def q_boilerplate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(no false positives; recall tested in tests/test_training_ops.py).",
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_lsh_pairs(_docs(spark, sf_dir, rebalance=True), threshold=0.015)
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.015)
 
 
 @register(
@@ -686,7 +693,7 @@ FROM jpairs WHERE jaccard >= 0.5""",
     "index); the audit join is pair-set-sized.",
 )
 def q_dedup_minhash_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir, rebalance=True)
+    docs = _docs(spark, sf_dir)
     lsh = minhash_lsh_pairs(docs, threshold=0.5).select(
         "doc_a", "doc_b", F.col("jaccard").alias("j_lsh")
     )
@@ -743,7 +750,7 @@ SELECT split_lo, split_hi, n_pairs, (split_lo <> split_hi) AS is_leak FROM (
 def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sampling_queries import hash_bucket
 
-    docs = _docs(spark, sf_dir, rebalance=True)
+    docs = _docs(spark, sf_dir)
     b = hash_bucket(F.col("doc_id")) % 10
     sp = docs.select(
         "doc_id",
@@ -798,7 +805,7 @@ FROM documents WHERE doc_id < 40""",
     "size augmentation; the pipeline cost profile is unchanged.",
 )
 def q_dedup_simhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = _docs(spark, sf_dir, rebalance=True).select("doc_id", "text")
     plants = docs.where(F.col("doc_id") < 40).select(
         (F.col("doc_id") + F.lit(_SIMHASH_PLANT_OFFSET)).alias("doc_id"), "text"
     )
@@ -1576,7 +1583,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.dedup import connected_components
 
-    docs = _docs(spark, sf_dir, rebalance=True)
+    docs = _docs(spark, sf_dir)
     pairs = ngram_jaccard_pairs(docs, threshold=0.015)
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
@@ -2659,7 +2666,7 @@ def q_dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import component_scores, keep_longest_ord
     from ..operators.dedup import ngram_jaccard_pairs as _njp
 
-    docs = _docs(spark, sf_dir, rebalance=True)
+    docs = _docs(spark, sf_dir)
     scored = component_scores(docs, _njp(docs, threshold=0.015))
     return (
         scored.groupBy("component_id")
@@ -2740,7 +2747,7 @@ def q_semantic_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import component_scores, keep_longest_ord
     from ..operators.dedup import minhash_lsh_pairs as _mlp
 
-    docs = _docs(spark, sf_dir, rebalance=True)
+    docs = _docs(spark, sf_dir)
     scored = component_scores(docs, _mlp(docs, threshold=0.5))
     return (
         scored.groupBy("component_id")

@@ -206,9 +206,10 @@ def _maybe_parallelize_scan(
     correctly flagged input-sized rebalance shuffles on queries whose
     per-row work is far too light to pay for one (total_energy_trend,
     shipping_priority, sequence packing). Only query builders whose
-    downstream per-row cost dominates — the dedup signature/shingle
-    kernels, the wide events aggregations — opt in, and each stays within
-    its committed shuffle-volume budget."""
+    downstream per-row cost MEASURED heavy enough to pay — the
+    substring-window explodes and the simhash sign-accumulation (see
+    plans/training_queries._docs) — opt in, and each stays within its
+    committed shuffle-volume budget."""
     cores = spark.sparkContext.defaultParallelism
     rg = _layout_row_groups(sf_dir, name)
     if rg is None or rg >= max(2, cores // 2):
