@@ -21,6 +21,35 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+#: See gateway_columns. Values are (gateway, built) — keeping the gateway
+#: object in the value makes staleness an identity check, never an id() reuse.
+_GATEWAY_MEMO: dict[str, tuple] = {}
+
+
+def gateway_columns(key: str, build):
+    """Build-once-per-JVM memo for constructed Column trees (round 16,
+    guide §7.3 driver-side work).
+
+    Column objects are immutable UNRESOLVED expression trees bound to the
+    py4j gateway — not to a session, dataset or frame — so a wide
+    aggregation's Column list (e.g. the hourly 15-metric tree: ~60 py4j
+    round trips ≈ 0.2-0.4 s of driver latency) can be constructed once per
+    JVM and reused by every caller and frame, exactly like a prepared
+    statement's parsed expressions. ``build`` is a zero-arg callable run
+    under the memo; a restarted JVM presents a different gateway object
+    (identity-checked) and rebuilds, so stale JavaObjects are never served.
+    """
+    from pyspark import SparkContext
+
+    gw = SparkContext._gateway
+    memo = _GATEWAY_MEMO.get(key)
+    if memo is not None and memo[0] is gw:
+        return memo[1]
+    built = build()
+    _GATEWAY_MEMO[key] = (gw, built)
+    return built
+
+
 def round_half_up(c: Column, scale: int = 2) -> Column:
     """Deterministic cross-engine round-half-up on non-negative doubles."""
     factor = F.lit(float(10**scale))

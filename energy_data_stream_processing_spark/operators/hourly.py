@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.columns import dsum, round_half_up, safe_div
+from ..functions.columns import dsum, gateway_columns, round_half_up, safe_div
 
 # Metric columns in reference schema order (database/schema.sql:30-59).
 METRIC_COLUMNS = [
@@ -47,19 +47,18 @@ METRIC_COLUMNS = [
 ]
 
 
-def hourly_business_metrics(events: DataFrame) -> DataFrame:
-    """events (energy schema) -> one row per event-time hour with 15 metrics.
-
-    Implements A1-A12 + D1-D3 of SURVEY.md §2.3; column names/types follow
-    database/schema.sql:30-59 (counters long, money/energy double via exact
-    decimal sums, averages rounded to 2 decimals as the NUMERIC(8,2) columns
-    do on write).
-    """
+def _build_hourly_columns() -> tuple:
+    """(group_key, agg_columns, derived_columns) — constructed once per JVM
+    via ``gateway_columns`` (round 16, guide §7.3): the 15-aggregate tree is
+    ~60 py4j round trips ≈ 0.2-0.4 s of pure driver latency, and was paid by
+    EVERY caller (the hourly entry itself, rolling_24h, business_kpis_growth,
+    daily_energy_summary, the streaming twins)."""
     t = F.col("event_type")
     pay = F.col("payment_amount")
     energy = F.col("energy_consumed")
 
-    agg = events.groupBy(F.date_trunc("hour", F.col("event_time")).alias("hour")).agg(
+    group_key = F.date_trunc("hour", F.col("event_time")).alias("hour")
+    agg_cols = (
         F.count(F.when(t == "tariff_switch", 1)).alias("tariff_switches"),
         dsum(F.when(t == "tariff_switch", pay)).alias("total_switch_revenue"),
         F.count(F.when((t == "tariff_switch") & (F.col("tariff_type") == "green"), 1)).alias(
@@ -81,20 +80,33 @@ def hourly_business_metrics(events: DataFrame) -> DataFrame:
         # the randomized differential in tests/test_properties.py.
         F.count(F.when((t == "bill_payment") & pay.isNotNull(), 1)).alias("payment_events"),
     )
+    derived = {
+        "avg_switch_value": round_half_up(
+            safe_div(F.col("total_switch_revenue"), F.col("tariff_switches"))
+        ),
+        "avg_consumption_per_customer": round_half_up(
+            safe_div(F.col("total_energy_consumed"), F.col("active_customers"))
+        ),
+        "avg_payment_amount": round_half_up(
+            safe_div(F.col("total_payments"), F.col("payment_events"))
+        ),
+    }
+    return (group_key, agg_cols, derived)
 
-    derived = agg.withColumns(
-        {
-            "avg_switch_value": round_half_up(
-                safe_div(F.col("total_switch_revenue"), F.col("tariff_switches"))
-            ),
-            "avg_consumption_per_customer": round_half_up(
-                safe_div(F.col("total_energy_consumed"), F.col("active_customers"))
-            ),
-            "avg_payment_amount": round_half_up(
-                safe_div(F.col("total_payments"), F.col("payment_events"))
-            ),
-        }
+
+def hourly_business_metrics(events: DataFrame) -> DataFrame:
+    """events (energy schema) -> one row per event-time hour with 15 metrics.
+
+    Implements A1-A12 + D1-D3 of SURVEY.md §2.3; column names/types follow
+    database/schema.sql:30-59 (counters long, money/energy double via exact
+    decimal sums, averages rounded to 2 decimals as the NUMERIC(8,2) columns
+    do on write).
+    """
+    group_key, agg_cols, derived_cols = gateway_columns(
+        "hourly_business_metrics", _build_hourly_columns
     )
+    agg = events.groupBy(group_key).agg(*agg_cols)
+    derived = agg.withColumns(derived_cols)
     return derived.select("hour", *METRIC_COLUMNS)
 
 

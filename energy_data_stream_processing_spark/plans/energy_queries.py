@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.columns import dsum, round_half_up, safe_div
+from ..functions.columns import dsum, gateway_columns, round_half_up, safe_div
 from ..operators.hourly import (
     HOURLY_ORACLE_BODY,
     hourly_business_metrics,
@@ -490,9 +490,22 @@ def customer_view_dispatch(
     return builders[variant](ev)
 
 
-def customer_view_from_events(ev: DataFrame) -> DataFrame:
-    """customer_view over an energy-events frame (bench warms the codegen
-    of this wide aggregation on a synthetic frame through this entry)."""
+def _switch_struct_derivations() -> dict:
+    """The shared Q10/Q11 read-out of the collected ``_sw`` switch array:
+    top-1/top-2 most recent tariff_switch columns."""
+    n = F.size(F.col("_sw"))
+    return {
+        "current_active_tariff": F.when(n >= 1, F.element_at(F.col("_sw"), n).tariff_type),
+        "last_active_tariff": F.when(n >= 2, F.element_at(F.col("_sw"), n - 1).tariff_type),
+        "last_tariff_switch_date_time": F.when(n >= 1, F.element_at(F.col("_sw"), n).event_time),
+    }
+
+
+def _build_customer_view_columns() -> tuple:
+    """(agg_columns, derived_columns) of the single-shuffle customer_view —
+    constructed once per JVM via ``gateway_columns`` (round 16, guide §7.3:
+    ~70 py4j round trips ≈ 0.3 s per call otherwise, and the ladder rungs
+    rebuild this plan once per rep)."""
     t = F.col("event_type")
 
     # Q10/Q11: top-1 / top-2 most recent tariff_switch per customer, folded
@@ -511,7 +524,7 @@ def customer_view_from_events(ev: DataFrame) -> DataFrame:
         )
     )
 
-    base = ev.groupBy("customer_id").agg(
+    agg_cols = (
         switch_structs.alias("_sw"),
         F.count(F.lit(1)).alias("total_events"),
         F.count_distinct(F.col("session_id")).alias("total_sessions"),
@@ -536,18 +549,17 @@ def customer_view_from_events(ev: DataFrame) -> DataFrame:
             ",",
         ).alias("tariff_types_seen"),
     )
-    n = F.size(F.col("_sw"))
-    return base.withColumns(
-        {
-            "current_active_tariff": F.when(n >= 1, F.element_at(F.col("_sw"), n).tariff_type),
-            "last_active_tariff": F.when(
-                n >= 2, F.element_at(F.col("_sw"), n - 1).tariff_type
-            ),
-            "last_tariff_switch_date_time": F.when(
-                n >= 1, F.element_at(F.col("_sw"), n).event_time
-            ),
-        }
-    ).drop("_sw")
+    return agg_cols, _switch_struct_derivations()
+
+
+def customer_view_from_events(ev: DataFrame) -> DataFrame:
+    """customer_view over an energy-events frame (bench warms the codegen
+    of this wide aggregation on a synthetic frame through this entry)."""
+    agg_cols, derived = gateway_columns(
+        "customer_view_single", _build_customer_view_columns
+    )
+    base = ev.groupBy("customer_id").agg(*agg_cols)
+    return base.withColumns(derived).drop("_sw")
 
 
 @register(
@@ -579,9 +591,21 @@ def customer_view_two_phase(ev: DataFrame) -> DataFrame:
     sessions as non-null groups. Two narrow skew-free shuffles replace one
     Expand(x2) shuffle of raw events.
     """
+    phase1, phase2, derived = gateway_columns(
+        "customer_view_twophase", _build_customer_view_twophase_columns
+    )
+    per_session = ev.groupBy("customer_id", "session_id").agg(*phase1)
+    base = per_session.groupBy("customer_id").agg(*phase2)
+    return base.withColumns(derived).drop("_sw")
+
+
+def _build_customer_view_twophase_columns() -> tuple:
+    """(phase1, phase2, derived) Column tuples of the two-phase
+    customer_view — once per JVM via ``gateway_columns`` (round 16, guide
+    §7.3; the 100x ladder rung rebuilds this plan once per rep)."""
     t = F.col("event_type")
 
-    per_session = ev.groupBy("customer_id", "session_id").agg(
+    phase1 = (
         F.count(F.lit(1)).alias("p_events"),
         F.min("event_time").alias("p_first"),
         F.max("event_time").alias("p_last"),
@@ -606,7 +630,7 @@ def customer_view_two_phase(ev: DataFrame) -> DataFrame:
         ).alias("p_sw"),
     )
 
-    base = per_session.groupBy("customer_id").agg(
+    phase2 = (
         F.array_sort(F.flatten(F.collect_list("p_sw"))).alias("_sw"),
         F.sum("p_events").alias("total_events"),
         F.count(F.when(F.col("session_id").isNotNull(), 1)).alias("total_sessions"),
@@ -630,18 +654,7 @@ def customer_view_two_phase(ev: DataFrame) -> DataFrame:
             F.array_sort(F.array_distinct(F.flatten(F.collect_list("p_tariffs")))), ","
         ).alias("tariff_types_seen"),
     )
-    n = F.size(F.col("_sw"))
-    return base.withColumns(
-        {
-            "current_active_tariff": F.when(n >= 1, F.element_at(F.col("_sw"), n).tariff_type),
-            "last_active_tariff": F.when(
-                n >= 2, F.element_at(F.col("_sw"), n - 1).tariff_type
-            ),
-            "last_tariff_switch_date_time": F.when(
-                n >= 1, F.element_at(F.col("_sw"), n).event_time
-            ),
-        }
-    ).drop("_sw")
+    return phase1, phase2, _switch_struct_derivations()
 
 
 @register(
@@ -669,9 +682,28 @@ def customer_view_prefiltered(ev: DataFrame) -> DataFrame:
     evaluates/carries a struct column for every event row, and the switch
     shuffle moves only switch rows. Which side wins flips with per-customer
     event density — measured on the 10x/100x bench ladders (SCALE.md)."""
+    base_cols, switch_cols, derived = gateway_columns(
+        "customer_view_prefilter", _build_customer_view_prefilter_columns
+    )
+    t = F.col("event_type")
+    base = ev.groupBy("customer_id").agg(*base_cols)
+    switches = ev.where(t == "tariff_switch").groupBy("customer_id").agg(*switch_cols)
+    return (
+        base.join(switches, "customer_id", "left")
+        # _sw is NULL (size -1) for switch-less customers: every when() in
+        # the shared derivations is false there, matching the base variant
+        .withColumns(derived)
+        .drop("_sw")
+    )
+
+
+def _build_customer_view_prefilter_columns() -> tuple:
+    """(base, switches, derived) Column tuples of the prefiltered
+    customer_view — once per JVM via ``gateway_columns`` (round 16, guide
+    §7.3; the 100x ladder rung rebuilds this plan once per rep)."""
     t = F.col("event_type")
 
-    base = ev.groupBy("customer_id").agg(
+    base_cols = (
         F.count(F.lit(1)).alias("total_events"),
         F.count_distinct(F.col("session_id")).alias("total_sessions"),
         F.min("event_time").alias("first_seen"),
@@ -695,37 +727,14 @@ def customer_view_prefiltered(ev: DataFrame) -> DataFrame:
             ",",
         ).alias("tariff_types_seen"),
     )
-    switches = (
-        ev.where(t == "tariff_switch")
-        .groupBy("customer_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(F.col("event_time"), F.col("event_id"), F.col("tariff_type"))
-                )
-            ).alias("_sw")
-        )
+    switch_cols = (
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("event_time"), F.col("event_id"), F.col("tariff_type"))
+            )
+        ).alias("_sw"),
     )
-    n = F.size(F.col("_sw"))
-    return (
-        base.join(switches, "customer_id", "left")
-        .withColumns(
-            {
-                # _sw is NULL (size -1) for switch-less customers: every
-                # when() below is false there, matching the base variant
-                "current_active_tariff": F.when(
-                    n >= 1, F.element_at(F.col("_sw"), n).tariff_type
-                ),
-                "last_active_tariff": F.when(
-                    n >= 2, F.element_at(F.col("_sw"), n - 1).tariff_type
-                ),
-                "last_tariff_switch_date_time": F.when(
-                    n >= 1, F.element_at(F.col("_sw"), n).event_time
-                ),
-            }
-        )
-        .drop("_sw")
-    )
+    return base_cols, switch_cols, _switch_struct_derivations()
 
 
 # --------------------------------------------------------------------------
