@@ -817,7 +817,7 @@ def _curation_dedup(quality: DataFrame) -> DataFrame:
     return quality.join(keep, "doc_id", "left_semi")
 
 
-def _curation_decontaminate(deduped: DataFrame) -> DataFrame:
+def _curation_decontaminate(deduped: DataFrame, checkpoint: bool = False) -> DataFrame:
     """Stage 3: drop train-bucket docs overlapping the eval bucket (same
     shared shingle index as ngram_decontamination).
 
@@ -825,21 +825,31 @@ def _curation_decontaminate(deduped: DataFrame) -> DataFrame:
     is consumed THREE times in the composed plan — the train-side shingle
     index, the eval-side shingle index, and the final anti-join's left
     side — and Catalyst does not share un-exchanged subtrees across join
-    branches, so without a cut the whole dedup pipeline executed three
-    times (round 16, guide §3.3/§7.2 duplicated subtrees). A LAZY
-    localCheckpoint (materialized by the first action, nothing eager at
-    plan-build time, so stage-prefix timings stay honest) truncates the
-    lineage so the dedup output is computed ONCE and the three consumers
-    read the materialized blocks. Measured (5 interleaved reps, sf0.1,
-    results asserted identical): median 3.64 s vs 4.14 s composed.
-    Checkpointing the EXPLODED 5-gram index as well was measured SLOWER
-    (4.31 s) — storing the explode output costs more than recomputing it
-    from the checkpointed docs, so only the doc-level frame is cut. On a
-    cluster swap for reliable checkpointing if executor loss matters
+    branches, so without a cut the whole dedup pipeline executes three
+    times (round 16, guide §3.3/§7.2 duplicated subtrees).
+    ``checkpoint=True`` truncates the lineage with a localCheckpoint so
+    the dedup output is computed ONCE and the three consumers read the
+    materialized blocks. Measured (5 interleaved reps, sf0.1, results
+    asserted identical): composed median 3.64 s vs 4.14 s. Checkpointing
+    the EXPLODED 5-gram index as well measured SLOWER (4.31 s) — storing
+    the explode output costs more than recomputing it from the
+    checkpointed docs — so only the doc-level frame is cut.
+
+    The flag is opt-in (only ``curation_pipeline_full`` sets it, inside
+    the bench's timed region) because under AQE even an eager=False
+    localCheckpoint materializes every upstream exchange at plan-to-RDD
+    time, i.e. AT BUILD TIME (AdaptiveSparkPlanExec resolves its final
+    plan before handing out an RDD — measured: 7 jobs during builder()).
+    bench.py's stage-prefix frames are constructed BEFORE their timed
+    writes, so a checkpoint here would silently move the dedup work out
+    of the per-stage timings (pinned by
+    tests/test_round16_ops.py::test_curation_decontaminate_default_build_is_lazy).
+    On a cluster swap for reliable checkpointing if executor loss matters
     (localCheckpoint blocks die with their executor)."""
     from ..operators.text import ngram_shingle_index
 
-    deduped = deduped.localCheckpoint(eager=False)
+    if checkpoint:
+        deduped = deduped.localCheckpoint(eager=False)
     sh = ngram_shingle_index(deduped, n=5)
     b = hash_bucket(F.col("doc_id")) % 10
     train_sh = sh.where(b <= 7).withColumnRenamed("doc_id", "train_doc")
@@ -855,11 +865,16 @@ def _curation_decontaminate(deduped: DataFrame) -> DataFrame:
     return deduped.join(contaminated, "doc_id", "left_anti")
 
 
-def curated_document_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+def curated_document_set(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = False
+) -> DataFrame:
     """Quality -> near-dedup keep -> decontamination: the curated (doc_id,
     text) set the packing stage of ``curation_pipeline_full`` consumes.
-    Factored out so tests can assert packing conservation against it."""
-    return _curation_decontaminate(_curation_dedup(_curation_quality(spark, sf_dir)))
+    Factored out so tests can assert packing conservation against it.
+    ``checkpoint`` — see ``_curation_decontaminate``."""
+    return _curation_decontaminate(
+        _curation_dedup(_curation_quality(spark, sf_dir)), checkpoint=checkpoint
+    )
 
 
 def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -883,7 +898,12 @@ def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     per shard; the final agg is split-cardinality sized.
     """
     return _curation_split_account(
-        _curation_packed(curated_document_set(spark, sf_dir))
+        # checkpoint=True: the composed plan consumes the dedup subtree three
+        # times (see _curation_decontaminate). bench.py starts its timer
+        # BEFORE calling this builder, so the checkpoint's build-time stage
+        # materialization is inside the timed span — every invocation still
+        # computes from the parquet inputs.
+        _curation_packed(curated_document_set(spark, sf_dir, checkpoint=True))
     )
 
 

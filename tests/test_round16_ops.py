@@ -479,3 +479,107 @@ def test_scan_rebalance_noop_on_many_row_groups(spark, sf_dir, tmp_path):
     reb = load_table(spark, str(d), "documents", rebalance=True)
     assert not _has_roundrobin(reb)
     clear_frame_cache()
+
+
+def test_gateway_columns_memoizes_per_gateway(spark, sf_dir):
+    """The Column-tree memo must (a) return the SAME built objects on a
+    repeat call for the live gateway, (b) rebuild when the gateway
+    changes (stale-JVM guard), and (c) leave results identical to a
+    fresh, memo-bypassing construction."""
+    from energy_data_stream_processing_spark.functions import columns as C
+    from energy_data_stream_processing_spark.operators.hourly import (
+        _build_hourly_columns,
+        hourly_business_metrics,
+    )
+    from energy_data_stream_processing_spark.sources.adapter import energy_events
+
+    first = C.gateway_columns("t16_probe", _build_hourly_columns)
+    again = C.gateway_columns("t16_probe", _build_hourly_columns)
+    assert first is again  # (a) no rebuild for the live gateway
+
+    # (b) a DIFFERENT gateway object in the memo value forces a rebuild
+    C._GATEWAY_MEMO["t16_probe"] = (object(), first)
+    rebuilt = C.gateway_columns("t16_probe", _build_hourly_columns)
+    assert rebuilt is not first
+    C._GATEWAY_MEMO.pop("t16_probe", None)
+
+    # (c) memoized Columns produce the same rows as a fresh construction
+    ev = energy_events(spark, sf_dir)
+    via_memo = sorted(map(tuple, hourly_business_metrics(ev).collect()))
+    gk, aggs, derived = _build_hourly_columns()  # fresh, bypassing the memo
+    fresh = sorted(
+        map(
+            tuple,
+            ev.groupBy(gk)
+            .agg(*aggs)
+            .withColumns(derived)
+            .select(hourly_business_metrics(ev).columns)
+            .collect(),
+        )
+    )
+    assert via_memo == fresh and len(via_memo) > 0
+
+
+def test_curation_decontaminate_default_build_is_lazy(spark, sf_dir):
+    """The DEFAULT (stage-prefix) decontaminate build must run ZERO Spark
+    jobs: bench.py constructs the stage frames BEFORE their timed writes,
+    and under AQE a localCheckpoint — even eager=False — materializes
+    every upstream exchange at plan-to-RDD time, which would silently
+    move the dedup work out of the per-stage timings. The checkpoint is
+    therefore opt-in (checkpoint=True), used only by the composed
+    curation_pipeline_full whose builder runs inside the timed span."""
+    from energy_data_stream_processing_spark.plans.sampling_queries import (
+        _curation_decontaminate,
+        _curation_dedup,
+        _curation_quality,
+    )
+
+    deduped = _curation_dedup(_curation_quality(spark, sf_dir))
+    # NOTE: _curation_dedup's connected-components step checkpoints
+    # EAGERLY by design; only the decontaminate stage must add no jobs.
+    tracker = spark.sparkContext.statusTracker()
+    mid = len(tracker.getJobIdsForGroup(None) or [])
+    _curation_decontaminate(deduped)
+    after_build = len(tracker.getJobIdsForGroup(None) or [])
+    assert after_build == mid, "default decontaminate build ran Spark jobs"
+
+
+def test_curation_checkpoint_result_identical(spark, sf_dir):
+    """checkpoint=True (the composed-pipeline plan) must keep the curated
+    doc set identical to the un-checkpointed recomposition."""
+    from pyspark.sql import functions as F
+
+    from energy_data_stream_processing_spark.operators.text import (
+        ngram_shingle_index,
+    )
+    from energy_data_stream_processing_spark.plans.sampling_queries import (
+        _curation_dedup,
+        _curation_quality,
+        curated_document_set,
+        hash_bucket,
+    )
+
+    decon = curated_document_set(spark, sf_dir, checkpoint=True)
+    got = sorted(r["doc_id"] for r in decon.select("doc_id").collect())
+
+    # un-checkpointed recomposition (the pre-round-16 plan)
+    deduped2 = _curation_dedup(_curation_quality(spark, sf_dir))
+    sh = ngram_shingle_index(deduped2, n=5)
+    b = hash_bucket(F.col("doc_id")) % 10
+    train_sh = sh.where(b <= 7).withColumnRenamed("doc_id", "train_doc")
+    eval_sh = sh.where(b == 9).withColumnRenamed("doc_id", "eval_doc")
+    contaminated = (
+        train_sh.join(eval_sh, "shingle")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= 3)
+        .select(F.col("train_doc").alias("doc_id"))
+        .distinct()
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in deduped2.join(contaminated, "doc_id", "left_anti")
+        .select("doc_id")
+        .collect()
+    )
+    assert got == want and len(got) > 0
