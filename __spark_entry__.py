@@ -26,11 +26,15 @@ def entry(spark: SparkSession) -> DataFrame:
     return q.builder(spark, "/root/testdata/sf0.001")
 
 
-# Round-16 gate ordering: this round's changed entry first (the new
-# lake-table hour-key-migration audit), then the
-# stalest-evidence cohort (r12 by name),
-# truncated to the driver's ~50-entry sampled prefix. GENERATED — do not
-# hand-edit; regenerate with
+# Round-17 gate ordering (round-16 verdict item 2): the entries round 16
+# touched SEMANTICALLY but whose oracle evidence the driver did not refresh
+# (unrolled cosine, xxhash64 shingle keys, gateway-column memos, the
+# curation checkpoint) first — the rows-only entries the verdict also named
+# (dedup_minhash_lsh, ann_{lsh,ivf}_topk) cannot be listed (no oracle, not
+# hash-checkable; their oracle-backed audit twins semantic_dedup_* /
+# ann_recall_eval carry the evidence instead) — then the stalest-evidence
+# cohort, truncated to the driver's ~50-entry sampled prefix. GENERATED —
+# do not hand-edit; regenerate with
 #   python scripts/gen_gate_prefix.py --max-round <horizon> --changed <...>
 # and verified by `gen_gate_prefix.py --check` from _GATE_CHANGED +
 # CORRECTNESS_r*.json evidence age up to _GATE_EVIDENCE_MAX_ROUND (the
@@ -38,63 +42,71 @@ def entry(spark: SparkSession) -> DataFrame:
 # drops can't redden the check). Oracle-less entries sort LAST in
 # _ordered_names so the sampled prefix stays 100% hash-checkable.
 
-_GATE_EVIDENCE_MAX_ROUND = 15
+_GATE_EVIDENCE_MAX_ROUND = 16
 
 _GATE_CHANGED: list[str] = [
-    "lake_hour_key_migration_audit",
+    "embedding_cosine_topk",
+    "dedup_ngram_jaccard",
+    "dedup_substring_windows",
+    "customer_view",
+    "streaming_corpus_curation",
+    "semantic_dedup_lsh",
+    "semantic_dedup_keep",
+    "customer_view_twophase",
+    "customer_view_prefilter",
 ]
 
 _GATE_PREFIX = [
-    "lake_hour_key_migration_audit",
-    "cohort_ltv_curves",
-    "customer_activity_funnel",
-    "daily_energy_summary",
-    "dedup_incremental_minhash",
-    "demand_elasticity",
-    "distinct_tariff_types",
-    "energy_rollup_cascade",
-    "engagement_funnel",
-    "event_transitions",
-    "event_type_hour_cube",
-    "fk_integrity_audit",
-    "green_adoption",
-    "heavy_hitters_tokens",
-    "hourly_anomaly_zscore",
-    "hourly_business_metrics",
-    "hourly_gap_fill",
-    "ingest_validation_summary",
-    "label_cap_sample",
-    "length_band_filter",
-    "multimodal_decode_stub",
-    "multimodal_frame_sample",
-    "multimodal_meta",
-    "ordered_event_funnel",
-    "peak_concurrency",
-    "peak_load_management",
-    "pricing_insights",
-    "props_numeric_profile",
-    "revenue_overview",
-    "robust_outliers_mad",
-    "rolling_24h_metrics",
-    "scd2_incremental_apply",
-    "scd2_tariff_history",
-    "sequence_packing_audit",
-    "session_pattern_match",
-    "session_summary",
-    "stratified_sample_summary",
-    "streaming_hourly_bounded",
-    "streaming_hourly_metrics",
-    "streaming_incremental_dedup",
-    "time_weighted_value",
-    "total_energy_trend",
-    "train_val_test_split",
-    "user_activity_islands",
-    "user_sessions",
-    "user_value_tiers",
-    "vocab_topk",
-    "ann_recall_eval",
-    "approx_percentile_audit",
-    "bm25_search",
+    "embedding_cosine_topk",
+    "dedup_ngram_jaccard",
+    "dedup_substring_windows",
+    "customer_view",
+    "streaming_corpus_curation",
+    "semantic_dedup_lsh",
+    "semantic_dedup_keep",
+    "customer_view_twophase",
+    "customer_view_prefilter",
+    "brand_quantity_revenue",
+    "changelog_compaction",
+    "collocation_pmi",
+    "consumption_payment_regression",
+    "copurchase_pairs",
+    "corpus_curation_pipeline",
+    "cross_source_contamination",
+    "cross_source_dup_matrix",
+    "customer_rfm_scores",
+    "data_outage_report",
+    "dedup_ngram_containment",
+    "distinct_channels",
+    "dup_rate_by_source",
+    "embedding_dim_profile",
+    "embedding_norm_outliers",
+    "events_profile",
+    "funnel_conversion_latency",
+    "hour_of_week_seasonality",
+    "hourly_business_metrics_twophase",
+    "inter_event_gap_profile",
+    "k_anonymity_audit",
+    "kfold_assignment",
+    "lang_id_confusion",
+    "last_touch_attribution",
+    "line_dedup_audit",
+    "load_duration_curve",
+    "markov_stationary_distribution",
+    "mixture_temperature_sample",
+    "ngram_novelty_curve",
+    "ops_events_rate",
+    "ops_latency_p95",
+    "range_join_tariff_periods",
+    "revenue_pareto_concentration",
+    "revenue_reconciliation",
+    "seasonal_anomaly_zscore",
+    "session_type_cooccurrence",
+    "streaming_asof_enrichment",
+    "streaming_user_sessions",
+    "streaming_wau_growth",
+    "tariff_migration_matrix",
+    "tariff_revenue_attribution",
 ]
 
 
