@@ -38,6 +38,14 @@ def gateway_columns(key: str, build):
     statement's parsed expressions. ``build`` is a zero-arg callable run
     under the memo; a restarted JVM presents a different gateway object
     (identity-checked) and rebuilds, so stale JavaObjects are never served.
+
+    Aliased Columns pin their exprId at CONSTRUCTION (round-16 advice), so
+    every plan built from one memoized list shares those exprIds. Composing
+    two such frames into ONE plan (join/union of two slices built from the
+    same list) relies on Spark's relation deduplication to re-key one side;
+    that composition is exercised — and must keep binding each side to its
+    own input — in tests/test_round17_ops.py::
+    test_gateway_columns_two_frames_one_plan.
     """
     from pyspark import SparkContext
 

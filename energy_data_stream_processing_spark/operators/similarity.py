@@ -100,6 +100,23 @@ _DOT = dot_expr("{a}", "{b}")
 _NORM = norm_expr("{a}")
 
 
+def parsed_expr(sql: str):
+    """``F.expr`` with a per-JVM parse memo (round 17, guide §7.3).
+
+    The unrolled scoring expressions are ~12,000-char SQL strings; parsing
+    one through ``F.expr`` costs a py4j round trip plus a full SQL-parser
+    pass (measured ~0.2-0.7 s per builder call — the bulk of
+    embedding_cosine_topk's 0.77 s first build). The parsed Column is an
+    immutable UNRESOLVED expression tree bound only to the py4j gateway —
+    no alias, session, dataset or exprId inside — so it is memoized per
+    (gateway, sql) exactly like the round-16 gateway column trees;
+    ``.alias(...)`` at each call site still mints a fresh Alias. A
+    restarted JVM rebuilds (identity check in ``gateway_columns``)."""
+    from ..functions.columns import gateway_columns
+
+    return gateway_columns(f"parsed-expr:{sql}", lambda: F.expr(sql))
+
+
 def _as_double(col: str) -> F.Column:
     return F.expr(f"transform({col}, x -> cast(x AS DOUBLE))")
 
@@ -126,7 +143,7 @@ def cosine_topk(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
     )
     joined = base.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
-    cos = F.expr(cosine_expr("q", "v", dim, cast=True))
+    cos = parsed_expr(cosine_expr("q", "v", dim, cast=True))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
         joined.select("query_id", "vec_id", cos.alias("cosine"))
@@ -146,7 +163,7 @@ def similar_pairs(embeddings: DataFrame, threshold: float = 0.35, max_id: int = 
     )
     a = base.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
     b = base.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    cos = F.expr(cosine_expr("va", "vb", cast=True))
+    cos = parsed_expr(cosine_expr("va", "vb", cast=True))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cos.alias("cosine"))
@@ -213,7 +230,7 @@ def _verified_pairs_topk(
     queries = embeddings.where(F.col("vec_id") < num_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
     )
-    cos = F.expr(cosine_expr("q", "v", dim, cast=True))
+    cos = parsed_expr(cosine_expr("q", "v", dim, cast=True))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
         pairs.join(base, "vec_id")
@@ -284,14 +301,21 @@ def _train_ivf_centroids(
     """
     import numpy as np
 
-    rows = (
+    # toPandas instead of collect (round 17, guide §6 Arrow driver
+    # transfers): with Arrow enabled the 2048x64 float sample crosses as
+    # columnar batches instead of pickled Row objects (measured ~0.25 s
+    # saved per training job — which runs on EVERY build by contract);
+    # without Arrow it degrades to the same row path as collect. Values
+    # are identical either way: float32 -> float64 upcast is IEEE-exact,
+    # and the driver-side re-sort by the unique vec_id pins init order.
+    pdf = (
         embeddings.select("vec_id", "embedding")
         .orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
         .limit(sample_cap)
-        .collect()
+        .toPandas()
     )
-    rows = sorted(rows, key=lambda r: r["vec_id"])
-    X = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    pdf = pdf.sort_values("vec_id")
+    X = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
     Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     C = Xn[:nlist].copy()
     for _ in range(iters):
@@ -403,7 +427,7 @@ def hard_negatives(embeddings: DataFrame, num_queries: int = 50, k: int = 3) -> 
         F.col("embedding").alias("q"),
     )
     joined = base.join(F.broadcast(queries), F.col("label") != F.col("query_label"))
-    cos = F.expr(cosine_expr("q", "v", cast=True))
+    cos = parsed_expr(cosine_expr("q", "v", cast=True))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
         joined.select("query_id", "query_label", "vec_id", "label", cos.alias("cosine"))
@@ -499,7 +523,7 @@ def ivf_index_topk(
     qvec = queries.select(
         "query_id",
         F.col("embedding").alias("q"),
-        F.expr(norm_expr("embedding", cast=True)).alias("nq"),
+        parsed_expr(norm_expr("embedding", cast=True)).alias("nq"),
     )
     pairs = (
         corpus.join(F.broadcast(qcells), "cell")
@@ -509,8 +533,8 @@ def ivf_index_topk(
     )
     # nv after the distinct (per surviving candidate row, once each); nq
     # rides the broadcast — the division order matches the fold form
-    cos = F.expr(dot_expr("q", "v", cast=True)) / (
-        F.col("nq") * F.expr(norm_expr("v", cast=True))
+    cos = parsed_expr(dot_expr("q", "v", cast=True)) / (
+        F.col("nq") * parsed_expr(norm_expr("v", cast=True))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (

@@ -1204,7 +1204,9 @@ def _ann_audit(
     # the exact operator, so equality is bitwise; 1e-9 absorbs nothing).
     base = emb.select("vec_id", _sim_as_double("embedding").alias("v"))
     qv = base.select(F.col("vec_id").alias("query_id"), F.col("v").alias("q"))
-    recos = F.expr(
+    from ..operators.similarity import parsed_expr as _parsed_expr
+
+    recos = _parsed_expr(
         _SIM_DOT.format(a="q", b="v")
         + " / (" + _SIM_NORM.format(a="q") + " * " + _SIM_NORM.format(a="v") + ")"
     )
@@ -3066,15 +3068,16 @@ ORDER BY n.vec_id
     "the scalars broadcast back (approx_percentile is the 100 TB swap).",
 )
 def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import norm_expr
+    from ..operators.similarity import norm_expr, parsed_expr
 
     emb = _emb(spark, sf_dir)
     norms = emb.select(
         "vec_id",
         "label",
         # unrolled per-element cast (round 16): same left-fold order and
-        # values as the old transform+aggregate form, but codegen'd
-        F.expr(norm_expr("embedding", cast=True)).alias("l2"),
+        # values as the old transform+aggregate form, but codegen'd;
+        # parsed once per JVM (round 17, similarity.parsed_expr)
+        parsed_expr(norm_expr("embedding", cast=True)).alias("l2"),
     )
     med = norms.agg(F.expr("percentile(l2, 0.5)").alias("m"))
     with_m = norms.join(F.broadcast(med))

@@ -462,10 +462,25 @@ def read_hourly_metrics_parquet(spark: SparkSession, path: str) -> DataFrame:
 
 def foreach_batch_upsert(path: str):
     """foreachBatch body for the streaming metrics flush (S7's role):
-    every trigger overwrites the touched hours with their full aggregates."""
+    every trigger overwrites the touched hours with their full aggregates.
+
+    Empty micro-batches (an append-mode bounded stream emits rows only at
+    hour eviction, so most triggers of an open hour carry zero rows) skip
+    the parquet write: the ``count()`` probe still executes EVERY state
+    partition — never a short-circuiting isEmpty/limit, which could leave
+    state partitions uncommitted — and a zero-row dynamic overwrite never
+    touched any store partition anyway, so store contents and replay
+    idempotence are unchanged; only the per-trigger write-commit overhead
+    goes (round 17, measured in plans/r17/replay_profile.json)."""
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
-        upsert_hourly_metrics_parquet(batch_df.sparkSession, batch_df, path)
+        batch_df.persist()
+        try:
+            if batch_df.count() == 0:
+                return
+            upsert_hourly_metrics_parquet(batch_df.sparkSession, batch_df, path)
+        finally:
+            batch_df.unpersist()
 
     return fn
 
@@ -651,20 +666,36 @@ def foreach_batch_sharded_flush(
         from ..streaming.runner import merge_sharded_hourly_partials
 
         spark = batch_df.sparkSession
-        # two actions over a stateful micro-batch output (staging write +
-        # touched-hour probe) — persist so the state plan runs once
+        # two actions over a stateful micro-batch output (touched-hour
+        # probe + staging write) — persist so the state plan runs once
         batch_df.persist()
         try:
-            overwrite_partitions(
-                batch_df.withColumn("_batch_id", F.lit(batch_id)),
-                staging_path,
-                "_batch_id",
-                "hour_epoch_ms",
-            )
+            # Probe FIRST, and skip the staging write on an empty batch
+            # (round 17, guide §1/§6): most micro-batches of an open hot
+            # hour evict NOTHING (state holds until the watermark passes
+            # the hour end), yet the old order paid a full
+            # dynamic-partition-overwrite commit per batch to write zero
+            # rows (measured 0.3-0.6 s/batch of pure commit overhead,
+            # plans/r17/replay_profile.json). The probe is count()-shaped
+            # (a distinct over EVERY state partition), so the stateful
+            # plan still executes all partitions and commits its state
+            # exactly as the write did — an action that short-circuits
+            # (isEmpty/limit) would be WRONG here, it could leave state
+            # partitions unexecuted. Replay safety is unchanged: an empty
+            # batch writes nothing under both orders, and a replayed
+            # non-empty batch still rewrites exactly its own
+            # (_batch_id, hour) partitions.
             touched = [
                 r["hour_epoch_ms"]
                 for r in batch_df.select("hour_epoch_ms").distinct().collect()
             ]
+            if touched:
+                overwrite_partitions(
+                    batch_df.withColumn("_batch_id", F.lit(batch_id)),
+                    staging_path,
+                    "_batch_id",
+                    "hour_epoch_ms",
+                )
         finally:
             batch_df.unpersist()
         if not touched:

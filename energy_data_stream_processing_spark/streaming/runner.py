@@ -465,6 +465,23 @@ def _stateful_update_fn(final_only: bool = False, shard_partial: bool = False):
     return update
 
 
+#: Exactly the columns ``_stateful_update_fn`` reads (plus ``event_time``,
+#: which carries the watermark). Projected BEFORE the stateful groupBy so
+#: the per-batch shuffle and the Arrow transfer into the Python state
+#: function ship only what the function needs (guide §4.1: Spark cannot
+#: see inside the UDF, so unused columns — event_id, channel — would
+#: otherwise cross the boundary on every micro-batch; round 17).
+_STATE_INPUT_COLS = (
+    "event_time",
+    "event_type",
+    "payment_amount",
+    "energy_consumed",
+    "session_id",
+    "customer_id",
+    "tariff_type",
+)
+
+
 def _hour_keyed(events: DataFrame) -> DataFrame:
     """hour (naive label) + hour_epoch_ms (tz-proof identity) group keys.
 
@@ -502,7 +519,11 @@ def hourly_metrics_stateful_stream(events: DataFrame) -> DataFrame:
     """Exact HourlyStats as a custom stateful operator
     (applyInPandasWithState keyed by event-time hour)."""
     return _epoch_hour_restored(
-        _hour_keyed(events.withWatermark("event_time", "24 hours"))
+        _hour_keyed(
+            events.select(*_STATE_INPUT_COLS).withWatermark(
+                "event_time", "24 hours"
+            )
+        )
         .groupBy("hour", "hour_epoch_ms")
         .applyInPandasWithState(
             _stateful_update_fn(),
@@ -539,7 +560,11 @@ def hourly_metrics_stateful_bounded_stream(
     when any-lateness exactness is worth hours-cardinality state
     (8,760 rows/year — trivially small either way)."""
     return _epoch_hour_restored(
-        _hour_keyed(events.withWatermark("event_time", horizon))
+        _hour_keyed(
+            events.select(*_STATE_INPUT_COLS).withWatermark(
+                "event_time", horizon
+            )
+        )
         .groupBy("hour", "hour_epoch_ms")
         .applyInPandasWithState(
             _stateful_update_fn(final_only=True),
@@ -574,7 +599,9 @@ def hourly_metrics_stateful_sharded_stream(
     append-mode: one raw partial per (hour, shard) at eviction, merged
     DOWNSTREAM of the state function (post-collect or foreachBatch), so
     the merge itself holds no streaming state."""
-    keyed = _hour_keyed(events.withWatermark("event_time", horizon)).withColumn(
+    keyed = _hour_keyed(
+        events.select(*_STATE_INPUT_COLS).withWatermark("event_time", horizon)
+    ).withColumn(
         "shard", F.pmod(F.xxhash64(F.col("customer_id")), F.lit(shards))
     )
     return keyed.groupBy("hour", "hour_epoch_ms", "shard").applyInPandasWithState(

@@ -169,20 +169,23 @@ def main() -> None:
             sp = batch_df.sparkSession
             batch_df.persist()
             try:
-                S.overwrite_partitions(
-                    batch_df.withColumn("_batch_id", F.lit(batch_id)),
-                    staging_path,
-                    "_batch_id",
-                    "hour_epoch_ms",
-                )
-                rec["staging_write"] = round(time.perf_counter() - t0, 3)
-                t1 = time.perf_counter()
+                # mirrors sinks.foreach_batch_sharded_flush round-17 order:
+                # probe first (full-plan action), write only when non-empty
                 touched = [
                     r["hour_epoch_ms"]
                     for r in batch_df.select("hour_epoch_ms").distinct().collect()
                 ]
-                rec["touched_probe"] = round(time.perf_counter() - t1, 3)
+                rec["touched_probe"] = round(time.perf_counter() - t0, 3)
                 rec["n_touched"] = len(touched)
+                if touched:
+                    t1 = time.perf_counter()
+                    S.overwrite_partitions(
+                        batch_df.withColumn("_batch_id", F.lit(batch_id)),
+                        staging_path,
+                        "_batch_id",
+                        "hour_epoch_ms",
+                    )
+                    rec["staging_write"] = round(time.perf_counter() - t1, 3)
             finally:
                 batch_df.unpersist()
             if touched:

@@ -535,13 +535,38 @@ def test_curation_decontaminate_default_build_is_lazy(spark, sf_dir):
     )
 
     deduped = _curation_dedup(_curation_quality(spark, sf_dir))
+
     # NOTE: _curation_dedup's connected-components step checkpoints
     # EAGERLY by design; only the decontaminate stage must add no jobs.
-    tracker = spark.sparkContext.statusTracker()
-    mid = len(tracker.getJobIdsForGroup(None) or [])
+    # Jobs are counted with a sentinel action under its OWN job group
+    # (round-16 advice): job ids are global and monotonic, so the gap
+    # between two sentinels counts EVERY job regardless of group —
+    # getJobIdsForGroup(None) only saw group-less jobs and would pass
+    # vacuously if a fixture ever set a job group.
+    def _sentinel_job_id() -> int:
+        import uuid
+
+        g = f"t16-sentinel-{uuid.uuid4().hex[:8]}"
+        sc = spark.sparkContext
+        sc.setJobGroup(g, "job-count sentinel")
+        try:
+            # a plain RDD count: exactly ONE job, no AQE side jobs (a SQL
+            # count() spawns an extra stage-materialization job outside
+            # the group, which would off-by-one every gap)
+            sc.parallelize([0], 1).count()
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+            sc.setLocalProperty("spark.job.description", None)
+        ids = sc.statusTracker().getJobIdsForGroup(g)
+        assert ids, "sentinel job did not register under its group"
+        return max(ids)
+
+    before = _sentinel_job_id()
     _curation_decontaminate(deduped)
-    after_build = len(tracker.getJobIdsForGroup(None) or [])
-    assert after_build == mid, "default decontaminate build ran Spark jobs"
+    after = _sentinel_job_id()
+    assert after == before + 1, (
+        f"default decontaminate build ran {after - before - 1} Spark job(s)"
+    )
 
 
 def test_curation_checkpoint_result_identical(spark, sf_dir):
