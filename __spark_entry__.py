@@ -26,14 +26,17 @@ def entry(spark: SparkSession) -> DataFrame:
     return q.builder(spark, "/root/testdata/sf0.001")
 
 
-# Round-17 gate ordering (round-16 verdict item 2): the entries round 16
-# touched SEMANTICALLY but whose oracle evidence the driver did not refresh
-# (unrolled cosine, xxhash64 shingle keys, gateway-column memos, the
-# curation checkpoint) first — the rows-only entries the verdict also named
-# (dedup_minhash_lsh, ann_{lsh,ivf}_topk) cannot be listed (no oracle, not
-# hash-checkable; their oracle-backed audit twins semantic_dedup_* /
-# ann_recall_eval carry the evidence instead) — then the stalest-evidence
-# cohort, truncated to the driver's ~50-entry sampled prefix. GENERATED —
+# Round-17 gate ordering (round-16 verdict item 2): first the entries
+# round 16 touched SEMANTICALLY but whose oracle evidence the driver did
+# not refresh (unrolled cosine, xxhash64 shingle keys, gateway-column
+# memos, the curation checkpoint) plus round 17's own touched entries
+# (stateful-stream input projection -> streaming_hourly_{metrics,bounded};
+# parsed-expr memo -> embedding_norm_outliers) — the rows-only entries the
+# verdict also named (dedup_minhash_lsh, ann_{lsh,ivf}_topk) cannot be
+# listed (no oracle, not hash-checkable; their oracle-backed audit twins
+# semantic_dedup_* / ann_recall_eval carry the evidence instead) — then
+# the stalest-evidence cohort, truncated to the driver's ~50-entry
+# sampled prefix. GENERATED —
 # do not hand-edit; regenerate with
 #   python scripts/gen_gate_prefix.py --max-round <horizon> --changed <...>
 # and verified by `gen_gate_prefix.py --check` from _GATE_CHANGED +
@@ -54,6 +57,9 @@ _GATE_CHANGED: list[str] = [
     "semantic_dedup_keep",
     "customer_view_twophase",
     "customer_view_prefilter",
+    "streaming_hourly_metrics",
+    "streaming_hourly_bounded",
+    "embedding_norm_outliers",
 ]
 
 _GATE_PREFIX = [
@@ -66,6 +72,9 @@ _GATE_PREFIX = [
     "semantic_dedup_keep",
     "customer_view_twophase",
     "customer_view_prefilter",
+    "streaming_hourly_metrics",
+    "streaming_hourly_bounded",
+    "embedding_norm_outliers",
     "brand_quantity_revenue",
     "changelog_compaction",
     "collocation_pmi",
@@ -80,7 +89,6 @@ _GATE_PREFIX = [
     "distinct_channels",
     "dup_rate_by_source",
     "embedding_dim_profile",
-    "embedding_norm_outliers",
     "events_profile",
     "funnel_conversion_latency",
     "hour_of_week_seasonality",
@@ -105,8 +113,6 @@ _GATE_PREFIX = [
     "streaming_asof_enrichment",
     "streaming_user_sessions",
     "streaming_wau_growth",
-    "tariff_migration_matrix",
-    "tariff_revenue_attribution",
 ]
 
 
