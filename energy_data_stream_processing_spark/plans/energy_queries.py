@@ -308,9 +308,27 @@ def q_customer_view(
             else:
                 _DENSITY_CACHE[key] = estimate_events_per_customer(ev)
         events_per_customer = _DENSITY_CACHE[key]
+    # Resolve the physical variant HERE (same rule as customer_view_dispatch)
+    # so the scan choice can follow it: the single/twophase plans run their
+    # wide collect_list/collect_set partials in the scan stage, which a
+    # single-row-group local layout serializes onto one task — the round-17
+    # interleaved A/B (5 reps, results asserted identical) measured the
+    # layout-adaptive rebalance at 0.79x (single) / 0.88x (twophase), while
+    # prefilter (two pruned scans, light partials) measured 1.08x and stays
+    # plain. At production layouts (row groups >= cores) the rebalance
+    # prices to a no-op — see adapter._maybe_parallelize_scan.
+    resolved = variant
+    if resolved == "auto":
+        resolved = (
+            "twophase"
+            if events_per_customer >= CUSTOMER_VIEW_DENSITY_CROSSOVER
+            else "single"
+        )
+    if resolved in ("single", "twophase"):
+        ev = energy_events(spark, sf_dir, rebalance=True)
     return customer_view_dispatch(
         ev,
-        variant=variant,
+        variant=resolved,
         events_per_customer=events_per_customer,
     )
 
@@ -578,7 +596,8 @@ def customer_view_from_events(ev: DataFrame) -> DataFrame:
     "(33.9 s) never reproduced and is retired.",
 )
 def q_customer_view_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return customer_view_two_phase(energy_events(spark, sf_dir))
+    # rebalance: see q_customer_view's resolved-variant note (0.88x measured)
+    return customer_view_two_phase(energy_events(spark, sf_dir, rebalance=True))
 
 
 def customer_view_two_phase(ev: DataFrame) -> DataFrame:
